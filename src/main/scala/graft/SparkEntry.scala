@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.chain.ChainQueries
 import graft.operators.RelationalOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -8,7 +9,7 @@ object SparkEntry {
 
   /** All declared engine queries, one per operator (SURVEY.md §2). */
   def allQueries: Seq[GraftQuery] =
-    RelationalOps.all
+    RelationalOps.all ++ ChainQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
