@@ -2,14 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.chain.ChainQueries
-import graft.operators.RelationalOps
+import graft.operators.{DedupOps, MultimodalOps, RelationalOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** All declared engine queries, one per operator (SURVEY.md §2). */
   def allQueries: Seq[GraftQuery] =
-    RelationalOps.all ++ ChainQueries.all
+    RelationalOps.all ++ ChainQueries.all ++ TextOps.all ++ DedupOps.all ++
+      SimilarityOps.all ++ MultimodalOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

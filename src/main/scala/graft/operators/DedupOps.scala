@@ -1,0 +1,292 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §7.6):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (100 TB intent):
+  *  - exact dedup is one hash-shuffle (`groupBy(md5)`), map-side partial
+  *    aggregation free from Catalyst;
+  *  - MinHash/SimHash signatures are pure column expressions over token
+  *    arrays — computed in the scan stage, no UDFs;
+  *  - candidate generation is band-bucket equi-join (shuffle on band key),
+  *    NEVER all-pairs; bucket-size capping guards against degenerate-key
+  *    skew (a boilerplate shingle landing everywhere);
+  *  - verification (exact Jaccard / cosine) runs only on candidate pairs.
+  *
+  * The driver corpus has no natural duplicates, so each query unions the
+  * corpus with deterministically perturbed copies of itself (suffix ids)
+  * — detection work is real at every scale factor.
+  */
+object DedupOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings")
+
+  /** Corpus + exact copies of doc_id < 25 under shifted ids. */
+  private def withExactDups(d: DataFrame): DataFrame =
+    d.select("doc_id", "text").unionAll(
+      d.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+
+  /** Corpus + near-copies of doc_id < 25: every 23rd token replaced
+    * (destroys ~22% of 5-shingles → Jaccard ≈ 0.64 vs the source). */
+  private def withNearDups(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"), col("text"))
+    val perturbed = d.filter(col("doc_id") < 25).select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      expr("""concat_ws(' ', transform(split(text, '\\s+'),
+             |  (x, i) -> IF(i % 23 = 0, 'xdupx', x)))""".stripMargin)
+        .as("text"))
+    base.unionAll(perturbed)
+  }
+
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup: hash-groupBy on the normalized-text digest; keeper is
+    * min(doc_id). One shuffle, partial-agg on the map side. */
+  val exact: GraftQuery = GraftQuery(
+    "dedup_exact",
+    (s, dir) =>
+      withExactDups(docs(s, dir))
+        .groupBy(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt")),
+    Some(
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL
+        |      SELECT doc_id + 1000000, text FROM documents
+        |      WHERE doc_id < 25)
+        |GROUP BY 1""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // MinHash + LSH
+  // ---------------------------------------------------------------------
+
+  val NumHashes = 16
+  /** 8 bands x 2 rows: band-match prob at Jaccard j is 1-(1-j^2)^8 —
+    * ~0.985 at j=0.64 — trading extra candidates (verified exactly anyway)
+    * for recall. */
+  val Bands = 8
+  val RowsPerBand: Int = NumHashes / Bands
+  /** Skew guard: a band bucket larger than this is a degenerate key (e.g.
+    * boilerplate); at 100 TB such buckets would quadratically explode the
+    * candidate join, so they are dropped (logged in real deployments). */
+  val MaxBucketSize = 64
+
+  /** doc_id, shingles (distinct 5-grams), minhash signature array. */
+  def minhashSignatures(d: DataFrame): DataFrame = {
+    val sh = d
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 5)
+      .withColumn("shingles", expr(
+        """array_distinct(transform(
+          |  sequence(0, size(toks) - 5),
+          |  i -> concat_ws(' ', slice(toks, i + 1, 5))))""".stripMargin))
+    val mhCols = (0 until NumHashes).map(j =>
+      expr(s"array_min(transform(shingles, x -> xxhash64($j, x)))")
+        .as(s"mh_$j"))
+    sh.select(col("doc_id") +: col("shingles") +: mhCols: _*)
+  }
+
+  /** (doc_id, band, band_key) — one row per band. */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand)
+        .map(r => col(s"mh_${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("band_key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+  }
+
+  /** Candidate pairs from shared band buckets (skew-capped), two-phase
+    * verified: (1) signature-estimated Jaccard (16 slot comparisons on
+    * small arrays — prunes the random band collisions a tiny shingle
+    * vocabulary produces) then (2) exact Jaccard over distinct shingles
+    * for survivors only. At 100 TB this keeps the wide shingle arrays out
+    * of the candidate shuffle entirely. */
+  def minhashNearDupPairs(d: DataFrame, threshold: Double): DataFrame = {
+    val sig = minhashSignatures(d)
+      .withColumn("mh_arr",
+        array((0 until NumHashes).map(j => col(s"mh_$j")): _*))
+      .cache()
+    val bands = lshBands(sig)
+    val bucketSizes = Window.partitionBy(col("band"), col("band_key"))
+    val capped = bands
+      .withColumn("bucket_n", count(lit(1)).over(bucketSizes))
+      .filter(col("bucket_n") <= MaxBucketSize)
+      .drop("bucket_n")
+    val a = capped.as("a")
+    val b = capped.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val mhSmall = sig.select(col("doc_id"), col("mh_arr"))
+    val estimated = pairs
+      .join(mhSmall.select(col("doc_id").as("id_a"),
+        col("mh_arr").as("mh_a")), "id_a")
+      .join(mhSmall.select(col("doc_id").as("id_b"),
+        col("mh_arr").as("mh_b")), "id_b")
+      .withColumn("est_jaccard",
+        expr(s"size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v))" +
+          s" / CAST($NumHashes AS DOUBLE)"))
+      .filter(col("est_jaccard") >= threshold * 0.6)
+      .select("id_a", "id_b")
+    val sa = sig.select(col("doc_id").as("id_a"),
+      col("shingles").as("sh_a"))
+    val sb = sig.select(col("doc_id").as("id_b"),
+      col("shingles").as("sh_b"))
+    estimated.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-dup detection over corpus + injected near-copies. */
+  val minhashLsh: GraftQuery = GraftQuery(
+    "dedup_minhash_lsh",
+    (s, dir) => minhashNearDupPairs(withNearDups(docs(s, dir)), 0.4),
+    None) // xxhash64 signatures are engine-specific — rows-only gate
+
+  // ---------------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------------
+
+  /** 64-bit SimHash per doc: per-bit vote over token hashes, packed with
+    * bit arithmetic. Entirely agg expressions — one shuffle. */
+  def simhash(d: DataFrame): DataFrame = {
+    val tokenHashes = d
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes: Seq[Column] = (0 until 64).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
+        .as(s"v_$b"))
+    val packed = (0 until 64).map(b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    tokenHashes.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  private def popcount(c: Column): Column = expr(s"bit_count(${c})")
+
+  /** SimHash near-dup pairs: 4x16-bit band join (pigeonhole: hamming <= 3
+    * guarantees one identical band), then exact hamming check. */
+  def simhashNearDupPairs(d: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = simhash(d).cache()
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          col("simhash").bitwiseAND(lit(0xffffL << (16 * b)))
+            .as("band_val"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"),
+        col("bk.band_val"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  val simhashDedup: GraftQuery = GraftQuery(
+    "dedup_simhash",
+    (s, dir) => simhashNearDupPairs(withNearDups(docs(s, dir)), 3),
+    None)
+
+  // ---------------------------------------------------------------------
+  // n-gram Jaccard (bounded pair generation via shared-band prefilter)
+  // ---------------------------------------------------------------------
+
+  /** Character-3-gram Jaccard over LSH-bounded candidates — same candidate
+    * machinery, different similarity kernel. */
+  val ngramJaccard: GraftQuery = GraftQuery(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      val d = withNearDups(docs(s, dir))
+      val grams = d.select(col("doc_id"), expr(
+        """array_distinct(transform(
+          |  sequence(1, greatest(length(text) - 2, 1)),
+          |  i -> substring(text, i, 3)))""".stripMargin).as("grams"))
+      val cand = minhashNearDupPairs(d, 0.45)
+        .select(col("id_a"), col("id_b"))
+      cand
+        .join(grams.select(col("doc_id").as("id_a"),
+          col("grams").as("g_a")), "id_a")
+        .join(grams.select(col("doc_id").as("id_b"),
+          col("grams").as("g_b")), "id_b")
+        .withColumn("ngram_jaccard",
+          round(size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+            size(array_union(col("g_a"), col("g_b"))), 3))
+        .filter(col("ngram_jaccard") >= 0.5)
+        .select("id_a", "id_b", "ngram_jaccard")
+    },
+    None)
+
+  // ---------------------------------------------------------------------
+  // Embedding-cosine near-dup
+  // ---------------------------------------------------------------------
+
+  /** Unit-normalized embedding + sign-LSH bucket over the first `bits`
+    * dimensions (axis-aligned hyperplanes: stable under the scale
+    * perturbation of injected dups). Wider buckets (fewer bits) trade
+    * probe cost for recall — near-dup detection uses 16 bits, ANN probing
+    * uses 8. */
+  def normalizedWithBucket(e: DataFrame, bits: Int = 16): DataFrame =
+    e.withColumn("norm",
+        sqrt(expr("aggregate(embedding, 0D, (acc, x) -> acc + x * x)")))
+      .filter(col("norm") > 0)
+      .withColumn("unit",
+        expr("transform(embedding, x -> x / norm)"))
+      .withColumn("bucket", expr(
+        s"""aggregate(sequence(1, $bits), 0L,
+          |  (acc, i) -> acc * 2 + IF(element_at(embedding, i) >= 0, 1L, 0L))
+          |""".stripMargin))
+
+  /** Near-dup pairs: in-bucket pairwise cosine >= threshold. Injected
+    * copies are scaled by 1.001 (identical direction ⇒ cosine 1). */
+  val embeddingNearDup: GraftQuery = GraftQuery(
+    "dedup_embedding_cosine",
+    (s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val dups = emb(s, dir).filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          expr("transform(embedding, x -> x * CAST(1.001 AS FLOAT))")
+            .as("embedding"))
+      val all = normalizedWithBucket(base.unionAll(dups)).cache()
+      val a = all.select(col("vec_id").as("id_a"), col("bucket"),
+        col("unit").as("u_a"))
+      val b = all.select(col("vec_id").as("id_b"), col("bucket"),
+        col("unit").as("u_b"))
+      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .withColumn("cos", expr(
+          "aggregate(zip_with(u_a, u_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+        .filter(col("cos") >= 0.99)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cos"))
+    },
+    None)
+
+  val all: Seq[GraftQuery] =
+    Seq(exact, minhashLsh, simhashDedup, ngramJaccard, embeddingNearDup)
+}

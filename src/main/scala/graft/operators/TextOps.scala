@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §7.6):
+  * quality stats, token counting, language ID, fingerprinting — all pure
+  * column expressions (whole-stage codegen, no UDFs), so they stream
+  * through a 100 TB scan at parquet-read speed.
+  */
+object TextOps {
+
+  /** Small stopword sets per language for the n-gram/stopword language
+    * heuristic. Deterministic and tiny by design. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est"),
+    "es" -> Seq("el", "la", "de", "y", "un", "una", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(", ")
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(c: String): org.apache.spark.sql.Column =
+    split(lower(col(c)), "\\s+")
+
+  /** Per-document quality stats: char length, token count, stopword count,
+    * punctuation count. The quality *score* is a weighted view over these;
+    * the stats are the oracled contract. */
+  val textStats: GraftQuery = GraftQuery(
+    "text_stats",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("char_len"),
+        size(split(col("text"), "\\s+")).as("token_cnt"),
+        expr(s"size(filter(split(lower(text), '\\\\s+'), " +
+          s"x -> x IN (${sqlList(stopwords("en"))})))").as("stop_cnt"),
+        size(expr("regexp_extract_all(text, '[.,;:!?]', 0)"))
+          .as("punct_cnt")),
+    Some(
+      s"""SELECT doc_id, length(text) AS char_len,
+         |  len(regexp_split_to_array(text, '\\s+')) AS token_cnt,
+         |  len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |      x -> x IN (${sqlList(stopwords("en"))}))) AS stop_cnt,
+         |  len(regexp_extract_all(text, '[.,;:!?]')) AS punct_cnt
+         |FROM documents""".stripMargin))
+
+  /** Quality score in [0,1] from the stats (length window, stopword ratio,
+    * punctuation ratio) — heuristic weights, deterministic output. */
+  val qualityScore: GraftQuery = GraftQuery(
+    "text_quality_score",
+    (s, dir) => {
+      val stats = t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("double").as("len"),
+        size(split(col("text"), "\\s+")).cast("double").as("toks"),
+        expr(s"size(filter(split(lower(text), '\\\\s+'), " +
+          s"x -> x IN (${sqlList(stopwords("en"))})))")
+          .cast("double").as("stops"))
+      stats.select(col("doc_id"),
+        round(
+          least(lit(1.0), col("len") / 500.0) * 0.4 +
+            least(lit(1.0), col("stops") / greatest(col("toks"), lit(1.0)) * 5)
+            * 0.4 +
+            when(col("toks") >= 20 && col("toks") <= 1000, 0.2).otherwise(0.0),
+          4).as("quality"))
+    },
+    None) // heuristic float blend — rows-only check; stats are oracled above
+
+  /** BPE-ish token counting: word pieces + isolated non-word glyphs. */
+  val tokenCount: GraftQuery = GraftQuery(
+    "text_token_count",
+    (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        size(expr("regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]', 0)"))
+          .as("bpe_cnt")),
+    Some(
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]'))
+        |    AS bpe_cnt
+        |FROM documents""".stripMargin))
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text
+    * (the exact-dedup key) + length guard. */
+  val fingerprint: GraftQuery = GraftQuery(
+    "text_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
+        length(col("text")).as("char_len")),
+    Some(
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |  length(text) AS char_len
+        |FROM documents""".stripMargin))
+
+  /** Language ID by stopword-hit voting with a deterministic tiebreak
+    * (hit count desc; ties broken by lexicographically-largest code via
+    * struct ordering). Scores are engine-internal; the (doc_id, predicted)
+    * pairs are the contract. */
+  val langId: GraftQuery = GraftQuery(
+    "text_lang_id",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          split(lower(col("text")), "\\s+").as("toks"))
+      val scored = stopwords.foldLeft(docs) { case (df, (code, ws)) =>
+        df.withColumn(s"hits_$code",
+          expr(s"size(filter(toks, x -> x IN (${sqlList(ws)})))"))
+      }
+      scored.select(col("doc_id"), col("lang"),
+        expr(s"array_max(array(${stopwords.keys.toSeq.sorted
+            .map(c => s"struct(hits_$c AS hits, '$c' AS code)")
+            .mkString(", ")}))")
+          .getField("code").as("predicted"))
+    },
+    None)
+
+  val all: Seq[GraftQuery] =
+    Seq(textStats, qualityScore, tokenCount, fingerprint, langId)
+}

@@ -1,0 +1,25 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Builder-side diagnostic: per-query wall time in isolation vs after the
+  * dedup queries, to locate driver-side planning pathologies. */
+object Diag {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probe = Seq("fil7_distinct", "join_full_outer", "win1_gap_check")
+    probe.foreach(q => println(f"[diag] cold $q: ${time(q)}%.2f s"))
+    Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+      "dedup_embedding_cosine", "ann_topk_lsh")
+      .foreach(q => println(f"[diag] heavy $q: ${time(q)}%.2f s"))
+    probe.foreach(q => println(f"[diag] warm $q: ${time(q)}%.2f s"))
+    spark.stop()
+  }
+}
