@@ -1,0 +1,131 @@
+package graft.etl
+
+import graft.chain.ChainFixture
+import graft.store.GraftStore
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Streaming tail ingest (OP-SRC-4 / OP-STR-1..4, etl.rs:126-176).
+  *
+  * New-head events drive micro-batches; each batch is processed by
+  * [[processHead]] inside `foreachBatch`, which is idempotent by height
+  * (replay-safe, OP-STR-2) and detects reorgs by parent-hash linkage
+  * instead of the reference's insert-conflict signal (OP-STR-3):
+  *
+  *  - head.number <= stored max → skip (OP-FIL-7 duplicate filter);
+  *  - parent linkage broken → walk back to the fork point, rewrite the
+  *    affected buckets (OP-DEL-1), then re-backfill from the source;
+  *  - otherwise append [storedMax+1, head.number] as one atomic commit.
+  *
+  * Maturity stays recompute-on-read ([[graft.chain.ChainOps.withMaturity]],
+  * OP-STR-4: a 5-block finality watermark), so no UPDATE pass exists at
+  * all — the reference's biggest mutation loop (etl.rs:171,318) costs
+  * nothing here.
+  */
+object Tail {
+
+  final case class Head(number: Long, hash: String, parent_hash: String)
+
+  sealed trait Action
+  case object Skipped extends Action
+  final case class Appended(from: Long, to: Long) extends Action
+  final case class ReorgResolved(forkPoint: Long, reingested: Long)
+      extends Action
+
+  /** Rollback all heights >= `height` across the three tables by
+    * rewriting only the buckets that contain them (OP-DEL-1/OP-DEL-2). */
+  def rollbackFrom(spark: SparkSession, store: GraftStore,
+      height: Long): Unit = {
+    val pred = store.leavesAtOrAbove(height)
+    val (adds, drops) = store.Tables.map { table =>
+      val affected = store.currentLeaves()
+        .filter(l => l.table == table && pred(l.bucket))
+      if (affected.isEmpty) (Nil, Nil)
+      else {
+        val kept = store.read(spark, table, pred)
+          .filter(col(store.heightCol(table)) < height)
+        (store.stage(table, kept), affected)
+      }
+    }.unzip
+    store.commit(adds.flatten, drops.flatten)
+  }
+
+  /** Process one new head; returns the action taken. Driver-side point
+    * lookups (stored tip hash) are single-row reads on the control path —
+    * the data path stays fully distributed. */
+  def processHead(
+      spark: SparkSession,
+      store: GraftStore,
+      source: ChainSource,
+      head: Head,
+      watched: Seq[String] = Seq(ChainFixture.Watched)): Action = {
+    val last = Backfill.maxIngestedHeight(spark, store)
+    if (head.number <= last) return Skipped
+
+    // Parent-linkage check against the stored chain (OP-STR-3). The stored
+    // block at head.number-1 must be the head's parent; otherwise walk back
+    // until the source and store agree, then rewrite from there.
+    if (last >= 0) {
+      val storedTipHash = store.read(spark, "blocks",
+          store.leavesAtOrAbove(last))
+        .filter(col("number") === last).select("hash").head().getString(0)
+      val linked =
+        if (head.number == last + 1) head.parent_hash == storedTipHash
+        else true // gap: backfill below re-pulls the range with linkage
+      if (!linked || head.number <= last) {
+        val forkPoint = findForkPoint(spark, store, source, last)
+        rollbackFrom(spark, store, forkPoint)
+        val n = Backfill.run(spark, source, store, forkPoint, head.number,
+          watched)
+        return ReorgResolved(forkPoint, n)
+      }
+    }
+    val from = last + 1
+    Backfill.run(spark, source, store, from, head.number, watched)
+    Appended(from, head.number)
+  }
+
+  /** First height where source and store disagree, walking back from the
+    * stored tip (bounded by the reference's 100-block crash-retry wipe,
+    * export.rs:62). */
+  private def findForkPoint(spark: SparkSession, store: GraftStore,
+      source: ChainSource, storedTip: Long): Long = {
+    val lookback = 100L
+    val from = math.max(0L, storedTip - lookback)
+    val stored = store.read(spark, "blocks", store.leavesAtOrAbove(from))
+      .filter(col("number") >= from)
+      .select(col("number"), col("hash").as("stored_hash"))
+    val fresh = source.blocks(spark, from, storedTip)
+      .select(col("number"), col("hash").as("source_hash"))
+    val firstDiff = stored.join(fresh, "number")
+      .filter(col("stored_hash") =!= col("source_hash"))
+      .agg(min("number")).head().get(0)
+    firstDiff match {
+      case n: Long => n
+      case _ => storedTip + 1 // store is a strict prefix: append-only case
+    }
+  }
+
+  /** Structured Streaming wiring: a stream of heads → foreachBatch over
+    * [[processHead]] in head order. The heads source in production is the
+    * node's newHeads subscription (a custom MicroBatchStream keyed by
+    * block number); tests drive a MemoryStream. */
+  def attach(
+      spark: SparkSession,
+      store: GraftStore,
+      source: ChainSource,
+      heads: DataFrame,
+      watched: Seq[String] = Seq(ChainFixture.Watched))
+    : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    heads.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.select("number", "hash", "parent_hash")
+        .collect()
+        .sortBy(_.getAs[Long]("number"))
+        .foreach { r =>
+          processHead(spark, store, source,
+            Head(r.getAs[Long]("number"), r.getAs[String]("hash"),
+              r.getAs[String]("parent_hash")), watched)
+        }
+    }
+  }
+}

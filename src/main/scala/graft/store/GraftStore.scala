@@ -1,0 +1,142 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Manifest-committed multi-table parquet store (SURVEY §7.5).
+  *
+  * Mirrors the reference's single DB transaction spanning
+  * blocks+transactions+token_transfers (sqlite3.rs:394-481) on immutable
+  * parquet, with no external table-format dependency:
+  *
+  *  - data lands in per-block-range-bucket leaf directories
+  *    (`bucket = number / bucketSize`), uniquely named per write;
+  *  - a snapshot file lists every live (table, bucket, dir) triple;
+  *  - `_current` is swapped by atomic rename — one commit covers all
+  *    tables, so a reader never observes a block without its transactions;
+  *  - readers resolve `_current` once per query → snapshot isolation;
+  *  - mutations (reorg OP-DEL-1/2, retention OP-DEL-3) stage replacement
+  *    leaves for the affected buckets and drop the originals in the same
+  *    commit — untouched buckets are never rewritten.
+  *
+  * `bucket` is derived from `number`, never stored, so leaves are plain
+  * parquet readable in any combination. Snapshot metadata is O(live
+  * leaves), driver-only — the manifest-pointer design Iceberg/Delta use
+  * at petabyte scale, reduced to this engine's needs.
+  */
+final class GraftStore(val root: String, val bucketSize: Long = 10000L) {
+
+  val Tables = Seq("blocks", "transactions", "token_transfers")
+
+  /** Height column per table (transfers/txs key on their parent block). */
+  val heightCol: Map[String, String] = Map(
+    "blocks" -> "number",
+    "transactions" -> "block_number",
+    "token_transfers" -> "block_number")
+
+  final case class Leaf(table: String, bucket: Long, dir: String)
+
+  private def rootPath: Path = Paths.get(root)
+  private def currentPtr: Path = rootPath.resolve("_current")
+
+  Files.createDirectories(rootPath)
+
+  def currentLeaves(): Seq[Leaf] = {
+    if (!Files.exists(currentPtr)) return Nil
+    val snapFile = rootPath.resolve(
+      new String(Files.readAllBytes(currentPtr), StandardCharsets.UTF_8).trim)
+    Files.readAllLines(snapFile, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty)
+      .map { l =>
+        val Array(t, b, d) = l.split("\t", 3)
+        Leaf(t, b.toLong, d)
+      }
+  }
+
+  private def publish(leaves: Seq[Leaf]): Unit = {
+    val name =
+      s"snapshot-${System.nanoTime()}-${UUID.randomUUID().toString.take(8)}.txt"
+    val body = leaves.sortBy(l => (l.table, l.bucket, l.dir))
+      .map(l => s"${l.table}\t${l.bucket}\t${l.dir}").mkString("\n")
+    Files.write(rootPath.resolve(name), body.getBytes(StandardCharsets.UTF_8))
+    val tmp =
+      rootPath.resolve(s"_current.tmp-${UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, name.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Stage a DataFrame as new leaves of `table`, split by height bucket
+    * (plus token `address` sub-partitions for transfers — the reference's
+    * per-token tables as partition pruning). Invisible until [[commit]].
+    */
+  def stage(table: String, df: DataFrame): Seq[Leaf] = {
+    val seg =
+      s"$table/seg-${System.nanoTime()}-${UUID.randomUUID().toString.take(8)}"
+    val hc = heightCol(table)
+    // Partition dirs use shadow `__` columns so every real column stays in
+    // the data files — leaves are then plain parquet, readable in any
+    // combination with recursiveFileLookup (no k=v discovery conflicts).
+    val staged = df.withColumn("__bucket", (col(hc) / bucketSize).cast("long"))
+    val extraParts =
+      if (table == "token_transfers")
+        staged.withColumn("__addr", col("address")) -> Seq("__addr")
+      else staged -> Nil
+    extraParts._1.write.mode(SaveMode.ErrorIfExists)
+      .partitionBy("__bucket" +: extraParts._2: _*)
+      .parquet(s"$root/$seg")
+    // enumerate bucket leaves written
+    Files.list(rootPath.resolve(seg)).iterator().asScala.toSeq
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("__bucket="))
+      .map(d => Leaf(table, d.stripPrefix("__bucket=").toLong, s"$seg/$d"))
+  }
+
+  /** One atomic commit across tables. */
+  def commit(adds: Seq[Leaf], drops: Seq[Leaf] = Nil): Unit = synchronized {
+    val dropSet = drops.map(_.dir).toSet
+    publish(currentLeaves().filterNot(l => dropSet.contains(l.dir)) ++ adds)
+  }
+
+  /** Snapshot-isolated read; `bucketPred` prunes leaves before Spark ever
+    * lists a file (the manifest-level analogue of partition pruning). */
+  def read(spark: SparkSession, table: String,
+      bucketPred: Long => Boolean = _ => true): DataFrame = {
+    val dirs = currentLeaves()
+      .filter(l => l.table == table && bucketPred(l.bucket))
+      .map(l => s"$root/${l.dir}")
+    // Leaves are plain parquet (all real columns in the data files);
+    // recursiveFileLookup disables k=v discovery, so heterogeneous leaf
+    // sets from different segments read uniformly. Pruning happens at the
+    // manifest level above.
+    if (dirs.isEmpty) emptyLike(spark, table)
+    else spark.read.option("recursiveFileLookup", "true").parquet(dirs: _*)
+  }
+
+  def leavesAtOrAbove(height: Long): Long => Boolean =
+    b => b >= height / bucketSize
+
+  private def emptyLike(spark: SparkSession, table: String): DataFrame = {
+    import graft.chain.{Block, TokenTransfer, Transaction}
+    import spark.implicits._
+    table match {
+      case "blocks" => Seq.empty[Block].toDF()
+      case "transactions" => Seq.empty[Transaction].toDF()
+      case "token_transfers" =>
+        Seq.empty[TokenTransfer].toDF()
+          .withColumn("created_at", lit(null).cast("timestamp"))
+          .select("block_number", "from_addr", "to_addr", "value", "tx_hash",
+            "address", "transfer_index", "created_at", "status")
+      case other => throw new IllegalArgumentException(other)
+    }
+  }
+
+  def bucketCol(table: String): Column =
+    (col(heightCol(table)) / bucketSize).cast("long")
+}

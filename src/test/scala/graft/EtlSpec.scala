@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.chain.{ChainFixture, ChainOps}
+import graft.etl.{Backfill, FixtureSource, Tail}
+import graft.store.GraftStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ETL end-to-end (SURVEY §5.2 item 5): backfill + streaming tail with an
+  * injected reorg over the manifest-committed store; final tables must
+  * equal the fixture-derived goldens and survive crash/replay semantics. */
+class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).getOrCreate()
+
+  lazy val fx: ChainFixture.Fixture = ChainFixture.build(200)
+
+  private def newStore(): GraftStore =
+    new GraftStore(
+      Files.createTempDirectory("graft-store").toString, bucketSize = 50L)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("staged-but-uncommitted writes are invisible (atomicity)") {
+    val store = newStore()
+    Backfill.run(spark, new FixtureSource(fx), store, 0, 99)
+    val before = store.read(spark, "blocks").count()
+    // stage without commit — a crash between stage and commit
+    store.stage("blocks", fx.blocksDF(spark).filter(col("number") >= 100))
+    assert(store.read(spark, "blocks").count() == before)
+    // all three tables move together in one commit
+    val snap = store.currentLeaves().map(_.table).distinct.sorted
+    assert(snap == Seq("blocks", "token_transfers", "transactions"))
+  }
+
+  test("backfill ingests, resumes from coalesced max, and is complete") {
+    val store = newStore()
+    val src = new FixtureSource(fx)
+    assert(Backfill.maxIngestedHeight(spark, store) == -1L)
+    Backfill.run(spark, src, store, 0, 149)
+    assert(Backfill.maxIngestedHeight(spark, store) == 149L)
+    Backfill.run(spark, src, store, 150, 199)
+    assert(store.read(spark, "blocks").count() == 200)
+    assert(store.read(spark, "transactions").count() == 600)
+    val transfers = store.read(spark, "token_transfers")
+    assert(transfers.count() == fx.goldenTransfers.size)
+    assert(ChainOps.continuityGaps(store.read(spark, "blocks")).count() == 0)
+  }
+
+  test("bucket-level manifest pruning reads only matching leaves") {
+    val store = newStore()
+    Backfill.run(spark, new FixtureSource(fx), store, 0, 199)
+    val leaves = store.currentLeaves().filter(_.table == "blocks")
+    assert(leaves.map(_.bucket).distinct.size == 4) // 200 / 50
+    val pruned = store.read(spark, "blocks", _ == 2L)
+    assert(pruned.agg(min("number"), max("number")).head().toSeq ==
+      Seq(100L, 149L))
+  }
+
+  test("token_transfers leaves are address-partitioned for pruning") {
+    val store = newStore()
+    Backfill.run(spark, new FixtureSource(fx), store, 0, 199)
+    val df = store.read(spark, "token_transfers")
+    assert(df.columns.contains("address"))
+    assert(df.filter(col("address") === ChainFixture.Watched).count() ==
+      fx.goldenTransfers.size)
+  }
+
+  test("streaming tail appends new heads and skips duplicates") {
+    val store = newStore()
+    val src = new FixtureSource(fx)
+    Backfill.run(spark, src, store, 0, 189)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Tail.Head]
+    val query = Tail.attach(spark, store, src, stream.toDF())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt").toString)
+      .start()
+    val heads = (190 to 199).map(n =>
+      Tail.Head(n.toLong, fx.blocks(n).hash, fx.blocks(n).parent_hash))
+    stream.addData(heads)
+    stream.addData(heads.take(3)) // duplicate delivery must be a no-op
+    query.processAllAvailable()
+    query.stop()
+    assert(store.read(spark, "blocks").count() == 200)
+    assert(ChainOps.continuityGaps(store.read(spark, "blocks")).count() == 0)
+    assert(store.read(spark, "token_transfers").count() ==
+      fx.goldenTransfers.size)
+  }
+
+  test("reorg mid-stream: fork replaces tail, tables converge (OP-STR-3)") {
+    val store = newStore()
+    val canonical = new FixtureSource(fx)
+    Backfill.run(spark, canonical, store, 0, 155)
+    // the chain reorgs: heights >= 150 are replaced by the fork branch
+    val forked = new FixtureSource(fx, forkAt = Some(150), forkLen = 6)
+    val fork = ChainFixture.forkBlocks(fx, 150, 6)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Tail.Head]
+    val query = Tail.attach(spark, store, forked, stream.toDF())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt").toString)
+      .start()
+    stream.addData(Tail.Head(156L, "next-after-fork", fork.last.hash))
+    query.processAllAvailable()
+    query.stop()
+    val blocks = store.read(spark, "blocks")
+    // stored chain now = canonical < 150 ++ fork 150..155
+    assert(blocks.count() == 156)
+    val storedAt150 = blocks.filter(col("number") === 150).head()
+    assert(storedAt150.getAs[String]("hash") == fork.head.hash)
+    assert(ChainOps.continuityGaps(blocks).count() == 0)
+    // fork txs are gone: transfers stop below 150
+    val transfers = store.read(spark, "token_transfers")
+    assert(transfers.filter(col("block_number") >= 150).count() == 0)
+    assert(transfers.count() ==
+      fx.goldenTransfers.count(_._1.block_number < 150))
+    // blocks' own linkage across the splice survives
+    val b150parent = storedAt150.getAs[String]("parent_hash")
+    assert(b150parent ==
+      blocks.filter(col("number") === 149).head().getAs[String]("hash"))
+  }
+
+  test("retention sweep drops only expired buckets (OP-DEL-3)") {
+    val store = newStore()
+    Backfill.run(spark, new FixtureSource(fx), store, 0, 199)
+    // fixture timestamps advance 10s per block; retain last 500s
+    val now = 1700000000L + 10L * 199
+    val cutoffHeight = 199L - 50L + 1L
+    val pred = store.leavesAtOrAbove(cutoffHeight)
+    val dropLeaves = store.currentLeaves().filterNot(l => pred(l.bucket))
+    store.commit(Nil, dropLeaves)
+    val kept = store.read(spark, "blocks")
+    assert(kept.agg(min("number")).head().getLong(0) >= 100L)
+    assert(kept.agg(max("number")).head().getLong(0) == 199L)
+  }
+}
