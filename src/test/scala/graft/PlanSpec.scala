@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that make these queries scale
+  * (filter pushdown to parquet, column pruning, broadcast joins for
+  * dimension sides, whole-stage codegen) must hold, not just the results.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    // execute THIS df so AQE materializes its final plan (count() would
+    // execute a different QueryExecution)
+    df.collect()
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("conjunctive filter pushes both predicates to the parquet scan") {
+    val p = plan("fil5_conjunctive")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("IsNotNull(l_suppkey)") || p.contains("EqualTo(l_suppkey,4)"),
+      s"expected l_suppkey pushdown in:\n$p")
+    assert(p.contains("GreaterThan(l_discount,0.05)"),
+      s"expected l_discount pushdown in:\n$p")
+  }
+
+  test("range predicate pushes bounds to the scan") {
+    val p = plan("fil4_range")
+    assert(p.contains("GreaterThanOrEqual(o_orderkey,100)"), p)
+    assert(p.contains("LessThanOrEqual(o_orderkey,120)"), p)
+  }
+
+  test("narrow projection prunes the read schema to selected columns") {
+    val p = plan("prj1_narrow")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey"), readSchema)
+    assert(!readSchema.contains("l_shipdate"), readSchema)
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("enrichment join broadcasts both dimension sides") {
+    val p = plan("join1_enrich")
+    // formatted output lists each node once in the tree and once in the
+    // details — count the numbered detail headers
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("headline aggregate runs partial+final hash aggregation in codegen") {
+    val p = plan("q1_agg")
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("[codegen id :"), p)
+  }
+
+  test("top-1 sort-limit plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("srt1_top1")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("union with per-branch predicates pushes filters below the union") {
+    val p = plan("set1_union_all")
+    // every branch scans with its own pushed filter — no post-union filter
+    assert("PushedFilters: \\[.*c_nationkey".r.findAllIn(p).nonEmpty, p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("scalar-subquery max reuses a single-row subquery, not a rescan join") {
+    val p = plan("agg3_scalar_subquery")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"), p)
+  }
+
+  test("decode pipeline: selector filter pushes down; joins broadcast") {
+    val df = graft.chain.ChainQueries.tokenTransfersPipeline.fn(spark, dir)
+    df.count()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("brute-force ANN broadcasts the query side") {
+    val p = plan("ann_topk_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
