@@ -32,8 +32,10 @@ object Tables {
     * `CAST(ts_ns AS TIMESTAMP)`). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
+    // NB: integer `div`, not `/` — epoch nanos exceed double precision,
+    // so float division would corrupt the low microseconds.
     if (name == "events")
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 }

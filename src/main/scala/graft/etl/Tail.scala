@@ -118,14 +118,16 @@ object Tail {
       watched: Seq[String] = Seq(ChainFixture.Watched))
     : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     heads.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      batch.select("number", "hash", "parent_hash")
-        .collect()
-        .sortBy(_.getAs[Long]("number"))
-        .foreach { r =>
-          processHead(spark, store, source,
-            Head(r.getAs[Long]("number"), r.getAs[String]("hash"),
-              r.getAs[String]("parent_hash")), watched)
-        }
+      // only the max head per micro-batch matters: processHead ingests the
+      // whole [stored+1, head] range, subsuming intermediate heads
+      val rows = batch.select("number", "hash", "parent_hash").collect()
+      if (rows.nonEmpty) {
+        val r = rows.maxBy(_.getAs[Long]("number"))
+        processHead(spark, store, source,
+          Head(r.getAs[Long]("number"), r.getAs[String]("hash"),
+            r.getAs[String]("parent_hash")), watched)
+      }
+      ()
     }
   }
 }

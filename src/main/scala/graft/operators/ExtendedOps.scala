@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended engine surface beyond the reference's own queries (SURVEY §2
+  * "declared surface" rows): JSON extraction, date/string/math scalar
+  * families, percentiles, min_by/max_by, time-window aggregation, and
+  * additional analytic window functions — every one a Catalyst built-in
+  * (codegen'd, pushdown-friendly), oracled against DuckDB. */
+object ExtendedOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  /** JSON field extraction (the events `props` column is JSON). */
+  val fnJson: GraftQuery = GraftQuery(
+    "fn_json_extract",
+    (s, dir) => t(s, dir, "events").select(col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_str"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_num")),
+    Some(
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        |FROM events""".stripMargin))
+
+  /** Date/time scalar family: extract parts, truncate, shift, diff. */
+  val fnDates: GraftQuery = GraftQuery(
+    "fn_dates",
+    (s, dir) => t(s, dir, "orders").select(col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("d"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .as("days_since")),
+    Some(
+      """SELECT o_orderkey,
+        |  CAST(extract(year FROM o_orderdate) AS INTEGER) AS y,
+        |  CAST(extract(month FROM o_orderdate) AS INTEGER) AS m,
+        |  CAST(extract(day FROM o_orderdate) AS INTEGER) AS d,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  o_orderdate + INTERVAL 30 DAY AS plus30,
+        |  CAST(date_diff('day', DATE '1995-01-01',
+        |       CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+        |FROM orders""".stripMargin))
+
+  /** String scalar family: pad, concat, locate, translate, trim, case. */
+  val fnStrings: GraftQuery = GraftQuery(
+    "fn_strings",
+    (s, dir) => t(s, dir, "orders").select(col("o_orderkey"),
+      lpad(col("o_orderstatus"), 5, "_").as("padded"),
+      concat_ws("-", col("o_orderstatus"), col("o_orderpriority"))
+        .as("joined"),
+      locate("-", col("o_orderpriority")).as("dash_at"),
+      translate(col("o_orderpriority"), "-", " ").as("spaced"),
+      lower(col("o_orderpriority")).as("lowered"),
+      trim(lit("  x  ")).as("trimmed")),
+    Some(
+      """SELECT o_orderkey, lpad(o_orderstatus, 5, '_') AS padded,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS joined,
+        |  CAST(instr(o_orderpriority, '-') AS INTEGER) AS dash_at,
+        |  translate(o_orderpriority, '-', ' ') AS spaced,
+        |  lower(o_orderpriority) AS lowered, trim('  x  ') AS trimmed
+        |FROM orders""".stripMargin))
+
+  /** Math scalar family (rounded for cross-engine float equality). */
+  val fnMath: GraftQuery = GraftQuery(
+    "fn_math",
+    (s, dir) => t(s, dir, "orders").select(col("o_orderkey"),
+      round(abs(col("o_totalprice") - 200000), 2).as("abs_delta"),
+      ceil(col("o_totalprice") / 1000).cast("long").as("kceil"),
+      floor(col("o_totalprice") / 1000).cast("long").as("kfloor"),
+      round(sqrt(col("o_totalprice")), 4).as("root"),
+      round(log(col("o_totalprice")), 6).as("nat_log")),
+    Some(
+      """SELECT o_orderkey,
+        |  round(abs(o_totalprice - 200000), 2) AS abs_delta,
+        |  CAST(ceil(o_totalprice / 1000) AS BIGINT) AS kceil,
+        |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS kfloor,
+        |  round(sqrt(o_totalprice), 4) AS root,
+        |  round(ln(o_totalprice), 6) AS nat_log
+        |FROM orders""".stripMargin))
+
+  /** Array functions with string-rendered output (engine-stable compare). */
+  val fnArrays: GraftQuery = GraftQuery(
+    "fn_arrays",
+    (s, dir) => t(s, dir, "orders").select(col("o_orderkey"),
+      array_join(sort_array(split(col("o_orderpriority"), "-")), ",")
+        .as("parts_sorted"),
+      size(split(col("o_orderpriority"), "-")).as("n_parts"),
+      array_join(slice(split(col("o_orderpriority"), "-"), 1, 1), ",")
+        .as("head_part")),
+    Some(
+      """SELECT o_orderkey,
+        |  array_to_string(list_sort(regexp_split_to_array(
+        |    o_orderpriority, '-')), ',') AS parts_sorted,
+        |  len(regexp_split_to_array(o_orderpriority, '-')) AS n_parts,
+        |  array_to_string(regexp_split_to_array(o_orderpriority, '-')[1:1],
+        |    ',') AS head_part
+        |FROM orders""".stripMargin))
+
+  /** Interpolated percentiles (exact; matches DuckDB quantile_cont). */
+  val aggPercentiles: GraftQuery = GraftQuery(
+    "agg_percentiles",
+    (s, dir) => t(s, dir, "orders").groupBy(col("o_orderstatus")).agg(
+      round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+      round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+      round(avg(col("o_totalprice")).cast("decimal(28,6)"), 4)
+        .cast("double").as("mean")),
+    Some(
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(CAST(avg(o_totalprice) AS DECIMAL(28,6)), 4) AS mean
+        |FROM orders GROUP BY o_orderstatus""".stripMargin))
+
+  /** Argmin/argmax aggregation. */
+  val aggMinMaxBy: GraftQuery = GraftQuery(
+    "agg_minmax_by",
+    (s, dir) => t(s, dir, "orders").groupBy(col("o_orderstatus")).agg(
+      min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_key"),
+      max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_key")),
+    Some(
+      """SELECT o_orderstatus,
+        |  min_by(o_orderkey, o_totalprice) AS cheapest_key,
+        |  max_by(o_orderkey, o_totalprice) AS priciest_key
+        |FROM orders GROUP BY o_orderstatus""".stripMargin))
+
+  /** Tumbling time-window aggregation (the batch shape of the streaming
+    * windowed agg, OP-STR surface; window start == time_bucket). */
+  val aggTimeWindow: GraftQuery = GraftQuery(
+    "agg_time_window",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").getField("start")
+        .as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).as("total")),
+    Some(
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+        |    AS window_start,
+        |  event_type, count(*) AS n,
+        |  round(sum(CAST(value AS DECIMAL(18,2))), 2) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin))
+
+  /** Additional analytic window functions: ntile, lead, first/last value
+    * over a deterministic frame. */
+  val winExtras: GraftQuery = GraftQuery(
+    "win_extras",
+    (s, dir) => {
+      val byKey = Window.orderBy(col("o_orderkey"))
+      val perStatus = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(col("o_orderkey"),
+        ntile(4).over(byKey).as("quartile"),
+        lead(col("o_orderkey"), 1).over(byKey).as("next_key"),
+        first(col("o_orderkey")).over(perStatus).as("first_in_status"),
+        last(col("o_orderkey")).over(perStatus).as("last_in_status"))
+    },
+    Some(
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER (ORDER BY o_orderkey) AS INTEGER) AS quartile,
+        |  lead(o_orderkey, 1) OVER (ORDER BY o_orderkey) AS next_key,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    UNBOUNDED FOLLOWING) AS first_in_status,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    UNBOUNDED FOLLOWING) AS last_in_status
+        |FROM orders""".stripMargin))
+
+  /** Session-window aggregation (batch shape of the streaming
+    * sessionization): Spark's session_window vs the classic SQL
+    * gap-flag + running-sum session id derivation in DuckDB. */
+  val aggSessionWindow: GraftQuery = GraftQuery(
+    "agg_session_window",
+    (s, dir) => graft.streaming.StreamOps.sessionizeBatch(
+      s, t(s, dir, "events")),
+    Some(
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |m AS (SELECT *,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(ts) AS started_at, count(*) AS n_events,
+        |  round(sum(CAST(value AS DECIMAL(18,2))), 2) AS total_value
+        |FROM g GROUP BY user_id, sid""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(
+    fnJson, fnDates, fnStrings, fnMath, fnArrays, aggPercentiles,
+    aggMinMaxBy, aggTimeWindow, winExtras, aggSessionWindow)
+}

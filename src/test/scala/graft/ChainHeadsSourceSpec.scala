@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.chain.{ChainFixture, ChainOps}
+import graft.etl.{Backfill, FixtureSource, Tail}
+import graft.store.GraftStore
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom MicroBatchStream heads source driving the real tail ingest
+  * end-to-end: readStream from height offsets → foreachBatch → store. */
+class ChainHeadsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("heads stream feeds tail ingest from height offsets to a full store") {
+    val fx = ChainFixture.build(200)
+    val store = new GraftStore(
+      Files.createTempDirectory("graft-store").toString, bucketSize = 50L)
+    Backfill.run(spark, new FixtureSource(fx), store, 0, 99)
+
+    val heads = spark.readStream
+      .format("graft.sources.ChainHeadsProvider")
+      .option("numBlocks", "200")
+      .option("blocksPerBatch", "40")
+      .load()
+    val q = Tail.attach(spark, store, new FixtureSource(fx), heads)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val blocks = store.read(spark, "blocks")
+    assert(blocks.count() == 200)
+    assert(ChainOps.continuityGaps(blocks).count() == 0)
+    assert(store.read(spark, "token_transfers").count() ==
+      fx.goldenTransfers.size)
+  }
+}
