@@ -54,16 +54,18 @@ object ChainOps {
       txs: DataFrame,
       blocks: DataFrame,
       receipts: DataFrame,
-      watched: Seq[String] = Seq(ChainFixture.Watched)): DataFrame = {
+      watched: Seq[String] = Seq(ChainFixture.Watched),
+      contractType: String = "cbc20"): DataFrame = {
+    val decoder = ContractRegistry(contractType)
     val candidates = txs
       .filter(col("to_addr").isin(watched: _*) &&
-        Cbc20.isTransferCall(col("input")))
+        decoder.isCall(col("input")))
       .select(col("hash").as("tx_hash"), col("block_number"),
         col("to_addr").as("address"), col("from_addr"), col("input"))
 
     val decoded = candidates.select(
       col("tx_hash"), col("block_number"), col("address"),
-      cbc20_decode(col("from_addr"), col("input")))
+      decoder.decode(col("from_addr"), col("input")))
 
     val statusCol = receipts
       .select(col("tx_hash"), col("status").as("receipt_ok"))

@@ -166,7 +166,26 @@ object ChainQueries {
           b.transaction_count.toString)))
     })
 
+  /** Exact U256 aggregation (custom TypedImperativeAggregate): total
+    * transferred value per receipt status, beyond Decimal(38) range if
+    * needed. Oracle computed with BigInt over the fixture intents. */
+  val u256Sum: GraftQuery = GraftQuery(
+    "chain_u256_sum",
+    (s, _) => ChainOps.tokenTransfers(
+        fx.txsDF(s), fx.blocksDF(s), fx.receiptsDF(s))
+      .groupBy(col("status"))
+      .agg(graft.functions.U256.u256_sum(
+        graft.functions.U256.u256_from_hex(col("value"))).as("total_value")),
+    Some {
+      val byStatus = fx.goldenTransfers.groupBy(_._1.status).toSeq
+        .map { case (st, ts) =>
+          Seq(st.toString,
+            sq(ts.map(t => BigInt(t._1.value, 16)).sum.toString))
+        }
+      values(Seq("status" -> "INTEGER", "total_value" -> "VARCHAR"), byStatus)
+    })
+
   val all: Seq[GraftQuery] = Seq(
     tokenTransfersPipeline, u256Decode, addressTransfers, maturity, gaps,
-    identity, sentinels, rollbackLast, retention, viewBlock)
+    identity, sentinels, rollbackLast, retention, viewBlock, u256Sum)
 }

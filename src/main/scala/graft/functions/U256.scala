@@ -66,6 +66,10 @@ object U256 {
   /** Exact sum of two U256 decimal strings. */
   def u256_add(a: Column, b: Column): Column = columnOf(U256Add(exprOf(a), exprOf(b)))
 
+  /** Exact sum aggregate over U256 decimal strings. */
+  def u256_sum(c: Column): Column =
+    columnOf(U256SumAgg(exprOf(c)).toAggregateExpression())
+
   /** Sort key for U256 decimal strings: left-pad to 78 digits so
     * lexicographic order == numeric order (for orderBy/range partitioning
     * without materializing BigIntegers in the sorter). */
@@ -73,6 +77,49 @@ object U256 {
     import org.apache.spark.sql.functions._
     lpad(c, 78, "0")
   }
+}
+
+/** Exact arbitrary-precision sum of U256 decimal strings — the aggregate
+  * Spark cannot express (sum over Decimal caps at 38 digits). A
+  * TypedImperativeAggregate with a BigInteger buffer: partial sums on the
+  * map side, byte-array serialized between stages, decimal string out. */
+case class U256SumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[BigInteger] {
+
+  override def createAggregationBuffer(): BigInteger = BigInteger.ZERO
+
+  override def update(buffer: BigInteger,
+      input: org.apache.spark.sql.catalyst.InternalRow): BigInteger = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else buffer.add(new BigInteger(v.toString))
+  }
+
+  override def merge(a: BigInteger, b: BigInteger): BigInteger = a.add(b)
+
+  override def eval(buffer: BigInteger): Any =
+    UTF8String.fromString(buffer.toString)
+
+  override def serialize(buffer: BigInteger): Array[Byte] =
+    buffer.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): BigInteger =
+    new BigInteger(bytes)
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def withNewMutableAggBufferOffset(o: Int): U256SumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): U256SumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): U256SumAgg = copy(child = c.head)
 }
 
 case class U256FromHex(child: Expression) extends UnaryExpression {
