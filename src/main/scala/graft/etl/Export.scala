@@ -1,0 +1,108 @@
+package graft.etl
+
+import graft.chain.ChainFixture
+import graft.store.GraftStore
+import org.apache.spark.sql.SparkSession
+
+/** Export-job orchestration (SURVEY §2.12 / OP-STR-5..7; reference
+  * `bin/core-etl/src/export.rs:46-71`):
+  *
+  *  - lazy gate: poll until the node reports synced (etl.rs:100-117);
+  *  - crash retry: up to `retries` attempts, each preceded by a tail
+  *    rollback of `wipeOnRetry` heights (export.rs:55-69 wipes 100);
+  *  - retention: after ingest, drop buckets whose entire height range is
+  *    older than the TTL (OP-DEL-3 as whole-partition deletes).
+  *
+  * Scheduling of the periodic sweep (OP-STR-7) belongs to an external
+  * scheduler in a Spark deployment; [[retentionSweep]] is the idempotent
+  * unit it invokes.
+  */
+object Export {
+
+  final case class Config(
+      startBlock: Long = 0L,
+      retries: Int = 10,
+      wipeOnRetry: Long = 100L,
+      watched: Seq[String] = Seq(ChainFixture.Watched),
+      addressFilter: Seq[String] = Nil,
+      retentionSeconds: Long = 0L,
+      lazyGate: () => Boolean = () => true,
+      gatePollMs: Long = 60000L,
+      maxGatePolls: Int = 10)
+
+  final case class Summary(attempts: Int, ingested: Long, finalHeight: Long)
+
+  def run(
+      spark: SparkSession,
+      source: ChainSource,
+      store: GraftStore,
+      cfg: Config = Config()): Summary = {
+    var polls = 0
+    while (!cfg.lazyGate() && polls < cfg.maxGatePolls) {
+      polls += 1
+      Thread.sleep(cfg.gatePollMs)
+    }
+    var attempt = 0
+    var ingested = 0L
+    var done = false
+    var lastFailure: Exception = null
+    while (!done && attempt < cfg.retries) {
+      attempt += 1
+      try {
+        val resume = Backfill.maxIngestedHeight(spark, store)
+        val from = math.max(resume + 1, cfg.startBlock)
+        ingested += Backfill.run(spark, source, store, from,
+          source.tipHeight(spark), cfg.watched, cfg.addressFilter)
+        done = true
+      } catch {
+        case e: Exception =>
+          lastFailure = e
+          // crash-retry: wipe the possibly-torn tail before re-ingesting
+          val tip = Backfill.maxIngestedHeight(spark, store)
+          if (tip >= 0)
+            Tail.rollbackFrom(spark, store,
+              math.max(0L, tip - cfg.wipeOnRetry + 1))
+      }
+    }
+    if (!done) throw new RuntimeException(
+      s"export failed after ${cfg.retries} attempts", lastFailure)
+    if (cfg.retentionSeconds > 0) {
+      val tipTs = latestTimestamp(spark, store)
+      retentionSweep(spark, store, tipTs, cfg.retentionSeconds)
+    }
+    Summary(attempt, ingested, Backfill.maxIngestedHeight(spark, store))
+  }
+
+  private def latestTimestamp(spark: SparkSession, store: GraftStore): Long = {
+    import org.apache.spark.sql.functions._
+    store.read(spark, "blocks").agg(max("timestamp")).head().get(0) match {
+      case t: Long => t
+      case _ => 0L
+    }
+  }
+
+  /** Drop every leaf whose entire bucket is older than the cutoff: a
+    * metadata-only commit (no data rewrite) — the scale-correct TTL. A
+    * bucket straddling the cutoff is kept whole (retention is a floor,
+    * not an exact cut), matching whole-partition TTL semantics. */
+  def retentionSweep(
+      spark: SparkSession,
+      store: GraftStore,
+      nowEpochSeconds: Long,
+      retentionSeconds: Long): Int = {
+    import org.apache.spark.sql.functions._
+    val cutoff = nowEpochSeconds - retentionSeconds
+    val blocks = store.read(spark, "blocks")
+    val expired = blocks
+      .groupBy(store.bucketCol("blocks").as("bucket"))
+      .agg(max("timestamp").as("max_ts"))
+      .filter(col("max_ts") < cutoff)
+      .collect().map(_.getAs[Long]("bucket")).toSet
+    if (expired.isEmpty) 0
+    else {
+      val drops = store.currentLeaves().filter(l => expired.contains(l.bucket))
+      store.commit(Nil, drops)
+      drops.size
+    }
+  }
+}

@@ -90,10 +90,14 @@ object DedupOps {
         """array_distinct(transform(
           |  sequence(0, size(toks) - 5),
           |  i -> concat_ws(' ', slice(toks, i + 1, 5))))""".stripMargin))
+    // hash each shingle string ONCE, then derive the per-seed families by
+    // hashing the (cheap, fixed-width) long — 16x less string hashing
+    val withHashes = sh.withColumn("sh_hashes",
+      expr("transform(shingles, x -> xxhash64(x))"))
     val mhCols = (0 until NumHashes).map(j =>
-      expr(s"array_min(transform(shingles, x -> xxhash64($j, x)))")
+      expr(s"array_min(transform(sh_hashes, h -> xxhash64($j, h)))")
         .as(s"mh_$j"))
-    sh.select(col("doc_id") +: col("shingles") +: mhCols: _*)
+    withHashes.select(col("doc_id") +: col("shingles") +: mhCols: _*)
   }
 
   /** (doc_id, band, band_key) — one row per band. */
