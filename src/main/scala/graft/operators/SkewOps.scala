@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities (SURVEY §4: "salting for skew").
+  *
+  * AQE's skew-join split handles most runtime skew; these are the
+  * plan-level tools for the cases AQE cannot fix:
+  *
+  *  - [[saltedAggregate]]: a hot grouping key overwhelms one reducer →
+  *    two-phase aggregation through a random salt. Correct for
+  *    decomposable aggregates (sum/count/min/max).
+  *  - [[saltedJoin]]: a hot join key on the big side → replicate the
+  *    small side per salt, spread the big side across salts. Equi-join
+  *    results are identical to the unsalted join.
+  *
+  * Salt uses a deterministic hash of a tiebreak column rather than
+  * rand() so results stay reproducible (and replay-safe in streaming).
+  */
+object SkewOps {
+
+  /** Two-phase salted aggregation: groupBy(key, salt) partial sums, then
+    * groupBy(key) final merge. */
+  def saltedAggregate(
+      df: DataFrame,
+      key: Column,
+      tiebreak: Column,
+      salts: Int,
+      agg: (String, Column)*): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(xxhash64(tiebreak), lit(salts)))
+    val partials = salted.groupBy(key.as("__key"), col("__salt"))
+      .agg(agg.head._2.as(agg.head._1),
+        agg.tail.map { case (n, c) => c.as(n) }: _*)
+    // merge phase: sums/counts re-sum, min/max re-min/max — caller passes
+    // the merge expression per column name
+    partials
+  }
+
+  /** Salted sum: the common decomposable case end-to-end. Output schema:
+    * (key, total). */
+  def saltedSum(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      tiebreak: Column,
+      salts: Int = 16): DataFrame =
+    saltedAggregate(df, key, tiebreak, salts, "partial" -> sum(value))
+      .groupBy(col("__key").as("key"))
+      .agg(sum(col("partial")).as("total"))
+
+  /** Skew-safe equi-join: big side gets a deterministic salt in
+    * [0, salts); small side is replicated across every salt value, so the
+    * hot key's rows spread over `salts` tasks instead of one. */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: Column,
+      smallKey: Column,
+      bigTiebreak: Column,
+      salts: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(bigTiebreak), lit(salts)))
+    val replicatedSmall = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("__salt", col("__salt").cast("long"))
+    saltedBig.join(replicatedSmall,
+        bigKey === smallKey && saltedBig("__salt") === replicatedSmall("__salt"),
+        joinType)
+      .drop("__salt")
+  }
+}

@@ -83,7 +83,12 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L) {
     // Partition dirs use shadow `__` columns so every real column stays in
     // the data files — leaves are then plain parquet, readable in any
     // combination with recursiveFileLookup (no k=v discovery conflicts).
-    val staged = df.withColumn("__bucket", (col(hc) / bucketSize).cast("long"))
+    // sort within partitions by height so parquet row-group min/max stats
+    // prune point/range lookups (the engine's replacement for the
+    // reference's secondary indexes, OP-SNK-4)
+    val staged = df
+      .withColumn("__bucket", (col(hc) / bucketSize).cast("long"))
+      .sortWithinPartitions(col(hc))
     val extraParts =
       if (table == "token_transfers")
         staged.withColumn("__addr", col("address")) -> Seq("__addr")
