@@ -166,6 +166,55 @@ object DedupOps {
     (s, dir) => minhashNearDupPairs(withNearDups(docs(s, dir)), 0.4),
     None) // xxhash64 signatures are engine-specific — rows-only gate
 
+  /** Incremental near-dup check: signatures of a NEW batch of docs joined
+    * against an existing band index (historical signatures) — the
+    * streaming/100 TB shape: history is never re-shingled, the new batch
+    * shuffles only against matching band buckets. Returns (new_id,
+    * existing_id, jaccard) pairs at/above the threshold.
+    *
+    * `index` must carry (doc_id, band, band_key, mh_arr, shingles) —
+    * produce it with [[buildBandIndex]] and persist it bucketed by
+    * (band, band_key) so the probe join prunes partitions. */
+  def incrementalNearDup(
+      newDocs: DataFrame,
+      index: DataFrame,
+      threshold: Double): DataFrame = {
+    val sig = minhashSignatures(newDocs)
+      .withColumn("mh_arr",
+        array((0 until NumHashes).map(j => col(s"mh_$j")): _*))
+    val newBands = lshBands(sig)
+      .join(sig.select(col("doc_id"), col("mh_arr"), col("shingles")),
+        "doc_id")
+    newBands.as("n")
+      .join(index.as("i"),
+        col("n.band") === col("i.band") &&
+          col("n.band_key") === col("i.band_key"))
+      .select(col("n.doc_id").as("new_id"), col("i.doc_id").as("existing_id"),
+        col("n.mh_arr").as("mh_n"), col("i.mh_arr").as("mh_i"),
+        col("n.shingles").as("sh_n"), col("i.shingles").as("sh_i"))
+      .distinct()
+      .withColumn("est",
+        expr(s"size(filter(zip_with(mh_n, mh_i, (x, y) -> x = y), v -> v))" +
+          s" / CAST($NumHashes AS DOUBLE)"))
+      .filter(col("est") >= threshold * 0.6)
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_n"), col("sh_i"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_i"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("existing_id"),
+        round(col("jaccard"), 3).as("jaccard"))
+  }
+
+  /** Band index of a corpus for [[incrementalNearDup]]: one row per
+    * (doc, band) with the signature and shingles attached. */
+  def buildBandIndex(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+      .withColumn("mh_arr",
+        array((0 until NumHashes).map(j => col(s"mh_$j")): _*))
+    lshBands(sig).join(
+      sig.select(col("doc_id"), col("mh_arr"), col("shingles")), "doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------
