@@ -140,6 +140,30 @@ object ChainOps {
         col("number") =!= col("prev_number") + 1)
   }
 
+  /** Scale path for [[continuityGaps]]: per-bucket windows (parallel, no
+    * global sort) + a boundary exchange of one row per bucket. Identical
+    * results to the global-window form; shuffle is bounded by the bucket
+    * count, so the check runs on a 1000-executor table as a normal job. */
+  def continuityGapsScalable(blocks: DataFrame, bucketSize: Long): DataFrame = {
+    val withBucket = blocks
+      .select(col("number"), (col("number") / bucketSize).cast("long").as("b"))
+    val w = Window.partitionBy(col("b")).orderBy(col("number"))
+    val inBucket = withBucket
+      .select(col("number"), lag(col("number"), 1).over(w).as("prev_number"))
+      .filter(col("prev_number").isNotNull &&
+        col("number") =!= col("prev_number") + 1)
+    // boundary exchange: first height of each bucket vs last height of the
+    // previous bucket (one row per bucket on each side)
+    val firsts = withBucket.groupBy(col("b"))
+      .agg(min(col("number")).as("number"))
+    val lasts = withBucket.groupBy((col("b") + 1).as("b"))
+      .agg(max(col("number")).as("prev_number"))
+    val boundary = firsts.join(lasts, Seq("b"))
+      .filter(col("number") =!= col("prev_number") + 1)
+      .select(col("number"), col("prev_number"))
+    inBucket.unionByName(boundary)
+  }
+
   /** Genesis-anchored identity check: sorted position == height
     * (verify.rs:74-79). */
   def identityMismatches(blocks: DataFrame): DataFrame = {

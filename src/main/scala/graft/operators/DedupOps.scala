@@ -119,10 +119,14 @@ object DedupOps {
     * for survivors only. At 100 TB this keeps the wide shingle arrays out
     * of the candidate shuffle entirely. */
   def minhashNearDupPairs(d: DataFrame, threshold: Double): DataFrame = {
+    // localCheckpoint (not cache): the signature lineage is large, and a
+    // cached-but-un-truncated plan gets re-canonicalized by AQE at every
+    // stage of the self-join — observed as minutes of driver CPU with
+    // idle executors. Checkpointing cuts the plan at this boundary.
     val sig = minhashSignatures(d)
       .withColumn("mh_arr",
         array((0 until NumHashes).map(j => col(s"mh_$j")): _*))
-      .cache()
+      .localCheckpoint()
     val bands = lshBands(sig)
     val bucketSizes = Window.partitionBy(col("band"), col("band_key"))
     val capped = bands
@@ -241,7 +245,7 @@ object DedupOps {
   /** SimHash near-dup pairs: 4x16-bit band join (pigeonhole: hamming <= 3
     * guarantees one identical band), then exact hamming check. */
   def simhashNearDupPairs(d: DataFrame, maxHamming: Int): DataFrame = {
-    val sh = simhash(d).cache()
+    val sh = simhash(d).localCheckpoint() // see minhashNearDupPairs
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -327,7 +331,7 @@ object DedupOps {
         .select((col("vec_id") + 1000000).as("vec_id"),
           expr("transform(embedding, x -> x * CAST(1.001 AS FLOAT))")
             .as("embedding"))
-      val all = normalizedWithBucket(base.unionAll(dups)).cache()
+      val all = normalizedWithBucket(base.unionAll(dups)).localCheckpoint()
       val a = all.select(col("vec_id").as("id_a"), col("bucket"),
         col("unit").as("u_a"))
       val b = all.select(col("vec_id").as("id_b"), col("bucket"),

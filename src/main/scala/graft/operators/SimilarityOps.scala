@@ -71,7 +71,7 @@ object SimilarityOps {
   val lshTopK: GraftQuery = GraftQuery(
     "ann_topk_lsh",
     (s, dir) => {
-      val all = DedupOps.normalizedWithBucket(emb(s, dir), IndexBits).cache()
+      val all = DedupOps.normalizedWithBucket(emb(s, dir), IndexBits).localCheckpoint()
       val queries = all.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("unit").as("q_unit"),
           explode(expr(

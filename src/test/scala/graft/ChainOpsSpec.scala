@@ -65,6 +65,21 @@ class ChainOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ChainOps.identityMismatches(withHole).count() > 0)
   }
 
+  test("scalable continuity check equals the global-window form") {
+    val blocks = fx.blocksDF(spark)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (holes <- Seq(Seq(117L), Seq(49L, 50L, 150L), Seq.empty[Long])) {
+      val gapped = blocks.filter(!col("number").isin(holes: _*))
+      assert(asSet(ChainOps.continuityGapsScalable(gapped, 50L)) ==
+        asSet(ChainOps.continuityGaps(gapped)))
+    }
+    // hole exactly at a bucket boundary exercises the exchange path
+    val atBoundary = blocks.filter(col("number") =!= 100L)
+    assert(asSet(ChainOps.continuityGapsScalable(atBoundary, 50L)) ==
+      Set((101L, 99L)))
+  }
+
   test("maturity window: matured exactly for number <= tip-5") {
     val matured = ChainOps.withMaturity(fx.blocksDF(spark))
       .filter(col("matured") === 1).agg(max("number"), count(lit(1))).head()
