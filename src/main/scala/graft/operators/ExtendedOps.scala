@@ -138,12 +138,14 @@ object ExtendedOps {
       .groupBy(window(col("ts"), "1 hour").getField("start")
         .as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast("decimal(18,2)")), 2).as("total")),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")
+          .as("total")),
     Some(
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
         |    AS window_start,
         |  event_type, count(*) AS n,
-        |  round(sum(CAST(value AS DECIMAL(18,2))), 2) AS total
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS total
         |FROM events GROUP BY 1, 2""".stripMargin))
 
   /** Additional analytic window functions: ntile, lead, first/last value
@@ -191,7 +193,8 @@ object ExtendedOps {
         |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
         |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
         |SELECT user_id, min(ts) AS started_at, count(*) AS n_events,
-        |  round(sum(CAST(value AS DECIMAL(18,2))), 2) AS total_value
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS total_value
         |FROM g GROUP BY user_id, sid""".stripMargin))
 
   val all: Seq[GraftQuery] = Seq(

@@ -318,17 +318,22 @@ object RelationalOps {
 
   /** OP-AGG-5/6 — group-by routing + sum (per-token grouping, etl.rs:374-379;
     * logging sum etl.rs:144). Doubles are summed as DECIMAL for exact
-    * cross-engine equality (order-independent). */
+    * cross-engine equality (order-independent), then the final 2-dp value
+    * is rendered as DOUBLE on both sides: Spark widens sum(DECIMAL(18,2))
+    * to DECIMAL(28,2) while DuckDB widens to DECIMAL(38,2), so a decimal
+    * output type hash-mismatches even when every value is identical. */
   val agg56GroupSum: GraftQuery = q(
     "agg56_group_sum",
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS sum_qty,
       |  count(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) {
     (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        .agg(round(sum(col("l_quantity").cast("decimal(18,2)")), 2)
+          .cast("double").as("sum_qty"),
           count(lit(1)).as("cnt"))
   }
 
@@ -337,8 +342,10 @@ object RelationalOps {
   val q1Agg: GraftQuery = q(
     "q1_agg",
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS sum_base_price,
       |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
       |  count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) {
@@ -346,9 +353,10 @@ object RelationalOps {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)"))
-            .as("sum_base_price"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("sum_base_price"),
           min(col("l_shipdate")).as("min_ship"),
           max(col("l_shipdate")).as("max_ship"),
           count(lit(1)).as("count_order"))
@@ -613,15 +621,17 @@ object RelationalOps {
   val win3RunningSum: GraftQuery = q(
     "win3_running_sum",
     """SELECT o_custkey, o_orderkey,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
       |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+      |    AS DOUBLE) AS running
       |FROM orders""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
-      sum(col("o_totalprice").cast("decimal(18,2)")).over(w).as("running"))
+      round(sum(col("o_totalprice").cast("decimal(18,2)")).over(w), 2)
+        .cast("double").as("running"))
   }
 
   /** Ranking — rank/dense_rank per group (declared surface). */

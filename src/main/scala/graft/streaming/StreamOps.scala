@@ -82,7 +82,8 @@ object StreamOps {
     events
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(18,2)")), 2).as("total_value"))
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")
+          .as("total_value"))
       .select(col("user_id"), col("session_window.start").as("started_at"),
         col("n_events"), col("total_value"))
 }
