@@ -165,11 +165,49 @@ object ChainOps {
   }
 
   /** Genesis-anchored identity check: sorted position == height
-    * (verify.rs:74-79). */
+    * (verify.rs:74-79). Global-ordered window — fine on a bounded verify
+    * slice; full-table verify uses [[identityMismatchesScalable]]. */
   def identityMismatches(blocks: DataFrame): DataFrame = {
     val w = Window.orderBy(col("number"))
     blocks.select(col("number"), (row_number().over(w) - 1).as("expected"))
       .filter(col("number") =!= col("expected"))
+  }
+
+  /** Scale path for [[identityMismatches]]: the global sorted position is
+    * decomposed into per-bucket row_number (parallel windows) plus the
+    * cumulative row count of all lower buckets. The only global window
+    * runs over ONE ROW PER BUCKET (broadcast-joined back), so a
+    * 1000-executor full-table verify never single-partitions the data.
+    * Identical results to the global-window form. */
+  def identityMismatchesScalable(blocks: DataFrame, bucketSize: Long): DataFrame = {
+    val withBucket = blocks
+      .select(col("number"), (col("number") / bucketSize).cast("long").as("b"))
+    val counts = withBucket.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("offset", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      .select(col("b"), col("offset"))
+    val w = Window.partitionBy(col("b")).orderBy(col("number"))
+    withBucket
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(offsets), Seq("b"))
+      .select(col("number"), (col("rn") - 1 + col("offset")).as("expected"))
+      .filter(col("number") =!= col("expected"))
+  }
+
+  /** Real `verify transactions` — one groupBy + join: per-block stored tx
+    * count vs the block header's `transaction_count`. The reference's
+    * subcommand is a documented no-op stub (verify.rs:92); this exceeds it.
+    * Blocks with no stored txs count as 0 (left join), so truncated
+    * ingests surface too. */
+  def transactionCountMismatches(blocks: DataFrame, txs: DataFrame): DataFrame = {
+    val counts = txs.groupBy(col("block_number").as("number"))
+      .agg(count(lit(1)).as("stored_txs"))
+    blocks.select(col("number"), col("transaction_count"))
+      .join(counts, Seq("number"), "left")
+      .withColumn("stored_txs", coalesce(col("stored_txs"), lit(0L)))
+      .filter(col("stored_txs") =!= col("transaction_count"))
   }
 
   // ---- maturity (OP-UPD-1 / OP-STR-4, etl.rs:171-172) ----

@@ -110,6 +110,18 @@ object ChainQueries {
       fx.blocks.map(_.number).filter(_ > 0)
         .map(n => Seq(n.toString, (n - 1).toString)))))
 
+  /** Scale form of the identity check (per-bucket windows + cumulative
+    * bucket offsets) against the SAME oracle — full-table `verify` runs
+    * this one (no single-partition sort). */
+  val identityScalable: GraftQuery = GraftQuery(
+    "chain_identity_check_scalable",
+    (s, _) => ChainOps.identityMismatchesScalable(
+      fx.blocksDF(s).filter(col("number") > 0), 50L),
+    Some(values(
+      Seq("number" -> "BIGINT", "expected" -> "BIGINT"),
+      fx.blocks.map(_.number).filter(_ > 0)
+        .map(n => Seq(n.toString, (n - 1).toString)))))
+
   /** Contract-creation sentinel rows (to_addr = "", transaction.rs:34). */
   val sentinels: GraftQuery = GraftQuery(
     "chain_sentinels",
@@ -187,5 +199,6 @@ object ChainQueries {
 
   val all: Seq[GraftQuery] = Seq(
     tokenTransfersPipeline, u256Decode, addressTransfers, maturity, gaps,
-    identity, sentinels, rollbackLast, retention, viewBlock, u256Sum)
+    identity, identityScalable, sentinels, rollbackLast, retention,
+    viewBlock, u256Sum)
 }

@@ -2,7 +2,7 @@ package graft.cli
 
 import graft.GraftSession
 import graft.chain.{ChainFixture, ChainOps, TransferType}
-import graft.etl.{Backfill, FixtureSource}
+import graft.etl.{Backfill, FixtureSource, Network, WatchTokens}
 import graft.store.GraftStore
 
 import org.apache.spark.sql.SparkSession
@@ -33,19 +33,32 @@ object Main {
     finally spark.stop()
   }
 
-  private def run(spark: SparkSession, args: Array[String]): Unit = {
+  private[graft] def run(spark: SparkSession, args: Array[String]): Unit = {
+    // --tables-prefix namespaces this instance's leaves (main.rs:46-50)
     val store = new GraftStore(
-      opt(args, "store").getOrElse(sys.error("--store required")))
+      opt(args, "store").getOrElse(sys.error("--store required")),
+      tablesPrefix = opt(args, "tables-prefix").getOrElse(""))
+    val network = opt(args, "network").map(Network.parse)
+      .getOrElse(Network.Mainnet)
     args.headOption match {
       case Some("export") =>
         val n = opt(args, "blocks").map(_.toInt).getOrElse(200)
         val fx = ChainFixture.build(n)
+        // --watch-tokens: type:addr specs and the ctn preset, resolved
+        // against the network id (export.rs:88-114)
+        val watchTokens = opt(args, "watch-tokens")
+          .map(s => WatchTokens.parse(network.id, s.split(",").toSeq))
+          .getOrElse(WatchTokens.Default)
+        // --modules gates which tables are written (main.rs:52-54)
+        val modules = opt(args, "modules").map(_.split(",").toSeq)
+          .getOrElse(Seq("blocks", "transactions", "token_transfers"))
         val resume = Backfill.maxIngestedHeight(spark, store)
         val ingested = Backfill.run(spark, new FixtureSource(fx), store,
-          resume + 1, n - 1L,
-          addressFilter = opt(args, "address-filter")
-            .map(_.split(",").toSeq).getOrElse(Nil))
-        println(s"[export] ingested $ingested blocks (resumed after $resume)")
+          resume + 1, n - 1L, watchTokens,
+          opt(args, "address-filter").map(_.split(",").toSeq).getOrElse(Nil),
+          modules)
+        println(s"[export] ingested $ingested blocks (resumed after $resume," +
+          s" modules=${modules.mkString(",")})")
 
       case Some("view") =>
         val blocks = store.read(spark, "blocks")
@@ -83,19 +96,47 @@ object Main {
 
       case Some("verify") =>
         val blocks = store.read(spark, "blocks")
-        val slice = opt(args, "block") match {
-          case Some(b) => ChainOps.blocksInRange(blocks, b.toLong, -1L)
-          case None => blocks
+        // the source's latest block, reported alongside the store state
+        // (verify.rs:35-39 fetches the chain tip before checking)
+        val n = opt(args, "blocks").map(_.toInt).getOrElse(200)
+        val tip = new FixtureSource(ChainFixture.build(n)).tipHeight(spark)
+        args.lift(1) match {
+          case Some("transactions") =>
+            // real check where the reference has a stub (verify.rs:92)
+            val bad = ChainOps.transactionCountMismatches(
+              blocks, store.read(spark, "transactions")).count()
+            if (bad == 0) println("[verify] transactions OK")
+            else sys.error(s"[verify] FAILED: $bad blocks whose stored tx " +
+              "count differs from the header transaction_count")
+          case _ =>
+            val slice = opt(args, "block") match {
+              case Some(b) => ChainOps.blocksInRange(blocks, b.toLong, -1L)
+              case None => blocks
+            }
+            // bounded slice → global window is fine; full table → the
+            // scalable per-bucket forms (no single-partition sort)
+            val full = opt(args, "block").isEmpty
+            val gaps =
+              if (full)
+                ChainOps.continuityGapsScalable(slice, store.bucketSize).count()
+              else ChainOps.continuityGaps(slice).count()
+            val idMismatch =
+              if (full)
+                ChainOps.identityMismatchesScalable(blocks, store.bucketSize)
+                  .count()
+              else 0L
+            val storedMax = blocks.agg(
+              org.apache.spark.sql.functions.max("number")).head().get(0) match {
+              case h: Long => h
+              case _ => -1L
+            }
+            val lag = tip - storedMax
+            if (gaps == 0 && idMismatch == 0)
+              println(s"[verify] blocks OK (stored max $storedMax, chain tip " +
+                s"$tip, lag $lag)")
+            else sys.error(s"[verify] FAILED: $gaps gaps, $idMismatch " +
+              s"identity mismatches (stored max $storedMax, chain tip $tip)")
         }
-        val gaps = ChainOps.continuityGaps(slice).count()
-        val idMismatch =
-          if (opt(args, "block").isEmpty)
-            ChainOps.identityMismatches(blocks).count()
-          else 0L
-        if (gaps == 0 && idMismatch == 0) println("[verify] blocks OK")
-        else sys.error(s"[verify] FAILED: $gaps gaps, $idMismatch identity mismatches")
-        // `verify transactions` is a documented no-op stub in the
-        // reference (verify.rs:92) — parity preserved.
 
       case other => sys.error(s"usage: export|view|verify ... (got $other)")
     }

@@ -75,30 +75,53 @@ object Backfill {
     Seq(b, t, tr).collectFirst { case n: Long => n }.getOrElse(-1L)
   }
 
-  /** Ingest heights [from, to] from the source. Returns ingested count. */
+  /** Ingest heights [from, to] from the source. Returns ingested count.
+    *
+    * `watchTokens` maps contract type → watched addresses (reference
+    * `--watch-tokens`, export.rs:88-114); each type dispatches to its
+    * [[graft.chain.ContractRegistry]] decoder and the per-type extractions
+    * union into one transfers table. `modules` gates which tables are
+    * written at all (reference `--modules`, main.rs:52-54): a
+    * transfers-only run stages no blocks/transactions leaves. */
   def run(
       spark: SparkSession,
       source: ChainSource,
       store: GraftStore,
       from: Long,
       to: Long,
-      watched: Seq[String] = Seq(ChainFixture.Watched),
-      addressFilter: Seq[String] = Nil): Long = {
+      watchTokens: Map[String, Seq[String]] = WatchTokens.Default,
+      addressFilter: Seq[String] = Nil,
+      modules: Seq[String] = Seq("blocks", "transactions", "token_transfers"))
+    : Long = {
     if (to < from) return 0L
+    val wantTxs = modules.contains("transactions")
+    val wantTransfers =
+      modules.contains("token_transfers") && watchTokens.nonEmpty
     val blocks = source.blocks(spark, from, to)
-    val txsRaw = source.transactions(spark, from, to)
-    val txs = ChainOps.addressFilter(ChainOps.normalizeTxs(txsRaw),
-      addressFilter)
+    val txsRaw =
+      if (wantTxs || wantTransfers) source.transactions(spark, from, to)
+      else null
+    val txLeaves =
+      if (wantTxs)
+        store.stage("transactions", ChainOps.addressFilter(
+          ChainOps.normalizeTxs(txsRaw), addressFilter))
+      else Nil
     // transfers are extracted from UNFILTERED txs (etl.rs:193-204: the
     // address filter applies to the transactions table only)
-    val transfers = ChainOps.tokenTransfers(
-      ChainOps.normalizeTxs(txsRaw), blocks,
-      source.receipts(spark, from, to), watched)
-    val adds =
-      store.stage("blocks", blocks) ++
-        store.stage("transactions", txs) ++
+    val transferLeaves =
+      if (wantTransfers) {
+        val norm = ChainOps.normalizeTxs(txsRaw)
+        val receipts = source.receipts(spark, from, to)
+        val transfers = watchTokens.toSeq.sortBy(_._1)
+          .map { case (ctype, addrs) =>
+            ChainOps.tokenTransfers(norm, blocks, receipts, addrs, ctype)
+          }
+          .reduce(_.unionByName(_))
         store.stage("token_transfers", transfers)
-    store.commit(adds)
+      } else Nil
+    val blockLeaves =
+      if (modules.contains("blocks")) store.stage("blocks", blocks) else Nil
+    store.commit(blockLeaves ++ txLeaves ++ transferLeaves)
     to - from + 1
   }
 }

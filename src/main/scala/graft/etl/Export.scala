@@ -1,6 +1,5 @@
 package graft.etl
 
-import graft.chain.ChainFixture
 import graft.store.GraftStore
 import org.apache.spark.sql.SparkSession
 
@@ -23,8 +22,9 @@ object Export {
       startBlock: Long = 0L,
       retries: Int = 10,
       wipeOnRetry: Long = 100L,
-      watched: Seq[String] = Seq(ChainFixture.Watched),
+      watchTokens: Map[String, Seq[String]] = WatchTokens.Default,
       addressFilter: Seq[String] = Nil,
+      modules: Seq[String] = Seq("blocks", "transactions", "token_transfers"),
       retentionSeconds: Long = 0L,
       lazyGate: () => Boolean = () => true,
       gatePollMs: Long = 60000L,
@@ -52,7 +52,8 @@ object Export {
         val resume = Backfill.maxIngestedHeight(spark, store)
         val from = math.max(resume + 1, cfg.startBlock)
         ingested += Backfill.run(spark, source, store, from,
-          source.tipHeight(spark), cfg.watched, cfg.addressFilter)
+          source.tipHeight(spark), cfg.watchTokens, cfg.addressFilter,
+          cfg.modules)
         done = true
       } catch {
         case e: Exception =>
@@ -81,6 +82,33 @@ object Export {
     }
   }
 
+  /** Compaction: every bucket fragmented into more than
+    * `maxLeavesPerBucket` leaves (streaming-tail commits append one small
+    * leaf per micro-batch) is read back and rewritten as ONE leaf, with
+    * the originals dropped in the same atomic commit — contents are
+    * identical, untouched buckets are never rewritten, and concurrent
+    * readers keep snapshot isolation throughout. Idempotent and
+    * incremental like [[retentionSweep]]: the unit an external scheduler
+    * invokes (OP-STR-7). Returns the number of leaves retired. */
+  def compact(
+      spark: SparkSession,
+      store: GraftStore,
+      maxLeavesPerBucket: Int = 1): Int = {
+    val (adds, drops) = store.Tables.map { table =>
+      val crowded = store.leavesOf(table).groupBy(_.bucket)
+        .filter(_._2.size > maxLeavesPerBucket).keySet
+      if (crowded.isEmpty) (Nil, Nil)
+      else {
+        val rewritten = store.stage(table,
+          store.read(spark, table, crowded.contains))
+        (rewritten, store.leavesOf(table).filter(l => crowded(l.bucket)))
+      }
+    }.unzip
+    val dropped = drops.flatten
+    if (dropped.nonEmpty) store.commit(adds.flatten, dropped)
+    dropped.size
+  }
+
   /** Drop every leaf whose entire bucket is older than the cutoff: a
     * metadata-only commit (no data rewrite) — the scale-correct TTL. A
     * bucket straddling the cutoff is kept whole (retention is a floor,
@@ -100,7 +128,8 @@ object Export {
       .collect().map(_.getAs[Long]("bucket")).toSet
     if (expired.isEmpty) 0
     else {
-      val drops = store.currentLeaves().filter(l => expired.contains(l.bucket))
+      // ownLeaves: never sweep another instance's namespace in a shared root
+      val drops = store.ownLeaves().filter(l => expired.contains(l.bucket))
       store.commit(Nil, drops)
       drops.size
     }

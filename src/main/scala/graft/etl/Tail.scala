@@ -1,6 +1,5 @@
 package graft.etl
 
-import graft.chain.ChainFixture
 import graft.store.GraftStore
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -38,8 +37,7 @@ object Tail {
       height: Long): Unit = {
     val pred = store.leavesAtOrAbove(height)
     val (adds, drops) = store.Tables.map { table =>
-      val affected = store.currentLeaves()
-        .filter(l => l.table == table && pred(l.bucket))
+      val affected = store.leavesOf(table).filter(l => pred(l.bucket))
       if (affected.isEmpty) (Nil, Nil)
       else {
         val kept = store.read(spark, table, pred)
@@ -58,30 +56,41 @@ object Tail {
       store: GraftStore,
       source: ChainSource,
       head: Head,
-      watched: Seq[String] = Seq(ChainFixture.Watched)): Action = {
+      watchTokens: Map[String, Seq[String]] = WatchTokens.Default): Action = {
     val last = Backfill.maxIngestedHeight(spark, store)
     if (head.number <= last) return Skipped
 
-    // Parent-linkage check against the stored chain (OP-STR-3). The stored
-    // block at head.number-1 must be the head's parent; otherwise walk back
-    // until the source and store agree, then rewrite from there.
+    // Parent-linkage check against the stored chain (OP-STR-3). The block
+    // that will sit at last+1 must descend from the stored tip: for a
+    // contiguous head that is the head itself; for a gap (attach collapses
+    // each micro-batch to its max head, so gaps are routine) the SOURCE's
+    // block at last+1 is fetched and its parent checked — otherwise a
+    // reorg below the stored tip arriving together with later heads would
+    // be appended on top of stale canonical blocks.
     if (last >= 0) {
       val storedTipHash = store.read(spark, "blocks",
           store.leavesAtOrAbove(last))
         .filter(col("number") === last).select("hash").head().getString(0)
       val linked =
         if (head.number == last + 1) head.parent_hash == storedTipHash
-        else true // gap: backfill below re-pulls the range with linkage
+        else {
+          val seam = source.blocks(spark, last + 1, last + 1)
+            .select("parent_hash").collect()
+          // a source with no block at last+1 while announcing a later head
+          // is itself evidence of a reorg below the tip — fall through to
+          // the fork-point walk-back rather than appending blindly
+          seam.nonEmpty && seam.head.getString(0) == storedTipHash
+        }
       if (!linked || head.number <= last) {
         val forkPoint = findForkPoint(spark, store, source, last)
         rollbackFrom(spark, store, forkPoint)
         val n = Backfill.run(spark, source, store, forkPoint, head.number,
-          watched)
+          watchTokens)
         return ReorgResolved(forkPoint, n)
       }
     }
     val from = last + 1
-    Backfill.run(spark, source, store, from, head.number, watched)
+    Backfill.run(spark, source, store, from, head.number, watchTokens)
     Appended(from, head.number)
   }
 
@@ -115,7 +124,7 @@ object Tail {
       store: GraftStore,
       source: ChainSource,
       heads: DataFrame,
-      watched: Seq[String] = Seq(ChainFixture.Watched))
+      watchTokens: Map[String, Seq[String]] = WatchTokens.Default)
     : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     heads.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       // only the max head per micro-batch matters: processHead ingests the
@@ -125,7 +134,7 @@ object Tail {
         val r = rows.maxBy(_.getAs[Long]("number"))
         processHead(spark, store, source,
           Head(r.getAs[Long]("number"), r.getAs[String]("hash"),
-            r.getAs[String]("parent_hash")), watched)
+            r.getAs[String]("parent_hash")), watchTokens)
       }
       ()
     }

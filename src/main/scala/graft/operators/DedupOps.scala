@@ -112,21 +112,28 @@ object DedupOps {
         col("bk.band_key").as("band_key"))
   }
 
-  /** Candidate pairs from shared band buckets (skew-capped), two-phase
-    * verified: (1) signature-estimated Jaccard (16 slot comparisons on
-    * small arrays — prunes the random band collisions a tiny shingle
-    * vocabulary produces) then (2) exact Jaccard over distinct shingles
-    * for survivors only. At 100 TB this keeps the wide shingle arrays out
-    * of the candidate shuffle entirely. */
-  def minhashNearDupPairs(d: DataFrame, threshold: Double): DataFrame = {
-    // localCheckpoint (not cache): the signature lineage is large, and a
-    // cached-but-un-truncated plan gets re-canonicalized by AQE at every
-    // stage of the self-join — observed as minutes of driver CPU with
-    // idle executors. Checkpointing cuts the plan at this boundary.
-    val sig = minhashSignatures(d)
+  /** Shared signature stage: minhash columns + packed `mh_arr`, lineage
+    * truncated. Both near-dup kernels ([[minhashNearDupPairs]] exact
+    * shingle Jaccard, [[ngramJaccard]] char-3-gram Jaccard) start here —
+    * one shingling + signature computation, two similarity kernels.
+    *
+    * localCheckpoint (not cache): the signature lineage is large, and a
+    * cached-but-un-truncated plan gets re-canonicalized by AQE at every
+    * stage of the self-join — observed as minutes of driver CPU with
+    * idle executors. Checkpointing cuts the plan at this boundary. */
+  def signatures(d: DataFrame): DataFrame =
+    minhashSignatures(d)
       .withColumn("mh_arr",
         array((0 until NumHashes).map(j => col(s"mh_$j")): _*))
       .localCheckpoint()
+
+  /** Candidate pairs from shared band buckets (skew-capped), pruned by
+    * signature-estimated Jaccard (16 slot comparisons on small arrays —
+    * kills the random band collisions a tiny shingle vocabulary
+    * produces). At 100 TB this keeps the wide shingle arrays out of the
+    * candidate shuffle entirely; only a kernel's verify stage touches
+    * them, and only for survivors. */
+  def candidatePairs(sig: DataFrame, threshold: Double): DataFrame = {
     val bands = lshBands(sig)
     val bucketSizes = Window.partitionBy(col("band"), col("band_key"))
     val capped = bands
@@ -142,7 +149,7 @@ object DedupOps {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val mhSmall = sig.select(col("doc_id"), col("mh_arr"))
-    val estimated = pairs
+    pairs
       .join(mhSmall.select(col("doc_id").as("id_a"),
         col("mh_arr").as("mh_a")), "id_a")
       .join(mhSmall.select(col("doc_id").as("id_b"),
@@ -152,11 +159,17 @@ object DedupOps {
           s" / CAST($NumHashes AS DOUBLE)"))
       .filter(col("est_jaccard") >= threshold * 0.6)
       .select("id_a", "id_b")
+  }
+
+  /** MinHash kernel: exact Jaccard over distinct shingles for candidate
+    * survivors only. */
+  def minhashNearDupPairs(d: DataFrame, threshold: Double): DataFrame = {
+    val sig = signatures(d)
     val sa = sig.select(col("doc_id").as("id_a"),
       col("shingles").as("sh_a"))
     val sb = sig.select(col("doc_id").as("id_b"),
       col("shingles").as("sh_b"))
-    estimated.join(sa, "id_a").join(sb, "id_b")
+    candidatePairs(sig, threshold).join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -276,18 +289,29 @@ object DedupOps {
   // n-gram Jaccard (bounded pair generation via shared-band prefilter)
   // ---------------------------------------------------------------------
 
-  /** Character-3-gram Jaccard over LSH-bounded candidates — same candidate
-    * machinery, different similarity kernel. */
+  /** Character-3-gram Jaccard over LSH-bounded candidates — the shared
+    * [[candidatePairs]] stage with a different similarity kernel: the
+    * corpus is shingled and signed ONCE; only the verify metric differs
+    * from [[minhashNearDupPairs]] (grams instead of shingle Jaccard). */
   val ngramJaccard: GraftQuery = GraftQuery(
     "dedup_ngram_jaccard",
     (s, dir) => {
       val d = withNearDups(docs(s, dir))
-      val grams = d.select(col("doc_id"), expr(
-        """array_distinct(transform(
-          |  sequence(1, greatest(length(text) - 2, 1)),
-          |  i -> substring(text, i, 3)))""".stripMargin).as("grams"))
-      val cand = minhashNearDupPairs(d, 0.45)
+      val cand = candidatePairs(signatures(d), 0.45)
         .select(col("id_a"), col("id_b"))
+        .localCheckpoint() // reused three times below (ids ×2 + pairs)
+      // gram arrays are built ONLY for docs that appear in a candidate
+      // pair (semi-join prune): the wide 3-gram column never materializes
+      // for the untouched bulk of the corpus — at 100 TB the verify stage
+      // is proportional to candidates, not corpus
+      val candIds = cand
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct()
+      val grams = d.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), expr(
+          """array_distinct(transform(
+            |  sequence(1, greatest(length(text) - 2, 1)),
+            |  i -> substring(text, i, 3)))""".stripMargin).as("grams"))
       cand
         .join(grams.select(col("doc_id").as("id_a"),
           col("grams").as("g_a")), "id_a")
@@ -342,7 +366,23 @@ object DedupOps {
         .filter(col("cos") >= 0.99)
         .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cos"))
     },
-    None)
+    // Oracle-able despite the LSH bucketing: identically-directed vectors
+    // (the injected ×1.001 copies) always share a sign bucket, and on this
+    // corpus no cross pair comes near cos 0.99 (max non-dup cosine ≈ 0.5),
+    // so the bucketed result equals the all-pairs result exactly.
+    Some(
+      """WITH all_v AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_transform(embedding, x -> x * CAST(1.001 AS FLOAT))
+        |  FROM embeddings WHERE vec_id < 10)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding, b.embedding), 3) AS cos
+        |FROM all_v a, all_v b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99"""
+        .stripMargin))
 
   val all: Seq[GraftQuery] =
     Seq(exact, minhashLsh, simhashDedup, ngramJaccard, embeddingNearDup)

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   *    two-phase aggregation through a random salt. Correct for
   *    decomposable aggregates (sum/count/min/max).
   *  - [[saltedJoin]]: a hot join key on the big side → replicate the
-  *    small side per salt, spread the big side across salts. Equi-join
-  *    results are identical to the unsalted join.
+  *    small side per salt, spread the big side across salts. Inner/left
+  *    equi-join results are identical to the unsalted join (other join
+  *    types are rejected — see the method doc).
   *
   * Salt uses a deterministic hash of a tiebreak column rather than
   * rand() so results stay reproducible (and replay-safe in streaming).
@@ -51,7 +52,12 @@ object SkewOps {
 
   /** Skew-safe equi-join: big side gets a deterministic salt in
     * [0, salts); small side is replicated across every salt value, so the
-    * hot key's rows spread over `salts` tasks instead of one. */
+    * hot key's rows spread over `salts` tasks instead of one.
+    *
+    * Restricted to inner/left joins: those are exactly equivalent to the
+    * unsalted join (each big row carries one salt, so unmatched big rows
+    * surface once). right/full_outer would emit every unmatched SMALL row
+    * `salts` times — one per unmatched replica — so they are rejected. */
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
@@ -60,6 +66,10 @@ object SkewOps {
       bigTiebreak: Column,
       salts: Int = 16,
       joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer", "leftouter")
+        .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left_outer only, got '$joinType' — " +
+        "unmatched small-side rows would be duplicated per salt")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(bigTiebreak), lit(salts)))
     val replicatedSmall = small

@@ -53,7 +53,11 @@ object TextOps {
          |FROM documents""".stripMargin))
 
   /** Quality score in [0,1] from the stats (length window, stopword ratio,
-    * punctuation ratio) — heuristic weights, deterministic output. */
+    * token-count window) — heuristic weights, deterministic output.
+    * Rendered as floor(x·10⁴)/10⁴, not round(x, 4): both engines evaluate
+    * the identical IEEE expression tree bit-for-bit, and floor has no
+    * round-half tie whose direction could differ between Spark (HALF_UP)
+    * and DuckDB — so the heuristic blend is exactly oracle-able. */
   val qualityScore: GraftQuery = GraftQuery(
     "text_quality_score",
     (s, dir) => {
@@ -64,15 +68,25 @@ object TextOps {
         expr(s"size(filter(split(lower(text), '\\\\s+'), " +
           s"x -> x IN (${sqlList(stopwords("en"))})))")
           .cast("double").as("stops"))
+      val score =
+        least(lit(1.0), col("len") / 500.0) * 0.4 +
+          least(lit(1.0),
+            col("stops") / greatest(col("toks"), lit(1.0)) * 5) * 0.4 +
+          when(col("toks") >= 20 && col("toks") <= 1000, 0.2).otherwise(0.0)
       stats.select(col("doc_id"),
-        round(
-          least(lit(1.0), col("len") / 500.0) * 0.4 +
-            least(lit(1.0), col("stops") / greatest(col("toks"), lit(1.0)) * 5)
-            * 0.4 +
-            when(col("toks") >= 20 && col("toks") <= 1000, 0.2).otherwise(0.0),
-          4).as("quality"))
+        (floor(score * 10000) / lit(10000.0)).as("quality"))
     },
-    None) // heuristic float blend — rows-only check; stats are oracled above
+    Some(
+      s"""SELECT doc_id, floor((least(1.0, length(text)/500.0)*0.4
+         |  + least(1.0, len(list_filter(
+         |        regexp_split_to_array(lower(text), '\\s+'),
+         |        x -> x IN (${sqlList(stopwords("en"))})))
+         |    / greatest(len(regexp_split_to_array(text, '\\s+')), 1.0) * 5)
+         |    * 0.4
+         |  + CASE WHEN len(regexp_split_to_array(text, '\\s+'))
+         |      BETWEEN 20 AND 1000 THEN 0.2 ELSE 0.0 END) * 10000) / 10000.0
+         |  AS quality
+         |FROM documents""".stripMargin))
 
   /** BPE-ish token counting: word pieces + isolated non-word glyphs. */
   val tokenCount: GraftQuery = GraftQuery(
@@ -103,8 +117,9 @@ object TextOps {
 
   /** Language ID by stopword-hit voting with a deterministic tiebreak
     * (hit count desc; ties broken by lexicographically-largest code via
-    * struct ordering). Scores are engine-internal; the (doc_id, predicted)
-    * pairs are the contract. */
+    * struct ordering). Oracled: DuckDB's `list_max` over `{hits, code}`
+    * structs implements the same field-by-field max as Spark's
+    * `array_max(struct(hits, code))`. */
   val langId: GraftQuery = GraftQuery(
     "text_lang_id",
     (s, dir) => {
@@ -121,7 +136,17 @@ object TextOps {
             .mkString(", ")}))")
           .getField("code").as("predicted"))
     },
-    None)
+    Some {
+      val structs = stopwords.keys.toSeq.sorted.map { c =>
+        s"""{'hits': len(list_filter(
+           |      regexp_split_to_array(lower(text), '\\s+'),
+           |      x -> x IN (${sqlList(stopwords(c))}))), 'code': '$c'}"""
+          .stripMargin
+      }.mkString(",\n  ")
+      s"""SELECT doc_id, lang, (list_max([
+         |  $structs])).code AS predicted
+         |FROM documents""".stripMargin
+    })
 
   val all: Seq[GraftQuery] =
     Seq(textStats, qualityScore, tokenCount, fingerprint, langId)

@@ -30,9 +30,27 @@ import scala.jdk.CollectionConverters._
   * leaves), driver-only — the manifest-pointer design Iceberg/Delta use
   * at petabyte scale, reduced to this engine's needs.
   */
-final class GraftStore(val root: String, val bucketSize: Long = 10000L) {
+final class GraftStore(val root: String, val bucketSize: Long = 10000L,
+    val tablesPrefix: String = "") {
 
   val Tables = Seq("blocks", "transactions", "token_transfers")
+
+  /** Physical (manifest) name of a logical table. A non-empty
+    * `tablesPrefix` namespaces this instance's leaves (reference
+    * `--tables-prefix`, main.rs:46-50: multiple ETL instances in one
+    * database), so instances sharing a root never collide. */
+  def physName(table: String): String =
+    if (tablesPrefix.isEmpty) table else s"${tablesPrefix}_$table"
+
+  /** Live leaves of one logical table (this instance's namespace). */
+  def leavesOf(table: String): Seq[Leaf] =
+    currentLeaves().filter(_.table == physName(table))
+
+  /** Live leaves belonging to this instance across all its tables. */
+  def ownLeaves(): Seq[Leaf] = {
+    val mine = Tables.map(physName).toSet
+    currentLeaves().filter(l => mine.contains(l.table))
+  }
 
   /** Height column per table (transfers/txs key on their parent block). */
   val heightCol: Map[String, String] = Map(
@@ -77,8 +95,8 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L) {
     * per-token tables as partition pruning). Invisible until [[commit]].
     */
   def stage(table: String, df: DataFrame): Seq[Leaf] = {
-    val seg =
-      s"$table/seg-${System.nanoTime()}-${UUID.randomUUID().toString.take(8)}"
+    val seg = s"${physName(table)}/seg-" +
+      s"${System.nanoTime()}-${UUID.randomUUID().toString.take(8)}"
     val hc = heightCol(table)
     // Partition dirs use shadow `__` columns so every real column stays in
     // the data files — leaves are then plain parquet, readable in any
@@ -100,7 +118,8 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L) {
     Files.list(rootPath.resolve(seg)).iterator().asScala.toSeq
       .map(_.getFileName.toString)
       .filter(_.startsWith("__bucket="))
-      .map(d => Leaf(table, d.stripPrefix("__bucket=").toLong, s"$seg/$d"))
+      .map(d => Leaf(physName(table), d.stripPrefix("__bucket=").toLong,
+        s"$seg/$d"))
   }
 
   /** One atomic commit across tables. */
@@ -114,7 +133,7 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L) {
   def read(spark: SparkSession, table: String,
       bucketPred: Long => Boolean = _ => true): DataFrame = {
     val dirs = currentLeaves()
-      .filter(l => l.table == table && bucketPred(l.bucket))
+      .filter(l => l.table == physName(table) && bucketPred(l.bucket))
       .map(l => s"$root/${l.dir}")
     // Leaves are plain parquet (all real columns in the data files);
     // recursiveFileLookup disables k=v discovery, so heterogeneous leaf

@@ -80,6 +80,26 @@ class ChainOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set((101L, 99L)))
   }
 
+  test("scalable identity check equals the global-window form") {
+    val blocks = fx.blocksDF(spark)
+    // global form's expected is int (row_number), scalable's is long —
+    // normalize via Number
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .toSet
+    // holes mid-bucket, at a bucket boundary (100 with bucketSize 50), and
+    // none — every number above a hole shifts its expected position, so
+    // the cross-bucket offset arithmetic is exercised end-to-end
+    for (holes <- Seq(Seq(117L), Seq(100L), Seq(49L, 50L, 150L),
+        Seq.empty[Long])) {
+      val gapped = blocks.filter(!col("number").isin(holes: _*))
+      assert(asSet(ChainOps.identityMismatchesScalable(gapped, 50L)) ==
+        asSet(ChainOps.identityMismatches(gapped)),
+        s"holes=$holes")
+    }
+    assert(ChainOps.identityMismatchesScalable(blocks, 50L).count() == 0)
+  }
+
   test("maturity window: matured exactly for number <= tip-5") {
     val matured = ChainOps.withMaturity(fx.blocksDF(spark))
       .filter(col("matured") === 1).agg(max("number"), count(lit(1))).head()

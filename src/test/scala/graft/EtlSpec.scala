@@ -129,6 +129,52 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
       blocks.filter(col("number") === 149).head().getAs[String]("hash"))
   }
 
+  test("reorg below tip arriving after a gap is detected via the seam check") {
+    val store = newStore()
+    Backfill.run(spark, new FixtureSource(fx), store, 0, 155)
+    // chain reorged at 150 AND advanced to 158 before we saw any head:
+    // the micro-batch collapses to head 158, leaving a gap 156..158
+    val forked = new FixtureSource(fx, forkAt = Some(150), forkLen = 9)
+    val fork = ChainFixture.forkBlocks(fx, 150, 9) // fork blocks 150..158
+    val head158 = fork.last
+    val action = Tail.processHead(spark, store, forked,
+      Tail.Head(head158.number, head158.hash, head158.parent_hash))
+    // without the seam check this would APPEND 156..158 on top of the
+    // stale canonical 150..155 (continuity still passes — heights line up)
+    assert(action.isInstanceOf[Tail.ReorgResolved])
+    val blocks = store.read(spark, "blocks")
+    assert(blocks.count() == 159)
+    assert(blocks.filter(col("number") === 150).head()
+      .getAs[String]("hash") == fork.head.hash)
+    assert(blocks.filter(col("number") === 155).head()
+      .getAs[String]("hash") == fork(5).hash)
+    assert(ChainOps.continuityGaps(blocks).count() == 0)
+    // hash linkage holds across the splice and the formerly-gapped range
+    val b = blocks.select("number", "hash", "parent_hash").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    (1L to 158L).foreach(n => assert(b(n)._2 == b(n - 1)._1, s"link at $n"))
+  }
+
+  test("compaction merges fragmented buckets, contents identical") {
+    val store = newStore()
+    val src = new FixtureSource(fx)
+    // three tail-ish commits land three leaves in blocks bucket 0
+    Backfill.run(spark, src, store, 0, 20)
+    Backfill.run(spark, src, store, 21, 30)
+    Backfill.run(spark, src, store, 31, 49)
+    assert(store.leavesOf("blocks").count(_.bucket == 0L) == 3)
+    def snapshot() = store.read(spark, "blocks")
+      .select("number", "hash", "parent_hash", "timestamp").collect()
+      .map(_.toSeq).toSet
+    val before = snapshot()
+    val retired = graft.etl.Export.compact(spark, store)
+    assert(retired >= 3)
+    assert(store.leavesOf("blocks").count(_.bucket == 0L) == 1)
+    assert(snapshot() == before)
+    // second run is a no-op: nothing fragmented remains
+    assert(graft.etl.Export.compact(spark, store) == 0)
+  }
+
   test("retention sweep drops only expired buckets (OP-DEL-3)") {
     val store = newStore()
     Backfill.run(spark, new FixtureSource(fx), store, 0, 199)

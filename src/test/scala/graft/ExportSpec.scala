@@ -3,7 +3,8 @@ package graft
 import java.nio.file.Files
 
 import graft.chain.{ChainFixture, ChainOps}
-import graft.etl.{Backfill, ChainSource, Export, FixtureSource}
+import graft.etl.{Backfill, ChainSource, Export, FixtureSource, Network,
+  WatchTokens}
 import graft.store.GraftStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.scalatest.BeforeAndAfterAll
@@ -73,6 +74,54 @@ class ExportSpec extends AnyFunSuite with BeforeAndAfterAll {
       Export.Config(lazyGate = gate, gatePollMs = 1))
     assert(polls >= 3)
     assert(store.read(spark, "blocks").count() == 200)
+  }
+
+  test("watch-tokens parsing: ctn preset resolves per network id") {
+    // mainnet preset == the fixture's watched token (export.rs:96-101)
+    assert(WatchTokens.parse(Network.Mainnet.id, Seq("ctn")) ==
+      Map("cbc20" -> Seq(ChainFixture.Watched)))
+    assert(WatchTokens.parse(Network.Devin.id, Seq("ctn")) ==
+      Map("cbc20" -> Seq("ab7935cdef94ac9e6bcbcf779277aad7025993bc1964")))
+    // unknown network: preset contributes nothing, later specs still parse
+    assert(WatchTokens.parse(99L, Seq("ctn", "cbc20:cb00aa")) ==
+      Map("cbc20" -> Seq("cb00aa")))
+    // type:addr specs accumulate and dedupe per type
+    assert(WatchTokens.parse(1L,
+      Seq("cbc20:cb01", "cbc721:cb02", "cbc20:cb03", "cbc20:cb01")) ==
+      Map("cbc20" -> Seq("cb01", "cb03"), "cbc721" -> Seq("cb02")))
+    intercept[IllegalArgumentException] {
+      WatchTokens.parse(1L, Seq("no-colon-here"))
+    }
+    assert(Network.parse("devin") == Network.Devin)
+    intercept[IllegalArgumentException] { Network.parse("testnet9") }
+  }
+
+  test("modules gating: a transfers-only run writes no blocks/txs leaves") {
+    val store = newStore()
+    Backfill.run(spark, new FixtureSource(fx), store, 0, 99,
+      modules = Seq("token_transfers"))
+    assert(store.leavesOf("blocks").isEmpty)
+    assert(store.leavesOf("transactions").isEmpty)
+    assert(store.leavesOf("token_transfers").nonEmpty)
+    assert(store.read(spark, "token_transfers").count() ==
+      fx.goldenTransfers.count(_._1.block_number <= 99))
+    // resume cursor falls back to the transfers table (coalesced max)
+    assert(Backfill.maxIngestedHeight(spark, store) > 0)
+  }
+
+  test("tables-prefix isolates two instances sharing one store root") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val a = new GraftStore(root, bucketSize = 50L, tablesPrefix = "etl_a")
+    val b = new GraftStore(root, bucketSize = 50L, tablesPrefix = "etl_b")
+    Backfill.run(spark, new FixtureSource(fx), a, 0, 49)
+    Backfill.run(spark, new FixtureSource(fx), b, 0, 149)
+    assert(a.read(spark, "blocks").count() == 50)
+    assert(b.read(spark, "blocks").count() == 150)
+    // a rollback in one namespace must not touch the other
+    graft.etl.Tail.rollbackFrom(spark, b, 100L)
+    assert(b.read(spark, "blocks").count() == 100)
+    assert(a.read(spark, "blocks").count() == 50)
+    assert(a.ownLeaves().forall(_.table.startsWith("etl_a_")))
   }
 
   test("retention drops whole expired buckets, metadata-only (OP-DEL-3)") {

@@ -93,4 +93,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("ann_topk_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("sketch ANN broadcasts queries and windows per query_id (no global sort)") {
+    val p = plan("ann_topk_lsh")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // every ranking window partitions by query_id — never a global Window
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("query_id")), p)
+  }
+
+  test("ngram verify stage is bounded by candidates (semi-join prune)") {
+    val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the gram-side scan joins LeftSemi against candidate ids before any
+    // gram array is built — the wide column never covers the full corpus
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("scalable identity check single-partitions only the per-bucket offsets") {
+    val blocks = graft.chain.ChainFixture.build(200).blocksDF(spark)
+    val df = graft.chain.ChainOps.identityMismatchesScalable(blocks, 50L)
+    df.collect()
+    // simple mode renders the executed plan once (formatted repeats it as
+    // Initial Plan); exactly ONE single-partition exchange must remain —
+    // the one-row-per-bucket cumulative-offsets window. The data side
+    // shuffles by bucket hash.
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==")(0) // AQE appends the pre-adaptive plan
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning("), p)
+  }
 }

@@ -50,21 +50,21 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       pairs.contains((i.toLong, i + 1000000L))))
   }
 
-  test("LSH ANN results are a subset-quality approximation of brute force") {
-    val brute = SimilarityOps.bruteForce.fn(spark, dir).collect()
+  test("sketch ANN recall vs brute force is >= 0.8 at sf0.01") {
+    // sf0.01 (n=500): the rescore budget (150) is a real subset of the
+    // corpus, so this exercises the sketch ranking, not a full scan.
+    val d01 = "/root/testdata/sf0.01"
+    val brute = SimilarityOps.bruteForce.fn(spark, d01).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
       .toSet
-    val approx = SimilarityOps.lshTopK.fn(spark, dir).collect()
+    val approx = SimilarityOps.lshTopK.fn(spark, d01).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
       .toSet
-    assert(approx.nonEmpty)
-    // every approx hit must be a real vector pair; recall is data-dependent
-    // on this random corpus, so assert the mechanism, not a threshold:
-    // approx neighbors must come from the probed buckets and be distinct.
-    assert(approx.size == approx.toSeq.distinct.size)
+    assert(approx.size == brute.size) // both emit NumQueries * K rows
     val recall = (approx & brute).size.toDouble / brute.size
-    info(f"LSH ANN recall vs brute force: $recall%.2f " +
+    info(f"sketch ANN recall vs brute force: $recall%.2f " +
       s"(${(approx & brute).size}/${brute.size})")
+    assert(recall >= 0.8, f"recall $recall%.2f below 0.8")
   }
 
   test("text stats are internally consistent") {
