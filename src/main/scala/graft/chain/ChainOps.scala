@@ -223,6 +223,15 @@ object ChainOps {
       .drop("tip")
   }
 
+  /** Materialized-tip maturity (ROADMAP r1 #4): when the tip is already
+    * known — the store's `tip` snapshot metadata, maintained atomically by
+    * every ingest/rollback commit — maturity is a pure scan expression
+    * with no aggregation at all. Equal to [[withMaturity]] whenever
+    * `tip == max(number)`. */
+  def withMaturityFromTip(blocks: DataFrame, tip: Long): DataFrame =
+    blocks.withColumn("matured",
+      when(col("number") <= tip - 5, 1).otherwise(0))
+
   // ---- reorg / rollback (OP-DEL-1/2, sqlite3.rs:272-392) ----
 
   /** Drop all rows at/above a height across the three tables (the

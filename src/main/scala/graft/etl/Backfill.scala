@@ -64,16 +64,23 @@ final class FixtureSource(
   * but never committed leaves no visible change. */
 object Backfill {
 
-  /** Resume cursor (OP-AGG-2, sqlite3.rs:153-211): max height across
-    * blocks, else transactions, else transfers, else -1. */
-  def maxIngestedHeight(spark: SparkSession, store: GraftStore): Long = {
-    val b = store.read(spark, "blocks").agg(max("number")).head().get(0)
-    val t = store.read(spark, "transactions").agg(max("block_number"))
-      .head().get(0)
-    val tr = store.read(spark, "token_transfers").agg(max("block_number"))
-      .head().get(0)
-    Seq(b, t, tr).collectFirst { case n: Long => n }.getOrElse(-1L)
-  }
+  /** Resume cursor (OP-AGG-2, sqlite3.rs:153-211). Fast path: the `tip`
+    * snapshot metadata, committed atomically with every ingest/rollback —
+    * an O(1) driver read instead of three table scans per streaming head
+    * (the materialized form of the reference's MAX(number) cursor).
+    * Fallback for stores without the key: coalesced max across blocks,
+    * else transactions, else transfers, else -1. */
+  def maxIngestedHeight(spark: SparkSession, store: GraftStore): Long =
+    store.currentMeta().get(store.metaKey("tip")) match {
+      case Some(t) => t.toLong
+      case None =>
+        val b = store.read(spark, "blocks").agg(max("number")).head().get(0)
+        val t = store.read(spark, "transactions").agg(max("block_number"))
+          .head().get(0)
+        val tr = store.read(spark, "token_transfers").agg(max("block_number"))
+          .head().get(0)
+        Seq(b, t, tr).collectFirst { case n: Long => n }.getOrElse(-1L)
+    }
 
   /** Ingest heights [from, to] from the source. Returns ingested count.
     *
@@ -121,7 +128,8 @@ object Backfill {
       } else Nil
     val blockLeaves =
       if (modules.contains("blocks")) store.stage("blocks", blocks) else Nil
-    store.commit(blockLeaves ++ txLeaves ++ transferLeaves)
+    store.commit(blockLeaves ++ txLeaves ++ transferLeaves,
+      meta = Map("tip" -> to.toString))
     to - from + 1
   }
 }

@@ -32,7 +32,9 @@ object Tail {
       extends Action
 
   /** Rollback all heights >= `height` across the three tables by
-    * rewriting only the buckets that contain them (OP-DEL-1/OP-DEL-2). */
+    * rewriting only the buckets that contain them (OP-DEL-1/OP-DEL-2).
+    * The `tip` metadata moves to height-1 in the same atomic commit, so
+    * the O(1) resume cursor never points above live data. */
   def rollbackFrom(spark: SparkSession, store: GraftStore,
       height: Long): Unit = {
     val pred = store.leavesAtOrAbove(height)
@@ -45,7 +47,8 @@ object Tail {
         (store.stage(table, kept), affected)
       }
     }.unzip
-    store.commit(adds.flatten, drops.flatten)
+    store.commit(adds.flatten, drops.flatten,
+      meta = Map("tip" -> (height - 1).toString))
   }
 
   /** Process one new head; returns the action taken. Driver-side point

@@ -1,0 +1,164 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+
+/** Dense-vector kernels for the similarity/ANN operators (SURVEY §7.6).
+  *
+  * Spark's higher-order functions (`aggregate`/`zip_with`/`transform`)
+  * evaluate one interpreted lambda per ELEMENT; for the 256-bit sketch
+  * that is bits × dims ≈ 16k lambda invocations per row — seconds of pure
+  * interpretation overhead at sf0.1. These expressions follow the same
+  * pattern as [[U256]]: a static JVM kernel (tight `while` loop, no
+  * boxing) invoked directly from whole-stage-generated code via
+  * `nullSafeCodeGen`, so the surrounding plan stays one codegen span.
+  *
+  * Numerics: every kernel accumulates strictly left to right in DOUBLE
+  * precision throughout (the HOF forms squared float elements in float
+  * before widening — the kernels are slightly MORE precise, diffs ~1e-8).
+  * The oracled queries built on these emit ranks (`ann_topk_brute`) or
+  * 3-dp-rounded values (`dedup_embedding_cosine`), far above that noise.
+  */
+object Vec {
+
+  /** Unit-normalize a double vector; null when the norm is zero (callers
+    * filter nulls — the HOF form's `filter(norm > 0)`). */
+  def unit(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); s += x * x; i += 1 }
+    if (s <= 0) return null
+    val norm = math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = v.getDouble(i) / norm; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Left-to-right dot product over the common prefix. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** Σ popcount(aᵢ xor bᵢ) over two long-array sketches. */
+  def hamming(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var h = 0
+    var i = 0
+    while (i < n) {
+      h += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1
+    }
+    h
+  }
+
+  /** Seeded Gaussian hyperplanes, cached per (seed, bits, dim) — one
+    * generation per executor JVM, deterministic across executors/replays
+    * (scala.util.Random's Gaussian stream is fixed for a given seed). */
+  private val planeCache =
+    new ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]()
+
+  def planes(seed: Long, bits: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((seed, bits, dim), { key =>
+      val rng = new scala.util.Random(key._1)
+      Array.fill(key._2)(Array.fill(key._3)(rng.nextGaussian()))
+    })
+
+  /** bits-wide sign sketch of a unit vector: bit i of the packed words is
+    * sign(⟨v, plane_i⟩). Hyperplane count = `bits` (multiple of 64). */
+  def sketch(v: ArrayData, seed: Long, bits: Int): ArrayData = {
+    val dim = v.numElements()
+    val ps = planes(seed, bits, dim)
+    val words = new Array[Long](bits >> 6)
+    val x = new Array[Double](dim)
+    var j = 0
+    while (j < dim) { x(j) = v.getDouble(j); j += 1 }
+    var i = 0
+    while (i < bits) {
+      val p = ps(i)
+      var s = 0.0
+      j = 0
+      while (j < dim) { s += x(j) * p(j); j += 1 }
+      if (s >= 0) words(i >> 6) |= 1L << (63 - (i & 63))
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  // ---- Column API ----
+
+  /** array<float|double> → unit-normalized array<double>; null for the
+    * zero vector. */
+  def vec_unit(c: Column): Column =
+    columnOf(VecUnit(exprOf(c.cast("array<double>"))))
+
+  /** Dot product of two array<double> columns. */
+  def vec_dot(a: Column, b: Column): Column =
+    columnOf(VecDot(exprOf(a), exprOf(b)))
+
+  /** Packed sign sketch (array<bigint>) of a unit vector column. */
+  def sign_sketch(c: Column, seed: Long, bits: Int): Column =
+    columnOf(SignSketchExpr(exprOf(c), seed, bits))
+
+  /** Hamming distance between two packed sketches. */
+  def hamming64(a: Column, b: Column): Column =
+    columnOf(Hamming64(exprOf(a), exprOf(b)))
+}
+
+case class VecUnit(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Vec.unit(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.Vec.unit($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): VecUnit = copy(c)
+}
+
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Vec.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Vec.dot($a, $b);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): VecDot = copy(l, r)
+}
+
+case class SignSketchExpr(child: Expression, seed: Long, bits: Int)
+    extends UnaryExpression {
+  require(bits % 64 == 0, s"sketch bits must be a multiple of 64, got $bits")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    Vec.sketch(v.asInstanceOf[ArrayData], seed, bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Vec.sketch($c, ${seed}L, $bits);")
+  override protected def withNewChildInternal(c: Expression): SignSketchExpr =
+    copy(child = c)
+}
+
+case class Hamming64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Vec.hamming(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Vec.hamming($a, $b);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Hamming64 = copy(l, r)
+}

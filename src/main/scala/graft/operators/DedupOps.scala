@@ -335,11 +335,8 @@ object DedupOps {
     * probe cost for recall — near-dup detection uses 16 bits, ANN probing
     * uses 8. */
   def normalizedWithBucket(e: DataFrame, bits: Int = 16): DataFrame =
-    e.withColumn("norm",
-        sqrt(expr("aggregate(embedding, 0D, (acc, x) -> acc + x * x)")))
-      .filter(col("norm") > 0)
-      .withColumn("unit",
-        expr("transform(embedding, x -> x / norm)"))
+    e.withColumn("unit", graft.functions.Vec.vec_unit(col("embedding")))
+      .filter(col("unit").isNotNull)
       .withColumn("bucket", expr(
         s"""aggregate(sequence(1, $bits), 0L,
           |  (acc, i) -> acc * 2 + IF(element_at(embedding, i) >= 0, 1L, 0L))
@@ -361,8 +358,8 @@ object DedupOps {
       val b = all.select(col("vec_id").as("id_b"), col("bucket"),
         col("unit").as("u_b"))
       a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-        .withColumn("cos", expr(
-          "aggregate(zip_with(u_a, u_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+        .withColumn("cos",
+          graft.functions.Vec.vec_dot(col("u_a"), col("u_b")))
         .filter(col("cos") >= 0.99)
         .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cos"))
     },

@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.functions.Vec.{hamming64, sign_sketch, vec_dot, vec_unit}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * Baseline: brute-force cosine top-k — broadcast the (small) query set
   * against the full corpus; the scan side stays partition-parallel and the
-  * per-row work is a codegen'd `zip_with`/`aggregate` dot product.
+  * per-row work is a codegen'd dot product ([[graft.functions.Vec]]).
   *
   * Scale path: two-stage sketch search.
   *   1. Every row carries a 256-bit sign sketch: the signs of its dot
@@ -32,7 +33,7 @@ import org.apache.spark.sql.functions._
   * full-sketch scan is the honest default, and it is cheap.
   *
   * Measured recall vs [[bruteForce]] (this corpus, top-5, 10 queries):
-  * 1.00 at sf0.01 (n=500, budget 150), 0.98 at sf0.1 (n=2000).
+  * 0.98 at sf0.01 (n=500, budget 150), 0.98 at sf0.1 (n=2000).
   */
 object SimilarityOps {
 
@@ -46,55 +47,28 @@ object SimilarityOps {
     * rank a true neighbor (θ ≈ 60–70° on this corpus) clearly above the
     * 90° bulk. 64 bits measured 0.16–0.24 lower recall at equal budget. */
   val SketchBits = 256
-  val SketchWords: Int = SketchBits / 64
 
   /** Candidate rows rescored exactly per query (stage-2 budget). */
   val RescoreBudget = 150
 
+  /** Deterministic hyperplane seed (sketches must be stable across
+    * executors, replays, and incremental ingests). */
+  val SketchSeed = 42L
+
   /** Coarse bucket width for at-rest partitioning (see class doc). */
   val IndexBits = 8
 
-  /** Embedding dimensionality of the corpus (TESTDATA.md). */
-  val Dim = 64
-
-  /** Seeded Gaussian hyperplanes — deterministic across runs/executors so
-    * sketches are stable under replay and across incremental ingests. */
-  private lazy val hyperplanes: Seq[Seq[Double]] = {
-    val rng = new scala.util.Random(42)
-    Seq.fill(SketchBits)(Seq.fill(Dim)(rng.nextGaussian()))
-  }
-  private lazy val hyperLit: Column = typedLit(hyperplanes)
-
   private def unit(df: DataFrame): DataFrame =
-    df.withColumn("norm",
-        sqrt(expr("aggregate(embedding, 0D, (acc, x) -> acc + x * x)")))
-      .filter(col("norm") > 0)
-      .withColumn("unit", expr("transform(embedding, x -> x / norm)"))
+    df.withColumn("unit", vec_unit(col("embedding")))
+      .filter(col("unit").isNotNull)
 
-  private def cosine = expr(
-    "aggregate(zip_with(q_unit, unit, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+  private def cosine = vec_dot(col("q_unit"), col("unit"))
 
-  /** sketch: array of [[SketchWords]] longs; bit b of word w is the sign
-    * of ⟨unit, hyperplane(64w+b)⟩. Pure higher-order-function columns —
-    * computed in the scan stage, no UDFs. */
+  /** sketch: array of SketchBits/64 longs; bit i is the sign of
+    * ⟨unit, hyperplane_i⟩. A codegen'd [[graft.functions.Vec]] kernel —
+    * computed in the scan stage, no interpreted lambdas. */
   def withSketch(df: DataFrame): DataFrame =
-    df.withColumn("sketch",
-      transform(sequence(lit(0), lit(SketchWords - 1)), w =>
-        aggregate(
-          sequence(w * lit(64), w * lit(64) + lit(63)),
-          lit(0L),
-          (acc, b) => {
-            val hp = element_at(hyperLit, (b + lit(1)).cast("int"))
-            val dot = aggregate(zip_with(col("unit"), hp, (x, y) => x * y),
-              lit(0d), (a, v) => a + v)
-            // shiftleft, not acc*2: the accumulating word legitimately
-            // carries into the sign bit, which ANSI multiply rejects
-            shiftleft(acc, 1).bitwiseOR(when(dot >= 0, lit(1L)).otherwise(lit(0L)))
-          })))
-
-  /** Σ popcount(xor) over the sketch words of both sides. */
-  private def hamming = expr(
-    "aggregate(zip_with(sketch, q_sketch, (x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v)")
+    df.withColumn("sketch", sign_sketch(col("unit"), SketchSeed, SketchBits))
 
   /** Exact top-k neighbors for query vectors vec_id < NumQueries. */
   val bruteForce: GraftQuery = GraftQuery(
@@ -129,9 +103,9 @@ object SimilarityOps {
   val lshTopK: GraftQuery = GraftQuery(
     "ann_topk_lsh",
     (s, dir) => {
-      // localCheckpoint: the sketch expression embeds a 256×64 literal
-      // matrix; truncating the lineage keeps AQE from re-canonicalizing it
-      // on every query stage of the self-join (see graft-build-notes).
+      // localCheckpoint: sketches feed both join sides; truncating the
+      // lineage keeps AQE from re-canonicalizing the self-join plan per
+      // query stage (see graft-build-notes).
       val all = withSketch(unit(emb(s, dir))).localCheckpoint()
       val queries = all.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("unit").as("q_unit"),
@@ -142,7 +116,7 @@ object SimilarityOps {
         .orderBy(col("cos").desc, col("vec_id"))
       all.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("hamming", hamming)
+        .withColumn("hamming", hamming64(col("sketch"), col("q_sketch")))
         .withColumn("cand_rank", row_number().over(byHamming))
         .filter(col("cand_rank") <= RescoreBudget)
         .withColumn("cos", cosine)

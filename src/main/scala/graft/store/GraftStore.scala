@@ -65,23 +65,42 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
 
   Files.createDirectories(rootPath)
 
-  def currentLeaves(): Seq[Leaf] = {
+  private val MetaPrefix = "#meta\t"
+
+  private def snapshotLines(): Seq[String] = {
     if (!Files.exists(currentPtr)) return Nil
     val snapFile = rootPath.resolve(
       new String(Files.readAllBytes(currentPtr), StandardCharsets.UTF_8).trim)
     Files.readAllLines(snapFile, StandardCharsets.UTF_8).asScala.toSeq
       .filter(_.nonEmpty)
-      .map { l =>
-        val Array(t, b, d) = l.split("\t", 3)
-        Leaf(t, b.toLong, d)
-      }
   }
 
-  private def publish(leaves: Seq[Leaf]): Unit = {
+  def currentLeaves(): Seq[Leaf] =
+    snapshotLines().filterNot(_.startsWith("#")).map { l =>
+      val Array(t, b, d) = l.split("\t", 3)
+      Leaf(t, b.toLong, d)
+    }
+
+  /** Snapshot-scoped key/value metadata, committed atomically WITH the
+    * leaves — e.g. the ingest tip height ([[graft.etl.Backfill]] key
+    * `tip`): readers get an O(1) resume cursor / maturity watermark that
+    * can never run ahead of or behind the data it describes. Keys are
+    * namespaced by [[tablesPrefix]] like tables. */
+  def currentMeta(): Map[String, String] =
+    snapshotLines().filter(_.startsWith(MetaPrefix)).map { l =>
+      val Array(_, k, v) = l.split("\t", 3)
+      k -> v
+    }.toMap
+
+  def metaKey(key: String): String =
+    if (tablesPrefix.isEmpty) key else s"${tablesPrefix}_$key"
+
+  private def publish(leaves: Seq[Leaf], meta: Map[String, String]): Unit = {
     val name =
       s"snapshot-${System.nanoTime()}-${UUID.randomUUID().toString.take(8)}.txt"
-    val body = leaves.sortBy(l => (l.table, l.bucket, l.dir))
-      .map(l => s"${l.table}\t${l.bucket}\t${l.dir}").mkString("\n")
+    val metaLines = meta.toSeq.sorted.map { case (k, v) => s"$MetaPrefix$k\t$v" }
+    val body = (metaLines ++ leaves.sortBy(l => (l.table, l.bucket, l.dir))
+      .map(l => s"${l.table}\t${l.bucket}\t${l.dir}")).mkString("\n")
     Files.write(rootPath.resolve(name), body.getBytes(StandardCharsets.UTF_8))
     val tmp =
       rootPath.resolve(s"_current.tmp-${UUID.randomUUID().toString.take(8)}")
@@ -122,10 +141,13 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
         s"$seg/$d"))
   }
 
-  /** One atomic commit across tables. */
-  def commit(adds: Seq[Leaf], drops: Seq[Leaf] = Nil): Unit = synchronized {
+  /** One atomic commit across tables; `meta` entries merge into (and
+    * override) the snapshot metadata in the same atomic swap. */
+  def commit(adds: Seq[Leaf], drops: Seq[Leaf] = Nil,
+      meta: Map[String, String] = Map.empty): Unit = synchronized {
     val dropSet = drops.map(_.dir).toSet
-    publish(currentLeaves().filterNot(l => dropSet.contains(l.dir)) ++ adds)
+    publish(currentLeaves().filterNot(l => dropSet.contains(l.dir)) ++ adds,
+      currentMeta() ++ meta.map { case (k, v) => metaKey(k) -> v })
   }
 
   /** Snapshot-isolated read; `bucketPred` prunes leaves before Spark ever

@@ -155,6 +155,33 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     (1L to 158L).foreach(n => assert(b(n)._2 == b(n - 1)._1, s"link at $n"))
   }
 
+  test("tip metadata tracks ingest and rollback atomically (O(1) cursor)") {
+    val store = newStore()
+    val src = new FixtureSource(fx)
+    Backfill.run(spark, src, store, 0, 149)
+    assert(store.currentMeta()(store.metaKey("tip")) == "149")
+    assert(Backfill.maxIngestedHeight(spark, store) == 149L)
+    Tail.rollbackFrom(spark, store, 100L)
+    assert(store.currentMeta()(store.metaKey("tip")) == "99")
+    assert(Backfill.maxIngestedHeight(spark, store) == 99L)
+    // materialized-tip maturity == recompute-on-read maturity
+    val blocks = store.read(spark, "blocks")
+    val fromTip = ChainOps.withMaturityFromTip(blocks, 99L)
+      .select("number", "matured").collect().map(r => (r.getLong(0),
+        r.getInt(1))).toSet
+    val recomputed = ChainOps.withMaturity(blocks)
+      .select("number", "matured").collect().map(r => (r.getLong(0),
+        r.getInt(1))).toSet
+    assert(fromTip == recomputed)
+    // a store whose snapshot lacks the key (pre-metadata layout) still
+    // resumes from table contents
+    val legacy = newStore()
+    legacy.commit(legacy.stage("blocks",
+      fx.blocksDF(spark).filter(col("number") <= 49)))
+    assert(legacy.currentMeta().isEmpty)
+    assert(Backfill.maxIngestedHeight(spark, legacy) == 49L)
+  }
+
   test("compaction merges fragmented buckets, contents identical") {
     val store = newStore()
     val src = new FixtureSource(fx)

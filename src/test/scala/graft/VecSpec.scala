@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.Vec
+import graft.functions.Vec.{hamming64, sign_sketch, vec_dot, vec_unit}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The codegen'd vector kernels vs the higher-order-function formulations
+  * they replaced: unit/dot agree to ~1e-9 (the kernels keep every product
+  * in double; the HOF forms squared float elements in float first), and
+  * the integer kernels (hamming) are exactly equal. The oracled queries
+  * built on these emit ranks or 3-dp-rounded values, far above the noise. */
+class VecSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).getOrCreate()
+
+  private def emb = Tables.t(spark, dir, "embeddings")
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("vec_unit matches the HOF normalization to 1e-6") {
+    val both = emb
+      .withColumn("norm",
+        sqrt(expr("aggregate(embedding, 0D, (acc, x) -> acc + x * x)")))
+      .filter(col("norm") > 0)
+      .withColumn("hof", expr("transform(embedding, x -> x / norm)"))
+      .withColumn("kernel", vec_unit(col("embedding")))
+      .select("vec_id", "hof", "kernel").collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (h, k) = (r.getSeq[Double](1), r.getSeq[Double](2))
+      assert(h.size == k.size, s"vec ${r.getLong(0)}")
+      h.zip(k).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-6, s"vec ${r.getLong(0)}: $a vs $b")
+      }
+    }
+  }
+
+  test("vec_dot matches aggregate(zip_with) to 1e-6 on unit vectors") {
+    val u = emb.withColumn("unit", vec_unit(col("embedding")))
+      .filter(col("unit").isNotNull).limit(50)
+    val pairs = u.select(col("vec_id").as("ida"), col("unit").as("ua"))
+      .crossJoin(u.select(col("vec_id").as("idb"), col("unit").as("ub")))
+      .filter(col("ida") < col("idb"))
+      .withColumn("hof", expr(
+        "aggregate(zip_with(ua, ub, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      .withColumn("kernel", vec_dot(col("ua"), col("ub")))
+      .select("hof", "kernel").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6))
+  }
+
+  test("hamming64 matches bit_count(xor) aggregation") {
+    val sk = emb.withColumn("unit", vec_unit(col("embedding")))
+      .filter(col("unit").isNotNull)
+      .withColumn("sk", sign_sketch(col("unit"), 42L, 256)).limit(20)
+    val pairs = sk.select(col("vec_id").as("ida"), col("sk").as("a"))
+      .crossJoin(sk.select(col("vec_id").as("idb"), col("sk").as("b")))
+      .filter(col("ida") < col("idb"))
+      .withColumn("hof", expr(
+        "aggregate(zip_with(a, b, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
+      .withColumn("kernel", hamming64(col("a"), col("b")))
+      .select("hof", "kernel").collect()
+    pairs.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("sign_sketch is deterministic and plane cache is seed-stable") {
+    val a = emb.withColumn("unit", vec_unit(col("embedding")))
+      .filter(col("unit").isNotNull)
+      .withColumn("sk", sign_sketch(col("unit"), 42L, 256))
+      .select("vec_id", "sk").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = emb.withColumn("unit", vec_unit(col("embedding")))
+      .filter(col("unit").isNotNull)
+      .withColumn("sk", sign_sketch(col("unit"), 42L, 256))
+      .select("vec_id", "sk").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+    assert(a.values.forall(_.length == 4))
+    // the generator itself is reproducible
+    val p1 = Vec.planes(42L, 256, 64)
+    val p2 = Vec.planes(42L, 256, 64)
+    assert(p1 eq p2) // cached
+    val rng = new scala.util.Random(42L)
+    val firstPlane = Array.fill(64)(rng.nextGaussian())
+    assert(p1(0).sameElements(firstPlane))
+  }
+}
