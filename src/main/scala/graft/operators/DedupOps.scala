@@ -35,17 +35,18 @@ object DedupOps {
       d.filter(col("doc_id") < 25)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
 
-  /** Corpus + near-copies of doc_id < 25: every 23rd token replaced
-    * (destroys ~22% of 5-shingles → Jaccard ≈ 0.64 vs the source). */
-  private def withNearDups(d: DataFrame): DataFrame = {
-    val base = d.select(col("doc_id"), col("text"))
-    val perturbed = d.filter(col("doc_id") < 25).select(
+  /** Near-copies of doc_id < 25 under shifted ids: every 23rd token
+    * replaced (destroys ~22% of 5-shingles → Jaccard ≈ 0.64 vs source). */
+  private def perturbedCopies(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") < 25).select(
       (col("doc_id") + 1000000).as("doc_id"),
       expr("""concat_ws(' ', transform(split(text, '\\s+'),
              |  (x, i) -> IF(i % 23 = 0, 'xdupx', x)))""".stripMargin)
         .as("text"))
-    base.unionAll(perturbed)
-  }
+
+  /** Corpus + near-copies (see [[perturbedCopies]]). */
+  private def withNearDups(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("text")).unionAll(perturbedCopies(d))
 
   // ---------------------------------------------------------------------
 
@@ -182,6 +183,19 @@ object DedupOps {
     "dedup_minhash_lsh",
     (s, dir) => minhashNearDupPairs(withNearDups(docs(s, dir)), 0.4),
     None) // xxhash64 signatures are engine-specific — rows-only gate
+
+  /** Incremental (streaming-shaped) near-dup: new documents probed
+    * against the persistent band index of the existing corpus — history
+    * is never re-shingled ([[incrementalNearDup]]; exercised in streaming
+    * form by IncrementalDedupSpec's foreachBatch test). */
+  val incrementalDedup: GraftQuery = GraftQuery(
+    "dedup_incremental",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val index = buildBandIndex(d).localCheckpoint()
+      incrementalNearDup(perturbedCopies(d), index, 0.4)
+    },
+    None)
 
   /** Incremental near-dup check: signatures of a NEW batch of docs joined
     * against an existing band index (historical signatures) — the
@@ -382,5 +396,6 @@ object DedupOps {
         .stripMargin))
 
   val all: Seq[GraftQuery] =
-    Seq(exact, minhashLsh, simhashDedup, ngramJaccard, embeddingNearDup)
+    Seq(exact, minhashLsh, incrementalDedup, simhashDedup, ngramJaccard,
+      embeddingNearDup)
 }

@@ -36,6 +36,14 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("incremental dedup finds injected near-copies via the band index") {
+    val pairs = DedupOps.incrementalDedup.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("existing_id")))
+    val hits = pairs.filter { case (n, e) => n == e + 1000000 }
+    // every perturbed copy of a >=5-token doc must match its source
+    assert(hits.length >= 24)
+  }
+
   test("simhash near-dup pairs are low-hamming and include injected copies") {
     val rows = DedupOps.simhashDedup.fn(spark, dir).collect()
     assert(rows.forall(_.getAs[Int]("hamming") <= 3))
