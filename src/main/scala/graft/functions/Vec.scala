@@ -94,6 +94,27 @@ object Vec {
     new GenericArrayData(words)
   }
 
+  /** k MinHash slots over pre-hashed shingles: slot j is
+    * min over h of xxh64(h, seed=j) — one pass over the hash array
+    * instead of k interpreted `array_min(transform(...))` lambdas. */
+  def minhash(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    val out = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(h, j)
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ---- Column API ----
 
   /** array<float|double> → unit-normalized array<double>; null for the
@@ -112,6 +133,11 @@ object Vec {
   /** Hamming distance between two packed sketches. */
   def hamming64(a: Column, b: Column): Column =
     columnOf(Hamming64(exprOf(a), exprOf(b)))
+
+  /** k-slot MinHash signature (array<bigint>) of an array<bigint> of
+    * shingle hashes. */
+  def minhash_sig(c: Column, k: Int): Column =
+    columnOf(MinHashSig(exprOf(c), k))
 }
 
 case class VecUnit(child: Expression) extends UnaryExpression {
@@ -148,6 +174,17 @@ case class SignSketchExpr(child: Expression, seed: Long, bits: Int)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.Vec.sketch($c, ${seed}L, $bits);")
   override protected def withNewChildInternal(c: Expression): SignSketchExpr =
+    copy(child = c)
+}
+
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    Vec.minhash(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Vec.minhash($c, $k);")
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
     copy(child = c)
 }
 

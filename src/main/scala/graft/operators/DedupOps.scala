@@ -82,30 +82,30 @@ object DedupOps {
     * candidate join, so they are dropped (logged in real deployments). */
   val MaxBucketSize = 64
 
-  /** doc_id, shingles (distinct 5-grams), minhash signature array. */
-  def minhashSignatures(d: DataFrame): DataFrame = {
-    val sh = d
-      .withColumn("toks", split(lower(col("text")), "\\s+"))
+  /** doc_id, shingles (distinct 5-grams), packed `mh_arr` signature.
+    * Each shingle string is hashed ONCE; the per-seed MinHash family then
+    * runs over the fixed-width longs in a single codegen'd
+    * [[graft.functions.Vec.minhash_sig]] kernel pass (the previous form —
+    * NumHashes interpreted `array_min(transform(...))` columns — was the
+    * dedup family's dominant cost). */
+  def minhashSignatures(d: DataFrame): DataFrame =
+    d.withColumn("toks", split(lower(col("text")), "\\s+"))
       .filter(size(col("toks")) >= 5)
       .withColumn("shingles", expr(
         """array_distinct(transform(
           |  sequence(0, size(toks) - 5),
           |  i -> concat_ws(' ', slice(toks, i + 1, 5))))""".stripMargin))
-    // hash each shingle string ONCE, then derive the per-seed families by
-    // hashing the (cheap, fixed-width) long — 16x less string hashing
-    val withHashes = sh.withColumn("sh_hashes",
-      expr("transform(shingles, x -> xxhash64(x))"))
-    val mhCols = (0 until NumHashes).map(j =>
-      expr(s"array_min(transform(sh_hashes, h -> xxhash64($j, h)))")
-        .as(s"mh_$j"))
-    withHashes.select(col("doc_id") +: col("shingles") +: mhCols: _*)
-  }
+      .withColumn("sh_hashes",
+        expr("transform(shingles, x -> xxhash64(x))"))
+      .select(col("doc_id"), col("shingles"),
+        graft.functions.Vec.minhash_sig(col("sh_hashes"), NumHashes)
+          .as("mh_arr"))
 
   /** (doc_id, band, band_key) — one row per band. */
   def lshBands(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand)
-        .map(r => col(s"mh_${b * RowsPerBand + r}"))
+        .map(r => element_at(col("mh_arr"), b * RowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("band_key"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
@@ -123,10 +123,7 @@ object DedupOps {
     * stage of the self-join — observed as minutes of driver CPU with
     * idle executors. Checkpointing cuts the plan at this boundary. */
   def signatures(d: DataFrame): DataFrame =
-    minhashSignatures(d)
-      .withColumn("mh_arr",
-        array((0 until NumHashes).map(j => col(s"mh_$j")): _*))
-      .localCheckpoint()
+    minhashSignatures(d).localCheckpoint()
 
   /** Candidate pairs from shared band buckets (skew-capped), pruned by
     * signature-estimated Jaccard (16 slot comparisons on small arrays —
@@ -211,8 +208,6 @@ object DedupOps {
       index: DataFrame,
       threshold: Double): DataFrame = {
     val sig = minhashSignatures(newDocs)
-      .withColumn("mh_arr",
-        array((0 until NumHashes).map(j => col(s"mh_$j")): _*))
     val newBands = lshBands(sig)
       .join(sig.select(col("doc_id"), col("mh_arr"), col("shingles")),
         "doc_id")
@@ -240,8 +235,6 @@ object DedupOps {
     * (doc, band) with the signature and shingles attached. */
   def buildBandIndex(docs: DataFrame): DataFrame = {
     val sig = minhashSignatures(docs)
-      .withColumn("mh_arr",
-        array((0 until NumHashes).map(j => col(s"mh_$j")): _*))
     lshBands(sig).join(
       sig.select(col("doc_id"), col("mh_arr"), col("shingles")), "doc_id")
   }
