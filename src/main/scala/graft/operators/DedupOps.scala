@@ -207,18 +207,29 @@ object DedupOps {
       newDocs: DataFrame,
       index: DataFrame,
       threshold: Double): DataFrame = {
-    val sig = minhashSignatures(newDocs)
-    val newBands = lshBands(sig)
-      .join(sig.select(col("doc_id"), col("mh_arr"), col("shingles")),
-        "doc_id")
-    newBands.as("n")
-      .join(index.as("i"),
-        col("n.band") === col("i.band") &&
-          col("n.band_key") === col("i.band_key"))
-      .select(col("n.doc_id").as("new_id"), col("i.doc_id").as("existing_id"),
-        col("n.mh_arr").as("mh_n"), col("i.mh_arr").as("mh_i"),
-        col("n.shingles").as("sh_n"), col("i.shingles").as("sh_i"))
+    val sig = minhashSignatures(newDocs).localCheckpoint()
+    // candidate (new, existing) id pairs first — the band probe and the
+    // distinct shuffle touch NARROW rows only; signature/shingle payloads
+    // attach afterwards, and only for index docs that actually matched
+    // (broadcast semi-join prune). At 100 TB the wide index columns are
+    // read for O(candidates) docs, not O(corpus).
+    val cand = lshBands(sig).as("n")
+      .join(index.select(col("doc_id").as("existing_id"), col("band"),
+        col("band_key")).as("i"), Seq("band", "band_key"))
+      .select(col("doc_id").as("new_id"), col("existing_id"))
       .distinct()
+      .localCheckpoint()
+    val matched = cand.select(col("existing_id")).distinct()
+    val iPayload = index
+      .join(broadcast(matched),
+        index("doc_id") === matched("existing_id"), "left_semi")
+      .dropDuplicates("doc_id")
+      .select(col("doc_id").as("existing_id"), col("mh_arr").as("mh_i"),
+        col("shingles").as("sh_i"))
+    cand
+      .join(sig.select(col("doc_id").as("new_id"), col("mh_arr").as("mh_n"),
+        col("shingles").as("sh_n")), "new_id")
+      .join(iPayload, "existing_id")
       .withColumn("est",
         expr(s"size(filter(zip_with(mh_n, mh_i, (x, y) -> x = y), v -> v))" +
           s" / CAST($NumHashes AS DOUBLE)"))
