@@ -115,6 +115,32 @@ object Vec {
     new GenericArrayData(out)
   }
 
+  /** 64-bit SimHash over token hashes: per-bit majority vote (term
+    * frequency counts — duplicates vote once per occurrence), packed with
+    * bit b set when votes are positive. One per-row pass — replaces an
+    * explode + 64-column groupBy aggregation (a full shuffle). */
+  def simhash(hashes: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var packed = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) packed |= 1L << b
+      b += 1
+    }
+    packed
+  }
+
   // ---- Column API ----
 
   /** array<float|double> → unit-normalized array<double>; null for the
@@ -138,6 +164,9 @@ object Vec {
     * shingle hashes. */
   def minhash_sig(c: Column, k: Int): Column =
     columnOf(MinHashSig(exprOf(c), k))
+
+  /** 64-bit SimHash (bigint) of an array<bigint> of token hashes. */
+  def simhash64(c: Column): Column = columnOf(SimHash64(exprOf(c)))
 }
 
 case class VecUnit(child: Expression) extends UnaryExpression {
@@ -185,6 +214,17 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.Vec.minhash($c, $k);")
   override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    Vec.simhash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Vec.simhash($c);")
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
     copy(child = c)
 }
 

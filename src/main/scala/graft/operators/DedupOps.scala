@@ -254,22 +254,15 @@ object DedupOps {
   // SimHash
   // ---------------------------------------------------------------------
 
-  /** 64-bit SimHash per doc: per-bit vote over token hashes, packed with
-    * bit arithmetic. Entirely agg expressions — one shuffle. */
-  def simhash(d: DataFrame): DataFrame = {
-    val tokenHashes = d
-      .select(col("doc_id"),
-        explode(split(lower(col("text")), "\\s+")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val votes: Seq[Column] = (0 until 64).map(b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
-        .as(s"v_$b"))
-    val packed = (0 until 64).map(b =>
-      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    tokenHashes.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
-  }
+  /** 64-bit SimHash per doc: per-bit vote over token hashes, packed in a
+    * single codegen'd [[graft.functions.Vec.simhash64]] pass — a pure
+    * scan-stage expression, NO shuffle at all (the previous form exploded
+    * tokens and re-aggregated through a 64-column groupBy). */
+  def simhash(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      graft.functions.Vec.simhash64(
+        expr("transform(split(lower(text), '\\\\s+'), t -> xxhash64(t))"))
+        .as("simhash"))
 
   private def popcount(c: Column): Column = expr(s"bit_count(${c})")
 
