@@ -141,6 +141,34 @@ object Vec {
     packed
   }
 
+  /** Distinct xxhash64 values of the space-joined n-token shingles of a
+    * token array — first-seen order, one tight pass. Hash-identical to
+    * `xxhash64(concat_ws(' ', slice(toks, i+1, n)))` (XXH64 over the
+    * UTF8 bytes, seed 42), so signatures/bands are unchanged vs the HOF
+    * form; the shingle STRINGS are never materialized as a column. */
+  def shingleHashes(toks: ArrayData, n: Int): ArrayData = {
+    val cnt = toks.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Long])
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i <= cnt - n) {
+      var j = 0
+      while (j < n) { window(j) = toks.getUTF8String(i + j); j += 1 }
+      val s = org.apache.spark.unsafe.types.UTF8String
+        .concatWs(space, window: _*)
+      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(s, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   // ---- Column API ----
 
   /** array<float|double> → unit-normalized array<double>; null for the
@@ -167,6 +195,11 @@ object Vec {
 
   /** 64-bit SimHash (bigint) of an array<bigint> of token hashes. */
   def simhash64(c: Column): Column = columnOf(SimHash64(exprOf(c)))
+
+  /** Distinct n-token shingle hashes (array<bigint>) of an array<string>
+    * token column. */
+  def shingle_hashes(c: Column, n: Int): Column =
+    columnOf(ShingleHashes(exprOf(c), n))
 }
 
 case class VecUnit(child: Expression) extends UnaryExpression {
@@ -214,6 +247,17 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.Vec.minhash($c, $k);")
   override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    Vec.shingleHashes(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Vec.shingleHashes($c, $n);")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
     copy(child = c)
 }
 

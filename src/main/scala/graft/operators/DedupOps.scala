@@ -82,22 +82,18 @@ object DedupOps {
     * candidate join, so they are dropped (logged in real deployments). */
   val MaxBucketSize = 64
 
-  /** doc_id, shingles (distinct 5-grams), packed `mh_arr` signature.
-    * Each shingle string is hashed ONCE; the per-seed MinHash family then
-    * runs over the fixed-width longs in a single codegen'd
-    * [[graft.functions.Vec.minhash_sig]] kernel pass (the previous form —
-    * NumHashes interpreted `array_min(transform(...))` columns — was the
-    * dedup family's dominant cost). */
+  /** doc_id, `sh_hashes` (distinct 5-shingle hashes), packed `mh_arr`
+    * signature — two codegen'd [[graft.functions.Vec]] kernel passes.
+    * Shingle STRINGS never materialize as a column: the exact-verify
+    * Jaccard runs over the distinct hash sets, which equals the
+    * string-set Jaccard up to 64-bit collisions (~1e-15 per doc pair),
+    * and the candidate-join payload shrinks to 8 bytes per shingle. */
   def minhashSignatures(d: DataFrame): DataFrame =
     d.withColumn("toks", split(lower(col("text")), "\\s+"))
       .filter(size(col("toks")) >= 5)
-      .withColumn("shingles", expr(
-        """array_distinct(transform(
-          |  sequence(0, size(toks) - 5),
-          |  i -> concat_ws(' ', slice(toks, i + 1, 5))))""".stripMargin))
       .withColumn("sh_hashes",
-        expr("transform(shingles, x -> xxhash64(x))"))
-      .select(col("doc_id"), col("shingles"),
+        graft.functions.Vec.shingle_hashes(col("toks"), 5))
+      .select(col("doc_id"), col("sh_hashes"),
         graft.functions.Vec.minhash_sig(col("sh_hashes"), NumHashes)
           .as("mh_arr"))
 
@@ -159,14 +155,14 @@ object DedupOps {
       .select("id_a", "id_b")
   }
 
-  /** MinHash kernel: exact Jaccard over distinct shingles for candidate
-    * survivors only. */
+  /** MinHash kernel: exact Jaccard over distinct shingle-hash sets for
+    * candidate survivors only. */
   def minhashNearDupPairs(d: DataFrame, threshold: Double): DataFrame = {
     val sig = signatures(d)
     val sa = sig.select(col("doc_id").as("id_a"),
-      col("shingles").as("sh_a"))
+      col("sh_hashes").as("sh_a"))
     val sb = sig.select(col("doc_id").as("id_b"),
-      col("shingles").as("sh_b"))
+      col("sh_hashes").as("sh_b"))
     candidatePairs(sig, threshold).join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -200,7 +196,7 @@ object DedupOps {
     * shuffles only against matching band buckets. Returns (new_id,
     * existing_id, jaccard) pairs at/above the threshold.
     *
-    * `index` must carry (doc_id, band, band_key, mh_arr, shingles) —
+    * `index` must carry (doc_id, band, band_key, mh_arr, sh_hashes) —
     * produce it with [[buildBandIndex]] and persist it bucketed by
     * (band, band_key) so the probe join prunes partitions. */
   def incrementalNearDup(
@@ -225,10 +221,10 @@ object DedupOps {
         index("doc_id") === matched("existing_id"), "left_semi")
       .dropDuplicates("doc_id")
       .select(col("doc_id").as("existing_id"), col("mh_arr").as("mh_i"),
-        col("shingles").as("sh_i"))
+        col("sh_hashes").as("sh_i"))
     cand
       .join(sig.select(col("doc_id").as("new_id"), col("mh_arr").as("mh_n"),
-        col("shingles").as("sh_n")), "new_id")
+        col("sh_hashes").as("sh_n")), "new_id")
       .join(iPayload, "existing_id")
       .withColumn("est",
         expr(s"size(filter(zip_with(mh_n, mh_i, (x, y) -> x = y), v -> v))" +
@@ -243,11 +239,11 @@ object DedupOps {
   }
 
   /** Band index of a corpus for [[incrementalNearDup]]: one row per
-    * (doc, band) with the signature and shingles attached. */
+    * (doc, band) with the signature and shingle hashes attached. */
   def buildBandIndex(docs: DataFrame): DataFrame = {
     val sig = minhashSignatures(docs)
     lshBands(sig).join(
-      sig.select(col("doc_id"), col("mh_arr"), col("shingles")), "doc_id")
+      sig.select(col("doc_id"), col("mh_arr"), col("sh_hashes")), "doc_id")
   }
 
   // ---------------------------------------------------------------------
