@@ -169,6 +169,30 @@ object Vec {
     new GenericArrayData(out)
   }
 
+  /** Distinct xxhash64 values of the n-char grams of a string — the
+    * character analogue of [[shingleHashes]]. Mirrors
+    * `substring(text, i, n) for i in 1..greatest(len-n+1, 1)` (so a
+    * shorter-than-n text yields one truncated gram), hash-identical to
+    * `xxhash64(substring(...))`. */
+  def charGramHashes(
+      text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val len = text.numChars()
+    val grams = math.max(len - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < grams) {
+      val g = text.substringSQL(i + 1, n)
+      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(g, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   // ---- Column API ----
 
   /** array<float|double> → unit-normalized array<double>; null for the
@@ -200,6 +224,10 @@ object Vec {
     * token column. */
   def shingle_hashes(c: Column, n: Int): Column =
     columnOf(ShingleHashes(exprOf(c), n))
+
+  /** Distinct n-char gram hashes (array<bigint>) of a string column. */
+  def char_gram_hashes(c: Column, n: Int): Column =
+    columnOf(CharGramHashes(exprOf(c), n))
 }
 
 case class VecUnit(child: Expression) extends UnaryExpression {
@@ -258,6 +286,18 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.Vec.shingleHashes($c, $n);")
   override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+case class CharGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    Vec.charGramHashes(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Vec.charGramHashes($c, $n);")
+  override protected def withNewChildInternal(c: Expression): CharGramHashes =
     copy(child = c)
 }
 

@@ -299,7 +299,8 @@ object DedupOps {
   /** Character-3-gram Jaccard over LSH-bounded candidates — the shared
     * [[candidatePairs]] stage with a different similarity kernel: the
     * corpus is shingled and signed ONCE; only the verify metric differs
-    * from [[minhashNearDupPairs]] (grams instead of shingle Jaccard). */
+    * from [[minhashNearDupPairs]] (char grams instead of token shingles,
+    * as distinct hash sets via [[graft.functions.Vec.char_gram_hashes]]). */
   val ngramJaccard: GraftQuery = GraftQuery(
     "dedup_ngram_jaccard",
     (s, dir) => {
@@ -308,17 +309,15 @@ object DedupOps {
         .select(col("id_a"), col("id_b"))
         .localCheckpoint() // reused three times below (ids ×2 + pairs)
       // gram arrays are built ONLY for docs that appear in a candidate
-      // pair (semi-join prune): the wide 3-gram column never materializes
-      // for the untouched bulk of the corpus — at 100 TB the verify stage
-      // is proportional to candidates, not corpus
+      // pair (semi-join prune): the gram column never materializes for
+      // the untouched bulk of the corpus — at 100 TB the verify stage is
+      // proportional to candidates, not corpus
       val candIds = cand
         .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
         .distinct()
       val grams = d.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), expr(
-          """array_distinct(transform(
-            |  sequence(1, greatest(length(text) - 2, 1)),
-            |  i -> substring(text, i, 3)))""".stripMargin).as("grams"))
+        .select(col("doc_id"),
+          graft.functions.Vec.char_gram_hashes(col("text"), 3).as("grams"))
       cand
         .join(grams.select(col("doc_id").as("id_a"),
           col("grams").as("g_a")), "id_a")

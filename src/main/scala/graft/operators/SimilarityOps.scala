@@ -96,35 +96,46 @@ object SimilarityOps {
          |  WHERE q.vec_id < $NumQueries AND n.vec_id <> q.vec_id) sub
          |WHERE rank <= $K""".stripMargin))
 
+  /** The ingest-side index: unit-normalized vectors with their sketches —
+    * persist this (parquet) and every later search reads sketches at
+    * rest instead of recomputing them. */
+  def buildSketchIndex(e: DataFrame): DataFrame = withSketch(unit(e))
+
+  /** Two-stage search over a sketch-indexed corpus (`vec_id`, `unit`,
+    * `sketch` columns — inline from [[buildSketchIndex]] or read from a
+    * persisted index table): hamming scan, exact rescore of the top
+    * [[RescoreBudget]], top-k by cosine. */
+  def sketchSearch(all: DataFrame, numQueries: Int = NumQueries): DataFrame = {
+    val queries = all.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("unit").as("q_unit"),
+        col("sketch").as("q_sketch"))
+    val byHamming = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val byCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    all.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("hamming", hamming64(col("sketch"), col("q_sketch")))
+      .withColumn("cand_rank", row_number().over(byHamming))
+      .filter(col("cand_rank") <= RescoreBudget)
+      .withColumn("cos", cosine)
+      .withColumn("rank", row_number().over(byCos))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cos"), 3).as("cos"))
+  }
+
   /** Sketch-LSH approximate top-k: hamming scan over the 256-bit sketches,
     * exact rescore of the top [[RescoreBudget]] candidates. Rows-only gate
     * (approximate by design); TrainingOpsSpec asserts recall ≥ 0.8 vs
-    * [[bruteForce]] at sf0.01. */
+    * [[bruteForce]] at sf0.01 and persisted-index equivalence. */
   val lshTopK: GraftQuery = GraftQuery(
     "ann_topk_lsh",
-    (s, dir) => {
+    (s, dir) =>
       // localCheckpoint: sketches feed both join sides; truncating the
       // lineage keeps AQE from re-canonicalizing the self-join plan per
       // query stage (see graft-build-notes).
-      val all = withSketch(unit(emb(s, dir))).localCheckpoint()
-      val queries = all.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("unit").as("q_unit"),
-          col("sketch").as("q_sketch"))
-      val byHamming = Window.partitionBy(col("query_id"))
-        .orderBy(col("hamming"), col("vec_id"))
-      val byCos = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      all.crossJoin(broadcast(queries))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("hamming", hamming64(col("sketch"), col("q_sketch")))
-        .withColumn("cand_rank", row_number().over(byHamming))
-        .filter(col("cand_rank") <= RescoreBudget)
-        .withColumn("cos", cosine)
-        .withColumn("rank", row_number().over(byCos))
-        .filter(col("rank") <= K)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("rank"), round(col("cos"), 3).as("cos"))
-    },
+      sketchSearch(buildSketchIndex(emb(s, dir)).localCheckpoint()),
     None)
 
   val all: Seq[GraftQuery] = Seq(bruteForce, lshTopK)

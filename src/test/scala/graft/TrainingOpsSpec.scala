@@ -75,6 +75,23 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, f"recall $recall%.2f below 0.8")
   }
 
+  test("ANN over a persisted sketch index equals the inline query") {
+    // the production shape: sketches computed once at ingest, persisted,
+    // and read at rest by every later search
+    val p = java.nio.file.Files.createTempDirectory("graft-ann")
+      .resolve("index").toString
+    SimilarityOps.buildSketchIndex(Tables.t(spark, dir, "embeddings"))
+      .write.parquet(p)
+    def asSet(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    val atRest = asSet(
+      SimilarityOps.sketchSearch(spark.read.parquet(p)).collect())
+    val inline = asSet(SimilarityOps.lshTopK.fn(spark, dir).collect())
+    assert(atRest == inline)
+    assert(atRest.nonEmpty)
+  }
+
   test("text stats are internally consistent") {
     val rows = TextOps.textStats.fn(spark, dir).collect()
     assert(rows.length == 500)
