@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver captures only the last 2000 bytes of stdout and parses
+// the JSON metrics line out of it. Two things would break that: sbt's
+// trailing "[success] Total time" line (eats ~70 bytes and becomes the
+// last line), and sbt's logger prefixing every forked-process line with
+// "[info] " (a strict json parse of the line fails). Suppress the trailer
+// and pass forked output through verbatim so the raw JSON line ends the
+// stream.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

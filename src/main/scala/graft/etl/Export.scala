@@ -89,24 +89,48 @@ object Export {
     * identical, untouched buckets are never rewritten, and concurrent
     * readers keep snapshot isolation throughout. Idempotent and
     * incremental like [[retentionSweep]]: the unit an external scheduler
-    * invokes (OP-STR-7). Returns the number of leaves retired. */
+    * invokes (OP-STR-7). Returns the number of leaves retired.
+    *
+    * Concurrency: the leaf list is snapshotted ONCE; the rewrite reads and
+    * the commit drops exactly that set, so a leaf a concurrent tail
+    * commit appends between the read and the commit simply survives
+    * (its rows were never read, and it is not in the drop list). If a
+    * concurrent commit DELETES one of the snapshotted leaves (reorg
+    * rollback, retention), [[GraftStore.commit]]'s staleness guard rejects
+    * the compaction and it retries from a fresh snapshot — the rewritten
+    * rows of the aborted attempt were never published, so the abort is
+    * clean (the orphaned staged files are unreferenced and harmless). */
   def compact(
       spark: SparkSession,
       store: GraftStore,
-      maxLeavesPerBucket: Int = 1): Int = {
-    val (adds, drops) = store.Tables.map { table =>
-      val crowded = store.leavesOf(table).groupBy(_.bucket)
-        .filter(_._2.size > maxLeavesPerBucket).keySet
-      if (crowded.isEmpty) (Nil, Nil)
-      else {
-        val rewritten = store.stage(table,
-          store.read(spark, table, crowded.contains))
-        (rewritten, store.leavesOf(table).filter(l => crowded(l.bucket)))
+      maxLeavesPerBucket: Int = 1,
+      maxAttempts: Int = 3): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snapshot = store.currentLeaves() // the ONE resolution
+      val (adds, drops) = store.Tables.map { table =>
+        val mine = snapshot.filter(_.table == store.physName(table))
+        val crowded = mine.groupBy(_.bucket)
+          .filter(_._2.size > maxLeavesPerBucket).keySet
+        if (crowded.isEmpty) (Nil, Nil)
+        else {
+          val victims = mine.filter(l => crowded(l.bucket))
+          (store.stage(table, store.readLeaves(spark, table, victims)),
+            victims)
+        }
+      }.unzip
+      val dropped = drops.flatten
+      if (dropped.isEmpty) return 0
+      try {
+        store.commit(adds.flatten, dropped)
+        return dropped.size
+      } catch {
+        case _: GraftStore.StaleSnapshotException if attempt < maxAttempts =>
+        // loop: recompute from a fresh snapshot
       }
-    }.unzip
-    val dropped = drops.flatten
-    if (dropped.nonEmpty) store.commit(adds.flatten, dropped)
-    dropped.size
+    }
+    0
   }
 
   /** Drop every leaf whose entire bucket is older than the cutoff: a

@@ -204,12 +204,23 @@ object DedupOps {
       index: DataFrame,
       threshold: Double): DataFrame = {
     val sig = minhashSignatures(newDocs).localCheckpoint()
+    // Skew guard, same policy as the batch path (candidatePairs): a
+    // degenerate band_key (boilerplate text) on EITHER side would make the
+    // band join quadratic in that bucket. The index side is capped at
+    // build time (buildBandIndex); cap the new batch here.
+    val probeBuckets = Window.partitionBy(col("band"), col("band_key"))
+    val probe = lshBands(sig)
+      .withColumn("bucket_n", count(lit(1)).over(probeBuckets))
+      .filter(col("bucket_n") <= MaxBucketSize)
+      .drop("bucket_n")
     // candidate (new, existing) id pairs first — the band probe and the
     // distinct shuffle touch NARROW rows only; signature/shingle payloads
     // attach afterwards, and only for index docs that actually matched
-    // (broadcast semi-join prune). At 100 TB the wide index columns are
-    // read for O(candidates) docs, not O(corpus).
-    val cand = lshBands(sig).as("n")
+    // (semi-join prune). At 100 TB the wide index columns are read for
+    // O(candidates) docs, not O(corpus). No broadcast hint on `matched`:
+    // its size is O(distinct matched docs), unbounded in a bad batch, so
+    // let AQE broadcast it only when it measures small.
+    val cand = probe.as("n")
       .join(index.select(col("doc_id").as("existing_id"), col("band"),
         col("band_key")).as("i"), Seq("band", "band_key"))
       .select(col("doc_id").as("new_id"), col("existing_id"))
@@ -217,7 +228,7 @@ object DedupOps {
       .localCheckpoint()
     val matched = cand.select(col("existing_id")).distinct()
     val iPayload = index
-      .join(broadcast(matched),
+      .join(matched,
         index("doc_id") === matched("existing_id"), "left_semi")
       .dropDuplicates("doc_id")
       .select(col("doc_id").as("existing_id"), col("mh_arr").as("mh_i"),
@@ -239,11 +250,20 @@ object DedupOps {
   }
 
   /** Band index of a corpus for [[incrementalNearDup]]: one row per
-    * (doc, band) with the signature and shingle hashes attached. */
+    * (doc, band) with the signature and shingle hashes attached.
+    * Degenerate buckets (> [[MaxBucketSize]] docs on one band_key —
+    * boilerplate) are dropped at BUILD time, once, so no later probe pays
+    * for them or goes quadratic on them; this mirrors the batch path's
+    * cap in [[candidatePairs]]. */
   def buildBandIndex(docs: DataFrame): DataFrame = {
     val sig = minhashSignatures(docs)
-    lshBands(sig).join(
-      sig.select(col("doc_id"), col("mh_arr"), col("sh_hashes")), "doc_id")
+    val buckets = Window.partitionBy(col("band"), col("band_key"))
+    lshBands(sig)
+      .withColumn("bucket_n", count(lit(1)).over(buckets))
+      .filter(col("bucket_n") <= MaxBucketSize)
+      .drop("bucket_n")
+      .join(sig.select(col("doc_id"), col("mh_arr"), col("sh_hashes")),
+        "doc_id")
   }
 
   // ---------------------------------------------------------------------

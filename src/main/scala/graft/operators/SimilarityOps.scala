@@ -104,7 +104,15 @@ object SimilarityOps {
   /** Two-stage search over a sketch-indexed corpus (`vec_id`, `unit`,
     * `sketch` columns — inline from [[buildSketchIndex]] or read from a
     * persisted index table): hamming scan, exact rescore of the top
-    * [[RescoreBudget]], top-k by cosine. */
+    * [[RescoreBudget]], top-k by cosine.
+    *
+    * The candidate stage really does read no embedding bytes: the scan
+    * side projects (vec_id, sketch) only, so the crossJoin and the
+    * per-query row_number shuffle move 4 longs per row, not the float
+    * vector. Unit vectors are fetched afterwards, by joining the
+    * numQueries·RescoreBudget survivor ids (broadcast — it is tiny by
+    * construction) back to the index; with a persisted columnar index,
+    * column pruning makes that deferred fetch the only embedding read. */
   def sketchSearch(all: DataFrame, numQueries: Int = NumQueries): DataFrame = {
     val queries = all.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("unit").as("q_unit"),
@@ -113,11 +121,17 @@ object SimilarityOps {
       .orderBy(col("hamming"), col("vec_id"))
     val byCos = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    all.crossJoin(broadcast(queries))
+    val survivors = all.select(col("vec_id"), col("sketch"))
+      .crossJoin(broadcast(queries.select(col("query_id"), col("q_sketch"))))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("hamming", hamming64(col("sketch"), col("q_sketch")))
       .withColumn("cand_rank", row_number().over(byHamming))
       .filter(col("cand_rank") <= RescoreBudget)
+      .select(col("query_id"), col("vec_id"))
+    all.select(col("vec_id"), col("unit"))
+      .join(broadcast(survivors), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("q_unit"))),
+        "query_id")
       .withColumn("cos", cosine)
       .withColumn("rank", row_number().over(byCos))
       .filter(col("rank") <= K)

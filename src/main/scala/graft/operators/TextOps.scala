@@ -54,38 +54,46 @@ object TextOps {
 
   /** Quality score in [0,1] from the stats (length window, stopword ratio,
     * token-count window) — heuristic weights, deterministic output.
-    * Rendered as floor(x·10⁴)/10⁴, not round(x, 4): both engines evaluate
-    * the identical IEEE expression tree bit-for-bit, and floor has no
-    * round-half tie whose direction could differ between Spark (HALF_UP)
-    * and DuckDB — so the heuristic blend is exactly oracle-able. */
+    *
+    * The blend is computed ENTIRELY in integer basis points (0.4 on a
+    * 0..10000 scale = weight 8 per length unit capped at 500, etc.), and
+    * only the final integer is divided by 10000.0. Cross-engine exactness
+    * then needs no IEEE reasoning at all: both engines produce the same
+    * integer (truncating division on non-negative operands — Spark `div`,
+    * DuckDB `//`), and one double division of identical operands is
+    * bit-deterministic by the standard. The earlier floor(x·10⁴) float
+    * rendering depended on the two engines never reassociating the double
+    * expression tree — a latent flake this formulation removes. */
+  /** The integer score over a `text` column, as a Spark SQL fragment —
+    * shared with the curation operators
+    * ([[CurationOps.curationTopK]]). */
+  val qualityBpSparkSql: String =
+    s"""(least(cast(length(text) AS bigint), 500) * 8
+       |  + least(4000, (cast(size(filter(split(lower(text), '\\\\s+'),
+       |        x -> x IN (${sqlList(stopwords("en"))}))) AS bigint)
+       |        * 20000)
+       |      div greatest(cast(size(split(text, '\\\\s+')) AS bigint), 1))
+       |  + IF(size(split(text, '\\\\s+')) BETWEEN 20 AND 1000, 2000, 0))"""
+      .stripMargin
+
+  /** The same integer score as a DuckDB SQL fragment. */
+  val qualityBpDuckSql: String =
+    s"""(least(length(text), 500) * 8
+       |   + least(4000, (CAST(len(list_filter(
+       |        regexp_split_to_array(lower(text), '\\s+'),
+       |        x -> x IN (${sqlList(stopwords("en"))}))) AS BIGINT)
+       |        * 20000)
+       |      // greatest(len(regexp_split_to_array(text, '\\s+')), 1))
+       |   + CASE WHEN len(regexp_split_to_array(text, '\\s+'))
+       |      BETWEEN 20 AND 1000 THEN 2000 ELSE 0 END)""".stripMargin
+
   val qualityScore: GraftQuery = GraftQuery(
     "text_quality_score",
-    (s, dir) => {
-      val stats = t(s, dir, "documents").select(
-        col("doc_id"),
-        length(col("text")).cast("double").as("len"),
-        size(split(col("text"), "\\s+")).cast("double").as("toks"),
-        expr(s"size(filter(split(lower(text), '\\\\s+'), " +
-          s"x -> x IN (${sqlList(stopwords("en"))})))")
-          .cast("double").as("stops"))
-      val score =
-        least(lit(1.0), col("len") / 500.0) * 0.4 +
-          least(lit(1.0),
-            col("stops") / greatest(col("toks"), lit(1.0)) * 5) * 0.4 +
-          when(col("toks") >= 20 && col("toks") <= 1000, 0.2).otherwise(0.0)
-      stats.select(col("doc_id"),
-        (floor(score * 10000) / lit(10000.0)).as("quality"))
-    },
+    (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        (expr(qualityBpSparkSql) / lit(10000.0)).as("quality")),
     Some(
-      s"""SELECT doc_id, floor((least(1.0, length(text)/500.0)*0.4
-         |  + least(1.0, len(list_filter(
-         |        regexp_split_to_array(lower(text), '\\s+'),
-         |        x -> x IN (${sqlList(stopwords("en"))})))
-         |    / greatest(len(regexp_split_to_array(text, '\\s+')), 1.0) * 5)
-         |    * 0.4
-         |  + CASE WHEN len(regexp_split_to_array(text, '\\s+'))
-         |      BETWEEN 20 AND 1000 THEN 0.2 ELSE 0.0 END) * 10000) / 10000.0
-         |  AS quality
+      s"""SELECT doc_id, $qualityBpDuckSql / 10000.0 AS quality
          |FROM documents""".stripMargin))
 
   /** BPE-ish token counting: word pieces + isolated non-word glyphs. */

@@ -142,20 +142,47 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
   }
 
   /** One atomic commit across tables; `meta` entries merge into (and
-    * override) the snapshot metadata in the same atomic swap. */
+    * override) the snapshot metadata in the same atomic swap.
+    *
+    * Optimistic-concurrency guard: every drop must still be live at commit
+    * time. A caller that computed its drop list from an older snapshot
+    * (e.g. a compaction racing a reorg rollback) would otherwise silently
+    * resurrect rows another commit deleted, or lose rows a concurrent
+    * append added to a leaf it never read. Such a commit throws
+    * [[GraftStore.StaleSnapshotException]] — retry from a fresh snapshot. */
   def commit(adds: Seq[Leaf], drops: Seq[Leaf] = Nil,
       meta: Map[String, String] = Map.empty): Unit = synchronized {
+    val live = currentLeaves()
+    val liveDirs = live.map(_.dir).toSet
+    val stale = drops.filterNot(l => liveDirs.contains(l.dir))
+    if (stale.nonEmpty)
+      throw new GraftStore.StaleSnapshotException(
+        s"${stale.size} drop(s) no longer live (first: ${stale.head.dir}); " +
+          "recompute from a fresh snapshot and retry")
     val dropSet = drops.map(_.dir).toSet
-    publish(currentLeaves().filterNot(l => dropSet.contains(l.dir)) ++ adds,
+    publish(live.filterNot(l => dropSet.contains(l.dir)) ++ adds,
       currentMeta() ++ meta.map { case (k, v) => metaKey(k) -> v })
   }
 
   /** Snapshot-isolated read; `bucketPred` prunes leaves before Spark ever
     * lists a file (the manifest-level analogue of partition pruning). */
   def read(spark: SparkSession, table: String,
-      bucketPred: Long => Boolean = _ => true): DataFrame = {
-    val dirs = currentLeaves()
-      .filter(l => l.table == physName(table) && bucketPred(l.bucket))
+      bucketPred: Long => Boolean = _ => true): DataFrame =
+    readLeaves(spark, table,
+      currentLeaves().filter(l =>
+        l.table == physName(table) && bucketPred(l.bucket)))
+
+  /** Read `table` from an explicit leaf list the CALLER snapshotted (extra
+    * leaves of other tables are ignored). The building block for
+    * multi-step operations that must see one snapshot across several
+    * reads — compaction reads exactly the leaves it will drop
+    * ([[graft.etl.Export.compact]]), and a multi-table export serves every
+    * table from the same snapshot ([[JdbcSink.export]]) — where chaining
+    * [[read]] calls would re-resolve `_current` each time and interleave
+    * with concurrent commits. */
+  def readLeaves(spark: SparkSession, table: String,
+      leaves: Seq[Leaf]): DataFrame = {
+    val dirs = leaves.filter(_.table == physName(table))
       .map(l => s"$root/${l.dir}")
     // Leaves are plain parquet (all real columns in the data files);
     // recursiveFileLookup disables k=v discovery, so heterogeneous leaf
@@ -185,4 +212,12 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
 
   def bucketCol(table: String): Column =
     (col(heightCol(table)) / bucketSize).cast("long")
+}
+
+object GraftStore {
+  /** Thrown by [[GraftStore.commit]] when a drop refers to a leaf that is
+    * no longer live — the caller's snapshot went stale under a concurrent
+    * commit. Recompute and retry. */
+  final class StaleSnapshotException(msg: String)
+    extends RuntimeException(msg)
 }

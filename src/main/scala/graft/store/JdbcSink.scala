@@ -20,8 +20,11 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * NOTE: unlike [[GraftStore.commit]], SQL tables get per-table
   * transactions, not one cross-table commit — the JDBC path is a parity
   * EXPORT of a consistent snapshot, not the engine's source of truth.
-  * `snapshot` reads resolve `_current` once, so all three exported
-  * tables come from the same store snapshot even while a tail ingests.
+  * The leaf list is resolved ONCE up front and every table is read from
+  * that one snapshot ([[GraftStore.readLeaves]]), so the three exported
+  * tables stay mutually consistent even while a tail ingests — a commit
+  * landing mid-export can never yield transactions whose blocks are
+  * missing from the exported blocks table.
   */
 object JdbcSink {
 
@@ -33,10 +36,12 @@ object JdbcSink {
       url: String,
       prefix: String = "etl",
       mode: SaveMode = SaveMode.Overwrite,
-      properties: Properties = new Properties()): Map[String, Long] =
+      properties: Properties = new Properties()): Map[String, Long] = {
+    val snapshot = store.currentLeaves() // one snapshot for ALL tables
     store.Tables.map { table =>
-      val df = store.read(spark, table)
+      val df = store.readLeaves(spark, table, snapshot)
       df.write.mode(mode).jdbc(url, s"${prefix}_$table", properties)
       table -> df.count()
     }.toMap
+  }
 }

@@ -202,6 +202,46 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.etl.Export.compact(spark, store) == 0)
   }
 
+  test("commit rejects drops computed from a stale snapshot") {
+    val store = newStore()
+    val src = new FixtureSource(fx)
+    Backfill.run(spark, src, store, 0, 20)
+    Backfill.run(spark, src, store, 21, 30)
+    // a compactor's view of the leaves...
+    val staleView = store.leavesOf("blocks")
+    // ...goes stale when a concurrent rollback drops one of them
+    graft.etl.Tail.rollbackFrom(spark, store, 21L)
+    // committing drops from the stale view must fail loudly, not silently
+    // resurrect the rolled-back rows via a rewrite that includes them
+    intercept[graft.store.GraftStore.StaleSnapshotException] {
+      store.commit(Nil, staleView)
+    }
+    // compact() itself retries from a fresh snapshot and stays correct:
+    // rolled-back heights do not reappear
+    graft.etl.Export.compact(spark, store)
+    assert(store.read(spark, "blocks")
+      .agg(max("number")).head().getLong(0) == 20L)
+  }
+
+  test("compaction snapshot ignores leaves committed after it was taken") {
+    val store = newStore()
+    val src = new FixtureSource(fx)
+    Backfill.run(spark, src, store, 0, 10)
+    Backfill.run(spark, src, store, 11, 20)
+    // snapshot-once semantics: a leaf appended between compact's read and
+    // its commit survives untouched (it is in neither adds nor drops).
+    // Simulate by committing compact's plan manually around an append.
+    val snapshot = store.currentLeaves()
+    val victims = snapshot.filter(_.table == store.physName("blocks"))
+    val rewritten = store.stage("blocks",
+      store.readLeaves(spark, "blocks", victims))
+    Backfill.run(spark, src, store, 21, 30) // concurrent tail commit
+    store.commit(rewritten, victims) // all victims still live -> succeeds
+    val nums = store.read(spark, "blocks").select("number")
+      .collect().map(_.getLong(0)).toSet
+    assert(nums == (0L to 30L).toSet) // appended rows survived the compact
+  }
+
   test("retention sweep drops only expired buckets (OP-DEL-3)") {
     val store = newStore()
     Backfill.run(spark, new FixtureSource(fx), store, 0, 199)
