@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   *  - sample_split: deterministic hash-mod train/val/test assignment —
   *    the split survives reruns, re-partitioning and incremental ingest
   *    (a random() split does not). Pure column expressions at scan speed.
+  *  - sample_stratified: per-stratum deterministic down-sampling to a
+  *    balanced corpus (every language at the smallest language's size).
+  *  - text_decontaminate: n-gram-overlap contamination of the TEST split
+  *    against the TRAIN split — the check run before an eval set is
+  *    trusted; train side collapses to distinct grams, never doc-pairs.
   *  - curation_topk: best-k documents per language by quality score —
   *    the per-group selection step of quality filtering.
   *  - text_doc_freq: document frequency of tokens (vocabulary building
@@ -135,8 +140,33 @@ object CurationOps {
         |FROM reach GROUP BY a""".stripMargin))
 
   // ---------------------------------------------------------------------
-  // Deterministic train/val/test split
+  // Deterministic hash buckets (split / sampling primitives)
   // ---------------------------------------------------------------------
+
+  /** Appends a deterministic `bucket` column in [0, mod): the first four
+    * hex nibbles of md5(salt + doc_id), mod `mod`. The salt decorrelates
+    * independent uses (the split must not correlate with the sampling).
+    * Pure column expressions — scan-speed, stable under re-partitioning,
+    * reruns, and incremental ingest; exactly reproducible in any engine
+    * with md5. */
+  private def withHashBucket(df: DataFrame, salt: String,
+      mod: Int): DataFrame =
+    df.withColumn("hx", md5(concat(lit(salt), col("doc_id").cast("string"))))
+      .withColumn("bucket", expr(
+        s"""((locate(substring(hx, 1, 1), '0123456789abcdef') - 1) * 4096
+           | + (locate(substring(hx, 2, 1), '0123456789abcdef') - 1) * 256
+           | + (locate(substring(hx, 3, 1), '0123456789abcdef') - 1) * 16
+           | + (locate(substring(hx, 4, 1), '0123456789abcdef') - 1)) % $mod"""
+          .stripMargin))
+      .drop("hx")
+
+  /** The same bucket as a DuckDB scalar over a table exposing `doc_id`. */
+  private def bucketDuckSql(salt: String, mod: Int): String =
+    s"""((instr('0123456789abcdef', substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+       | + (instr('0123456789abcdef', substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+       | + (instr('0123456789abcdef', substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+       | + (instr('0123456789abcdef', substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % $mod"""
+      .stripMargin
 
   /** Hash-mod split: bucket = md5("split:" + doc_id) taken 4 hex nibbles
     * at a time, mod 100; 80/10/10 by bucket range. Deterministic across
@@ -147,33 +177,114 @@ object CurationOps {
   val sampleSplit: GraftQuery = GraftQuery(
     "sample_split",
     (s, dir) =>
-      docs(s, dir)
-        .withColumn("hx", md5(concat(lit("split:"), col("doc_id").cast("string"))))
-        .withColumn("bucket", expr(
-          """((locate(substring(hx, 1, 1), '0123456789abcdef') - 1) * 4096
-            | + (locate(substring(hx, 2, 1), '0123456789abcdef') - 1) * 256
-            | + (locate(substring(hx, 3, 1), '0123456789abcdef') - 1) * 16
-            | + (locate(substring(hx, 4, 1), '0123456789abcdef') - 1)) % 100"""
-            .stripMargin))
+      withHashBucket(docs(s, dir), "split:", 100)
         .select(col("doc_id"), col("bucket"),
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val")
             .otherwise("test").as("split")),
     Some(
-      """SELECT doc_id, bucket,
-        |  CASE WHEN bucket < 80 THEN 'train'
-        |       WHEN bucket < 90 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM (
-        |  SELECT doc_id,
-        |    ((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
-        |     + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
-        |     + (instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
-        |     + (instr('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 100
-        |      AS bucket
-        |  FROM (SELECT doc_id,
-        |          md5('split:' || CAST(doc_id AS VARCHAR)) AS hx
-        |        FROM documents))""".stripMargin))
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id, ${bucketDuckSql("split:", 100)} AS bucket
+         |  FROM documents)""".stripMargin))
+
+  /** Stratified down-sampling to a balanced corpus: every language is
+    * sampled down to the size of the smallest language, deterministically
+    * (docs keep/lose membership stably across reruns and ingest order —
+    * a random() sample does not). Per-stratum rate in integer basis
+    * points; membership = hash bucket (salt "strat:", mod 10000) below
+    * the stratum's rate. The rates table is O(strata) — broadcast; the
+    * corpus side is one scan + one hash, no shuffle of document rows at
+    * all. */
+  val sampleStratified: GraftQuery = GraftQuery(
+    "sample_stratified",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"))
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      val rates = counts
+        .crossJoin(broadcast(counts.agg(min(col("cnt")).as("mn"))))
+        .select(col("lang"), expr("mn * 10000 div cnt").as("rate_bp"))
+      withHashBucket(d, "strat:", 10000)
+        .join(broadcast(rates), "lang")
+        .filter(col("bucket") < col("rate_bp"))
+        .select(col("doc_id"), col("lang"))
+    },
+    Some(
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+         |rates AS (
+         |  SELECT lang,
+         |    CAST((SELECT min(cnt) FROM counts) * 10000 // cnt AS BIGINT)
+         |      AS rate_bp
+         |  FROM counts)
+         |SELECT d.doc_id, d.lang
+         |FROM (SELECT doc_id, lang, ${bucketDuckSql("strat:", 10000)}
+         |        AS bucket
+         |      FROM documents) d
+         |JOIN rates r ON d.lang = r.lang
+         |WHERE d.bucket < r.rate_bp""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Train/eval decontamination
+  // ---------------------------------------------------------------------
+
+  /** Eval-set contamination check: for every TEST-split document, the
+    * share of its distinct token-5-grams that also occur anywhere in the
+    * TRAIN split (the standard n-gram-overlap decontamination test run
+    * before an eval set is trusted). Reuses the [[sampleSplit]] buckets
+    * (salt "split:"), so it decontaminates exactly the split this engine
+    * ships.
+    *
+    * Scale shape: the train side collapses to DISTINCT grams (one
+    * hash-shuffle with map-side partial distinct); the test side is tiny
+    * by construction (10% of docs); the overlap is an equi-join on the
+    * gram. No pairwise doc-vs-doc comparison anywhere. At 100 TB the
+    * gram strings would be replaced by their 64-bit hashes in the join
+    * key (the dedup family's trick) — strings are kept here so the
+    * result is exactly oracle-able. */
+  val decontaminate: GraftQuery = GraftQuery(
+    "text_decontaminate",
+    (s, dir) => {
+      val bucketed = withHashBucket(docs(s, dir), "split:", 100)
+        .withColumn("toks", split(lower(col("text")), "\\s+"))
+        .filter(size(col("toks")) >= 5)
+        .withColumn("grams", array_distinct(expr(
+          """transform(sequence(1, size(toks) - 4),
+            |  i -> array_join(slice(toks, i, 5), ' '))""".stripMargin)))
+      val trainGrams = bucketed.filter(col("bucket") < 80)
+        .select(explode(col("grams")).as("gram")).distinct()
+      bucketed.filter(col("bucket") >= 90)
+        .select(col("doc_id"), explode(col("grams")).as("gram"))
+        .join(trainGrams.withColumn("hit", lit(1L)), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("total_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(col("doc_id"), col("total_grams"),
+          expr("hits * 10000 div total_grams").as("matched_bp"))
+    },
+    Some(
+      s"""WITH bucketed AS (
+         |  SELECT doc_id, ${bucketDuckSql("split:", 100)} AS bucket,
+         |    regexp_split_to_array(lower(text), '\\s+') AS toks
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, bucket,
+         |    unnest(list_distinct(list_transform(
+         |      generate_series(1, len(toks) - 4),
+         |      i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+         |  FROM bucketed WHERE len(toks) >= 5),
+         |train_grams AS (
+         |  SELECT DISTINCT gram FROM grams WHERE bucket < 80)
+         |SELECT g.doc_id,
+         |  count(*) AS total_grams,
+         |  CAST(sum(CASE WHEN t.gram IS NULL THEN 0 ELSE 1 END) * 10000
+         |    // count(*) AS BIGINT) AS matched_bp
+         |FROM grams g LEFT JOIN train_grams t ON g.gram = t.gram
+         |WHERE g.bucket >= 90
+         |GROUP BY 1""".stripMargin))
 
   // ---------------------------------------------------------------------
   // Per-group quality selection
@@ -230,6 +341,69 @@ object CurationOps {
         |WHERE token <> ''
         |GROUP BY token HAVING count(*) >= 25""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // End-to-end curation pipeline
+  // ---------------------------------------------------------------------
+
+  /** The composed curation pipeline a training-data user actually runs —
+    * quality floor, exact dedup, near-dup cluster collapse, split
+    * assignment — as ONE library call over a (doc_id, text) corpus:
+    *
+    *  1. quality floor: integer-basis-point score
+    *     ([[TextOps.qualityBpSparkSql]]) >= `qualityFloorBp` — scan-speed
+    *     column expression;
+    *  2. exact dedup: min doc_id per normalized-text fingerprint (one
+    *     hash shuffle);
+    *  3. near-dup collapse: MinHash-LSH pairs
+    *     ([[DedupOps.minhashNearDupPairs]], banded candidates — never
+    *     all-pairs), transitive closure ([[connectedComponents]] — pair
+    *     graphs only, O(detected dups) not O(corpus)), keep each
+    *     cluster's min doc_id;
+    *  4. deterministic 80/10/10 split (salt "split:", the same buckets
+    *     [[sampleSplit]] and [[decontaminate]] use).
+    *
+    * Every stage is shuffle-bounded by keys or detected duplicates —
+    * nothing here is quadratic in the corpus. Returns (doc_id,
+    * quality_bp, split) for the surviving docs; join back to the corpus
+    * for payload columns (cheaper than carrying text through the dedup
+    * shuffles). */
+  def curateCorpus(d: DataFrame, qualityFloorBp: Long = 3000L,
+      nearDupThreshold: Double = 0.4): DataFrame = {
+    val kept = d
+      .withColumn("quality_bp", expr(TextOps.qualityBpSparkSql))
+      .filter(col("quality_bp") >= qualityFloorBp)
+    val exactKeep = kept
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("fp", "rn")
+    val pairs = DedupOps
+      .minhashNearDupPairs(exactKeep.select(col("doc_id"), col("text")),
+        nearDupThreshold)
+      .select(col("id_a"), col("id_b"))
+    val nonReps = connectedComponents(pairs)
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as("doc_id"))
+    withHashBucket(
+      exactKeep.join(nonReps, Seq("doc_id"), "left_anti"), "split:", 100)
+      .select(col("doc_id"), col("quality_bp"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** Driver-visible pipeline run over the corpus + injected near-copies
+    * (so the dedup stages do real work at every scale factor). Rows-only:
+    * the near-dup stage rides on engine-specific xxhash64 signatures, so
+    * no portable oracle exists — CurationOpsSpec pins the semantics
+    * (injected copies collapse to their originals, survivors are
+    * pairwise non-duplicate, floor and split invariants hold). */
+  val curationPipeline: GraftQuery = GraftQuery(
+    "curation_pipeline",
+    (s, dir) => curateCorpus(DedupOps.withNearDups(docs(s, dir))),
+    None)
+
   val all: Seq[GraftQuery] =
-    Seq(dedupClusters, sampleSplit, curationTopK, docFreq)
+    Seq(dedupClusters, sampleSplit, sampleStratified, decontaminate,
+      curationTopK, docFreq, curationPipeline)
 }

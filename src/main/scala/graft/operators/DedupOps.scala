@@ -37,7 +37,7 @@ object DedupOps {
 
   /** Near-copies of doc_id < 25 under shifted ids: every 23rd token
     * replaced (destroys ~22% of 5-shingles → Jaccard ≈ 0.64 vs source). */
-  private def perturbedCopies(d: DataFrame): DataFrame =
+  private[graft] def perturbedCopies(d: DataFrame): DataFrame =
     d.filter(col("doc_id") < 25).select(
       (col("doc_id") + 1000000).as("doc_id"),
       expr("""concat_ws(' ', transform(split(text, '\\s+'),
@@ -45,7 +45,7 @@ object DedupOps {
         .as("text"))
 
   /** Corpus + near-copies (see [[perturbedCopies]]). */
-  private def withNearDups(d: DataFrame): DataFrame =
+  private[graft] def withNearDups(d: DataFrame): DataFrame =
     d.select(col("doc_id"), col("text")).unionAll(perturbedCopies(d))
 
   // ---------------------------------------------------------------------

@@ -156,6 +156,54 @@ object TextOps {
          |FROM documents""".stripMargin
     })
 
+  /** Intra-document repetition signals (the Gopher-style "repetitious
+    * text" filters): for each doc, the share of word-2-grams that are
+    * repeats and the share claimed by the single most frequent 2-gram.
+    * Shape: per-doc gram explode -> (doc, gram) count -> per-doc
+    * aggregate; both aggregations partial-combine map-side, and the
+    * shuffled rows are (doc_id, gram-count), never raw text — a 100 TB
+    * corpus shuffles O(distinct grams per doc), not O(tokens).
+    * Fractions in integer basis points (truncating div) for exact
+    * cross-engine parity — same argument as [[qualityBpSparkSql]]. */
+  val repetition: GraftQuery = GraftQuery(
+    "text_repetition",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokens("text").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+            |""".stripMargin)).as("gram"))
+        .groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("total"), max(col("cnt")).as("top_cnt"),
+          sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("dup_cnt"))
+        .select(col("doc_id"),
+          expr("top_cnt * 10000 div total").as("top2_bp"),
+          expr("dup_cnt * 10000 div total").as("dup2_bp")),
+    Some(
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(lower(text), '\s+') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 2),
+        |counts AS (
+        |  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+        |per_doc AS (
+        |  SELECT doc_id, sum(cnt) AS total, max(cnt) AS top_cnt,
+        |    sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_cnt
+        |  FROM counts GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(top_cnt * 10000 // total AS BIGINT) AS top2_bp,
+        |  CAST(dup_cnt * 10000 // total AS BIGINT) AS dup2_bp
+        |FROM per_doc""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(textStats, qualityScore, tokenCount, fingerprint, langId)
+    Seq(textStats, qualityScore, tokenCount, fingerprint, langId,
+      repetition)
 }

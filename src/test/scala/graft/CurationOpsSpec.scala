@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.{CurationOps, TextOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior checks for the curation operators: transitive closure over
+  * multi-hop chains, stratified balance, decontamination invariants,
+  * repetition-signal bounds. (Exact values are gated by the DuckDB
+  * oracles; these cover properties the oracles can't express.) */
+class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("connectedComponents collapses a multi-hop chain to one label") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (diameter 4 -> needs several propagation rounds),
+    // plus a disjoint pair
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (11L, 10L))
+      .toDF("id_a", "id_b")
+    val labels = CurationOps.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    assert((1L to 5L).forall(labels(_) == 1L))
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+  }
+
+  test("stratified sample balances languages to ~the smallest stratum") {
+    val docs = Tables.t(spark, dir, "documents")
+    val mn = docs.groupBy("lang").count()
+      .agg(min("count")).head().getLong(0)
+    val sampled = CurationOps.sampleStratified.fn(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    // every language survives, and no stratum strays far from the target
+    // (hash-bucket granularity wobbles at small counts)
+    assert(sampled.keySet ==
+      docs.select("lang").distinct().collect().map(_.getString(0)).toSet)
+    sampled.values.foreach { c =>
+      assert(c >= mn / 2 && c <= mn * 3 / 2 + 1, s"stratum count $c vs min $mn")
+    }
+  }
+
+  test("decontamination covers exactly the >=5-token test-split docs") {
+    val out = CurationOps.decontaminate.fn(spark, dir).collect()
+    val bps = out.map(_.getAs[Long]("matched_bp"))
+    assert(bps.forall(bp => bp >= 0 && bp <= 10000))
+    // independently recompute the expected test-doc population from the
+    // shipped split query (same salt -> same buckets)
+    val testIds = CurationOps.sampleSplit.fn(spark, dir)
+      .filter(col("split") === "test").select("doc_id")
+    val expected = Tables.t(spark, dir, "documents")
+      .join(testIds, "doc_id")
+      .filter(size(split(lower(col("text")), "\\s+")) >= 5)
+      .count()
+    assert(out.length.toLong == expected)
+  }
+
+  test("curation pipeline: copies collapse, survivors are dup-free, floor holds") {
+    val docs = Tables.t(spark, dir, "documents")
+    val corpus = operators.DedupOps.withNearDups(docs).localCheckpoint()
+    val out = CurationOps.curateCorpus(corpus).localCheckpoint()
+    val ids = out.collect().map(_.getAs[Long]("doc_id")).toSet
+
+    // every injected near-copy whose source survived is gone (keeper is
+    // the min id = the original)
+    val survivingCopies = ids.filter(_ >= 1000000L)
+    assert(survivingCopies.forall(c => !ids.contains(c - 1000000L)),
+      s"copy kept alongside its source: ${survivingCopies.take(5)}")
+    // re-running the detector over the survivors finds nothing: the
+    // detector is deterministic and its candidate set over a subset is a
+    // subset, so dropping one endpoint of every detected pair empties it
+    val residual = operators.DedupOps.minhashNearDupPairs(
+      corpus.join(out.select("doc_id"), "doc_id"), 0.4)
+    assert(residual.isEmpty, "near-dup pair survived curation")
+    // floor + split invariants
+    out.collect().foreach { r =>
+      assert(r.getAs[Long]("quality_bp") >= 3000L)
+      assert(Set("train", "val", "test")(r.getAs[String]("split")))
+    }
+    assert(ids.nonEmpty && ids.size < corpus.count())
+  }
+
+  test("repetition signals stay in basis-point bounds") {
+    val rows = TextOps.repetition.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val top = r.getAs[Long]("top2_bp")
+      val dup = r.getAs[Long]("dup2_bp")
+      assert(top >= 1 && top <= 10000) // most frequent gram occurs >= once
+      assert(dup >= 0 && dup <= 10000)
+      // if anything repeats, the top gram is part of the repeated mass
+      if (dup > 0) assert(dup >= top)
+    }
+  }
+}

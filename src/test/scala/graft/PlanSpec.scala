@@ -112,6 +112,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("as-of join is one keyed shuffle + window — no join operator at all") {
+    val p = plan("join_asof")
+    // the union-and-window formulation: the only join in the plan is the
+    // tie-collapse pre-aggregation's absence — no Join node, no range
+    // explosion; one hash exchange on the key feeds the window sort
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(__k"), p)
+  }
+
+  test("bucketed range join plans an equi-join, not a nested loop") {
+    val p = plan("join_range_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("stratified sample broadcasts the rates side (no corpus shuffle)") {
+    val p = plan("sample_stratified")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("scalable identity check single-partitions only the per-bucket offsets") {
     val blocks = graft.chain.ChainFixture.build(200).blocksDF(spark)
     val df = graft.chain.ChainOps.identityMismatchesScalable(blocks, 50L)

@@ -92,6 +92,44 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(atRest.nonEmpty)
   }
 
+  test("IVF recall >= 0.9 at a 1/5 scan fraction on a clustered corpus") {
+    // IVF's contract is on CLUSTERED embeddings (the synthetic driver
+    // corpus is isotropic — there the sketch scan is the right index and
+    // IVF recall tracks nprobe/k; see SimilarityOps doc). Build a
+    // deterministic 10-cluster corpus: seeded Gaussian centers on the
+    // sphere, 40 points each at noise 0.15, queries round-robin so
+    // vec_id < 10 covers every cluster.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val points = (0 until 400).map { i =>
+      val c = centers(i % 10)
+      val v = c.map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+      (i.toLong, v.toSeq)
+    }
+    import spark.implicits._
+    val units = points.toDF("vec_id", "embedding")
+      .withColumn("unit", graft.functions.Vec.vec_unit(col("embedding")))
+      .select(col("vec_id"), col("unit")).localCheckpoint()
+    // exact top-5 per query, computed independently on the driver
+    val vecs = points.map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      id -> v.map(_ / n).toArray
+    }.toMap
+    val brute = (0L until 10L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (-vecs(q).zip(vecs(n)).map { case (a, b) => a * b }.sum, n))
+        .take(SimilarityOps.K).map(q -> _)
+    }.toSet
+    val (cells, cents) = SimilarityOps.buildIvfIndex(units, k = 10)
+    val approx = SimilarityOps.ivfSearch(cells, cents, nprobe = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val recall = (approx & brute).size.toDouble / brute.size
+    info(f"IVF recall at nprobe=2/10: $recall%.2f")
+    assert(recall >= 0.9, f"recall $recall%.2f below 0.9")
+  }
+
   test("text stats are internally consistent") {
     val rows = TextOps.textStats.fn(spark, dir).collect()
     assert(rows.length == 500)
