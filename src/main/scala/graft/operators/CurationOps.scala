@@ -341,6 +341,54 @@ object CurationOps {
         |WHERE token <> ''
         |GROUP BY token HAVING count(*) >= 25""".stripMargin))
 
+  /** Top-3 characteristic terms per document by an integer TF-IDF
+    * variant: score = tf · 10000 div df (linear inverse document
+    * frequency — rank-equivalent to tf/df, and exactly computable in
+    * both engines, unlike log-idf whose libm rounding may differ).
+    * min-df floor of 3 drops hapax noise; ties break by token. Shape:
+    * (doc, term) tf counts and global df counts are both
+    * partial-aggregated; the df side joins in by term. The per-doc
+    * top-k window partitions by doc_id — never global. */
+  val topTerms: GraftQuery = GraftQuery(
+    "text_top_terms",
+    (s, dir) => {
+      val terms = docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+      val tf = terms.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = terms.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3)
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      tf.join(df, "token")
+        .withColumn("score", expr("tf * 10000 div df"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("token"), col("score"), col("rnk"))
+    },
+    Some(
+      """WITH terms AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |terms_ne AS (SELECT * FROM terms WHERE token <> ''),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM terms_ne GROUP BY 1, 2),
+        |df AS (
+        |  SELECT token, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM terms_ne)
+        |  GROUP BY 1 HAVING count(*) >= 3)
+        |SELECT doc_id, token, score, rnk FROM (
+        |  SELECT tf.doc_id, tf.token,
+        |    CAST(tf.tf * 10000 // df.df AS BIGINT) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * 10000 // df.df DESC, tf.token) AS rnk
+        |  FROM tf JOIN df ON tf.token = df.token)
+        |WHERE rnk <= 3""".stripMargin))
+
   // ---------------------------------------------------------------------
   // End-to-end curation pipeline
   // ---------------------------------------------------------------------
@@ -405,5 +453,5 @@ object CurationOps {
 
   val all: Seq[GraftQuery] =
     Seq(dedupClusters, sampleSplit, sampleStratified, decontaminate,
-      curationTopK, docFreq, curationPipeline)
+      curationTopK, docFreq, topTerms, curationPipeline)
 }
