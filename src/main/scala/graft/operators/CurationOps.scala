@@ -249,6 +249,9 @@ object CurationOps {
     "text_decontaminate",
     (s, dir) => {
       val bucketed = withHashBucket(docs(s, dir), "split:", 100)
+        // the val split (buckets 80-89) plays no role — drop it BEFORE
+        // the gram arrays are built, not after
+        .filter(col("bucket") < 80 || col("bucket") >= 90)
         .withColumn("toks", split(lower(col("text")), "\\s+"))
         .filter(size(col("toks")) >= 5)
         .withColumn("grams", array_distinct(expr(
