@@ -193,6 +193,53 @@ object Vec {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprints (the MOSS scheme): hash every k-char gram,
+    * take the min hash of each w-gram window, deduplicate in first-
+    * occurrence order. Guarantees any k+w-1-char match between two
+    * documents shares a fingerprint, at ~1/w the gram density.
+    *
+    * Unlike the xxhash64 dedup family, the gram hash here is a
+    * polynomial fold h = (h·131 + char) mod 1e9+7 — plain integer
+    * arithmetic any engine reproduces exactly (the DuckDB oracle
+    * recomputes it with list_reduce), so the operator is hash-checkable
+    * cross-engine. Input must be pre-normalized to single-byte chars
+    * (the query feeds regexp_replace(lower(text), "[^a-z0-9]", "")) —
+    * bytes are the units hashed. */
+  def winnowFingerprints(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, w: Int): ArrayData = {
+    val n = text.numBytes()
+    val grams = n - k + 1
+    if (grams <= 0) return new GenericArrayData(Array.empty[Long])
+    val M = 1000000007L
+    val B = 131L
+    val hs = new Array[Long](grams)
+    var i = 0
+    while (i < grams) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * B + (text.getByte(i + j) & 0xffL)) % M; j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    val windows = math.max(grams - w + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i < windows) {
+      var m = java.lang.Long.MAX_VALUE
+      var j = i
+      val end = math.min(i + w, grams)
+      while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var c = 0
+    while (it.hasNext) { out(c) = it.next(); c += 1 }
+    new GenericArrayData(out)
+  }
+
   // ---- Column API ----
 
   /** array<float|double> → unit-normalized array<double>; null for the
@@ -228,6 +275,11 @@ object Vec {
   /** Distinct n-char gram hashes (array<bigint>) of a string column. */
   def char_gram_hashes(c: Column, n: Int): Column =
     columnOf(CharGramHashes(exprOf(c), n))
+
+  /** Winnowed k-gram/w-window fingerprints (array<bigint>) of a
+    * normalized string column. */
+  def winnow_fps(c: Column, k: Int, w: Int): Column =
+    columnOf(WinnowFps(exprOf(c), k, w))
 }
 
 case class VecUnit(child: Expression) extends UnaryExpression {
@@ -298,6 +350,19 @@ case class CharGramHashes(child: Expression, n: Int) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.Vec.charGramHashes($c, $n);")
   override protected def withNewChildInternal(c: Expression): CharGramHashes =
+    copy(child = c)
+}
+
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    Vec.winnowFingerprints(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Vec.winnowFingerprints($c, $k, $w);")
+  override protected def withNewChildInternal(c: Expression): WinnowFps =
     copy(child = c)
 }
 

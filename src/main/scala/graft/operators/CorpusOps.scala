@@ -47,6 +47,12 @@ object CorpusOps {
   /** Token budget per packed training chunk. */
   val ChunkBudget = 2048L
 
+  /** Upper bound on the bucket count the global-order decomposition may
+    * produce: the cumulative-offset window sorts one row per bucket, so
+    * this caps that window's input regardless of corpus size. 64k rows
+    * sort in milliseconds on the driver-adjacent single partition. */
+  val TargetBuckets = 65536L
+
   /** GPT-style sequence packing: documents are concatenated in doc_id
     * order and cut every [[ChunkBudget]] tokens; each doc gets its global
     * token offset, its chunk id, and how many chunk boundaries it
@@ -56,13 +62,27 @@ object CorpusOps {
     * tokenizer runs.
     *
     * Scale shape: the global running token total decomposes into a
-    * per-bucket window (parallel; bucket = doc_id div `bucketSize`) plus
+    * per-bucket window (parallel; bucket = doc_id div bucket size) plus
     * cumulative bucket totals over one row per bucket. No data-row global
-    * window anywhere. */
-  def packChunks(d: DataFrame, bucketSize: Long = 100L): DataFrame = {
+    * window anywhere.
+    *
+    * The bucket size scales with the corpus: by default it is derived
+    * from max(doc_id) so the bucket count never exceeds [[TargetBuckets]]
+    * — at any corpus size the ordered offset window sees at most 64k
+    * rows. The one-column max() is a pushed-down parquet-footer
+    * aggregate, not a data scan. Results are bucket-size independent
+    * (CorpusOpsSpec pins this), so callers may pass an explicit size. */
+  def packChunks(d: DataFrame, bucketSize: Long = 0L): DataFrame = {
+    val bs =
+      if (bucketSize > 0L) bucketSize
+      else {
+        val maxId = Option(d.agg(max(col("doc_id")).cast("long")).head.get(0))
+          .fold(0L)(_.asInstanceOf[Long])
+        math.max(100L, maxId / TargetBuckets + 1L)
+      }
     val t = d.select(col("doc_id"),
       size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
-      expr("doc_id div " + bucketSize).as("b"))
+      expr("doc_id div " + bs).as("b"))
     val wIn = Window.partitionBy(col("b")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val within = t.withColumn("w_off",
@@ -127,15 +147,28 @@ object CorpusOps {
     * `shuffle_rank` order gets a reproducible, well-mixed document order
     * with no RNG state to persist.
     *
-    * Scale shape: the first hex nibble of the key is the bucket (prefix
-    * order agrees with full-key order on fixed-width hex), per-bucket
-    * row_number runs in parallel, and only the 16 bucket counts pass
-    * through an ordered window. At fleet scale widen to 2-3 nibbles
-    * (256-4096 buckets) — same plan. */
-  def sampleShuffle(d: DataFrame): DataFrame = {
+    * Scale shape: a hex-prefix of the key is the bucket (prefix order
+    * agrees with full-key order on fixed-width hex), per-bucket
+    * row_number runs in parallel, and only the bucket counts pass
+    * through an ordered window. The prefix width scales with the corpus
+    * (~1M rows per bucket, from the same pushed-down max(doc_id) as
+    * [[packChunks]]), capped at 5 nibbles = 1M buckets — enough for
+    * ~1e12 docs while the offset window input stays one small row per
+    * bucket. Rank is prefix-width independent (CorpusOpsSpec). */
+  def sampleShuffle(d: DataFrame, nibbles: Int = 0): DataFrame = {
+    val nib =
+      if (nibbles > 0) nibbles
+      else {
+        val n = Option(d.agg(max(col("doc_id")).cast("long")).head.get(0))
+          .fold(0L)(_.asInstanceOf[Long]) + 1L
+        var k = 1
+        var buckets = 16L
+        while (buckets * 1000000L < n && k < 5) { k += 1; buckets *= 16L }
+        k
+      }
     val keyed = d.select(col("doc_id"), shuffleKey(col("doc_id")).as("k"))
       .withColumn("b",
-        expr("locate(substring(k, 1, 1), '0123456789abcdef') - 1"))
+        expr(s"conv(substring(k, 1, $nib), 16, 10)").cast("long"))
     val wIn = Window.partitionBy(col("b")).orderBy(col("k"), col("doc_id"))
     val offsets = bucketOffsets(
       keyed.groupBy(col("b")).agg(count(lit(1)).as("total")))
@@ -165,6 +198,10 @@ object CorpusOps {
   // PII redaction
   // ---------------------------------------------------------------------
 
+  // These must reach the regex engine verbatim: keep them on the Column
+  // API (regexp_extract_all(col, lit(pat), ...)), never interpolated into
+  // expr()/SQL text, where Spark's string-literal escape processing would
+  // rewrite \b -> backspace, \d -> d, \. -> . before the regex compiles.
   private val EmailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   private val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   private val LongNumPat = "\\b\\d{9,}\\b"
@@ -206,11 +243,11 @@ object CorpusOps {
     (s, dir) =>
       withPii(docs(s, dir))
         .select(col("doc_id"),
-          size(expr(s"regexp_extract_all(text, '$EmailPat', 0)"))
+          size(regexp_extract_all(col("text"), lit(EmailPat), lit(0)))
             .cast("long").as("n_email"),
-          size(expr(s"regexp_extract_all(text, '$Ipv4Pat', 0)"))
+          size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0)))
             .cast("long").as("n_ip"),
-          size(expr(s"regexp_extract_all(text, '$LongNumPat', 0)"))
+          size(regexp_extract_all(col("text"), lit(LongNumPat), lit(0)))
             .cast("long").as("n_num"),
           md5(scrubText(col("text"))).as("scrubbed_fp")),
     Some(

@@ -69,17 +69,19 @@ object CurationOps {
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("comp")).as("nbr_comp"))
+      // carry the changed flag inside the materialized frame: the
+      // convergence count is then a scan of checkpointed rows, not a
+      // second join against the previous labels
       val next = labels.alias("l")
         .join(nbrMin.alias("n"), Seq("node"), "left")
         .select(col("node"),
           least(col("l.comp"), coalesce(col("n.nbr_comp"), col("l.comp")))
-            .as("comp"))
+            .as("comp"),
+          (coalesce(col("n.nbr_comp"), col("l.comp")) < col("l.comp"))
+            .as("changed"))
         .localCheckpoint()
-      changed = next.alias("a")
-        .join(labels.select(col("node"), col("comp").as("old")).alias("b"),
-          "node")
-        .filter(col("a.comp") =!= col("b.old")).count()
-      labels = next
+      changed = next.filter(col("changed")).count()
+      labels = next.drop("changed")
     }
     labels
   }
@@ -241,10 +243,16 @@ object CurationOps {
     * Scale shape: the train side collapses to DISTINCT grams (one
     * hash-shuffle with map-side partial distinct); the test side is tiny
     * by construction (10% of docs); the overlap is an equi-join on the
-    * gram. No pairwise doc-vs-doc comparison anywhere. At 100 TB the
-    * gram strings would be replaced by their 64-bit hashes in the join
-    * key (the dedup family's trick) — strings are kept here so the
-    * result is exactly oracle-able. */
+    * gram. No pairwise doc-vs-doc comparison anywhere.
+    *
+    * The engine side runs the dedup family's trick end-to-end: grams
+    * never materialize as strings — [[graft.functions.Vec
+    * .shingleHashes]] (codegen'd kernel) emits each doc's DISTINCT
+    * 5-gram xxhash64 set straight off the token array, and the overlap
+    * joins 8-byte longs instead of ~35-byte gram strings. The oracle
+    * keeps joining the literal strings: overlap COUNTS are what is
+    * compared, and those agree up to 64-bit hash collisions (p ≈ n²/2⁶⁵
+    * — immaterial at any n this engine will see per join). */
   val decontaminate: GraftQuery = GraftQuery(
     "text_decontaminate",
     (s, dir) => {
@@ -254,9 +262,8 @@ object CurationOps {
         .filter(col("bucket") < 80 || col("bucket") >= 90)
         .withColumn("toks", split(lower(col("text")), "\\s+"))
         .filter(size(col("toks")) >= 5)
-        .withColumn("grams", array_distinct(expr(
-          """transform(sequence(1, size(toks) - 4),
-            |  i -> array_join(slice(toks, i, 5), ' '))""".stripMargin)))
+        .withColumn("grams",
+          graft.functions.Vec.shingle_hashes(col("toks"), 5))
       val trainGrams = bucketed.filter(col("bucket") < 80)
         .select(explode(col("grams")).as("gram")).distinct()
       bucketed.filter(col("bucket") >= 90)

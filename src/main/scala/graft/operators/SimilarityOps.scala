@@ -188,25 +188,31 @@ object SimilarityOps {
   def buildIvfIndex(units: DataFrame, k: Int = IvfCells,
       iters: Int = IvfIters): (DataFrame, DataFrame) = {
     val spark = units.sparkSession
-    val dim = units.select(size(col("unit"))).head().getInt(0)
     var centroids: Seq[(Int, Seq[Double])] = units
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
       .select(col("unit")).collect()
       .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }.toSeq
+    require(centroids.nonEmpty, "buildIvfIndex: empty corpus")
+    val dim = centroids.head._2.length
 
     def centDf: DataFrame = {
       import spark.implicits._
       centroids.toDF("cell", "centroid")
     }
+    // Argmax assignment that keeps the unit vector in the aggregate
+    // (every row of a vec_id group carries the same unit), so neither
+    // the Lloyd mean step nor the final cells output re-joins `units` —
+    // one corpus scan per round instead of scan + shuffle join.
     def assign(c: DataFrame): DataFrame =
       units.crossJoin(broadcast(c))
         .withColumn("dot", vec_dot(col("unit"), col("centroid")))
         .groupBy(col("vec_id"))
-        .agg(max(struct(col("dot"), col("cell"))).as("m"))
-        .select(col("vec_id"), col("m.cell").as("cell"))
+        .agg(max(struct(col("dot"), col("cell"))).as("m"),
+          first(col("unit")).as("unit"))
+        .select(col("vec_id"), col("m.cell").as("cell"), col("unit"))
 
     for (_ <- 1 to iters) {
-      val sums = assign(centDf).join(units, "vec_id")
+      val sums = assign(centDf)
         .select(col("cell"), posexplode(col("unit")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
@@ -226,7 +232,7 @@ object SimilarityOps {
       }
     }
     val cents = centDf.localCheckpoint()
-    (assign(cents).join(units, "vec_id")
+    (assign(cents)
       .select(col("vec_id"), col("unit"), col("cell")).localCheckpoint(),
       cents)
   }

@@ -123,6 +123,57 @@ object TextOps {
         |  length(text) AS char_len
         |FROM documents""".stripMargin))
 
+  /** Winnowing (MOSS) document fingerprints: polynomial rolling hash of
+    * every 7-char gram of the alnum-normalized text, min hash selected
+    * per 4-gram window, deduplicated ([[graft.functions.Vec
+    * .winnowFingerprints]] — a codegen'd kernel, O(len) per doc, pure
+    * scan stage). Any 10-char normalized substring match between two
+    * docs is guaranteed to share a fingerprint — the partial-overlap
+    * detector [[fingerprint]]'s whole-doc md5 cannot be. Emitted as
+    * integer summaries (count / min / checksum), which pin every
+    * selected fingerprint; the hash is portable integer arithmetic, so
+    * the DuckDB oracle recomputes the identical scheme (list_reduce
+    * fold) — exactly hash-checkable, unlike the xxhash64 dedup family.
+    * Docs shorter than one gram after normalization drop out on both
+    * sides. */
+  val winnowFingerprint: GraftQuery = GraftQuery(
+    "text_winnow_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Vec.winnow_fps(
+            regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 7, 4)
+            .as("fps"))
+        .filter(size(col("fps")) > 0)
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("fp_min"),
+          expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("fp_sum")),
+    Some(
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(s) - 6),
+        |      i -> list_reduce(list_transform(generate_series(i, i + 6),
+        |             j -> CAST(ascii(s[j]) AS BIGINT)),
+        |           (a, x) -> (a * 131 + x) % 1000000007)) AS hs
+        |  FROM norm),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(hs) - 3, 1)),
+        |      i -> list_min(hs[i:i+3]))) AS fps
+        |  FROM h WHERE len(hs) >= 1)
+        |SELECT doc_id,
+        |  CAST(len(fps) AS BIGINT) AS n_fp,
+        |  CAST(list_min(fps) AS BIGINT) AS fp_min,
+        |  CAST(list_sum(fps) AS BIGINT) AS fp_sum
+        |FROM fp""".stripMargin))
+
   /** Language ID by stopword-hit voting with a deterministic tiebreak
     * (hit count desc; ties broken by lexicographically-largest code via
     * struct ordering). Oracled: DuckDB's `list_max` over `{hits, code}`
@@ -204,6 +255,6 @@ object TextOps {
         |FROM per_doc""".stripMargin))
 
   val all: Seq[GraftQuery] =
-    Seq(textStats, qualityScore, tokenCount, fingerprint, langId,
-      repetition)
+    Seq(textStats, qualityScore, tokenCount, fingerprint,
+      winnowFingerprint, langId, repetition)
 }

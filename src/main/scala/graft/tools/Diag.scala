@@ -14,12 +14,15 @@ object Diag {
       SparkEntry.queries(name)(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val probe = Seq("fil7_distinct", "join_full_outer", "win1_gap_check")
-    probe.foreach(q => println(f"[diag] cold $q: ${time(q)}%.2f s"))
-    Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-      "dedup_embedding_cosine", "ann_topk_lsh")
-      .foreach(q => println(f"[diag] heavy $q: ${time(q)}%.2f s"))
-    probe.foreach(q => println(f"[diag] warm $q: ${time(q)}%.2f s"))
+    // args = query names; each runs twice (cold, warm). No args → the
+    // historical probe set.
+    val queries =
+      if (args.nonEmpty) args.toSeq
+      else Seq("fil7_distinct", "join_full_outer", "win1_gap_check",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+        "dedup_embedding_cosine", "ann_topk_lsh")
+    queries.foreach(q => println(f"[diag] cold $q: ${time(q)}%.2f s"))
+    queries.foreach(q => println(f"[diag] warm $q: ${time(q)}%.2f s"))
     spark.stop()
   }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.CorpusOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scalable global-order operators (packChunks, sampleShuffle) must
+  * equal their naive global-window twins on multi-partition input, for
+  * ANY bucketing — the bucket decomposition is a physical choice, never
+  * visible in results. (Exact values are additionally gated by the
+  * DuckDB oracles at sf0.01; these specs pin the equivalence argument
+  * itself plus the plan shape that makes the decomposition scale.)
+  */
+class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Multi-partition corpus with ragged doc lengths and sparse, unsorted
+    * doc_ids (gaps force empty buckets at small bucket sizes). */
+  private def corpus: DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val ids = rnd.shuffle((0L until 400L).map(_ * 3 + (rnd.nextInt(2))))
+    ids.map { id =>
+      val words = (0 to (id % 17).toInt).map(j => f"w$id%04d$j%02d")
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text").repartition(7)
+  }
+
+  private def collectSorted(df: DataFrame): Seq[Seq[Any]] =
+    df.orderBy("doc_id").collect().toSeq.map(_.toSeq)
+
+  test("packChunks equals its naive global-window twin, any bucket size") {
+    val want = collectSorted(CorpusOps.packChunksNaive(corpus))
+    for (bs <- Seq(1L, 7L, 100L, 1000000L, 0L)) // 0 = adaptive default
+      assert(collectSorted(CorpusOps.packChunks(corpus, bs)) == want,
+        s"bucketSize=$bs diverged from the naive twin")
+  }
+
+  test("sampleShuffle equals its naive twin, any prefix width") {
+    val want = collectSorted(CorpusOps.sampleShuffleNaive(corpus))
+    for (nib <- Seq(1, 2, 3, 0)) // 0 = adaptive default
+      assert(collectSorted(CorpusOps.sampleShuffle(corpus, nib)) == want,
+        s"nibbles=$nib diverged from the naive twin")
+  }
+
+  test("sampleShuffle is a permutation: ranks are 1..n exactly once") {
+    val n = corpus.count()
+    val ranks = CorpusOps.sampleShuffle(corpus)
+      .select("shuffle_rank").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (1L to n).toSeq)
+  }
+
+  test("adaptive bucket sizing bounds the bucket count") {
+    // doc_id up to ~40e9 would naively make 400M buckets at size 100;
+    // the derived size must cap buckets at TargetBuckets.
+    val maxId = 40L * 1000 * 1000 * 1000
+    import spark.implicits._
+    val d = Seq((0L, "a b"), (maxId / 2, "c"), (maxId, "d e f"))
+      .toDF("doc_id", "text")
+    val got = collectSorted(CorpusOps.packChunks(d))
+    assert(got == collectSorted(CorpusOps.packChunksNaive(d)))
+    // the plan's bucket expression uses the derived size, not 100
+    val bs = math.max(100L, maxId / CorpusOps.TargetBuckets + 1L)
+    assert(maxId / bs + 1 <= CorpusOps.TargetBuckets)
+  }
+
+  test("scalable forms keep the data-row windows bucket-partitioned") {
+    // No Window with an empty partition spec may touch data rows: the
+    // only global-order window allowed is the one over per-bucket totals.
+    def dataRowGlobalWindows(df: DataFrame): Seq[String] = {
+      val plan = df.queryExecution.optimizedPlan
+      plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty &&
+              w.child.output.exists(_.name == "n_tokens") =>
+          w.simpleString(100)
+      }
+    }
+    assert(dataRowGlobalWindows(CorpusOps.packChunks(corpus, 100L)).isEmpty)
+    // the naive twin, by contrast, has exactly the global window
+    assert(dataRowGlobalWindows(CorpusOps.packChunksNaive(corpus)).nonEmpty)
+  }
+}

@@ -91,4 +91,55 @@ class VecSpec extends AnyFunSuite with BeforeAndAfterAll {
     val firstPlane = Array.fill(64)(rng.nextGaussian())
     assert(p1(0).sameElements(firstPlane))
   }
+
+  // ---- winnowing fingerprints ----
+
+  private def winnowRef(s: String, k: Int, w: Int): Seq[Long] = {
+    // independent reimplementation of the MOSS scheme (no shared code)
+    val grams = s.length - k + 1
+    if (grams <= 0) return Seq.empty
+    val hs = (0 until grams).map(i =>
+      s.substring(i, i + k).foldLeft(0L)((h, c) =>
+        (h * 131L + c.toLong) % 1000000007L))
+    (0 until math.max(grams - w + 1, 1))
+      .map(i => hs.slice(i, math.min(i + w, grams)).min).distinct
+  }
+
+  private def winnowKernel(s: String, k: Int = 7, w: Int = 4): Seq[Long] = {
+    val out = Vec.winnowFingerprints(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), k, w)
+    (0 until out.numElements()).map(out.getLong(_))
+  }
+
+  test("winnowFingerprints matches an independent reimplementation") {
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    for (_ <- 1 to 200) {
+      val s = Seq.fill(rnd.nextInt(60))(alpha(rnd.nextInt(alpha.length)))
+        .mkString
+      for ((k, w) <- Seq((7, 4), (5, 3), (3, 1), (1, 2)))
+        assert(winnowKernel(s, k, w) == winnowRef(s, k, w),
+          s"k=$k w=$w s=$s")
+    }
+  }
+
+  test("winnowing guarantee: a shared k+w-1-char span shares a fp") {
+    val rnd = new scala.util.Random(13)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val span = Seq.fill(10)(alpha(rnd.nextInt(26))).mkString // k+w-1 = 10
+    for (_ <- 1 to 50) {
+      def pad = Seq.fill(20 + rnd.nextInt(30))(alpha(rnd.nextInt(26)))
+        .mkString
+      val a = pad + span + pad
+      val b = pad + span + pad
+      assert(winnowKernel(a).toSet.intersect(winnowKernel(b).toSet).nonEmpty,
+        s"span=$span not shared")
+    }
+  }
+
+  test("winnowFingerprints edge cases: empty, shorter than one gram") {
+    assert(winnowKernel("") == Seq.empty)
+    assert(winnowKernel("abc") == Seq.empty) // < k chars
+    assert(winnowKernel("abcdefg").size == 1) // exactly one gram
+  }
 }
