@@ -229,6 +229,71 @@ object CurationOps {
          |JOIN rates r ON d.lang = r.lang
          |WHERE d.bucket < r.rate_bp""".stripMargin))
 
+  /** Target mixture for [[sampleMixture]], in integer percent (sums to
+    * 100): the declared domain-mix a training run wants, independent of
+    * what the raw corpus happens to contain. */
+  val MixtureWeights: Seq[(String, Long)] =
+    Seq("en" -> 40L, "fr" -> 20L, "es" -> 20L, "de" -> 10L, "zh" -> 10L)
+
+  /** Domain-mixture resampling: deterministically down-sample each
+    * language so the output matches a TARGET mixture (en 40%, fr/es 20%,
+    * de/zh 10%) rather than [[sampleStratified]]'s balance-to-min — the
+    * data-mixing step of a pretraining run (upweight one domain,
+    * downweight another) expressed relationally.
+    *
+    * Arithmetic is integer end-to-end: the achievable output size is
+    * T = min over langs of (cnt·100 div w) — the largest total for which
+    * no lang's demand T·w div 100 exceeds its supply — and each lang
+    * keeps docs whose hash bucket (salt "mix:", mod 10000) falls below
+    * rate_bp = (T·w div 100)·10000 div cnt. Same reproducibility story
+    * as the split: membership survives reruns, re-partitioning, and
+    * ingest order, and any engine with md5 computes the identical set.
+    *
+    * Scale shape: rates are O(langs) — broadcast; the corpus side is one
+    * scan + one hash compare. No shuffle of document rows at all. */
+  /** [[sampleMixture]]'s engine: resample `d` (doc_id, lang) to the
+    * target `weights` (integer shares; any total). See the query doc for
+    * the arithmetic. */
+  def mixtureSample(d: DataFrame, weights: Seq[(String, Long)]): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val total = weights.map(_._2).sum
+    val wdf = weights.toDF("lang", "w")
+    val cw = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(wdf), "lang")
+    val tmax = cw.agg(min(expr(s"cnt * $total div w")).as("t"))
+    val rates = cw.crossJoin(broadcast(tmax))
+      .select(col("lang"),
+        expr(s"(t * w div $total) * 10000 div cnt").as("rate_bp"))
+    withHashBucket(d.select(col("doc_id"), col("lang")), "mix:", 10000)
+      .join(broadcast(rates), "lang")
+      .filter(col("bucket") < col("rate_bp"))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  val sampleMixture: GraftQuery = GraftQuery(
+    "sample_mixture",
+    (s, dir) =>
+      mixtureSample(docs(s, dir).select(col("doc_id"), col("lang")),
+        MixtureWeights),
+    Some(
+      s"""WITH weights(lang, w) AS (VALUES ${MixtureWeights
+            .map { case (l, w) => s"('$l', $w)" }.mkString(", ")}),
+         |cw AS (
+         |  SELECT c.lang, c.cnt, w.w
+         |  FROM (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1) c
+         |  JOIN weights w ON c.lang = w.lang),
+         |t AS (SELECT min(cnt * 100 // w) AS t FROM cw),
+         |rates AS (
+         |  SELECT lang, (t.t * w // 100) * 10000 // cnt AS rate_bp
+         |  FROM cw, t)
+         |SELECT d.doc_id, d.lang
+         |FROM (SELECT doc_id, lang, ${bucketDuckSql("mix:", 10000)}
+         |        AS bucket
+         |      FROM documents) d
+         |JOIN rates r ON d.lang = r.lang
+         |WHERE d.bucket < r.rate_bp""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Train/eval decontamination
   // ---------------------------------------------------------------------
@@ -462,6 +527,6 @@ object CurationOps {
     None)
 
   val all: Seq[GraftQuery] =
-    Seq(dedupClusters, sampleSplit, sampleStratified, decontaminate,
-      curationTopK, docFreq, topTerms, curationPipeline)
+    Seq(dedupClusters, sampleSplit, sampleStratified, sampleMixture,
+      decontaminate, curationTopK, docFreq, topTerms, curationPipeline)
 }

@@ -352,6 +352,108 @@ object DedupOps {
     None)
 
   // ---------------------------------------------------------------------
+  // Substring-level duplication (shared spans)
+  // ---------------------------------------------------------------------
+
+  /** Winnowing parameters for span detection: 20-char grams, window 8 —
+    * any normalized substring match of SpanGram + SpanWindow - 1 = 27+
+    * chars between two documents is guaranteed to share a fingerprint
+    * (the winnowing guarantee), at ~1/8 the gram density. */
+  val SpanGram = 20
+  val SpanWindow = 8
+
+  /** Document-frequency cap on span fingerprints: a fingerprint present
+    * in more documents than this is boilerplate (licence headers, nav
+    * chrome); at 100 TB one such hot key would contribute df²/2 pair
+    * rows to the self-join, so it is dropped — once, before pairing —
+    * exactly like [[MaxBucketSize]] caps the LSH band buckets. */
+  val MaxSpanDf = 32L
+
+  /** Substring-level duplication — the partial-overlap shape whole-doc
+    * dedup cannot see (doc B embeds a paragraph of doc A): pairs of
+    * documents sharing >= `minShared` winnowing fingerprints of their
+    * alnum-normalized text ([[graft.functions.Vec.winnowFingerprints]],
+    * codegen'd scan-stage kernel).
+    *
+    * Scale shape: fingerprints explode to an inverted index (fp ->
+    * doc); ONE hash shuffle on fp serves both the document-frequency
+    * gate (window count; df = 1 pairs nothing, df > maxDf is
+    * boilerplate — both dropped) and the self-join that follows it;
+    * the pair aggregate is partial-combined map-side. Work is
+    * proportional to shared-fingerprint postings, never all-pairs.
+    *
+    * Unlike the xxhash64 dedup family this IS exactly oracle-able: the
+    * winnow hash is the portable polynomial fold of
+    * [[graft.operators.TextOps.winnowFingerprint]], recomputed verbatim
+    * by the DuckDB oracle. */
+  def sharedSpanPairs(d: DataFrame, minShared: Long = 5L,
+      maxDf: Long = MaxSpanDf): DataFrame = {
+    val fps = d.select(col("doc_id"),
+      explode(graft.functions.Vec.winnow_fps(
+        regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
+        SpanGram, SpanWindow)).as("fp"))
+    val byFp = Window.partitionBy(col("fp"))
+    val kept = fps
+      .withColumn("df", count(lit(1)).over(byFp))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .drop("df")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Injected partial overlaps: for doc_id < 25, a NEW doc whose text is
+    * a 160-char slice of the original plus a fresh tail — a substring
+    * dup that whole-doc fingerprints (md5, MinHash at 0.4) miss but
+    * [[sharedSpanPairs]] must find. */
+  private[graft] def withSpanDups(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("text")).unionAll(
+      d.filter(col("doc_id") < 25).select(
+        (col("doc_id") + 3000000).as("doc_id"),
+        concat(substring(col("text"), 41, 160), lit(" tail"),
+          col("doc_id").cast("string")).as("text")))
+
+  val sharedSpans: GraftQuery = GraftQuery(
+    "dedup_shared_spans",
+    (s, dir) => sharedSpanPairs(withSpanDups(docs(s, dir))),
+    Some(
+      s"""WITH inj AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000,
+         |    substr(text, 41, 160) || ' tail' || CAST(doc_id AS VARCHAR)
+         |  FROM documents WHERE doc_id < 25),
+         |norm AS (
+         |  SELECT doc_id,
+         |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+         |  FROM inj),
+         |h AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, len(s) - ${SpanGram - 1}),
+         |      i -> list_reduce(list_transform(
+         |             generate_series(i, i + ${SpanGram - 1}),
+         |             j -> CAST(ascii(s[j]) AS BIGINT)),
+         |           (a, x) -> (a * 131 + x) % 1000000007)) AS hs
+         |  FROM norm WHERE len(s) >= $SpanGram),
+         |fp AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |      generate_series(1, greatest(len(hs) - ${SpanWindow - 1}, 1)),
+         |      i -> list_min(hs[i:i+${SpanWindow - 1}])))) AS fp
+         |  FROM h),
+         |df AS (SELECT fp, count(*) AS df FROM fp GROUP BY 1),
+         |kept AS (
+         |  SELECT f.doc_id, f.fp FROM fp f JOIN df d ON f.fp = d.fp
+         |  WHERE d.df BETWEEN 2 AND $MaxSpanDf)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  count(*) AS n_shared
+         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Embedding-cosine near-dup
   // ---------------------------------------------------------------------
 
@@ -409,5 +511,5 @@ object DedupOps {
 
   val all: Seq[GraftQuery] =
     Seq(exact, minhashLsh, incrementalDedup, simhashDedup, ngramJaccard,
-      embeddingNearDup)
+      sharedSpans, embeddingNearDup)
 }

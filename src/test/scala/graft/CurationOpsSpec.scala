@@ -87,6 +87,26 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.nonEmpty && ids.size < corpus.count())
   }
 
+  test("mixture sample keeps the binding language whole, others at rate") {
+    import spark.implicits._
+    // en supply is binding for weights en 40 / fr 20:
+    // T = min(100*60/40, 300*60/20) = 150; en keeps 150*40/60 = 100
+    // (everything), fr keeps 150*20/60 = 50 of 300 (rate 1666 bp)
+    val corpus = ((0L until 100L).map(i => (i, "en")) ++
+      (100L until 400L).map(i => (i, "fr"))).toDF("doc_id", "lang")
+    val out = CurationOps.mixtureSample(corpus, Seq("en" -> 40L, "fr" -> 20L))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("en") == 100, s"binding lang must keep all docs: $byLang")
+    // hash sampling hits the 50-doc target up to binomial noise
+    assert(byLang("fr") >= 30 && byLang("fr") <= 70, s"fr count: $byLang")
+    // deterministic: the same corpus resamples to the identical set
+    val again = CurationOps
+      .mixtureSample(corpus, Seq("en" -> 40L, "fr" -> 20L))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    assert(out.toSet == again.toSet)
+  }
+
   test("repetition signals stay in basis-point bounds") {
     val rows = TextOps.repetition.fn(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -159,4 +159,31 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(f => (f.asset_id, f.checksum, f.feat_dim)).toSet
     assert(got == want)
   }
+
+  test("shared-span detection pairs only the docs that embed a common span") {
+    import spark.implicits._
+    val span = "observed winnowing fingerprints guarantee that any " +
+      "sufficiently long matching span of normalized characters shares " +
+      "at least one selected minimum hash between documents"
+    val corpus = Seq(
+      (1L, s"alpha preamble unique to number one before $span first epilogue"),
+      (2L, s"beta opener quite different then quotes $span closing words"),
+      (3L, "gamma has entirely unrelated material mentioning zebras " +
+        "quokkas and weather patterns with no overlap anywhere"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.sharedSpanPairs(corpus, minShared = 3L).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("dedup_shared_spans catches every injected substring copy") {
+    val out = DedupOps.sharedSpans.fn(spark, dir).collect()
+    assert(out.forall(_.getAs[Long]("n_shared") >= 5L))
+    val injected = out
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .filter { case (a, b) => b == a + 3000000L }
+    // a 160-char slice is far beyond the 27-char winnowing guarantee:
+    // all 25 injected partial overlaps must surface
+    assert(injected.length == 25)
+  }
 }
