@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** SQL surface for the engine's custom Catalyst expressions.
+  *
+  * The Scala Column API (graft.functions.{Vec, U256, Cbc20}) covers
+  * programmatic callers; registering the same expressions through
+  * `SparkSessionExtensions` makes every kernel callable from `spark.sql`
+  * text too — `SELECT graft_vec_dot(a.embedding, b.embedding)`,
+  * `SELECT graft_u256_sum(value) FROM transfers`, or
+  * `LATERAL VIEW graft_cbc20_decode(from_addr, input)` — so a SQL-only
+  * user of the engine loses nothing. Activated by
+  * `spark.sql.extensions=graft.GraftExtensions` ([[GraftSession]] sets
+  * it on every session), or per-cluster via the same conf.
+  *
+  * Registration notes:
+  *  - aggregate ([[graft.functions.U256SumAgg]]) and generator
+  *    ([[graft.functions.Cbc20DecodeExpr]]) functions register as plain
+  *    expression builders — the analyzer wraps/plans them exactly as it
+  *    does the built-in `sum`/`explode`;
+  *  - kernel parameters (shingle width, sketch bits, ...) must be
+  *    integer LITERALS — they parameterize codegen, so a non-literal is
+  *    rejected at analysis with a named error, not at runtime;
+  *  - the vector arguments of the double-typed kernels are wrapped in
+  *    `CAST(... AS ARRAY<DOUBLE>)` mirroring the Column API, so
+  *    float-array embedding columns work verbatim from SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getCanonicalName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(fn: String, arg: String)(e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def asDoubles(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
+
+  private def fn(name: String, arity: Int)(
+      f: Seq[Expression] => Expression)
+      : (String, Seq[Expression] => Expression) =
+    name -> { args =>
+      require(args.length == arity,
+        s"$name expects $arity argument(s), got ${args.length}")
+      f(args)
+    }
+
+  /** name -> expression builder, the full SQL-callable inventory. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // dense-vector kernels
+    fn("graft_vec_unit", 1)(a => VecUnit(asDoubles(a.head))),
+    fn("graft_vec_dot", 2)(a =>
+      VecDot(asDoubles(a(0)), asDoubles(a(1)))),
+    fn("graft_sign_sketch", 3)(a => SignSketchExpr(asDoubles(a(0)),
+      intLit("graft_sign_sketch", "seed")(a(1)).toLong,
+      intLit("graft_sign_sketch", "bits")(a(2)))),
+    fn("graft_hamming64", 2)(a => Hamming64(a(0), a(1))),
+    // text/dedup kernels
+    fn("graft_minhash_sig", 2)(a =>
+      MinHashSig(a(0), intLit("graft_minhash_sig", "k")(a(1)))),
+    fn("graft_simhash64", 1)(a => SimHash64(a.head)),
+    fn("graft_shingle_hashes", 2)(a =>
+      ShingleHashes(a(0), intLit("graft_shingle_hashes", "n")(a(1)))),
+    fn("graft_char_gram_hashes", 2)(a =>
+      CharGramHashes(a(0), intLit("graft_char_gram_hashes", "n")(a(1)))),
+    fn("graft_winnow_fps", 3)(a => WinnowFps(a(0),
+      intLit("graft_winnow_fps", "k")(a(1)),
+      intLit("graft_winnow_fps", "w")(a(2)))),
+    // U256 decimal-string arithmetic
+    fn("graft_u256_from_hex", 1)(a => U256FromHex(a.head)),
+    fn("graft_u256_cmp", 2)(a => U256Cmp(a(0), a(1))),
+    fn("graft_u256_add", 2)(a => U256Add(a(0), a(1))),
+    fn("graft_u256_sum", 1)(a => U256SumAgg(a.head)),
+    // CBC-20 calldata decode (generator)
+    fn("graft_cbc20_decode", 2)(a => Cbc20DecodeExpr(a(0), a(1))))
+}

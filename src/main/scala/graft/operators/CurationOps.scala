@@ -58,8 +58,13 @@ object CurationOps {
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
+    // seed comp = min(node, min neighbor) — one aggregation instead of a
+    // first identity round; shallow (near-dup-shaped) clusters converge
+    // at the seed and the loop only pays its verification pass
+    var labels = und
+      .groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("node"), least(col("node"), col("nbr")).as("comp"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0

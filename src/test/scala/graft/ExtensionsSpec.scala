@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL function surface injected by [[GraftExtensions]]: every custom
+  * kernel callable from `spark.sql` text, agreeing exactly with its Column
+  * API form, with literal-parameter validation at analysis time. */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("scalar kernels evaluate from SQL text") {
+    val row = spark.sql(
+      """SELECT
+        |  graft_vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+        |  graft_vec_unit(array(3.0D, 4.0D))[0] AS ux,
+        |  graft_u256_add('340282366920938463463374607431768211456', '1')
+        |    AS u_add,
+        |  graft_u256_cmp('10', '9') AS u_cmp,
+        |  graft_hamming64(array(0L), array(7L)) AS ham
+        |""".stripMargin).head()
+    assert(row.getAs[Double]("dot") == 11.0)
+    assert(math.abs(row.getAs[Double]("ux") - 0.6) < 1e-12)
+    assert(row.getAs[String]("u_add") ==
+      "340282366920938463463374607431768211457")
+    assert(row.getAs[Int]("u_cmp") == 1)
+    assert(row.getAs[Int]("ham") == 3)
+  }
+
+  test("SQL kernels agree with the Column API on real text") {
+    import spark.implicits._
+    val d = Seq("the quick brown fox jumps over the lazy dog repeatedly")
+      .toDF("text")
+    d.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT graft_winnow_fps(regexp_replace(lower(text),
+        |  '[^a-z0-9]', ''), 7, 4) AS fps,
+        |  graft_simhash64(transform(split(lower(text), '\\s+'),
+        |    t -> xxhash64(t))) AS sh,
+        |  graft_shingle_hashes(split(lower(text), '\\s+'), 5) AS grams
+        |FROM ext_docs""".stripMargin).head()
+    val viaCol = d.select(
+      graft.functions.Vec.winnow_fps(
+        regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 7, 4).as("fps"),
+      graft.functions.Vec.simhash64(
+        expr("transform(split(lower(text), '\\\\s+'), t -> xxhash64(t))"))
+        .as("sh"),
+      graft.functions.Vec.shingle_hashes(
+        split(lower(col("text")), "\\s+"), 5).as("grams")).head()
+    assert(viaSql.getSeq[Long](0) == viaCol.getSeq[Long](0))
+    assert(viaSql.getAs[Long]("sh") == viaCol.getAs[Long]("sh"))
+    assert(viaSql.getSeq[Long](2) == viaCol.getSeq[Long](2))
+  }
+
+  test("aggregate and generator register like built-ins") {
+    val agg = spark.sql(
+      // two huge U256 values a decimal(38) sum would overflow
+      """SELECT graft_u256_sum(v) AS s FROM VALUES
+        |  ('99999999999999999999999999999999999999'),
+        |  ('1') t(v)""".stripMargin).head()
+    assert(agg.getAs[String]("s") == "100000000000000000000000000000000000000")
+    // generator fans out rows inline (explode-shaped)
+    val n = spark.sql(
+      s"""SELECT tr.* FROM VALUES ('0xabc') t(sender)
+         |LATERAL VIEW graft_cbc20_decode(sender,
+         |  '${graft.chain.ChainFixture.transferCalldata(
+              graft.chain.ChainFixture.addr(2), BigInt(5))}') tr"""
+        .stripMargin).count()
+    assert(n == 1)
+  }
+
+  test("kernel parameters must be integer literals") {
+    import spark.implicits._
+    val err = intercept[Exception] {
+      Seq(("a b c d e f", 5)).toDF("text", "k").createOrReplaceTempView("tk")
+      spark.sql(
+        "SELECT graft_shingle_hashes(split(text, ' '), k) FROM tk").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+}
