@@ -410,12 +410,108 @@ object DedupOps {
     * a 160-char slice of the original plus a fresh tail — a substring
     * dup that whole-doc fingerprints (md5, MinHash at 0.4) miss but
     * [[sharedSpanPairs]] must find. */
+  private[graft] def sliceCopies(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") < 25).select(
+      (col("doc_id") + 3000000).as("doc_id"),
+      concat(substring(col("text"), 41, 160), lit(" tail"),
+        col("doc_id").cast("string")).as("text"))
+
+  /** Corpus + slice copies (see [[sliceCopies]]). */
   private[graft] def withSpanDups(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), col("text")).unionAll(
-      d.filter(col("doc_id") < 25).select(
-        (col("doc_id") + 3000000).as("doc_id"),
-        concat(substring(col("text"), 41, 160), lit(" tail"),
-          col("doc_id").cast("string")).as("text")))
+    d.select(col("doc_id"), col("text")).unionAll(sliceCopies(d))
+
+  /** Winnow-postings index of a corpus for [[incrementalSharedSpans]]:
+    * (doc_id, fp), df-capped at BUILD time (the same policy as
+    * [[buildBandIndex]]: a hot boilerplate fingerprint is dropped once,
+    * so no later probe pays for it). Unlike the batch pair query, df=1
+    * postings are KEPT — a future probe doc can still match them.
+    * Persist bucketed by fp so probe joins prune partitions. */
+  def buildSpanIndex(d: DataFrame, maxDf: Long = MaxSpanDf): DataFrame = {
+    val fps = d.select(col("doc_id"),
+      explode(graft.functions.Vec.winnow_fps(
+        regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
+        SpanGram, SpanWindow)).as("fp"))
+    val byFp = Window.partitionBy(col("fp"))
+    fps.withColumn("df", count(lit(1)).over(byFp))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+  }
+
+  /** Substring-level incremental probe: NEW documents checked against a
+    * persisted winnow-postings index — history is never re-winnowed,
+    * and each probe posting joins at most `maxDf` index rows (the
+    * build-time cap bounds the fan-out), so probe cost is proportional
+    * to the batch, not the corpus. Returns (new_id, existing_id,
+    * n_shared) at/above `minShared` shared fingerprints. */
+  def incrementalSharedSpans(newDocs: DataFrame, index: DataFrame,
+      minShared: Long = 5L): DataFrame =
+    newDocs.select(col("doc_id").as("new_id"),
+        explode(graft.functions.Vec.winnow_fps(
+          regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
+          SpanGram, SpanWindow)).as("fp"))
+      .join(index.select(col("doc_id").as("existing_id"), col("fp")), "fp")
+      .groupBy(col("new_id"), col("existing_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
+  /** Slice copies probed against the base corpus's span index. Fully
+    * oracled (portable winnow hash), unlike `dedup_incremental` whose
+    * xxhash64 band keys are engine-specific. */
+  val spansIncremental: GraftQuery = GraftQuery(
+    "dedup_spans_incremental",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val index = buildSpanIndex(d).localCheckpoint()
+      incrementalSharedSpans(sliceCopies(d), index)
+    },
+    Some(
+      s"""WITH probe AS (
+         |  SELECT doc_id + 3000000 AS doc_id,
+         |    substr(text, 41, 160) || ' tail' || CAST(doc_id AS VARCHAR)
+         |      AS text
+         |  FROM documents WHERE doc_id < 25),
+         |norm_b AS (
+         |  SELECT doc_id,
+         |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+         |  FROM documents),
+         |h_b AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, len(s) - ${SpanGram - 1}),
+         |      i -> list_reduce(list_transform(
+         |             generate_series(i, i + ${SpanGram - 1}),
+         |             j -> CAST(ascii(s[j]) AS BIGINT)),
+         |           (a, x) -> (a * 131 + x) % 1000000007)) AS hs
+         |  FROM norm_b WHERE len(s) >= $SpanGram),
+         |fp_b AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |      generate_series(1, greatest(len(hs) - ${SpanWindow - 1}, 1)),
+         |      i -> list_min(hs[i:i+${SpanWindow - 1}])))) AS fp
+         |  FROM h_b),
+         |df_b AS (SELECT fp, count(*) AS df FROM fp_b GROUP BY 1),
+         |idx AS (
+         |  SELECT f.doc_id, f.fp FROM fp_b f JOIN df_b d ON f.fp = d.fp
+         |  WHERE d.df <= $MaxSpanDf),
+         |norm_p AS (
+         |  SELECT doc_id,
+         |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+         |  FROM probe),
+         |h_p AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, len(s) - ${SpanGram - 1}),
+         |      i -> list_reduce(list_transform(
+         |             generate_series(i, i + ${SpanGram - 1}),
+         |             j -> CAST(ascii(s[j]) AS BIGINT)),
+         |           (a, x) -> (a * 131 + x) % 1000000007)) AS hs
+         |  FROM norm_p WHERE len(s) >= $SpanGram),
+         |fp_p AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |      generate_series(1, greatest(len(hs) - ${SpanWindow - 1}, 1)),
+         |      i -> list_min(hs[i:i+${SpanWindow - 1}])))) AS fp
+         |  FROM h_p)
+         |SELECT p.doc_id AS new_id, i.doc_id AS existing_id,
+         |  count(*) AS n_shared
+         |FROM fp_p p JOIN idx i ON p.fp = i.fp
+         |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin))
 
   val sharedSpans: GraftQuery = GraftQuery(
     "dedup_shared_spans",
@@ -511,5 +607,5 @@ object DedupOps {
 
   val all: Seq[GraftQuery] =
     Seq(exact, minhashLsh, incrementalDedup, simhashDedup, ngramJaccard,
-      sharedSpans, embeddingNearDup)
+      sharedSpans, spansIncremental, embeddingNearDup)
 }

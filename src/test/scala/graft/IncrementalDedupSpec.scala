@@ -73,4 +73,23 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     assert(flagged.contains((900011L, 11L)))
   }
+
+  test("span probe: slice copies match via the postings index, fresh text doesn't") {
+    import spark.implicits._
+    val index = DedupOps.buildSpanIndex(corpus).cache()
+    val slice = corpus.filter(col("doc_id") === 3)
+      .select(lit(900003L).as("doc_id"),
+        concat(substring(col("text"), 41, 160), lit(" probe tail"))
+          .as("text"))
+    val fresh = Seq((800450L,
+      "entirely novel characters assembled uniquely qqq www zzz vvv kkk " +
+        "jjj xxx yyy with no twenty char overlap against anything stored"))
+      .toDF("doc_id", "text")
+    val hits = DedupOps
+      .incrementalSharedSpans(slice.unionAll(fresh), index)
+      .collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("existing_id")))
+    assert(hits.contains((900003L, 3L)))
+    assert(!hits.exists(_._1 == 800450L))
+  }
 }

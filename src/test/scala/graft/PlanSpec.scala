@@ -134,6 +134,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("mixture sample broadcasts the rates side (no corpus shuffle)") {
+    val p = plan("sample_mixture")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("shared-span pairing shuffles by fingerprint, never a single partition") {
+    val df = SparkEntry.queries("dedup_shared_spans")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the df gate's window partitions by fp (hash exchange, parallel) —
+    // a global Window would show Exchange SinglePartition
+    assert(p.contains("hashpartitioning(fp"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("incremental span probe joins the postings index without re-winnowing") {
+    val df = SparkEntry.queries("dedup_spans_incremental")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==")(0) // AQE appends the pre-adaptive plan
+    // index side is a materialized checkpoint scan (built once, broadcast)
+    // — not a re-derivation: the probe side holds the only winnow call
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("winnowfps".r.findAllIn(p.toLowerCase).size <= 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("scalable identity check single-partitions only the per-bucket offsets") {
     val blocks = graft.chain.ChainFixture.build(200).blocksDF(spark)
     val df = graft.chain.ChainOps.identityMismatchesScalable(blocks, 50L)
