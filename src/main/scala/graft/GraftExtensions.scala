@@ -87,5 +87,9 @@ object GraftExtensions {
     fn("graft_u256_add", 2)(a => U256Add(a(0), a(1))),
     fn("graft_u256_sum", 1)(a => U256SumAgg(a.head)),
     // CBC-20 calldata decode (generator)
-    fn("graft_cbc20_decode", 2)(a => Cbc20DecodeExpr(a(0), a(1))))
+    fn("graft_cbc20_decode", 2)(a => Cbc20DecodeExpr(a(0), a(1))),
+    // Z-order (Morton) interleave for multi-dim clustering — composed
+    // from built-in shift/mask expressions, registered for SQL parity
+    fn("graft_zvalue", 2)(a =>
+      exprOf(operators.LayoutOps.zValue(columnOf(a(0)), columnOf(a(1))))))
 }

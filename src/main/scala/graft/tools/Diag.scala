@@ -18,9 +18,9 @@ object Diag {
     // historical probe set.
     val queries =
       if (args.nonEmpty) args.toSeq
-      else Seq("fil7_distinct", "join_full_outer", "win1_gap_check",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-        "dedup_embedding_cosine", "ann_topk_lsh")
+      else Seq("curation_pipeline", "dedup_ngram_jaccard",
+        "dedup_incremental", "dedup_minhash_lsh", "dedup_clusters",
+        "dedup_shared_spans", "ann_topk_ivf", "text_decontaminate")
     queries.foreach(q => println(f"[diag] cold $q: ${time(q)}%.2f s"))
     queries.foreach(q => println(f"[diag] warm $q: ${time(q)}%.2f s"))
     spark.stop()

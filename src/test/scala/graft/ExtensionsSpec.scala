@@ -23,7 +23,8 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  graft_u256_add('340282366920938463463374607431768211456', '1')
         |    AS u_add,
         |  graft_u256_cmp('10', '9') AS u_cmp,
-        |  graft_hamming64(array(0L), array(7L)) AS ham
+        |  graft_hamming64(array(0L), array(7L)) AS ham,
+        |  graft_zvalue(3L, 5L) AS z
         |""".stripMargin).head()
     assert(row.getAs[Double]("dot") == 11.0)
     assert(math.abs(row.getAs[Double]("ux") - 0.6) < 1e-12)
@@ -31,6 +32,8 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "340282366920938463463374607431768211457")
     assert(row.getAs[Int]("u_cmp") == 1)
     assert(row.getAs[Int]("ham") == 3)
+    // interleave(a=11b, b=101b) = b1 a1 b0 a0 ... = 100111b = 39
+    assert(row.getAs[Long]("z") == 39L)
   }
 
   test("SQL kernels agree with the Column API on real text") {
