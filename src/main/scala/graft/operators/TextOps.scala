@@ -66,9 +66,13 @@ object TextOps {
     * expression tree — a latent flake this formulation removes. */
   /** The integer score over a `text` column, as a Spark SQL fragment —
     * shared with the curation operators
-    * ([[CurationOps.curationTopK]]). */
+    * ([[CurationOps.curationTopK]]). NULL text scores 0: without the
+    * guard, Spark's null-skipping `least(NULL, 500)` = 500 would hand a
+    * null document 8000 bp and float it PAST the quality floor (the
+    * driver corpus has no nulls; real corpora do — EdgeCaseSpec). */
   val qualityBpSparkSql: String =
-    s"""(least(cast(length(text) AS bigint), 500) * 8
+    s"""IF(text IS NULL, 0L,
+       |  least(cast(length(text) AS bigint), 500) * 8
        |  + least(4000, (cast(size(filter(split(lower(text), '\\\\s+'),
        |        x -> x IN (${sqlList(stopwords("en"))}))) AS bigint)
        |        * 20000)
@@ -76,16 +80,19 @@ object TextOps {
        |  + IF(size(split(text, '\\\\s+')) BETWEEN 20 AND 1000, 2000, 0))"""
       .stripMargin
 
-  /** The same integer score as a DuckDB SQL fragment. */
+  /** The same integer score as a DuckDB SQL fragment (same null guard —
+    * though DuckDB's standard `least` would propagate the NULL, the two
+    * fragments must stay expression-for-expression equivalent). */
   val qualityBpDuckSql: String =
-    s"""(least(length(text), 500) * 8
+    s"""(CASE WHEN text IS NULL THEN 0 ELSE
+       |   least(length(text), 500) * 8
        |   + least(4000, (CAST(len(list_filter(
        |        regexp_split_to_array(lower(text), '\\s+'),
        |        x -> x IN (${sqlList(stopwords("en"))}))) AS BIGINT)
        |        * 20000)
        |      // greatest(len(regexp_split_to_array(text, '\\s+')), 1))
        |   + CASE WHEN len(regexp_split_to_array(text, '\\s+'))
-       |      BETWEEN 20 AND 1000 THEN 2000 ELSE 0 END)""".stripMargin
+       |      BETWEEN 20 AND 1000 THEN 2000 ELSE 0 END END)""".stripMargin
 
   val qualityScore: GraftQuery = GraftQuery(
     "text_quality_score",

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{CorpusOps, CurationOps, DedupOps}
+import graft.streaming.StreamingCuration
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input behavior of the composable corpus API: real corpora
+  * contain null, empty, whitespace-only, and single-glyph documents (the
+  * driver tables never do). Every operator must pass them through or drop
+  * them deterministically — never throw, never emit a phantom pair. */
+class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Four degenerate docs + an identical pair of real ones. */
+  private def dirty: DataFrame = {
+    import spark.implicits._
+    val real = "the quick brown fox jumps over the lazy dog and then " +
+      "the dog chases the fox back across the meadow until both rest"
+    Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   \t  "),
+      (4L, "x"), (5L, real), (6L, real))
+      .toDF("doc_id", "text")
+  }
+
+  test("near-dup detectors pair the real dup, never the degenerate docs") {
+    val mh = DedupOps.minhashNearDupPairs(dirty, 0.4).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(mh.toSet == Set((5L, 6L)))
+    val spans = DedupOps.sharedSpanPairs(dirty, minShared = 2L).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(spans.toSet == Set((5L, 6L)))
+    val sh = DedupOps.simhashNearDupPairs(dirty, 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    // simhash of degenerate token lists may collide (empty vote vector);
+    // the real pair must be present and no degenerate-real pair may be
+    assert(sh.contains((5L, 6L)))
+    assert(!sh.exists { case (a, b) => (a <= 4) != (b <= 4) })
+  }
+
+  test("incremental span probe ignores degenerate batch and index rows") {
+    val index = DedupOps.buildSpanIndex(dirty)
+    val hits = DedupOps.incrementalSharedSpans(dirty, index, minShared = 2L)
+      .filter(col("new_id") =!= col("existing_id")).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("existing_id")))
+    assert(hits.toSet == Set((5L, 6L), (6L, 5L)))
+  }
+
+  test("curation pipeline drops degenerates at the floor, collapses the dup") {
+    val out = CurationOps.curateCorpus(dirty).collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(5L), s"expected only the min-id dup survivor: $ids")
+  }
+
+  test("packing and shuffling survive null text") {
+    val packed = CorpusOps.packChunks(dirty).collect()
+    assert(packed.length == 6)
+    // null text contributes nothing to downstream offsets; real docs get
+    // real token counts
+    val byId = packed.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(5L).getAs[Long]("n_tokens") == 23L)
+    assert(byId(6L).getAs[Long]("tok_offset") >=
+      byId(5L).getAs[Long]("tok_offset"))
+    val ranks = CorpusOps.sampleShuffle(dirty)
+      .select("shuffle_rank").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (1L to 6L))
+  }
+
+  test("streaming curation batch handles degenerates against an empty index") {
+    val emptyIndex = DedupOps.buildBandIndex(dirty.filter(lit(false)))
+    val (survivors, indexRows) =
+      StreamingCuration.curateBatch(dirty, emptyIndex)
+    val ids = survivors.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(5L))
+    assert(indexRows.select("doc_id").distinct().count() == 1)
+  }
+}
