@@ -561,9 +561,12 @@ object DedupOps {
   def normalizedWithBucket(e: DataFrame, bits: Int = 16): DataFrame =
     e.withColumn("unit", graft.functions.Vec.vec_unit(col("embedding")))
       .filter(col("unit").isNotNull)
+      // try_element_at: a vector shorter than `bits` contributes 0-bits
+      // past its length instead of an out-of-bounds error (EdgeCaseSpec)
       .withColumn("bucket", expr(
         s"""aggregate(sequence(1, $bits), 0L,
-          |  (acc, i) -> acc * 2 + IF(element_at(embedding, i) >= 0, 1L, 0L))
+          |  (acc, i) -> acc * 2 +
+          |    IF(coalesce(try_element_at(embedding, i) >= 0, false), 1L, 0L))
           |""".stripMargin))
 
   /** Near-dup pairs: in-bucket pairwise cosine >= threshold. Injected

@@ -71,6 +71,38 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ranks.toSeq == (1L to 6L))
   }
 
+  test("embedding operators drop zero/empty vectors, keep real directions") {
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, Seq.empty[Float]),
+      (2L, Seq(0f, 0f, 0f, 0f)),
+      (3L, Seq(1f, 2f, 3f, 4f)),
+      (4L, Seq(1.001f, 2.002f, 3.003f, 4.004f))) // same direction as 3
+      .toDF("vec_id", "embedding")
+    val buckets = DedupOps.normalizedWithBucket(dirty).collect()
+    // empty and zero-norm vectors drop at normalization; the two real
+    // vectors normalize into the same sign bucket (identical direction)
+    assert(buckets.map(_.getAs[Long]("vec_id")).toSet == Set(3L, 4L))
+    assert(buckets.map(_.getAs[Long]("bucket")).distinct.length == 1)
+    val cos = {
+      val u = DedupOps.normalizedWithBucket(dirty)
+      u.select(col("vec_id"), col("unit")).as("a")
+        .crossJoin(u.select(col("unit").as("u_b"), col("vec_id").as("id_b"))
+          .as("b"))
+        .filter(col("vec_id") < col("id_b"))
+        .select(graft.functions.Vec.vec_dot(col("unit"), col("u_b")))
+        .head().getDouble(0)
+    }
+    assert(math.abs(cos - 1.0) < 1e-9)
+    // IVF build tolerates a corpus smaller than the cell count
+    val units = dirty
+      .withColumn("unit", graft.functions.Vec.vec_unit(col("embedding")))
+      .filter(col("unit").isNotNull)
+      .select(col("vec_id"), col("unit"))
+    val (cells, centroids) = operators.SimilarityOps.buildIvfIndex(units)
+    assert(cells.count() == 2 && centroids.count() >= 1)
+  }
+
   test("streaming curation batch handles degenerates against an empty index") {
     val emptyIndex = DedupOps.buildBandIndex(dirty.filter(lit(false)))
     val (survivors, indexRows) =
