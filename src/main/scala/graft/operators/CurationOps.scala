@@ -53,11 +53,13 @@ object CurationOps {
     * round count at extreme diameters; not needed at near-dup shapes.)
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // lazy checkpoints: the first consumer job materializes the blocks in
+    // passing (no separate eager job per frame), later rounds read blocks
     val und = edges
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // seed comp = min(node, min neighbor) — one aggregation instead of a
     // first identity round; shallow (near-dup-shaped) clusters converge
     // at the seed and the loop only pays its verification pass
@@ -65,7 +67,7 @@ object CurationOps {
       .groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("nbr"))
       .select(col("node"), least(col("node"), col("nbr")).as("comp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -84,7 +86,7 @@ object CurationOps {
             .as("comp"),
           (coalesce(col("n.nbr_comp"), col("l.comp")) < col("l.comp"))
             .as("changed"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // the count below materializes it
       changed = next.filter(col("changed")).count()
       labels = next.drop("changed")
     }
@@ -494,19 +496,40 @@ object CurationOps {
     * nothing here is quadratic in the corpus. Returns (doc_id,
     * quality_bp, split) for the surviving docs; join back to the corpus
     * for payload columns (cheaper than carrying text through the dedup
-    * shuffles). */
+    * shuffles).
+    *
+    * Text is scanned EXACTLY ONCE: the quality score, the normalized-text
+    * fingerprint, and the MinHash signature all come out of the same scan
+    * stage, and the slim (id, score, fp, signature) frame is checkpointed
+    * before any shuffle consumes it. At 100 TB that single pass is the
+    * dominant cost by construction — every later stage moves 8-byte
+    * hashes, never text. */
   def curateCorpus(d: DataFrame, qualityFloorBp: Long = 3000L,
       nearDupThreshold: Double = 0.4): DataFrame = {
-    val kept = d
+    // one text scan: score + fingerprint + shingle hashes + signature;
+    // docs under 5 tokens carry null signatures (nothing to shingle) and
+    // simply never reach the near-dup candidate join
+    val scored = d
       .withColumn("quality_bp", expr(TextOps.qualityBpSparkSql))
       .filter(col("quality_bp") >= qualityFloorBp)
-    val exactKeep = kept
       .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("sh_hashes", when(size(col("toks")) >= 5,
+        graft.functions.Vec.shingle_hashes(col("toks"), 5)))
+      .select(col("doc_id"), col("quality_bp"), col("fp"),
+        col("sh_hashes"),
+        when(col("sh_hashes").isNotNull,
+          graft.functions.Vec.minhash_sig(col("sh_hashes"),
+            DedupOps.NumHashes)).as("mh_arr"))
+      .localCheckpoint(eager = false) // first consumer materializes
+    val exactKeep = scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("fp", "rn")
     val pairs = DedupOps
-      .minhashNearDupPairs(exactKeep.select(col("doc_id"), col("text")),
+      .minhashPairsFromSignatures(
+        exactKeep.filter(col("mh_arr").isNotNull)
+          .select(col("doc_id"), col("sh_hashes"), col("mh_arr")),
         nearDupThreshold)
       .select(col("id_a"), col("id_b"))
     val nonReps = connectedComponents(pairs)

@@ -155,10 +155,14 @@ object DedupOps {
       .select("id_a", "id_b")
   }
 
-  /** MinHash kernel: exact Jaccard over distinct shingle-hash sets for
-    * candidate survivors only. */
-  def minhashNearDupPairs(d: DataFrame, threshold: Double): DataFrame = {
-    val sig = signatures(d)
+  /** MinHash kernel over a precomputed signature frame (the
+    * [[minhashSignatures]] shape: doc_id, sh_hashes, mh_arr). Callers
+    * that already paid the corpus scan — the composed curation pipeline
+    * computes quality + fingerprint + signatures in one pass — hand in
+    * their own (checkpointed) signatures; [[minhashNearDupPairs]] is the
+    * from-text form. Exact Jaccard runs for candidate survivors only. */
+  def minhashPairsFromSignatures(sig: DataFrame,
+      threshold: Double): DataFrame = {
     val sa = sig.select(col("doc_id").as("id_a"),
       col("sh_hashes").as("sh_a"))
     val sb = sig.select(col("doc_id").as("id_b"),
@@ -170,6 +174,11 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard"))
   }
+
+  /** MinHash kernel: exact Jaccard over distinct shingle-hash sets for
+    * candidate survivors only. */
+  def minhashNearDupPairs(d: DataFrame, threshold: Double): DataFrame =
+    minhashPairsFromSignatures(signatures(d), threshold)
 
   /** MinHash-LSH near-dup detection over corpus + injected near-copies. */
   val minhashLsh: GraftQuery = GraftQuery(

@@ -86,5 +86,114 @@ object MultimodalOps {
         "AS t(asset_id, kind, byte_len, checksum, feat_dim)"
     })
 
-  val all: Seq[GraftQuery] = Seq(features)
+  // ---------------------------------------------------------------------
+  // Frame sampling (audio/video → per-frame rows)
+  // ---------------------------------------------------------------------
+
+  final case class Frame(
+      asset_id: Long,
+      frame_idx: Int,
+      frame_len: Int,
+      frame_checksum: Long)
+
+  /** Frame size in payload bytes — stands in for e.g. 20 ms of PCM or a
+    * video keyframe stride; real pipelines pick it from the codec. */
+  val FrameBytes = 48
+
+  private def payloadFrames(a: Asset): Seq[Frame] =
+    a.payload.grouped(FrameBytes).zipWithIndex.map { case (chunk, idx) =>
+      var checksum = 0L
+      var j = 0
+      while (j < chunk.length) {
+        checksum = (checksum * 31 + (chunk(j) & 0xff)) & 0xffffffffL
+        j += 1
+      }
+      Frame(a.asset_id, idx, chunk.length, checksum)
+    }.toSeq
+
+  /** Frame sampling: ONE binary row fans out to ceil(len/FrameBytes)
+    * frame rows — the `flatMap` shape a real frame sampler has. Runs in
+    * the scan stage (no shuffle: fan-out is per-row); at 100 TB the only
+    * shuffle anywhere downstream is whatever the consumer groups by.
+    * Audio only — image rows don't frame-sample. */
+  def sampleFrames(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    assets(n).toDS()
+      .filter(col("kind") === "audio")
+      .flatMap(payloadFrames _)
+      .toDF()
+  }
+
+  val frames: GraftQuery = GraftQuery(
+    "multimodal_frames",
+    (s, _) => sampleFrames(s, NumAssets),
+    Some {
+      val rows = assets(NumAssets).filter(_.kind == "audio")
+        .flatMap(payloadFrames)
+        .map(f =>
+          s"(${f.asset_id}, ${f.frame_idx}, ${f.frame_len}, ${f.frame_checksum})")
+      "SELECT CAST(asset_id AS BIGINT) AS asset_id, " +
+        "CAST(frame_idx AS INTEGER) AS frame_idx, " +
+        "CAST(frame_len AS INTEGER) AS frame_len, " +
+        "CAST(frame_checksum AS BIGINT) AS frame_checksum " +
+        s"FROM (VALUES ${rows.mkString(", ")}) " +
+        "AS t(asset_id, frame_idx, frame_len, frame_checksum)"
+    })
+
+  // ---------------------------------------------------------------------
+  // Resize (image → image at a target geometry)
+  // ---------------------------------------------------------------------
+
+  final case class ResizedAsset(
+      asset_id: Long,
+      width: Int,
+      height: Int,
+      byte_len: Int,
+      checksum: Long)
+
+  /** STUB resize to `tw`×`th`: payload subsampled at the ratio a real
+    * scaler would use (one byte per target pixel block, deterministic),
+    * metadata recomputed. Swap the body for a real image library; the
+    * binary-in/binary-out per-partition shape is what survives. */
+  def stubResize(a: Asset, tw: Int, th: Int): ResizedAsset = {
+    val stride = math.max(1, a.payload.length / math.max(1, (tw * th) / 64))
+    val resized = a.payload.indices.collect {
+      case j if j % stride == 0 => a.payload(j)
+    }
+    var checksum = 0L
+    resized.foreach(b => checksum = (checksum * 31 + (b & 0xff)) & 0xffffffffL)
+    ResizedAsset(a.asset_id, tw, th, resized.length, checksum)
+  }
+
+  val TargetW = 16
+  val TargetH = 16
+
+  /** Resize pipeline over the image rows: same per-partition batch shape
+    * as [[extractFeatures]] (codec loaded once per partition at scale). */
+  def resizeImages(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    assets(n).toDS()
+      .filter(col("kind") === "image")
+      .mapPartitions(_.map(stubResize(_, TargetW, TargetH)))
+      .toDF()
+  }
+
+  val resize: GraftQuery = GraftQuery(
+    "multimodal_resize",
+    (s, _) => resizeImages(s, NumAssets),
+    Some {
+      val rows = assets(NumAssets).filter(_.kind == "image")
+        .map(stubResize(_, TargetW, TargetH))
+        .map(r =>
+          s"(${r.asset_id}, ${r.width}, ${r.height}, ${r.byte_len}, ${r.checksum})")
+      "SELECT CAST(asset_id AS BIGINT) AS asset_id, " +
+        "CAST(width AS INTEGER) AS width, " +
+        "CAST(height AS INTEGER) AS height, " +
+        "CAST(byte_len AS INTEGER) AS byte_len, " +
+        "CAST(checksum AS BIGINT) AS checksum " +
+        s"FROM (VALUES ${rows.mkString(", ")}) " +
+        "AS t(asset_id, width, height, byte_len, checksum)"
+    })
+
+  val all: Seq[GraftQuery] = Seq(features, frames, resize)
 }

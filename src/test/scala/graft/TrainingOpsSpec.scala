@@ -160,6 +160,40 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("multimodal frame sampling fans out per-payload and covers every byte") {
+    val got = MultimodalOps.sampleFrames(spark, 64).collect()
+    val audio = MultimodalOps.assets(64).filter(_.kind == "audio")
+    // one row group per FrameBytes chunk, including the short tail frame
+    val wantCount = audio.map(a =>
+      (a.payload.length + MultimodalOps.FrameBytes - 1) /
+        MultimodalOps.FrameBytes).sum
+    assert(got.length == wantCount)
+    // per-asset frame lengths reassemble the payload exactly
+    val byAsset = got.groupBy(_.getAs[Long]("asset_id"))
+    audio.foreach { a =>
+      val frames = byAsset(a.asset_id).sortBy(_.getAs[Int]("frame_idx"))
+      assert(frames.map(_.getAs[Int]("frame_len")).sum == a.payload.length)
+      assert(frames.init.forall(
+        _.getAs[Int]("frame_len") == MultimodalOps.FrameBytes))
+    }
+  }
+
+  test("multimodal resize keeps image rows only, at the target geometry") {
+    val got = MultimodalOps.resizeImages(spark, 64).collect()
+    val images = MultimodalOps.assets(64).filter(_.kind == "image")
+    assert(got.length == images.length)
+    got.foreach { r =>
+      assert(r.getAs[Int]("width") == MultimodalOps.TargetW)
+      assert(r.getAs[Int]("height") == MultimodalOps.TargetH)
+      assert(r.getAs[Int]("byte_len") > 0)
+    }
+    val want = images.map(a => MultimodalOps.stubResize(a,
+      MultimodalOps.TargetW, MultimodalOps.TargetH))
+      .map(x => (x.asset_id, x.byte_len, x.checksum)).toSet
+    assert(got.map(r => (r.getAs[Long]("asset_id"),
+      r.getAs[Int]("byte_len"), r.getAs[Long]("checksum"))).toSet == want)
+  }
+
   test("shared-span detection pairs only the docs that embed a common span") {
     import spark.implicits._
     val span = "observed winnowing fingerprints guarantee that any " +
