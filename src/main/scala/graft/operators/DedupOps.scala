@@ -68,6 +68,103 @@ object DedupOps {
         |GROUP BY 1""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Line-level dedup (CCNet-style boilerplate removal)
+  // ---------------------------------------------------------------------
+
+  /** Boilerplate line injected into every even doc_id by the driver
+    * query, so the operator has real cross-document repetition to find
+    * at every scale factor. */
+  private val BoilerLine = "subscribe to our newsletter for updates"
+  private val LineTokens = 12
+  /** A line present in more than this fraction of documents is
+    * boilerplate (headers, cookie banners, licence blurbs). */
+  val MaxLineDocFrac = 0.25
+
+  /** (doc_id, idx, line): the corpus re-lined into 12-token chunks (the
+    * driver corpus has no newlines) plus the boilerplate line appended
+    * to even doc_ids. Real corpora skip straight to
+    * `split(text, '\n')`. */
+  private def relinedWithBoiler(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(size(toks) / $LineTokens.0) AS INT) - 1),
+           |  i -> concat_ws(' ', slice(toks, i * $LineTokens + 1, $LineTokens)))
+           |""".stripMargin)))
+      .toDF("doc_id", "idx", "line")
+      .unionAll(d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), lit(100000).as("idx"),
+          lit(BoilerLine).as("line")))
+
+  /** Line-level dedup (CCNet-shaped): drop every line that appears in
+    * more than [[MaxLineDocFrac]] of documents, reassemble the text in
+    * line order, report how many lines were dropped per doc.
+    *
+    * Scale shape: explode is per-row fan-out in the scan stage; the line
+    * document-frequency is one keyed agg (count-distinct partial-aggs);
+    * the keep-join shuffles on the line key; reassembly is one groupBy
+    * per doc. Nothing global, nothing quadratic. At 100 TB the df join
+    * key would be xxhash64(line) instead of the string — kept as the
+    * string here for cross-engine oracle parity. */
+  def removeBoilerplateLines(lines: DataFrame, totalDocs: DataFrame,
+      maxDocFrac: Double = MaxLineDocFrac): DataFrame = {
+    val df_ = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    lines.join(df_, "line")
+      .crossJoin(broadcast(totalDocs))
+      .withColumn("keep", col("df") <= col("n_docs") * maxDocFrac)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("idx"), col("keep"), col("line")))).as("arr"))
+      .select(col("doc_id"),
+        concat_ws("\n",
+          expr("transform(filter(arr, x -> x.keep), x -> x.line)"))
+          .as("clean_text"),
+        expr("size(filter(arr, x -> NOT x.keep))").cast("bigint")
+          .as("removed_cnt"))
+  }
+
+  val lineDedup: GraftQuery = GraftQuery(
+    "dedup_lines",
+    (s, dir) => {
+      val d = docs(s, dir)
+      removeBoilerplateLines(relinedWithBoiler(d),
+        d.select(countDistinct(col("doc_id")).as("n_docs")))
+    },
+    Some(
+      s"""WITH docs0 AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+         |  FROM documents WHERE len(regexp_split_to_array(text, '\\s+')) >= 1),
+         |chunks AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0,
+         |      CAST(ceil(len(toks) / $LineTokens.0) AS INT) - 1)) AS idx,
+         |    unnest(list_transform(
+         |      generate_series(0,
+         |        CAST(ceil(len(toks) / $LineTokens.0) AS INT) - 1),
+         |      i -> array_to_string(
+         |        toks[i * $LineTokens + 1 : i * $LineTokens + $LineTokens],
+         |        ' '))) AS line
+         |  FROM docs0),
+         |lines AS (
+         |  SELECT * FROM chunks
+         |  UNION ALL
+         |  SELECT doc_id, 100000 AS idx, '$BoilerLine' AS line
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |df AS (SELECT line, count(DISTINCT doc_id) AS df
+         |       FROM lines GROUP BY 1),
+         |tot AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |j AS (SELECT l.doc_id, l.idx, l.line,
+         |        (d.df <= t.n_docs * $MaxLineDocFrac) AS keep
+         |      FROM lines l JOIN df d USING (line) CROSS JOIN tot t)
+         |SELECT doc_id,
+         |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+         |    ORDER BY idx), '') AS clean_text,
+         |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS removed_cnt
+         |FROM j GROUP BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------------
 
@@ -618,6 +715,6 @@ object DedupOps {
         .stripMargin))
 
   val all: Seq[GraftQuery] =
-    Seq(exact, minhashLsh, incrementalDedup, simhashDedup, ngramJaccard,
-      sharedSpans, spansIncremental, embeddingNearDup)
+    Seq(exact, lineDedup, minhashLsh, incrementalDedup, simhashDedup,
+      ngramJaccard, sharedSpans, spansIncremental, embeddingNearDup)
 }

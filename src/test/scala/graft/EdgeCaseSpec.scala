@@ -71,6 +71,28 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ranks.toSeq == (1L to 6L))
   }
 
+  test("line dedup drops frequent lines, keeps order, survives all-boiler docs") {
+    import spark.implicits._
+    // 4 docs, frac 0.5 → threshold df <= 2: 'boiler' (3 docs) drops,
+    // 'pair' (2 docs) stays, uniques stay; doc 4 is all-boilerplate
+    val lines = Seq(
+      (1L, 0, "alpha"), (1L, 1, "boiler"), (1L, 2, "pair"),
+      (2L, 0, "boiler"), (2L, 1, "beta"),
+      (3L, 0, "pair"), (3L, 1, "gamma"),
+      (4L, 0, "boiler"))
+      .toDF("doc_id", "idx", "line")
+    val total = lines.select(countDistinct(col("doc_id")).as("n_docs"))
+    val got = DedupOps.removeBoilerplateLines(lines, total, 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("clean_text"), r.getAs[Long]("removed_cnt")))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "alpha\npair", 1L),
+      (2L, "beta", 1L),
+      (3L, "pair\ngamma", 0L),
+      (4L, "", 1L)))
+  }
+
   test("embedding operators drop zero/empty vectors, keep real directions") {
     import spark.implicits._
     val dirty = Seq(
