@@ -302,6 +302,45 @@ object CurationOps {
          |WHERE d.bucket < r.rate_bp""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Per-domain quota (source balancing)
+  // ---------------------------------------------------------------------
+
+  /** Docs kept per source by [[domainCap]]. */
+  val DomainCapN = 10
+
+  /** Per-domain quota: keep at most `cap` docs per `source`, chosen by
+    * a deterministic hash rank — NOT arrival order — so the kept set is
+    * identical under re-partitioning, reruns, and incremental ingest
+    * (the web-corpus "max N pages per domain" rule).
+    *
+    * Scale shape: one window shuffle keyed by source. A mega-domain
+    * sorts only its own partition (rank by an 8-byte hash prefix, not
+    * by text), and with AQE skew-split plus the early `rnk <= cap`
+    * cutoff inside the sort, nothing global ever materializes. */
+  def capPerDomain(d: DataFrame, cap: Int = DomainCapN): DataFrame = {
+    val byHash = Window.partitionBy(col("source"))
+      .orderBy(col("hx"), col("doc_id"))
+    d.withColumn("hx",
+        md5(concat(lit("domcap:"), col("doc_id").cast("string"))))
+      .withColumn("rnk", row_number().over(byHash))
+      .filter(col("rnk") <= cap)
+      .select(col("doc_id"), col("source"), col("rnk"))
+  }
+
+  val domainCap: GraftQuery = GraftQuery(
+    "sample_domain_cap",
+    (s, dir) => capPerDomain(
+      docs(s, dir).select(col("doc_id"), col("source"))),
+    Some(
+      s"""SELECT doc_id, source, rnk FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5('domcap:' || CAST(doc_id AS VARCHAR)), doc_id)
+         |      AS rnk
+         |  FROM documents)
+         |WHERE rnk <= $DomainCapN""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Train/eval decontamination
   // ---------------------------------------------------------------------
 
@@ -556,5 +595,6 @@ object CurationOps {
 
   val all: Seq[GraftQuery] =
     Seq(dedupClusters, sampleSplit, sampleStratified, sampleMixture,
-      decontaminate, curationTopK, docFreq, topTerms, curationPipeline)
+      domainCap, decontaminate, curationTopK, docFreq, topTerms,
+      curationPipeline)
 }

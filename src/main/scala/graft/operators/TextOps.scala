@@ -261,7 +261,150 @@ object TextOps {
         |  CAST(dup_cnt * 10000 // total AS BIGINT) AS dup2_bp
         |FROM per_doc""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // BPE merge learning (tokenizer training)
+  // ---------------------------------------------------------------------
+
+  /** Greedy left-to-right application of ONE merge to a symbol array, as
+    * a pure SQL left fold (`aggregate`): 'aaa' under merge (a,a) becomes
+    * [aa, a], exactly like the sequential trainer. `l`/`r` arrive via
+    * columns so the fragment stays a single reusable expression. */
+  private def mergeFoldExpr(symsCol: String, lCol: String,
+      rCol: String): String =
+    s"""aggregate($symsCol, cast(array() AS ARRAY<STRING>),
+       |  (acc, x) -> IF(size(acc) > 0
+       |        AND element_at(acc, -1) = $lCol AND x = $rCol,
+       |    concat(slice(acc, 1, size(acc) - 1),
+       |      array(concat($lCol, $rCol))),
+       |    concat(acc, array(x))))""".stripMargin
+
+  /** Byte-pair-encoding merge learning over the corpus (the standard
+    * tokenizer-training loop):
+    *
+    *  1. ONE corpus scan aggregates to the distinct-word histogram
+    *     (word, cnt) — everything after runs on the vocabulary, which is
+    *     orders of magnitude smaller than the corpus (this is how real
+    *     BPE trainers scale to 100 TB: corpus → word histogram once,
+    *     then iterate on the histogram);
+    *  2. if the histogram fits in the driver (`localVocabMax`, measured
+    *     by a cheap count of the checkpointed histogram), the merge loop
+    *     runs locally — the SentencePiece/HF-tokenizers strategy, and
+    *     the only sane one when 100 TB of text collapses to a
+    *     few-million-row histogram;
+    *  3. otherwise each round stays distributed: count adjacent symbol
+    *     pairs weighted by word count (one keyed agg), pick the
+    *     (freq desc, pair asc) winner — the single learned parameter per
+    *     round, the only row that ever reaches the driver — and rewrite
+    *     the symbol arrays by the greedy left fold above (scan-stage, no
+    *     shuffle), truncating lineage per round like the connected-
+    *     components loop.
+    *
+    * Both paths compute the identical merge table (TrainingOpsSpec pins
+    * them against each other and against a sequential reference).
+    * Returns (round, left, right, freq) in learned order. Rows-only
+    * driver gate: a K-round fold isn't expressible as one DuckDB
+    * statement. */
+  def learnBpeMerges(d: DataFrame, rounds: Int,
+      localVocabMax: Long = 100000L): Seq[(Int, String, String, Long)] = {
+    val vocab0 = d
+      .select(explode(tokens("text")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(split(col("word"), "").as("syms"), col("cnt"))
+      .localCheckpoint()
+    if (vocab0.count() <= localVocabMax) {
+      val hist = vocab0.collect().map(r =>
+        (r.getSeq[String](0).toVector, r.getAs[Long]("cnt")))
+      learnMergesLocal(hist, rounds)
+    } else learnMergesDistributed(vocab0, rounds)
+  }
+
+  /** The merge loop on a driver-resident histogram. */
+  private[graft] def learnMergesLocal(
+      hist: Seq[(Vector[String], Long)],
+      rounds: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = hist
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var exhausted = false
+    for (round <- 1 to rounds if !exhausted) {
+      val freqs = collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          freqs(k) = freqs.getOrElse(k, 0L) + cnt
+          i += 1
+        }
+      }
+      if (freqs.isEmpty) exhausted = true
+      else {
+        val ((l, r), freq) = freqs.minBy { case ((l, r), f) => (-f, l, r) }
+        merges += ((round, l, r, freq))
+        vocab = vocab.map { case (syms, cnt) =>
+          val out = Vector.newBuilder[String]
+          var last: String = null
+          syms.foreach { x =>
+            if (last == l && x == r) { out += l + r; last = null }
+            else {
+              if (last != null) out += last
+              last = x
+            }
+          }
+          if (last != null) out += last
+          (out.result(), cnt)
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** The merge loop as DataFrame rounds — the histogram-doesn't-fit
+    * path; exact same semantics as [[learnMergesLocal]]. */
+  private[graft] def learnMergesDistributed(vocab0: DataFrame,
+      rounds: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = vocab0
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var exhausted = false
+    for (round <- 1 to rounds if !exhausted) {
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS l,
+            |              element_at(syms, i + 1) AS r))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, freq) = (top(0).getAs[String]("l"),
+          top(0).getAs[String]("r"), top(0).getAs[Long]("freq"))
+        merges += ((round, l, r, freq))
+        vocab = vocab
+          .withColumn("l", lit(l)).withColumn("r", lit(r))
+          .select(expr(mergeFoldExpr("syms", "l", "r")).as("syms"),
+            col("cnt"))
+          .localCheckpoint(eager = false)
+      }
+    }
+    merges.result()
+  }
+
+  val BpeRounds = 12
+
+  val bpeMerges: GraftQuery = GraftQuery(
+    "text_bpe_merges",
+    (s, dir) => {
+      import s.implicits._
+      learnBpeMerges(t(s, dir, "documents"), BpeRounds)
+        .toDF("round", "left_sym", "right_sym", "freq")
+    },
+    None)
+
   val all: Seq[GraftQuery] =
     Seq(textStats, qualityScore, tokenCount, fingerprint,
-      winnowFingerprint, langId, repetition)
+      winnowFingerprint, langId, repetition, bpeMerges)
 }

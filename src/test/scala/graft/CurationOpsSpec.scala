@@ -107,6 +107,19 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSet == again.toSet)
   }
 
+  test("domain cap keeps at most N per source, stable under repartitioning") {
+    import spark.implicits._
+    val d = (0L until 300L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val once = CurationOps.capPerDomain(d, 7).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    assert(once.groupBy(_._2).forall(_._2.length == 7))
+    // hash-rank membership is a property of the rows, not the layout
+    val again = CurationOps.capPerDomain(d.repartition(13), 7).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    assert(once.toSet == again.toSet)
+  }
+
   test("repetition signals stay in basis-point bounds") {
     val rows = TextOps.repetition.fn(spark, dir).collect()
     assert(rows.nonEmpty)

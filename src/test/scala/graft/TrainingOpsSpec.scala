@@ -194,6 +194,29 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getAs[Int]("byte_len"), r.getAs[Long]("checksum"))).toSet == want)
   }
 
+  test("BPE merge learning: local and distributed paths agree, trace is right") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "low low low lower lower newest newest newest newest widest"),
+      (2L, "newest widest widest low lowest"),
+      (3L, "low low newest"))
+      .toDF("doc_id", "text").repartition(5)
+    val local = TextOps.learnBpeMerges(corpus, 6) // vocab fits → local
+    val dist = TextOps.learnBpeMerges(corpus, 6, localVocabMax = -1L)
+    assert(local == dist)
+    // hand-checked: histogram low=6 lower=2 newest=6 widest=3 lowest=1.
+    // (e,s) and (s,t) both hit freq 10 (newest+widest+lowest); the tie
+    // breaks on the left symbol, so (e,s) wins round 1, (es,t) follows,
+    // then the low-family pairs (l,o) and (lo,w) at freq 9
+    assert(local.take(4).map(m => (m._2, m._3)).toSeq ==
+      Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    assert(local.head._4 == 10L)
+    // exhaustion: a single-word corpus runs out of pairs and stops early
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m = TextOps.learnBpeMerges(tiny, 10)
+    assert(m.map(x => (x._2, x._3)) == Seq(("a", "b")))
+  }
+
   test("shared-span detection pairs only the docs that embed a common span") {
     import spark.implicits._
     val span = "observed winnowing fingerprints guarantee that any " +
