@@ -340,19 +340,7 @@ object TextOps {
       else {
         val ((l, r), freq) = freqs.minBy { case ((l, r), f) => (-f, l, r) }
         merges += ((round, l, r, freq))
-        vocab = vocab.map { case (syms, cnt) =>
-          val out = Vector.newBuilder[String]
-          var last: String = null
-          syms.foreach { x =>
-            if (last == l && x == r) { out += l + r; last = null }
-            else {
-              if (last != null) out += last
-              last = x
-            }
-          }
-          if (last != null) out += last
-          (out.result(), cnt)
-        }
+        vocab = vocab.map { case (syms, cnt) => (applyMerge(syms, l, r), cnt) }
       }
     }
     merges.result()
@@ -404,7 +392,72 @@ object TextOps {
     },
     None)
 
+  /** Greedy left-to-right application of one merge — the Scala twin of
+    * [[mergeFoldExpr]] (TrainingOpsSpec holds the two equal by pinning
+    * the local and distributed trainers against each other). */
+  private def applyMerge(syms: Vector[String], l: String,
+      r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var last: String = null
+    syms.foreach { x =>
+      if (last == l && x == r) { out += l + r; last = null }
+      else {
+        if (last != null) out += last
+        last = x
+      }
+    }
+    if (last != null) out += last
+    out.result()
+  }
+
+  /** Apply learned BPE merges to one word (greedy left fold per merge,
+    * in learned order) — the sequential tokenizer kernel. */
+  private[graft] def bpeTokenize(word: String,
+      merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector) {
+      case (syms, (l, r)) => applyMerge(syms, l, r)
+    }
+
+  /** Corpus tokenization under a learned merge table: per-doc BPE token
+    * count next to the whitespace word count (the compression the
+    * tokenizer actually buys).
+    *
+    * Shape: merges are a tiny broadcast (learned parameters); the fold
+    * is per-row imperative compute in a typed map over the scan — no
+    * shuffle at all. A chain of SQL `aggregate()` folds could express
+    * the same thing, but Spark's higher-order array functions are
+    * interpreted (CodegenFallback), so the deliberate `mapPartitions`
+    * here is the faster form, not a shortcut. Rows-only gate (inherits
+    * the merge table's); TrainingOpsSpec pins counts against the
+    * sequential kernel. */
+  def tokenizeBpe(d: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    d.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, text) =>
+          val words = Option(text).getOrElse("").toLowerCase
+            .split("\\s+").filter(_.nonEmpty)
+          val bpeCnt = words.iterator.map(w => bpeTokenize(w, m).length).sum
+          (id, words.length.toLong, bpeCnt.toLong)
+        }
+      }
+      .toDF("doc_id", "word_cnt", "bpe_token_cnt")
+  }
+
+  val tokenizeBpeQuery: GraftQuery = GraftQuery(
+    "text_tokenize_bpe",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = learnBpeMerges(d, BpeRounds).map(m => (m._2, m._3))
+      tokenizeBpe(d, merges)
+    },
+    None)
+
   val all: Seq[GraftQuery] =
     Seq(textStats, qualityScore, tokenCount, fingerprint,
-      winnowFingerprint, langId, repetition, bpeMerges)
+      winnowFingerprint, langId, repetition, bpeMerges, tokenizeBpeQuery)
 }

@@ -215,6 +215,20 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val m = TextOps.learnBpeMerges(tiny, 10)
     assert(m.map(x => (x._2, x._3)) == Seq(("a", "b")))
+    // corpus tokenization under the learned merges matches the
+    // sequential kernel doc by doc (checks the broadcast + typed-map
+    // plumbing, and that BPE actually compresses)
+    val mergePairs = local.map(x => (x._2, x._3))
+    val got = TextOps.tokenizeBpe(corpus, mergePairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("word_cnt"), r.getAs[Long]("bpe_token_cnt"))).toMap
+    corpus.collect().foreach { row =>
+      val (id, text) = (row.getAs[Long]("doc_id"), row.getAs[String]("text"))
+      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val want = words.map(w => TextOps.bpeTokenize(w, mergePairs).length).sum
+      assert(got(id) == (words.length.toLong, want.toLong))
+      assert(got(id)._2 < text.count(!_.isWhitespace)) // compressed vs chars
+    }
   }
 
   test("shared-span detection pairs only the docs that embed a common span") {
