@@ -164,6 +164,43 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("line dedup: keyed exchanges only, df side partial-aggregates") {
+    val df = SparkEntry.queries("dedup_lines")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==")(0)
+    // every data-bearing exchange is keyed (line df, keep join, per-doc
+    // reassembly); the one-row n_docs scalar accounts for the only
+    // single-partition funnel AND the only nested-loop join (a 1-row
+    // broadcast cross join plans as BroadcastNestedLoopJoin). No
+    // unkeyed join or funnel ever sees document rows.
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning(line"), p)
+    assert(p.contains("hashpartitioning(doc_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the count-distinct df agg partial-aggregates before its shuffle
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("domain cap: one window shuffle keyed by source, nothing global") {
+    val df = SparkEntry.queries("sample_domain_cap")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("hashpartitioning(source"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert("Exchange ".r.findAllIn(p).size == 1, p)
+  }
+
+  test("multimodal frame fan-out stays in the scan stage (no exchange)") {
+    val df = SparkEntry.queries("multimodal_frames")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("scalable identity check single-partitions only the per-bucket offsets") {
     val blocks = graft.chain.ChainFixture.build(200).blocksDF(spark)
     val df = graft.chain.ChainOps.identityMismatchesScalable(blocks, 50L)
