@@ -231,6 +231,27 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("BPE local and distributed trainers agree on random corpora") {
+    import spark.implicits._
+    // seeded generative sweep: tiny alphabet so merges collide, overlap
+    // (aaa-style runs), and ties all get exercised — the cases where the
+    // SQL fold and the Scala fold could plausibly diverge
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val corpus = (1L to (1 + rnd.nextInt(4)).toLong).map { id =>
+        val words = Seq.fill(5 + rnd.nextInt(25)) {
+          val len = 1 + rnd.nextInt(6)
+          Seq.fill(len)("abc" (rnd.nextInt(3))).mkString
+        }
+        (id, words.mkString(" "))
+      }.toDF("doc_id", "text").repartition(3)
+      val rounds = 1 + rnd.nextInt(5)
+      val local = TextOps.learnBpeMerges(corpus, rounds)
+      val dist = TextOps.learnBpeMerges(corpus, rounds, localVocabMax = -1L)
+      assert(local == dist, s"trial $trial diverged (rounds=$rounds)")
+    }
+  }
+
   test("shared-span detection pairs only the docs that embed a common span") {
     import spark.implicits._
     val span = "observed winnowing fingerprints guarantee that any " +
