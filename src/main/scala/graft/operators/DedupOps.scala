@@ -81,10 +81,9 @@ object DedupOps {
   val MaxLineDocFrac = 0.25
 
   /** (doc_id, idx, line): the corpus re-lined into 12-token chunks (the
-    * driver corpus has no newlines) plus the boilerplate line appended
-    * to even doc_ids. Real corpora skip straight to
-    * `split(text, '\n')`. */
-  private def relinedWithBoiler(d: DataFrame): DataFrame =
+    * driver corpus has no newlines; real corpora skip straight to
+    * `split(text, '\n')`). */
+  private def relined(d: DataFrame): DataFrame =
     d.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 1)
       .select(col("doc_id"), posexplode(expr(
@@ -93,6 +92,10 @@ object DedupOps {
            |  i -> concat_ws(' ', slice(toks, i * $LineTokens + 1, $LineTokens)))
            |""".stripMargin)))
       .toDF("doc_id", "idx", "line")
+
+  /** [[relined]] plus the boilerplate line appended to even doc_ids. */
+  private def relinedWithBoiler(d: DataFrame): DataFrame =
+    relined(d)
       .unionAll(d.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), lit(100000).as("idx"),
           lit(BoilerLine).as("line")))
@@ -163,6 +166,77 @@ object DedupOps {
          |    ORDER BY idx), '') AS clean_text,
          |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS removed_cnt
          |FROM j GROUP BY doc_id""".stripMargin))
+
+  /** Intra-document repetition removal (the Gopher-rule cousin of
+    * [[lineDedup]]): within each doc keep only the FIRST occurrence of
+    * every line, reassemble in order, count the drops. Unlike the
+    * cross-doc operator there is no corpus-wide state at all — one
+    * window keyed by (doc_id, line) and one groupBy per doc; a doc's
+    * lines never leave their two keyed shuffles. */
+  def dedupLinesWithinDoc(lines: DataFrame): DataFrame = {
+    val firstOcc = Window.partitionBy(col("doc_id"), col("line"))
+      .orderBy(col("idx"))
+    lines
+      .withColumn("rn", row_number().over(firstOcc))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("idx"), (col("rn") === 1).as("keep"), col("line"))))
+        .as("arr"))
+      .select(col("doc_id"),
+        concat_ws("\n",
+          expr("transform(filter(arr, x -> x.keep), x -> x.line)"))
+          .as("clean_text"),
+        expr("size(filter(arr, x -> NOT x.keep))").cast("bigint")
+          .as("removed_cnt"))
+  }
+
+  /** The sentinel line appended TWICE to every third doc by the driver
+    * query — the repetition [[intraDocDedup]] must collapse. */
+  private val RepeatLine = "repeated footer line for the intra doc check"
+
+  val intraDocDedup: GraftQuery = GraftQuery(
+    "dedup_lines_intradoc",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val rep = d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), lit(100001).as("idx"),
+          lit(RepeatLine).as("line"))
+      dedupLinesWithinDoc(relined(d)
+        .unionAll(rep)
+        .unionAll(rep.withColumn("idx", lit(100002))))
+    },
+    Some(
+      s"""WITH docs0 AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+         |  FROM documents WHERE len(regexp_split_to_array(text, '\\s+')) >= 1),
+         |chunks AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0,
+         |      CAST(ceil(len(toks) / $LineTokens.0) AS INT) - 1)) AS idx,
+         |    unnest(list_transform(
+         |      generate_series(0,
+         |        CAST(ceil(len(toks) / $LineTokens.0) AS INT) - 1),
+         |      i -> array_to_string(
+         |        toks[i * $LineTokens + 1 : i * $LineTokens + $LineTokens],
+         |        ' '))) AS line
+         |  FROM docs0),
+         |lines AS (
+         |  SELECT * FROM chunks
+         |  UNION ALL
+         |  SELECT doc_id, 100001 AS idx, '$RepeatLine' AS line
+         |  FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 100002 AS idx, '$RepeatLine' AS line
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |ranked AS (
+         |  SELECT doc_id, idx, line,
+         |    row_number() OVER (PARTITION BY doc_id, line ORDER BY idx) AS rn
+         |  FROM lines)
+         |SELECT doc_id,
+         |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+         |    ORDER BY idx), '') AS clean_text,
+         |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS removed_cnt
+         |FROM ranked GROUP BY doc_id""".stripMargin))
 
   // ---------------------------------------------------------------------
   // MinHash + LSH
@@ -715,6 +789,7 @@ object DedupOps {
         .stripMargin))
 
   val all: Seq[GraftQuery] =
-    Seq(exact, lineDedup, minhashLsh, incrementalDedup, simhashDedup,
-      ngramJaccard, sharedSpans, spansIncremental, embeddingNearDup)
+    Seq(exact, lineDedup, intraDocDedup, minhashLsh, incrementalDedup,
+      simhashDedup, ngramJaccard, sharedSpans, spansIncremental,
+      embeddingNearDup)
 }

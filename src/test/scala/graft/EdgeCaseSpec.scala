@@ -93,6 +93,18 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, "", 1L)))
   }
 
+  test("intra-doc line dedup keeps first occurrences in order") {
+    import spark.implicits._
+    val lines = Seq(
+      (1L, 0, "a"), (1L, 1, "b"), (1L, 2, "a"), (1L, 3, "a"),
+      (2L, 0, "x"))
+      .toDF("doc_id", "idx", "line")
+    val got = DedupOps.dedupLinesWithinDoc(lines).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("removed_cnt"))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a\nb", 2L), (2L, "x", 0L)))
+  }
+
   test("embedding operators drop zero/empty vectors, keep real directions") {
     import spark.implicits._
     val dirty = Seq(
