@@ -279,5 +279,40 @@ object SimilarityOps {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(bruteForce, lshTopK, ivfTopK)
+  /** Self-measuring ANN quality: recall@[[K]] of the sketch-LSH search
+    * against the exact brute-force top-k, per query plus an "all" total
+    * row, in integer basis points. This is the telemetry a real
+    * deployment runs on a sampled query set to pick its rescore budget;
+    * after the two searches themselves, the recall join touches
+    * NumQueries·K rows — negligible. IVF is deliberately absent: on
+    * this isotropic corpus its recall is the misleading ~nprobe/cells
+    * number (see [[IvfProbes]]) — its gate lives in TrainingOpsSpec on
+    * a clustered corpus, where the index belongs. Rows-only gate (the
+    * metric rides on the approximate engine, and the engine on
+    * xxhash-seeded hyperplanes); TrainingOpsSpec bounds the values. */
+  val recallReport: GraftQuery = GraftQuery(
+    "ann_recall_report",
+    (s, dir) => {
+      val exact = bruteForce.fn(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint()
+      val lsh = sketchSearch(buildSketchIndex(emb(s, dir)).localCheckpoint())
+        .select(col("query_id"), col("neighbor_id"))
+      val perQuery = exact
+        .join(lsh.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0L)))
+          .as("hits"))
+      perQuery
+        .select(col("query_id").cast("string").as("query"),
+          expr("hits * 10000 div n").as("recall_bp"))
+        .unionAll(perQuery
+          .agg(sum(col("hits")).as("hits"), sum(col("n")).as("n"))
+          .select(lit("all").as("query"),
+            expr("hits * 10000 div n").as("recall_bp")))
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(bruteForce, lshTopK, ivfTopK, recallReport)
 }

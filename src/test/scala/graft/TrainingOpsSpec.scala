@@ -73,6 +73,14 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"sketch ANN recall vs brute force: $recall%.2f " +
       s"(${(approx & brute).size}/${brute.size})")
     assert(recall >= 0.8, f"recall $recall%.2f below 0.8")
+    // the self-measuring report computes the same number declaratively
+    val report = SimilarityOps.recallReport.fn(spark, d01).collect()
+      .map(r => r.getAs[String]("query") -> r.getAs[Long]("recall_bp"))
+      .toMap
+    assert(report.size == SimilarityOps.NumQueries + 1)
+    assert(report("all") == (approx & brute).size.toLong * 10000L / brute.size)
+    assert(report("all") >= 8000L)
+    report.values.foreach(bp => assert(bp >= 0L && bp <= 10000L))
   }
 
   test("ANN over a persisted sketch index equals the inline query") {
