@@ -100,6 +100,39 @@ object DedupOps {
         .select(col("doc_id"), lit(100000).as("idx"),
           lit(BoilerLine).as("line")))
 
+  /** (doc_id, idx, keep, line) → (doc_id, clean_text, removed_cnt):
+    * reassemble each doc's kept lines in idx order, count the drops —
+    * the shared tail of both line-dedup operators. One groupBy per doc;
+    * sort_array on the (idx, …) struct makes collect_list order-safe. */
+  private def reassembleKept(lines: DataFrame): DataFrame =
+    lines.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("idx"), col("keep"), col("line")))).as("arr"))
+      .select(col("doc_id"),
+        concat_ws("\n",
+          expr("transform(filter(arr, x -> x.keep), x -> x.line)"))
+          .as("clean_text"),
+        expr("size(filter(arr, x -> NOT x.keep))").cast("bigint")
+          .as("removed_cnt"))
+
+  /** The docs0 + chunks re-lining CTEs — the shared head of both
+    * line-dedup oracles (must mirror [[relined]] exactly). */
+  private val ChunksCte: String =
+    s"""WITH docs0 AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+       |  FROM documents WHERE len(regexp_split_to_array(text, '\\s+')) >= 1),
+       |chunks AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0,
+       |      CAST(ceil(len(toks) / $LineTokens.0) AS INT) - 1)) AS idx,
+       |    unnest(list_transform(
+       |      generate_series(0,
+       |        CAST(ceil(len(toks) / $LineTokens.0) AS INT) - 1),
+       |      i -> array_to_string(
+       |        toks[i * $LineTokens + 1 : i * $LineTokens + $LineTokens],
+       |        ' '))) AS line
+       |  FROM docs0)""".stripMargin
+
   /** Line-level dedup (CCNet-shaped): drop every line that appears in
     * more than [[MaxLineDocFrac]] of documents, reassemble the text in
     * line order, report how many lines were dropped per doc.
@@ -114,18 +147,9 @@ object DedupOps {
       maxDocFrac: Double = MaxLineDocFrac): DataFrame = {
     val df_ = lines.groupBy(col("line"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    lines.join(df_, "line")
+    reassembleKept(lines.join(df_, "line")
       .crossJoin(broadcast(totalDocs))
-      .withColumn("keep", col("df") <= col("n_docs") * maxDocFrac)
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(
-        struct(col("idx"), col("keep"), col("line")))).as("arr"))
-      .select(col("doc_id"),
-        concat_ws("\n",
-          expr("transform(filter(arr, x -> x.keep), x -> x.line)"))
-          .as("clean_text"),
-        expr("size(filter(arr, x -> NOT x.keep))").cast("bigint")
-          .as("removed_cnt"))
+      .withColumn("keep", col("df") <= col("n_docs") * maxDocFrac))
   }
 
   val lineDedup: GraftQuery = GraftQuery(
@@ -136,20 +160,7 @@ object DedupOps {
         d.select(countDistinct(col("doc_id")).as("n_docs")))
     },
     Some(
-      s"""WITH docs0 AS (
-         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
-         |  FROM documents WHERE len(regexp_split_to_array(text, '\\s+')) >= 1),
-         |chunks AS (
-         |  SELECT doc_id,
-         |    unnest(generate_series(0,
-         |      CAST(ceil(len(toks) / $LineTokens.0) AS INT) - 1)) AS idx,
-         |    unnest(list_transform(
-         |      generate_series(0,
-         |        CAST(ceil(len(toks) / $LineTokens.0) AS INT) - 1),
-         |      i -> array_to_string(
-         |        toks[i * $LineTokens + 1 : i * $LineTokens + $LineTokens],
-         |        ' '))) AS line
-         |  FROM docs0),
+      s"""$ChunksCte,
          |lines AS (
          |  SELECT * FROM chunks
          |  UNION ALL
@@ -176,18 +187,9 @@ object DedupOps {
   def dedupLinesWithinDoc(lines: DataFrame): DataFrame = {
     val firstOcc = Window.partitionBy(col("doc_id"), col("line"))
       .orderBy(col("idx"))
-    lines
+    reassembleKept(lines
       .withColumn("rn", row_number().over(firstOcc))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(
-        struct(col("idx"), (col("rn") === 1).as("keep"), col("line"))))
-        .as("arr"))
-      .select(col("doc_id"),
-        concat_ws("\n",
-          expr("transform(filter(arr, x -> x.keep), x -> x.line)"))
-          .as("clean_text"),
-        expr("size(filter(arr, x -> NOT x.keep))").cast("bigint")
-          .as("removed_cnt"))
+      .withColumn("keep", col("rn") === 1))
   }
 
   /** The sentinel line appended TWICE to every third doc by the driver
@@ -206,20 +208,7 @@ object DedupOps {
         .unionAll(rep.withColumn("idx", lit(100002))))
     },
     Some(
-      s"""WITH docs0 AS (
-         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
-         |  FROM documents WHERE len(regexp_split_to_array(text, '\\s+')) >= 1),
-         |chunks AS (
-         |  SELECT doc_id,
-         |    unnest(generate_series(0,
-         |      CAST(ceil(len(toks) / $LineTokens.0) AS INT) - 1)) AS idx,
-         |    unnest(list_transform(
-         |      generate_series(0,
-         |        CAST(ceil(len(toks) / $LineTokens.0) AS INT) - 1),
-         |      i -> array_to_string(
-         |        toks[i * $LineTokens + 1 : i * $LineTokens + $LineTokens],
-         |        ' '))) AS line
-         |  FROM docs0),
+      s"""$ChunksCte,
          |lines AS (
          |  SELECT * FROM chunks
          |  UNION ALL

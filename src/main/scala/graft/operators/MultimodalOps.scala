@@ -42,19 +42,22 @@ object MultimodalOps {
     else Asset(i.toLong, kind, payload, 0, 0, 8000 + 100 * (i % 80))
   }
 
+  /** Rolling 31x checksum over bytes — the shared deterministic stand-in
+    * for decoded-content identity across all three stub codecs. */
+  private def checksum(bytes: Iterable[Byte]): Long = {
+    var c = 0L
+    bytes.foreach(b => c = (c * 31 + (b & 0xff)) & 0xffffffffL)
+    c
+  }
+
   /** STUB decode: stands in for the real media decode + feature extract.
     * Deterministic over the payload so the pipeline is testable; swap the
     * body for a real codec without touching the surrounding plan. */
   def stubDecode(a: Asset): AssetFeatures = {
-    var checksum = 0L
-    var j = 0
-    while (j < a.payload.length) {
-      checksum = (checksum * 31 + (a.payload(j) & 0xff)) & 0xffffffffL
-      j += 1
-    }
     val featDim =
       if (a.kind == "image") (a.width * a.height) / 64 else a.sample_rate / 100
-    AssetFeatures(a.asset_id, a.kind, a.payload.length, checksum, featDim)
+    AssetFeatures(a.asset_id, a.kind, a.payload.length, checksum(a.payload),
+      featDim)
   }
 
   val NumAssets = 64
@@ -102,13 +105,7 @@ object MultimodalOps {
 
   private def payloadFrames(a: Asset): Seq[Frame] =
     a.payload.grouped(FrameBytes).zipWithIndex.map { case (chunk, idx) =>
-      var checksum = 0L
-      var j = 0
-      while (j < chunk.length) {
-        checksum = (checksum * 31 + (chunk(j) & 0xff)) & 0xffffffffL
-        j += 1
-      }
-      Frame(a.asset_id, idx, chunk.length, checksum)
+      Frame(a.asset_id, idx, chunk.length, checksum(chunk))
     }.toSeq
 
   /** Frame sampling: ONE binary row fans out to ceil(len/FrameBytes)
@@ -160,9 +157,7 @@ object MultimodalOps {
     val resized = a.payload.indices.collect {
       case j if j % stride == 0 => a.payload(j)
     }
-    var checksum = 0L
-    resized.foreach(b => checksum = (checksum * 31 + (b & 0xff)) & 0xffffffffL)
-    ResizedAsset(a.asset_id, tw, th, resized.length, checksum)
+    ResizedAsset(a.asset_id, tw, th, resized.length, checksum(resized))
   }
 
   val TargetW = 16

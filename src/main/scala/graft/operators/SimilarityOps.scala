@@ -304,6 +304,9 @@ object SimilarityOps {
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0L)))
           .as("hits"))
+        // NumQueries rows, feeding both union branches — without the
+        // truncation the whole sketch search would run twice
+        .localCheckpoint()
       perQuery
         .select(col("query_id").cast("string").as("query"),
           expr("hits * 10000 div n").as("recall_bp"))

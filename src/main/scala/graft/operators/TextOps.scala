@@ -338,7 +338,12 @@ object TextOps {
       }
       if (freqs.isEmpty) exhausted = true
       else {
-        val ((l, r), freq) = freqs.minBy { case ((l, r), f) => (-f, l, r) }
+        // tie-break by UTF-8 byte order — what Spark's string orderBy
+        // uses in the distributed path; JVM String ordering (UTF-16
+        // code units) disagrees on supplementary-plane symbols
+        val ((l, r), freq) = freqs.minBy { case ((l, r), f) =>
+          (-f, l, r)
+        }(Ordering.Tuple3(Ordering.Long, utf8Ordering, utf8Ordering))
         merges += ((round, l, r, freq))
         vocab = vocab.map { case (syms, cnt) => (applyMerge(syms, l, r), cnt) }
       }
@@ -392,6 +397,21 @@ object TextOps {
     },
     None)
 
+  /** UTF-8 byte order — Spark's UTF8String binary comparison, used so
+    * the local trainer tie-breaks exactly like the distributed one. */
+  private val utf8Ordering: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    var cmp = 0
+    while (cmp == 0 && i < n) {
+      cmp = (x(i) & 0xff) - (y(i) & 0xff)
+      i += 1
+    }
+    if (cmp != 0) cmp else x.length - y.length
+  }
+
   /** Greedy left-to-right application of one merge — the Scala twin of
     * [[mergeFoldExpr]] (TrainingOpsSpec holds the two equal by pinning
     * the local and distributed trainers against each other). */
@@ -410,11 +430,26 @@ object TextOps {
     out.result()
   }
 
+  /** One symbol per CODE POINT (a surrogate pair stays one symbol) —
+    * matching Spark's `split(word, '')`, which training symbolizes
+    * with; per-UTF-16-char symbols would never match merges learned
+    * over supplementary-plane text (emoji). */
+  private def codePointSyms(word: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** Apply learned BPE merges to one word (greedy left fold per merge,
     * in learned order) — the sequential tokenizer kernel. */
   private[graft] def bpeTokenize(word: String,
       merges: Seq[(String, String)]): Vector[String] =
-    merges.foldLeft(word.map(_.toString).toVector) {
+    merges.foldLeft(codePointSyms(word)) {
       case (syms, (l, r)) => applyMerge(syms, l, r)
     }
 
@@ -439,7 +474,11 @@ object TextOps {
       .mapPartitions { it =>
         val m = bc.value
         it.map { case (id, text) =>
-          val words = Option(text).getOrElse("").toLowerCase
+          // Locale.ROOT: Spark's lower() (training side) is
+          // locale-insensitive; default-locale toLowerCase would
+          // diverge on e.g. Turkish dotted/dotless i
+          val words = Option(text).getOrElse("")
+            .toLowerCase(java.util.Locale.ROOT)
             .split("\\s+").filter(_.nonEmpty)
           val bpeCnt = words.iterator.map(w => bpeTokenize(w, m).length).sum
           (id, words.length.toLong, bpeCnt.toLong)
