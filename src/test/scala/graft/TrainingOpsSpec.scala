@@ -239,6 +239,24 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("BPE handles supplementary-plane text: code-point symbols, merges apply") {
+    import spark.implicits._
+    // U+1F600 is a surrogate pair in UTF-16; training (Spark split '')
+    // and application must both treat it as ONE symbol
+    val smile = new String(Character.toChars(0x1F600))
+    val corpus = Seq((1L, s"$smile$smile $smile$smile $smile$smile ab"))
+      .toDF("doc_id", "text")
+    val merges = TextOps.learnBpeMerges(corpus, 1)
+    assert(merges.map(m => (m._2, m._3)) == Seq((smile, smile)))
+    assert(merges.head._4 == 3L)
+    // the learned merge applies during tokenization: each 2-emoji word
+    // collapses to 1 token, 'ab' stays 2 single-char symbols
+    val got = TextOps.tokenizeBpe(corpus, merges.map(m => (m._2, m._3)))
+      .collect().head
+    assert(got.getAs[Long]("word_cnt") == 4L)
+    assert(got.getAs[Long]("bpe_token_cnt") == 3L + 2L)
+  }
+
   test("BPE local and distributed trainers agree on random corpora") {
     import spark.implicits._
     // seeded generative sweep: tiny alphabet so merges collide, overlap
