@@ -318,7 +318,11 @@ object CorpusOps {
   /** Global adjacent-token-pair frequencies, top 20 — the statistic one
     * BPE merge iteration maximizes. Per-doc pair explode partial-aggs
     * map-side; the global top-k is TakeOrderedAndProject (no global
-    * sort), deterministic via the (count desc, pair asc) total order. */
+    * sort), deterministic via the (count desc, pair asc) total order.
+    * The group key is the (l, r) STRUCT — the display string is built
+    * only after aggregation (one concat per distinct pair, not one per
+    * corpus token), and the tie-break sorts on that final string so the
+    * total order is engine-independent. */
   val pairFreq: GraftQuery = GraftQuery(
     "text_pair_freq",
     (s, dir) =>
@@ -327,9 +331,12 @@ object CorpusOps {
         .filter(size(col("toks")) >= 2)
         .select(explode(expr(
           """transform(sequence(1, size(toks) - 1),
-            |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
-            |""".stripMargin)).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+            |  i -> struct(element_at(toks, i) AS l,
+            |              element_at(toks, i + 1) AS r))
+            |""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(concat(col("l"), lit(" "), col("r")).as("pair"), col("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(20),
     Some(
