@@ -302,6 +302,31 @@ object CurationOps {
          |WHERE d.bucket < r.rate_bp""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Quality-weighted sampling
+  // ---------------------------------------------------------------------
+
+  /** Quality-weighted downsample: keep each doc with probability equal
+    * to its integer quality score in basis points (a 9 000 bp doc is
+    * kept 9× as often as a 1 000 bp doc) — the upsample-the-good-tail
+    * step of corpus construction, but deterministic: membership is
+    * md5-bucket < score, so it survives reruns, re-partitioning, and
+    * incremental ingest, and any engine with md5 reproduces the exact
+    * set. Pure column expressions — scan-speed, no shuffle at all. */
+  val qualityWeighted: GraftQuery = GraftQuery(
+    "sample_quality_weighted",
+    (s, dir) =>
+      withHashBucket(docs(s, dir)
+        .withColumn("quality_bp", expr(TextOps.qualityBpSparkSql)),
+        "qw:", 10000)
+        .filter(col("bucket") < col("quality_bp"))
+        .select(col("doc_id"), col("quality_bp")),
+    Some(
+      s"""SELECT doc_id, ${TextOps.qualityBpDuckSql} AS quality_bp
+         |FROM documents
+         |WHERE ${bucketDuckSql("qw:", 10000)}
+         |  < ${TextOps.qualityBpDuckSql}""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Per-domain quota (source balancing)
   // ---------------------------------------------------------------------
 
@@ -595,6 +620,6 @@ object CurationOps {
 
   val all: Seq[GraftQuery] =
     Seq(dedupClusters, sampleSplit, sampleStratified, sampleMixture,
-      domainCap, decontaminate, curationTopK, docFreq, topTerms,
-      curationPipeline)
+      domainCap, qualityWeighted, decontaminate, curationTopK, docFreq,
+      topTerms, curationPipeline)
 }

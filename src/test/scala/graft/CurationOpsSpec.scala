@@ -120,6 +120,25 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(once.toSet == again.toSet)
   }
 
+  test("quality-weighted sample is deterministic and enriches quality") {
+    val once = CurationOps.qualityWeighted.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("quality_bp")))
+    val again = CurationOps.qualityWeighted.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("quality_bp")))
+    assert(once.toSet == again.toSet)
+    assert(once.nonEmpty)
+    once.foreach { case (_, bp) => assert(bp > 0L && bp <= 10000L) }
+    // kept-set mean quality can't fall below the corpus mean: keep
+    // probability is proportional to the score itself
+    val corpus = graft.Tables.t(spark, dir, "documents")
+      .select(expr(TextOps.qualityBpSparkSql).as("bp")).collect()
+      .map(_.getAs[Long]("bp"))
+    val corpusMean = corpus.sum.toDouble / corpus.length
+    val keptMean = once.map(_._2).sum.toDouble / once.length
+    assert(keptMean >= corpusMean,
+      f"kept mean $keptMean%.0f below corpus mean $corpusMean%.0f")
+  }
+
   test("repetition signals stay in basis-point bounds") {
     val rows = TextOps.repetition.fn(spark, dir).collect()
     assert(rows.nonEmpty)
