@@ -302,6 +302,60 @@ object CurationOps {
          |WHERE d.bucket < r.rate_bp""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Quality calibration (per-language score quantiles)
+  // ---------------------------------------------------------------------
+
+  /** The quantiles [[qualityCalibration]] reports, in basis points. */
+  val CalibrationQs: Seq[Int] = Seq(2500, 5000, 7500, 9000)
+
+  /** Per-language quality-score quantiles — the evidence a pipeline
+    * owner reads to SET the curation floor ([[curateCorpus]]'s
+    * `qualityFloorBp`) instead of guessing it. Exact integer
+    * quantiles: value at rank ceil(n·q) per language, computed with one
+    * per-language rank window joined against a broadcast (lang × q)
+    * target-rank table — deterministic under ties by construction (the
+    * VALUE at a rank is unique even when the tie order isn't), so the
+    * DuckDB oracle reproduces it bit for bit.
+    *
+    * At 100 TB the rank window over a whole language is the expensive
+    * exact path; `approx_percentile` (KLL-style sketch, one partial-agg
+    * pass) is the at-scale variant, and CurationOpsSpec pins it within
+    * tolerance of these exact values so swapping it in is a measured,
+    * not hopeful, change. */
+  val qualityCalibration: GraftQuery = GraftQuery(
+    "quality_calibration",
+    (s, dir) => {
+      import s.implicits._
+      val scored = docs(s, dir)
+        .select(col("lang"), expr(TextOps.qualityBpSparkSql).as("bp"))
+      val ranked = scored.withColumn("rn",
+        row_number().over(Window.partitionBy(col("lang")).orderBy(col("bp"))))
+      val targets = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(CalibrationQs.toDF("q_bp")))
+        .select(col("lang"), col("q_bp"),
+          expr("CAST(ceil(n * q_bp / 10000.0) AS BIGINT)").as("target"))
+      ranked.join(broadcast(targets),
+          ranked("lang") === targets("lang") && col("rn") === col("target"))
+        .select(ranked("lang"), col("q_bp"), col("bp").as("value_bp"))
+    },
+    Some(
+      s"""WITH scored AS (
+         |  SELECT lang, ${TextOps.qualityBpDuckSql} AS bp FROM documents),
+         |ranked AS (
+         |  SELECT lang, bp,
+         |    row_number() OVER (PARTITION BY lang ORDER BY bp) AS rn
+         |  FROM scored),
+         |targets AS (
+         |  SELECT c.lang, q.q_bp,
+         |    CAST(ceil(c.n * q.q_bp / 10000.0) AS BIGINT) AS target
+         |  FROM (SELECT lang, count(*) AS n FROM scored GROUP BY 1) c
+         |  CROSS JOIN (VALUES ${CalibrationQs.map("(" + _ + ")").mkString(", ")})
+         |    AS q(q_bp))
+         |SELECT r.lang, t.q_bp, r.bp AS value_bp
+         |FROM ranked r JOIN targets t
+         |  ON r.lang = t.lang AND r.rn = t.target""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Quality-weighted sampling
   // ---------------------------------------------------------------------
 
@@ -620,6 +674,6 @@ object CurationOps {
 
   val all: Seq[GraftQuery] =
     Seq(dedupClusters, sampleSplit, sampleStratified, sampleMixture,
-      domainCap, qualityWeighted, decontaminate, curationTopK, docFreq,
-      topTerms, curationPipeline)
+      domainCap, qualityWeighted, qualityCalibration, decontaminate,
+      curationTopK, docFreq, topTerms, curationPipeline)
 }

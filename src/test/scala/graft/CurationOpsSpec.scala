@@ -139,6 +139,35 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"kept mean $keptMean%.0f below corpus mean $corpusMean%.0f")
   }
 
+  test("quality calibration: exact quantiles track approx_percentile") {
+    val exact = CurationOps.qualityCalibration.fn(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("q_bp")) ->
+        r.getAs[Long]("value_bp")).toMap
+    assert(exact.nonEmpty)
+    // quantiles are monotone in q within each language
+    exact.keys.map(_._1).toSeq.distinct.foreach { lang =>
+      val vs = CurationOps.CalibrationQs.map(q => exact((lang, q)))
+      assert(vs == vs.sorted, s"$lang quantiles not monotone: $vs")
+    }
+    // the at-scale variant (sketch-based, one partial-agg pass) lands
+    // within a rank-step of the exact values — the measured evidence
+    // for swapping it in at 100 TB
+    val approx = graft.Tables.t(spark, dir, "documents")
+      .select(col("lang"),
+        expr(graft.operators.TextOps.qualityBpSparkSql).as("bp"))
+      .groupBy(col("lang"))
+      .agg(expr("approx_percentile(bp, array(0.25, 0.5, 0.75, 0.9), 10000)")
+        .as("ap"))
+      .collect()
+      .map(r => r.getAs[String]("lang") -> r.getSeq[Long](1)).toMap
+    approx.foreach { case (lang, vs) =>
+      CurationOps.CalibrationQs.zip(vs).foreach { case (q, v) =>
+        assert(math.abs(v - exact((lang, q))) <= 1500,
+          s"$lang q=$q approx $v vs exact ${exact((lang, q))}")
+      }
+    }
+  }
+
   test("repetition signals stay in basis-point bounds") {
     val rows = TextOps.repetition.fn(spark, dir).collect()
     assert(rows.nonEmpty)
