@@ -93,6 +93,32 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, "", 1L)))
   }
 
+  test("degenerate-key skew: 500 identical docs never explode the candidate join") {
+    import spark.implicits._
+    // every doc lands in the SAME band buckets — uncapped, the self-join
+    // would emit 500*499/2 ≈ 125k candidate pairs; the MaxBucketSize cap
+    // drops the degenerate buckets instead (the 100 TB skew guard)
+    val text = "the quick brown fox jumps over the lazy dog and then " +
+      "the dog chases the fox back across the meadow until both rest"
+    val clones = (1L to 500L).map(id => (id, text))
+      .toDF("doc_id", "text").repartition(8)
+    val pairs = DedupOps.minhashNearDupPairs(clones, 0.4)
+    val n = pairs.count()
+    val maxPairs =
+      DedupOps.MaxBucketSize.toLong * (DedupOps.MaxBucketSize - 1) / 2 *
+        DedupOps.Bands
+    assert(n <= maxPairs, s"candidate explosion: $n pairs")
+    // the cross-doc boilerplate remover handles the same corpus: every
+    // line is in 100% of docs, so every doc empties
+    val cleaned = DedupOps.removeBoilerplateLines(
+      clones.selectExpr("doc_id", "0 AS idx", "text AS line"),
+      clones.select(countDistinct(col("doc_id")).as("n_docs")))
+      .collect()
+    assert(cleaned.length == 500)
+    assert(cleaned.forall(_.getAs[String]("clean_text") == ""))
+    assert(cleaned.forall(_.getAs[Long]("removed_cnt") == 1L))
+  }
+
   test("intra-doc line dedup keeps first occurrences in order") {
     import spark.implicits._
     val lines = Seq(
