@@ -195,6 +195,56 @@ object CorpusOps {
         |FROM documents""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Shard export (the trainer-facing output step)
+  // ---------------------------------------------------------------------
+
+  /** Docs per shard used by the driver query (real exports pick it from
+    * target file size / mean doc size). */
+  val DocsPerShard = 100L
+
+  /** Deterministic shard assignment: shard = contiguous range of the
+    * [[sampleShuffle]] training order, so (a) membership is a pure
+    * function of doc_id — reruns, re-partitioning, and engines agree —
+    * (b) shards are size-balanced BY CONSTRUCTION (exactly
+    * `docsPerShard` docs each, last one partial), and (c) a trainer
+    * streaming shard k then k+1 reads the global shuffle order. Hash-mod
+    * sharding gets (a) and roughly (b) but never (c). */
+  def shardAssignments(d: DataFrame,
+      docsPerShard: Long = DocsPerShard): DataFrame =
+    sampleShuffle(d)
+      .select(col("doc_id"), col("shuffle_rank"),
+        expr(s"(shuffle_rank - 1) div $docsPerShard").as("shard"))
+
+  val corpusShards: GraftQuery = GraftQuery(
+    "corpus_shards",
+    (s, dir) => shardAssignments(docs(s, dir)),
+    Some(
+      s"""SELECT doc_id, shuffle_rank,
+         |  CAST((shuffle_rank - 1) // $DocsPerShard AS BIGINT) AS shard
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (
+         |      ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id)
+         |      AS BIGINT) AS shuffle_rank
+         |  FROM documents)""".stripMargin))
+
+  /** Physical shard write: one parquet directory per shard, rows sorted
+    * by shuffle_rank inside each (`sortWithinPartitions` before a
+    * partitioned write = one file per shard in rank order — the layout
+    * a data loader streams sequentially). Returns the shard count.
+    * The shuffle is one repartition keyed by shard; at 100 TB pick
+    * `docsPerShard` so a shard fits an executor's write buffer. */
+  def writeShards(d: DataFrame, outDir: String,
+      docsPerShard: Long = DocsPerShard): Long = {
+    val assigned = d.join(shardAssignments(d, docsPerShard), "doc_id")
+    assigned
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_rank"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    assigned.agg(countDistinct(col("shard"))).head.getLong(0)
+  }
+
+  // ---------------------------------------------------------------------
   // PII redaction
   // ---------------------------------------------------------------------
 
@@ -399,6 +449,6 @@ object CorpusOps {
         |FROM scaled""".stripMargin))
 
   val all: Seq[GraftQuery] =
-    Seq(packChunksQuery, sampleShuffleQuery, piiScrub, corpusStats,
-      pairFreq, embeddingQuantize)
+    Seq(packChunksQuery, sampleShuffleQuery, corpusShards, piiScrub,
+      corpusStats, pairFreq, embeddingQuantize)
 }

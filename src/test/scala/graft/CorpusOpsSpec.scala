@@ -35,6 +35,41 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def collectSorted(df: DataFrame): Seq[Seq[Any]] =
     df.orderBy("doc_id").collect().toSeq.map(_.toSeq)
 
+  test("shard export: balanced sizes, rank-ordered files, lossless round-trip") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    try {
+      val nShards = CorpusOps.writeShards(corpus, out, docsPerShard = 64L)
+      val n = corpus.count()
+      assert(nShards == (n + 63) / 64)
+      val back = spark.read.parquet(out)
+      assert(back.count() == n) // lossless
+      // every shard holds exactly 64 docs (last one partial) and a
+      // CONTIGUOUS rank range — the streaming-order property
+      val shards = back.select("shard", "shuffle_rank").collect()
+        .map(r => (r.getAs[Number]("shard").longValue(),
+          r.getAs[Long]("shuffle_rank")))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+      shards.foreach { case (shard, rows) =>
+        val ranks = rows.map(_._2).sorted
+        assert(ranks.head == shard * 64 + 1 && ranks.last == ranks.head +
+          ranks.length - 1, s"shard $shard ranks not contiguous")
+        if (shard < nShards - 1) assert(ranks.length == 64)
+      }
+      // each shard directory holds ONE data file (rank-sorted write)
+      val dirs = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("shard="))
+      assert(dirs.length == nShards)
+      dirs.foreach { d =>
+        assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+          s"${d.getName} not a single file")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("packChunks equals its naive global-window twin, any bucket size") {
     val want = collectSorted(CorpusOps.packChunksNaive(corpus))
     for (bs <- Seq(1L, 7L, 100L, 1000000L, 0L)) // 0 = adaptive default
