@@ -236,12 +236,15 @@ object CorpusOps {
     * `docsPerShard` so a shard fits an executor's write buffer. */
   def writeShards(d: DataFrame, outDir: String,
       docsPerShard: Long = DocsPerShard): Long = {
-    val assigned = d.join(shardAssignments(d, docsPerShard), "doc_id")
-    assigned
+    d.join(shardAssignments(d, docsPerShard), "doc_id")
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("shuffle_rank"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    assigned.agg(countDistinct(col("shard"))).head.getLong(0)
+    // ranks are dense 1..n by construction, so the shard count is
+    // ceil(n / docsPerShard) — a scan-only count, not a second pass
+    // through the rank/join lineage
+    val n = d.count()
+    (n + docsPerShard - 1) / docsPerShard
   }
 
   // ---------------------------------------------------------------------

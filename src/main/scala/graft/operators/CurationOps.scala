@@ -326,8 +326,11 @@ object CurationOps {
     "quality_calibration",
     (s, dir) => {
       import s.implicits._
+      // slim (lang, bp) checkpoint: the rank window and the per-lang
+      // counts both read it — the score expression evaluates once
       val scored = docs(s, dir)
         .select(col("lang"), expr(TextOps.qualityBpSparkSql).as("bp"))
+        .localCheckpoint(eager = false)
       val ranked = scored.withColumn("rn",
         row_number().over(Window.partitionBy(col("lang")).orderBy(col("bp"))))
       val targets = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
@@ -359,13 +362,19 @@ object CurationOps {
   // Quality-weighted sampling
   // ---------------------------------------------------------------------
 
-  /** Quality-weighted downsample: keep each doc with probability equal
+  /** Quality-weighted downsample: keep each doc with probability ~equal
     * to its integer quality score in basis points (a 9 000 bp doc is
-    * kept 9× as often as a 1 000 bp doc) — the upsample-the-good-tail
+    * kept ~9× as often as a 1 000 bp doc) — the upsample-the-good-tail
     * step of corpus construction, but deterministic: membership is
     * md5-bucket < score, so it survives reruns, re-partitioning, and
     * incremental ingest, and any engine with md5 reproduces the exact
-    * set. Pure column expressions — scan-speed, no shuffle at all. */
+    * set. Pure column expressions — scan-speed, no shuffle at all.
+    *
+    * "~": the 16-bit-hash-mod-10000 bucket is not perfectly uniform
+    * (buckets below 5536 occur 7/65536, the rest 6/65536 — ≤1% absolute
+    * deviation in keep rate). Both engines share the identical biased
+    * bucket, so the oracle gate is exact; size the corpus from measured
+    * keep counts, not the nominal rate, if that ≤1% matters. */
   val qualityWeighted: GraftQuery = GraftQuery(
     "sample_quality_weighted",
     (s, dir) =>

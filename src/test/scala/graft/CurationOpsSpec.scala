@@ -120,23 +120,19 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(once.toSet == again.toSet)
   }
 
-  test("quality-weighted sample is deterministic and enriches quality") {
+  test("quality-weighted sample is deterministic, in bounds, non-trivial") {
     val once = CurationOps.qualityWeighted.fn(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("quality_bp")))
     val again = CurationOps.qualityWeighted.fn(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("quality_bp")))
-    assert(once.toSet == again.toSet)
-    assert(once.nonEmpty)
+    assert(once.toSet == again.toSet) // layout/rerun-independent
+    // a real downsample: some docs kept, some dropped (exact membership
+    // is gated by the DuckDB oracle; per-doc keep is an independent
+    // hash draw, so a mean-enrichment assert would be fixture luck,
+    // not a property of the construction)
+    val total = graft.Tables.t(spark, dir, "documents").count()
+    assert(once.nonEmpty && once.length < total)
     once.foreach { case (_, bp) => assert(bp > 0L && bp <= 10000L) }
-    // kept-set mean quality can't fall below the corpus mean: keep
-    // probability is proportional to the score itself
-    val corpus = graft.Tables.t(spark, dir, "documents")
-      .select(expr(TextOps.qualityBpSparkSql).as("bp")).collect()
-      .map(_.getAs[Long]("bp"))
-    val corpusMean = corpus.sum.toDouble / corpus.length
-    val keptMean = once.map(_._2).sum.toDouble / once.length
-    assert(keptMean >= corpusMean,
-      f"kept mean $keptMean%.0f below corpus mean $corpusMean%.0f")
   }
 
   test("quality calibration: exact quantiles track approx_percentile") {
@@ -152,15 +148,17 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the at-scale variant (sketch-based, one partial-agg pass) lands
     // within a rank-step of the exact values — the measured evidence
     // for swapping it in at 100 TB
+    val pcts = CurationOps.CalibrationQs
+      .map(q => (q / 10000.0).toString).mkString(", ")
     val approx = graft.Tables.t(spark, dir, "documents")
       .select(col("lang"),
         expr(graft.operators.TextOps.qualityBpSparkSql).as("bp"))
       .groupBy(col("lang"))
-      .agg(expr("approx_percentile(bp, array(0.25, 0.5, 0.75, 0.9), 10000)")
-        .as("ap"))
+      .agg(expr(s"approx_percentile(bp, array($pcts), 10000)").as("ap"))
       .collect()
       .map(r => r.getAs[String]("lang") -> r.getSeq[Long](1)).toMap
     approx.foreach { case (lang, vs) =>
+      assert(vs.length == CurationOps.CalibrationQs.length)
       CurationOps.CalibrationQs.zip(vs).foreach { case (q, v) =>
         assert(math.abs(v - exact((lang, q))) <= 1500,
           s"$lang q=$q approx $v vs exact ${exact((lang, q))}")
