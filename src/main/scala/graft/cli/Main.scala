@@ -3,6 +3,7 @@ package graft.cli
 import graft.GraftSession
 import graft.chain.{ChainFixture, ChainOps, TransferType}
 import graft.etl.{Backfill, FixtureSource, Network, WatchTokens}
+import graft.operators.{CorpusOps, CurationOps}
 import graft.store.GraftStore
 
 import org.apache.spark.sql.SparkSession
@@ -17,7 +18,11 @@ import org.apache.spark.sql.SparkSession
   * sbt "runMain graft.cli.Main view block --store /tmp/g --number 42"
   * sbt "runMain graft.cli.Main view token-transfer --store /tmp/g --from cb58..."
   * sbt "runMain graft.cli.Main verify blocks --store /tmp/g"
+  * sbt "runMain graft.cli.Main curate --input docs.parquet --output /tmp/shards"
   * }}}
+  *
+  * `curate` is the training-data side: quality floor → exact + near-dup
+  * dedup → deterministic split → shard export, in one call.
   */
 object Main {
 
@@ -34,8 +39,9 @@ object Main {
   }
 
   private[graft] def run(spark: SparkSession, args: Array[String]): Unit = {
-    // --tables-prefix namespaces this instance's leaves (main.rs:46-50)
-    val store = new GraftStore(
+    // --tables-prefix namespaces this instance's leaves (main.rs:46-50);
+    // lazy: the corpus verbs (`curate`) take --input/--output instead
+    lazy val store = new GraftStore(
       opt(args, "store").getOrElse(sys.error("--store required")),
       tablesPrefix = opt(args, "tables-prefix").getOrElse(""))
     val network = opt(args, "network").map(Network.parse)
@@ -138,7 +144,33 @@ object Main {
               s"identity mismatches (stored max $storedMax, chain tip $tip)")
         }
 
-      case other => sys.error(s"usage: export|view|verify ... (got $other)")
+      case Some("curate") =>
+        // the training-data pipeline as one CLI call: quality floor →
+        // exact + near-dup dedup → split → shard export (the library
+        // composition curateCorpus + writeShards, end to end)
+        val in = opt(args, "input").getOrElse(sys.error("--input required"))
+        val out = opt(args, "output").getOrElse(sys.error("--output required"))
+        val floor = opt(args, "quality-floor-bp").map(_.toLong)
+          .getOrElse(3000L)
+        val threshold = opt(args, "near-dup-threshold").map(_.toDouble)
+          .getOrElse(0.4)
+        val perShard = opt(args, "docs-per-shard").map(_.toLong)
+          .getOrElse(CorpusOps.DocsPerShard)
+        val d = spark.read.parquet(in)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text"))
+        val total = d.count()
+        val curated = CurationOps.curateCorpus(d, floor, threshold)
+          .localCheckpoint()
+        val kept = curated.count()
+        val nShards = CorpusOps.writeShards(d.join(curated, "doc_id"), out,
+          perShard)
+        println(s"[curate] kept $kept of $total docs " +
+          s"(floor ${floor}bp, near-dup >= $threshold); " +
+          s"wrote $nShards shards to $out")
+
+      case other =>
+        sys.error(s"usage: export|view|verify|curate ... (got $other)")
     }
   }
 }

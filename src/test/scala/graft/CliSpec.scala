@@ -30,6 +30,34 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.toString
   }
 
+  test("curate runs the corpus pipeline end to end and writes shards") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft-curate").toString
+    val printed = captured {
+      cli.Main.run(spark, Array("curate",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out,
+        "--quality-floor-bp", "3000",
+        "--docs-per-shard", "25"))
+    }
+    assert(printed.contains("[curate] kept"))
+    assert(printed.contains("wrote"))
+    val back = spark.read.parquet(out)
+    val n = back.count()
+    assert(n > 0)
+    // the written corpus respects the floor, carries a valid split and
+    // the payload, and is exactly-once per doc
+    assert(back.filter(col("quality_bp") < 3000).count() == 0)
+    assert(back.filter(!col("split").isin("train", "val", "test"))
+      .count() == 0)
+    assert(back.filter(col("text").isNull).count() == 0)
+    assert(back.select("doc_id").distinct().count() == n)
+    // shard dirs exist with ≤ 25 docs each
+    val shards = back.groupBy("shard").count().collect()
+      .map(_.getAs[Long]("count"))
+    assert(shards.forall(_ <= 25))
+  }
+
   test("verify blocks reports the store's lag behind the chain tip") {
     val root = newRoot()
     // store stops at 196 while the fixture chain tip is 199 → lag 3
