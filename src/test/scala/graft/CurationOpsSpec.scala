@@ -31,6 +31,38 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels(10L) == 10L && labels(11L) == 10L)
   }
 
+  test("connectedComponents equals union-find on random graphs") {
+    import spark.implicits._
+    // seeded sweep over shapes the fixed cases don't cover: long
+    // chains, stars, cycles, self-loops, duplicate and reversed edges
+    val rnd = new scala.util.Random(1337)
+    for (trial <- 1 to 6) {
+      val nNodes = 20 + rnd.nextInt(60)
+      val edges = Seq.fill(10 + rnd.nextInt(80)) {
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }
+      // driver-side union-find reference
+      val parent = collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      // find() compresses to the min root because unions always point
+      // max → min, so `want` is directly comparable to comp = min id
+      val got = CurationOps
+        .connectedComponents(edges.toDF("id_a", "id_b").repartition(5))
+        .collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+      assert(got == want, s"trial $trial: $nNodes nodes diverged")
+    }
+  }
+
   test("stratified sample balances languages to ~the smallest stratum") {
     val docs = Tables.t(spark, dir, "documents")
     val mn = docs.groupBy("lang").count()

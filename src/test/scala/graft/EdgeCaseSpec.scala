@@ -118,6 +118,50 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cleaned.forall(_.getAs[Long]("removed_cnt") == 1L))
   }
 
+  test("line-dedup operators equal driver-side references on random tables") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    for (trial <- 1 to 4) {
+      val nDocs = 5 + rnd.nextInt(15)
+      // tiny line alphabet → heavy intra- and cross-doc collisions
+      val rows = (1L to nDocs.toLong).flatMap { doc =>
+        (0 until 3 + rnd.nextInt(8)).map(idx =>
+          (doc, idx, s"line${rnd.nextInt(6)}"))
+      }
+      val lines = rows.toDF("doc_id", "idx", "line").repartition(4)
+      val frac = 0.4
+      // cross-doc reference
+      val df = rows.groupBy(_._3).map { case (l, g) =>
+        l -> g.map(_._1).distinct.size
+      }
+      val keepLine = (l: String) => df(l) <= nDocs * frac
+      val wantCross = rows.groupBy(_._1).map { case (doc, g) =>
+        val sorted = g.sortBy(_._2)
+        doc -> (sorted.filter(r => keepLine(r._3)).map(_._3).mkString("\n"),
+          sorted.count(r => !keepLine(r._3)).toLong)
+      }
+      val gotCross = DedupOps.removeBoilerplateLines(lines,
+          lines.select(countDistinct(col("doc_id")).as("n_docs")), frac)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("clean_text"), r.getAs[Long]("removed_cnt")))
+        .toMap
+      assert(gotCross == wantCross, s"cross-doc diverged, trial $trial")
+      // intra-doc reference: first occurrence per (doc, line)
+      val wantIntra = rows.groupBy(_._1).map { case (doc, g) =>
+        val sorted = g.sortBy(_._2)
+        val seen = collection.mutable.Set.empty[String]
+        val kept = sorted.filter(r => seen.add(r._3))
+        doc -> (kept.map(_._3).mkString("\n"),
+          (sorted.length - kept.length).toLong)
+      }
+      val gotIntra = DedupOps.dedupLinesWithinDoc(lines)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("clean_text"), r.getAs[Long]("removed_cnt")))
+        .toMap
+      assert(gotIntra == wantIntra, s"intra-doc diverged, trial $trial")
+    }
+  }
+
   test("intra-doc line dedup keeps first occurrences in order") {
     import spark.implicits._
     val lines = Seq(
