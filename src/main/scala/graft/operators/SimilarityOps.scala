@@ -317,5 +317,41 @@ object SimilarityOps {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(bruteForce, lshTopK, ivfTopK, recallReport)
+  /** Vectors kept per IVF cell by [[diverseSample]]. */
+  val DiversePerCell = 10
+
+  /** Embedding-diversity sample: at most [[DiversePerCell]] vectors per
+    * space cell, chosen by deterministic hash rank — the
+    * spread-across-the-space subset a curation pipeline feeds to
+    * expensive downstream stages (human review, teacher scoring)
+    * instead of a uniform draw that oversamples dense regions. Takes
+    * any (vec_id, cell) partition of the space: a persisted IVF
+    * index's cells ([[buildIvfIndex]]) when one exists, or the
+    * scan-speed sign-bucket partition the driver query uses. The
+    * sample itself is one window shuffle keyed by cell. Rows-only
+    * gate (cells are engine-specific); TrainingOpsSpec pins the
+    * quota, rank shape, and determinism. */
+  def diverseSample(cells: DataFrame,
+      perCell: Int = DiversePerCell): DataFrame = {
+    val byHash = Window.partitionBy(col("cell"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    cells
+      .withColumn("rnk", row_number().over(byHash))
+      .filter(col("rnk") <= perCell)
+      .select(col("vec_id"), col("cell"), col("rnk"))
+  }
+
+  val diverse: GraftQuery = GraftQuery(
+    "sample_diverse",
+    (s, dir) =>
+      // sign-bucket cells (one codegen'd scan, no Lloyd): 6 bits → 64
+      // cells, same order of magnitude as IvfCells. With a persisted
+      // IVF index, pass its cells instead.
+      diverseSample(graft.operators.DedupOps
+        .normalizedWithBucket(emb(s, dir), bits = 6)
+        .select(col("vec_id"), col("bucket").as("cell"))),
+    None)
+
+  val all: Seq[GraftQuery] =
+    Seq(bruteForce, lshTopK, ivfTopK, recallReport, diverse)
 }

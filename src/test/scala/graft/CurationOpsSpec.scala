@@ -167,6 +167,37 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     once.foreach { case (_, bp) => assert(bp > 0L && bp <= 10000L) }
   }
 
+  test("calibration rank arithmetic equals a sequential reference on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    // random (lang, bp) tables with duplicates and tiny strata — the
+    // shapes where ceil-rank off-by-ones would hide
+    for (trial <- 1 to 4) {
+      val rows = Seq("aa", "bb", "cc").flatMap { lang =>
+        Seq.fill(1 + rnd.nextInt(40))((lang, rnd.nextInt(10) * 1000L))
+      }
+      val ranked = rows.toDF("lang", "bp").repartition(4)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang")).orderBy(col("bp"))))
+      val targets = rows.toDF("lang", "bp").groupBy("lang")
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(CurationOps.CalibrationQs.toDF("q_bp")))
+        .select(col("lang"), col("q_bp"),
+          expr("CAST(ceil(n * q_bp / 10000.0) AS BIGINT)").as("target"))
+      val got = ranked.join(broadcast(targets),
+          ranked("lang") === targets("lang") && col("rn") === col("target"))
+        .select(ranked("lang"), col("q_bp"), col("bp")).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val want = rows.groupBy(_._1).flatMap { case (lang, g) =>
+        val sorted = g.map(_._2).sorted
+        CurationOps.CalibrationQs.map(q =>
+          (lang, q) -> sorted(math.ceil(sorted.length * q / 10000.0).toInt - 1))
+      }
+      assert(got == want, s"trial $trial diverged")
+    }
+  }
+
   test("quality calibration: exact quantiles track approx_percentile") {
     val exact = CurationOps.qualityCalibration.fn(spark, dir).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Int]("q_bp")) ->

@@ -239,6 +239,36 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("diversity sample: per-cell quota, deterministic, covers every cell") {
+    val rows = SimilarityOps.diverse.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Int]("rnk")))
+    assert(rows.nonEmpty)
+    val perCell = rows.groupBy(_._2)
+    perCell.values.foreach(g =>
+      assert(g.length <= SimilarityOps.DiversePerCell))
+    // ranks are 1..k within each cell
+    perCell.values.foreach(g =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length)))
+    // deterministic across runs
+    val again = SimilarityOps.diverse.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Int]("rnk"))).toSet
+    assert(rows.toSet == again)
+    // the generic operator also rides IVF cells (the persisted-index
+    // path) with the same quota shape
+    import org.apache.spark.sql.functions.col
+    val units = graft.Tables.t(spark, dir, "embeddings")
+      .withColumn("unit", graft.functions.Vec.vec_unit(col("embedding")))
+      .filter(col("unit").isNotNull)
+      .select(col("vec_id"), col("unit")).localCheckpoint()
+    val (cells, _) = SimilarityOps.buildIvfIndex(units)
+    val viaIvf = SimilarityOps.diverseSample(cells).collect()
+    assert(viaIvf.nonEmpty)
+    viaIvf.groupBy(_.getAs[Int]("cell")).values.foreach(g =>
+      assert(g.length <= SimilarityOps.DiversePerCell))
+  }
+
   test("BPE handles supplementary-plane text: code-point symbols, merges apply") {
     import spark.implicits._
     // U+1F600 is a surrogate pair in UTF-16; training (Spark split '')
