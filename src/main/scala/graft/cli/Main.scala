@@ -156,15 +156,21 @@ object Main {
           .getOrElse(0.4)
         val perShard = opt(args, "docs-per-shard").map(_.toLong)
           .getOrElse(CorpusOps.DocsPerShard)
+        // dropDuplicates: a re-ingested batch can carry the same doc_id
+        // twice; without this the join back and the shard self-join
+        // would multiply such rows into the output
         val d = spark.read.parquet(in)
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("text"))
+          .dropDuplicates("doc_id")
         val total = d.count()
         val curated = CurationOps.curateCorpus(d, floor, threshold)
           .localCheckpoint()
         val kept = curated.count()
-        val nShards = CorpusOps.writeShards(d.join(curated, "doc_id"), out,
-          perShard)
+        // checkpoint the payload join: writeShards consumes it in
+        // several jobs (rank, offsets, write, count) — one join, not four
+        val toWrite = d.join(curated, "doc_id").localCheckpoint()
+        val nShards = CorpusOps.writeShards(toWrite, out, perShard)
         println(s"[curate] kept $kept of $total docs " +
           s"(floor ${floor}bp, near-dup >= $threshold); " +
           s"wrote $nShards shards to $out")

@@ -322,25 +322,32 @@ object CurationOps {
     * pass) is the at-scale variant, and CurationOpsSpec pins it within
     * tolerance of these exact values so swapping it in is a measured,
     * not hopeful, change. */
+  /** The exact-quantile construction over any (lang, bp) frame —
+    * [[qualityCalibration]]'s engine, also exercised directly by the
+    * generative sweep so the sweep tests the shipped arithmetic, not a
+    * copy of it. */
+  def calibrate(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val ranked = scored.withColumn("rn",
+      row_number().over(Window.partitionBy(col("lang")).orderBy(col("bp"))))
+    val targets = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(CalibrationQs.toDF("q_bp")))
+      .select(col("lang"), col("q_bp"),
+        expr("CAST(ceil(n * q_bp / 10000.0) AS BIGINT)").as("target"))
+    ranked.join(broadcast(targets),
+        ranked("lang") === targets("lang") && col("rn") === col("target"))
+      .select(ranked("lang"), col("q_bp"), col("bp").as("value_bp"))
+  }
+
   val qualityCalibration: GraftQuery = GraftQuery(
     "quality_calibration",
-    (s, dir) => {
-      import s.implicits._
+    (s, dir) =>
       // slim (lang, bp) checkpoint: the rank window and the per-lang
       // counts both read it — the score expression evaluates once
-      val scored = docs(s, dir)
+      calibrate(docs(s, dir)
         .select(col("lang"), expr(TextOps.qualityBpSparkSql).as("bp"))
-        .localCheckpoint(eager = false)
-      val ranked = scored.withColumn("rn",
-        row_number().over(Window.partitionBy(col("lang")).orderBy(col("bp"))))
-      val targets = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(CalibrationQs.toDF("q_bp")))
-        .select(col("lang"), col("q_bp"),
-          expr("CAST(ceil(n * q_bp / 10000.0) AS BIGINT)").as("target"))
-      ranked.join(broadcast(targets),
-          ranked("lang") === targets("lang") && col("rn") === col("target"))
-        .select(ranked("lang"), col("q_bp"), col("bp").as("value_bp"))
-    },
+        .localCheckpoint(eager = false)),
     Some(
       s"""WITH scored AS (
          |  SELECT lang, ${TextOps.qualityBpDuckSql} AS bp FROM documents),

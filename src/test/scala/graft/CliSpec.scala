@@ -47,9 +47,12 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n > 0)
     // the written corpus respects the floor, carries a valid split and
     // the payload, and is exactly-once per doc
-    assert(back.filter(col("quality_bp") < 3000).count() == 0)
-    assert(back.filter(!col("split").isin("train", "val", "test"))
-      .count() == 0)
+    // null-inclusive predicates: a null quality_bp/split must FAIL these
+    // checks, not slip through a null-valued filter
+    assert(back.filter(col("quality_bp").isNull ||
+      col("quality_bp") < 3000).count() == 0)
+    assert(back.filter(col("split").isNull ||
+      !col("split").isin("train", "val", "test")).count() == 0)
     assert(back.filter(col("text").isNull).count() == 0)
     assert(back.select("doc_id").distinct().count() == n)
     // shard dirs exist with ≤ 25 docs each

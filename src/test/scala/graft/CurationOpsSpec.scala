@@ -176,19 +176,11 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val rows = Seq("aa", "bb", "cc").flatMap { lang =>
         Seq.fill(1 + rnd.nextInt(40))((lang, rnd.nextInt(10) * 1000L))
       }
-      val ranked = rows.toDF("lang", "bp").repartition(4)
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("lang")).orderBy(col("bp"))))
-      val targets = rows.toDF("lang", "bp").groupBy("lang")
-        .agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(CurationOps.CalibrationQs.toDF("q_bp")))
-        .select(col("lang"), col("q_bp"),
-          expr("CAST(ceil(n * q_bp / 10000.0) AS BIGINT)").as("target"))
-      val got = ranked.join(broadcast(targets),
-          ranked("lang") === targets("lang") && col("rn") === col("target"))
-        .select(ranked("lang"), col("q_bp"), col("bp")).collect()
-        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      // the PRODUCTION construction, on arbitrary (lang, bp) input
+      val got = CurationOps.calibrate(rows.toDF("lang", "bp").repartition(4))
+        .collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Int]("q_bp")) ->
+          r.getAs[Long]("value_bp")).toMap
       val want = rows.groupBy(_._1).flatMap { case (lang, g) =>
         val sorted = g.map(_._2).sorted
         CurationOps.CalibrationQs.map(q =>

@@ -255,6 +255,14 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
         r.getAs[Int]("rnk"))).toSet
     assert(rows.toSet == again)
+    // covers every cell: the sample's cell set equals the input's
+    import org.apache.spark.sql.functions.col
+    val inputCells = graft.operators.DedupOps
+      .normalizedWithBucket(graft.Tables.t(spark, dir, "embeddings"),
+        bits = 6)
+      .select(col("bucket")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(rows.map(_._2).toSet == inputCells)
     // the generic operator also rides IVF cells (the persisted-index
     // path) with the same quota shape
     import org.apache.spark.sql.functions.col
