@@ -201,6 +201,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("quality-weighted sample is pure scan — zero exchanges") {
+    val df = SparkEntry.queries("sample_quality_weighted")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("diversity sample is one window shuffle keyed by cell") {
+    val df = SparkEntry.queries("sample_diverse")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("hashpartitioning(cell"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert("Exchange ".r.findAllIn(p).size == 1, p)
+  }
+
   test("scalable identity check single-partitions only the per-bucket offsets") {
     val blocks = graft.chain.ChainFixture.build(200).blocksDF(spark)
     val df = graft.chain.ChainOps.identityMismatchesScalable(blocks, 50L)
