@@ -111,8 +111,9 @@ object CurationOps {
             expr(s"transform(embedding, x -> x * CAST($scale AS FLOAT))")
               .as("embedding"))
       val all = DedupOps
-        .normalizedWithBucket(
-          base.unionAll(copy(1000000, "1.001")).unionAll(copy(2000000, "1.002")))
+        .normalizedWithCappedBucket(
+          base.unionAll(copy(1000000, "1.001")).unionAll(copy(2000000, "1.002")),
+          "vec_id")
         .localCheckpoint()
       val a = all.select(col("vec_id").as("id_a"), col("bucket"),
         col("unit").as("u_a"))

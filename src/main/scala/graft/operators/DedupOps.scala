@@ -722,6 +722,16 @@ object DedupOps {
   // Embedding-cosine near-dup
   // ---------------------------------------------------------------------
 
+  /** Sign bits of embedding dimensions [from, to], packed into a Long
+    * (first dimension = most significant). try_element_at: a vector
+    * shorter than `to` contributes 0-bits past its length instead of an
+    * out-of-bounds error (EdgeCaseSpec). */
+  private def signBits(from: Int, to: Int): Column = expr(
+    s"""aggregate(sequence($from, $to), 0L,
+      |  (acc, i) -> shiftleft(acc, 1) +
+      |    IF(coalesce(try_element_at(embedding, i) >= 0, false), 1L, 0L))
+      |""".stripMargin)
+
   /** Unit-normalized embedding + sign-LSH bucket over the first `bits`
     * dimensions (axis-aligned hyperplanes: stable under the scale
     * perturbation of injected dups). Wider buckets (fewer bits) trade
@@ -730,13 +740,76 @@ object DedupOps {
   def normalizedWithBucket(e: DataFrame, bits: Int = 16): DataFrame =
     e.withColumn("unit", graft.functions.Vec.vec_unit(col("embedding")))
       .filter(col("unit").isNotNull)
-      // try_element_at: a vector shorter than `bits` contributes 0-bits
-      // past its length instead of an out-of-bounds error (EdgeCaseSpec)
-      .withColumn("bucket", expr(
-        s"""aggregate(sequence(1, $bits), 0L,
-          |  (acc, i) -> acc * 2 +
-          |    IF(coalesce(try_element_at(embedding, i) >= 0, false), 1L, 0L))
-          |""".stripMargin))
+      .withColumn("bucket", signBits(1, bits))
+
+  /** In-bucket population cap for the embedding-cosine family — the
+    * analogue of [[MaxBucketSize]] for sign buckets. In-bucket pair
+    * generation is quadratic in the densest bucket, and on clustered
+    * real-world embeddings (the 100 TB case) axis-aligned sign buckets
+    * concentrate mass exactly where the corpus does. */
+  val EmbBucketCap = 1024
+
+  /** [[normalizedWithBucket]] hardened for clustered corpora: any bucket
+    * holding more than `cap` vectors gets `step` further sign bits
+    * appended — recursively, until every bucket is ≤ `cap` or `maxBits`
+    * dimensions are consumed — and a bucket still over the cap at
+    * `maxBits` (vectors agreeing in every tested sign, e.g. an
+    * exact-duplicate pileup) is truncated to its `cap` lowest-xxhash64
+    * members, the same policy [[MaxBucketSize]] applies to LSH band
+    * buckets. Identically-directed vectors agree in ALL sign bits, so
+    * sub-splitting never separates a true dup pair; only the final
+    * truncation is lossy, and only inside a single still-over-cap bucket
+    * (documented recall trade, mirrored from the band index).
+    *
+    * The returned `bucket` encodes (prefix value, prefix length), so
+    * buckets finalized at different depths can never collide on the
+    * self-join key. Scale shape: each level aggregates bucket counts
+    * (map-side partial) and keeps only the OVERSIZED bucket ids — at
+    * most rows/cap entries, so the anti/semi joins against it broadcast
+    * under AQE; only the still-oversized remainder is re-keyed. The
+    * driver reads one boolean per level (is anything still oversized? —
+    * the [[graft.operators.CurationOps.connectedComponents]] pattern),
+    * so the common isotropic path pays exactly one bucket-count
+    * aggregation and exits. */
+  def normalizedWithCappedBucket(e: DataFrame, idCol: String,
+      bits: Int = 16, cap: Int = EmbBucketCap, step: Int = 8,
+      maxBits: Int = 48): DataFrame = {
+    require(cap > 0 && step > 0 && maxBits > bits && maxBits <= 57,
+      "need cap > 0, step > 0, bits < maxBits <= 57")
+    // (value, length) -> collision-free Long key: length fits in 6 bits
+    def finalized(df: DataFrame, nbits: Int): DataFrame =
+      df.withColumn("bucket", shiftleft(col("bucket"), 6) + lit(nbits.toLong))
+    var cur = normalizedWithBucket(e, bits).localCheckpoint(eager = false)
+    var nbits = bits
+    val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var oversized = true
+    while (oversized && nbits < maxBits) {
+      val over = cur.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") > cap).select("bucket")
+        .localCheckpoint(eager = false)
+      if (over.isEmpty) {
+        done += finalized(cur, nbits)
+        oversized = false
+      } else {
+        val w = math.min(step, maxBits - nbits)
+        done += finalized(cur.join(over, Seq("bucket"), "left_anti"), nbits)
+        cur = cur.join(over, Seq("bucket"), "left_semi")
+          .withColumn("bucket",
+            shiftleft(col("bucket"), w) + signBits(nbits + 1, nbits + w))
+          .localCheckpoint(eager = false)
+        nbits += w
+      }
+    }
+    if (oversized) {
+      // maxBits exhausted with dense buckets left (sign-identical
+      // vectors): truncate to the cap by hash rank — the lossy step
+      val rk = Window.partitionBy("bucket").orderBy(xxhash64(col(idCol)))
+      done += finalized(
+        cur.withColumn("rk", row_number().over(rk))
+          .filter(col("rk") <= cap).drop("rk"), nbits)
+    }
+    done.reduce(_ unionAll _)
+  }
 
   /** Near-dup pairs: in-bucket pairwise cosine >= threshold. Injected
     * copies are scaled by 1.001 (identical direction ⇒ cosine 1). */
@@ -748,7 +821,9 @@ object DedupOps {
         .select((col("vec_id") + 1000000).as("vec_id"),
           expr("transform(embedding, x -> x * CAST(1.001 AS FLOAT))")
             .as("embedding"))
-      val all = normalizedWithBucket(base.unionAll(dups)).localCheckpoint()
+      val all =
+        normalizedWithCappedBucket(base.unionAll(dups), "vec_id")
+          .localCheckpoint()
       val a = all.select(col("vec_id").as("id_a"), col("bucket"),
         col("unit").as("u_a"))
       val b = all.select(col("vec_id").as("id_b"), col("bucket"),

@@ -58,6 +58,53 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       pairs.contains((i.toLong, i + 1000000L))))
   }
 
+  test("capped sign buckets: clustered corpus stays under the cap, dups survive") {
+    // The driver corpus is isotropic (16-bit sign buckets are tiny); the
+    // 100 TB case is CLUSTERED embeddings, where one dense bucket makes
+    // in-bucket pair generation quadratic. Build that corpus: 300 points
+    // in one tight cluster whose first 16 dims are firmly positive (all
+    // share the all-ones 16-bit bucket) with sign-random tail dims (so
+    // sub-splitting can separate them), 100 IDENTICAL vectors (agree in
+    // every sign bit — unsplittable, must hit the truncation path), 50
+    // isotropic background points, and 10 exact-direction dup copies.
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    def clusterPoint(): Seq[Float] =
+      (Seq.fill(16)(1.0f) ++ Seq.fill(16)(0.0f))
+        .map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+    val cluster = (0 until 300).map(i => (i.toLong, clusterPoint()))
+    val pileup = (2000 until 2100).map(i => (i.toLong, Seq.fill(dim)(-1.0f)))
+    val noise = (500 until 550).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val dups = cluster.take(10).map { case (id, v) =>
+      (id + 1000000L, v.map(_ * 1.001f))
+    }
+    import spark.implicits._
+    val corpus = (cluster ++ pileup ++ noise ++ dups)
+      .toDF("vec_id", "embedding")
+    val cap = 32
+    val all = DedupOps
+      .normalizedWithCappedBucket(corpus, "vec_id", cap = cap)
+      .localCheckpoint()
+    // 1. no bucket exceeds the cap — the quadratic corner is closed
+    val maxBucket = all.groupBy("bucket").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxBucket <= cap, s"bucket of $maxBucket exceeds cap $cap")
+    // 2. the unsplittable pileup was truncated to exactly `cap` members,
+    //    everything else survived intact
+    assert(all.count() == cluster.size + noise.size + dups.size + cap)
+    // 3. every exact-direction dup pair is still found in-bucket
+    val a = all.select(col("vec_id").as("id_a"), col("bucket"),
+      col("unit").as("u_a"))
+    val b = all.select(col("vec_id").as("id_b"), col("bucket"),
+      col("unit").as("u_b"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.Vec.vec_dot(col("u_a"), col("u_b")) >= 0.99)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 10).forall(i => pairs.contains((i.toLong, i + 1000000L))))
+  }
+
   test("sketch ANN recall vs brute force is >= 0.8 at sf0.01") {
     // sf0.01 (n=500): the rescore budget (150) is a real subset of the
     // corpus, so this exercises the sketch ranking, not a full scan.
