@@ -43,7 +43,9 @@ object GraftExtensions {
 
   private def intLit(fn: String, arg: String)(e: Expression): Int = e match {
     case Literal(v: Int, _) => v
-    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Long, _) if v.isValidInt => v.toInt
+    case Literal(v: Long, _) => throw new IllegalArgumentException(
+      s"$fn: $arg must fit in a 32-bit integer, got $v")
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
   }

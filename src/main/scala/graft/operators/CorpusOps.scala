@@ -208,7 +208,14 @@ object CorpusOps {
     * (b) shards are size-balanced BY CONSTRUCTION (exactly
     * `docsPerShard` docs each, last one partial), and (c) a trainer
     * streaming shard k then k+1 reads the global shuffle order. Hash-mod
-    * sharding gets (a) and roughly (b) but never (c). */
+    * sharding gets (a) and roughly (b) but never (c).
+    *
+    * PRECONDITION: `doc_id` is unique in `d` (true after any of the dedup
+    * operators; `Main.curate` also dropDuplicates explicitly). Duplicate
+    * ids would make the rank tie-break nondeterministic and the join back
+    * in [[writeShards]] multiply rows, breaking the exactly-docsPerShard
+    * and shard-count invariants. Not deduped defensively here: that would
+    * charge every correct caller an extra full-corpus shuffle. */
   def shardAssignments(d: DataFrame,
       docsPerShard: Long = DocsPerShard): DataFrame =
     sampleShuffle(d)
@@ -233,7 +240,8 @@ object CorpusOps {
     * partitioned write = one file per shard in rank order — the layout
     * a data loader streams sequentially). Returns the shard count.
     * The shuffle is one repartition keyed by shard; at 100 TB pick
-    * `docsPerShard` so a shard fits an executor's write buffer. */
+    * `docsPerShard` so a shard fits an executor's write buffer.
+    * Same unique-`doc_id` precondition as [[shardAssignments]]. */
   def writeShards(d: DataFrame, outDir: String,
       docsPerShard: Long = DocsPerShard): Long = {
     d.join(shardAssignments(d, docsPerShard), "doc_id")

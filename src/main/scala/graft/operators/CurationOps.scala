@@ -261,14 +261,26 @@ object CurationOps {
     * scan + one hash compare. No shuffle of document rows at all. */
   /** [[sampleMixture]]'s engine: resample `d` (doc_id, lang) to the
     * target `weights` (integer shares; any total). See the query doc for
-    * the arithmetic. */
+    * the arithmetic. Weights must be positive (rejected up front — a
+    * zero weight would null the achievable total and silently empty the
+    * output), and every weighted language must exist in the corpus: an
+    * absent stratum makes the target unachievable, so it raises when the
+    * query runs rather than silently mis-targeting the mixture. */
   def mixtureSample(d: DataFrame, weights: Seq[(String, Long)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"mixtureSample: every weight must be positive, got $weights")
     val s = d.sparkSession
     import s.implicits._
     val total = weights.map(_._2).sum
     val wdf = weights.toDF("lang", "w")
-    val cw = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
-      .join(broadcast(wdf), "lang")
+    val cw = wdf
+      .join(d.groupBy(col("lang")).agg(count(lit(1)).as("cnt")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("w"),
+        coalesce(col("cnt"),
+          raise_error(concat(
+            lit("mixtureSample: weighted language missing from corpus: "),
+            col("lang"))).cast("bigint")).as("cnt"))
     val tmax = cw.agg(min(expr(s"cnt * $total div w")).as("t"))
     val rates = cw.crossJoin(broadcast(tmax))
       .select(col("lang"),

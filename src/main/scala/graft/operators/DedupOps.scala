@@ -93,11 +93,26 @@ object DedupOps {
            |""".stripMargin)))
       .toDF("doc_id", "idx", "line")
 
+  /** First free line index of a doc = its chunk count (idx is 0-based),
+    * recomputed from the text at scan level — sentinel lines appended at
+    * `chunkCount + k` can never collide with a real line index, at any
+    * document length. */
+  private def chunkCount: Column =
+    coalesce(
+      ceil(size(split(col("text"), "\\s+")) / lit(LineTokens.toDouble))
+        .cast("int"),
+      lit(0))
+
+  /** The same first-free-index expression for the DuckDB oracle side. */
+  private def chunkCountSql: String =
+    s"coalesce(CAST(ceil(len(regexp_split_to_array(text, '\\s+')) / " +
+      s"$LineTokens.0) AS INT), 0)"
+
   /** [[relined]] plus the boilerplate line appended to even doc_ids. */
   private def relinedWithBoiler(d: DataFrame): DataFrame =
     relined(d)
       .unionAll(d.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id"), lit(100000).as("idx"),
+        .select(col("doc_id"), chunkCount.as("idx"),
           lit(BoilerLine).as("line")))
 
   /** (doc_id, idx, keep, line) → (doc_id, clean_text, removed_cnt):
@@ -164,7 +179,7 @@ object DedupOps {
          |lines AS (
          |  SELECT * FROM chunks
          |  UNION ALL
-         |  SELECT doc_id, 100000 AS idx, '$BoilerLine' AS line
+         |  SELECT doc_id, $chunkCountSql AS idx, '$BoilerLine' AS line
          |  FROM documents WHERE doc_id % 2 = 0),
          |df AS (SELECT line, count(DISTINCT doc_id) AS df
          |       FROM lines GROUP BY 1),
@@ -201,21 +216,21 @@ object DedupOps {
     (s, dir) => {
       val d = docs(s, dir)
       val rep = d.filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), lit(100001).as("idx"),
+        .select(col("doc_id"), chunkCount.as("idx"),
           lit(RepeatLine).as("line"))
       dedupLinesWithinDoc(relined(d)
         .unionAll(rep)
-        .unionAll(rep.withColumn("idx", lit(100002))))
+        .unionAll(rep.withColumn("idx", col("idx") + 1)))
     },
     Some(
       s"""$ChunksCte,
          |lines AS (
          |  SELECT * FROM chunks
          |  UNION ALL
-         |  SELECT doc_id, 100001 AS idx, '$RepeatLine' AS line
+         |  SELECT doc_id, $chunkCountSql AS idx, '$RepeatLine' AS line
          |  FROM documents WHERE doc_id % 3 = 0
          |  UNION ALL
-         |  SELECT doc_id, 100002 AS idx, '$RepeatLine' AS line
+         |  SELECT doc_id, $chunkCountSql + 1 AS idx, '$RepeatLine' AS line
          |  FROM documents WHERE doc_id % 3 = 0),
          |ranked AS (
          |  SELECT doc_id, idx, line,

@@ -26,10 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object LayoutOps {
 
-  /** Bit-spread of the low 32 bits of a long: bit i moves to bit 2i
-    * (Morton "part1by1", closed form). */
+  /** Bit-spread of the low 31 bits of a long: bit i moves to bit 2i
+    * (Morton "part1by1", closed form). 31 bits per dimension — not 32 —
+    * so the two-dim interleave tops out at bit 62 and [[zValue]]'s
+    * odd-position shift can never reach the sign bit, where engines
+    * disagree on signed-overflow behavior (Spark's shiftleft wraps,
+    * other engines may error or saturate). */
   def part1by1(c: Column): Column = {
-    val masked = c.bitwiseAND(lit(4294967295L)) // 0xFFFFFFFF
+    val masked = c.bitwiseAND(lit(2147483647L)) // 0x7FFFFFFF
     val s1 = masked.bitwiseOR(shiftleft(masked, 16))
       .bitwiseAND(lit(281470681808895L)) // 0x0000FFFF0000FFFF
     val s2 = s1.bitwiseOR(shiftleft(s1, 8))
@@ -42,16 +46,18 @@ object LayoutOps {
       .bitwiseAND(lit(6148914691236517205L)) // 0x5555555555555555
   }
 
-  /** Z-value (Morton code) of two non-negative 32-bit dimensions: bits
+  /** Z-value (Morton code) of two non-negative 31-bit dimensions: bits
     * of `a` land on even positions, bits of `b` on odd. Z-order-sorted
-    * data clusters both dimensions into contiguous runs. */
+    * data clusters both dimensions into contiguous runs. Inputs wider
+    * than 31 bits are masked (hash the dimension first if its high bits
+    * carry information — the store path uses an address HASH anyway). */
   def zValue(a: Column, b: Column): Column =
     part1by1(a).bitwiseOR(shiftleft(part1by1(b), 1))
 
   /** The same spread as a DuckDB SQL step chain over column `x`,
     * emitting intermediate names `p`. */
   private def duckSpreadSteps(x: String, p: String): String =
-    s"""(SELECT *, CAST($x AS BIGINT) & 4294967295 AS ${p}0 FROM __in__),
+    s"""(SELECT *, CAST($x AS BIGINT) & 2147483647 AS ${p}0 FROM __in__),
        |s1_$p AS (SELECT *, (${p}0 | (${p}0 << 16)) & 281470681808895 AS ${p}1 FROM s0_$p),
        |s2_$p AS (SELECT *, (${p}1 | (${p}1 << 8)) & 71777214294589695 AS ${p}2 FROM s1_$p),
        |s3_$p AS (SELECT *, (${p}2 | (${p}2 << 4)) & 1085102592571150095 AS ${p}3 FROM s2_$p),

@@ -139,6 +139,28 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSet == again.toSet)
   }
 
+  test("mixture sample rejects bad weights and missing languages loudly") {
+    import spark.implicits._
+    val corpus = ((0L until 10L).map(i => (i, "en")) ++
+      (10L until 20L).map(i => (i, "fr"))).toDF("doc_id", "lang")
+    // zero / negative weights: rejected before any job runs
+    intercept[IllegalArgumentException] {
+      CurationOps.mixtureSample(corpus, Seq("en" -> 0L, "fr" -> 100L))
+    }
+    intercept[IllegalArgumentException] {
+      CurationOps.mixtureSample(corpus, Seq.empty)
+    }
+    // a weighted language absent from the corpus: raises at run time
+    // instead of silently mis-targeting the remaining strata
+    val err = intercept[Exception] {
+      CurationOps.mixtureSample(corpus,
+        Seq("en" -> 50L, "zz" -> 50L)).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(err).contains("missing from corpus"))
+  }
+
   test("domain cap keeps at most N per source, stable under repartitioning") {
     import spark.implicits._
     val d = (0L until 300L).map(i => (i, s"src${i % 3}"))

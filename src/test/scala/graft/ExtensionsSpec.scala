@@ -87,4 +87,16 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(err.getMessage.contains("integer literal"))
   }
+
+  test("Long kernel parameters past Int range are rejected, not truncated") {
+    import spark.implicits._
+    Seq("a b c d e f").toDF("text").createOrReplaceTempView("tk2")
+    // 4294967297 = 2^32 + 1 truncates to n=1 if accepted silently
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_shingle_hashes(split(text, ' '), 4294967297) FROM tk2")
+        .collect()
+    }
+    assert(err.getMessage.contains("32-bit"))
+  }
 }

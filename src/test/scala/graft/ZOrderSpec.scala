@@ -24,11 +24,13 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = spark.stop()
 
   /** Reference Morton code: per-bit loop, independent of the closed-form
-    * shift/mask chain under test. */
+    * shift/mask chain under test. 31 bits per dimension (the zValue
+    * contract — bit 62 is the top interleave bit, the sign bit is never
+    * touched in any engine). */
   private def mortonRef(a: Long, b: Long): Long = {
     var z = 0L
     var i = 0
-    while (i < 32) {
+    while (i < 31) {
       z |= ((a >> i) & 1L) << (2 * i)
       z |= ((b >> i) & 1L) << (2 * i + 1)
       i += 1
@@ -39,7 +41,7 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("closed-form z-value equals the per-bit reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
-    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (4294967295L, 4294967295L)) ++
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (2147483647L, 2147483647L)) ++
       Seq.fill(200)((rnd.nextInt(Int.MaxValue).toLong,
         rnd.nextInt(Int.MaxValue).toLong))
     val got = cases.toDF("a", "b")
