@@ -22,7 +22,16 @@ import org.apache.spark.sql.SparkSession
   * }}}
   *
   * `curate` is the training-data side: quality floor → exact + near-dup
-  * dedup → deterministic split → shard export, in one call.
+  * dedup → deterministic split → shard export, in one call. Optional
+  * stages, each wired to its library operator:
+  *  - `--pii-scrub` scrubs emails/IPs/long digit runs before anything
+  *    else sees the text;
+  *  - `--decontaminate-against eval.parquet` (with
+  *    `--max-contamination-bp N`, default 1000) drops docs whose 5-gram
+  *    overlap with the eval set reaches the threshold;
+  *  - `--domain-cap N` keeps at most N docs per `source`;
+  *  - `--target-mixture lang:w,...` resamples to the target language
+  *    mix (predicting a lang when the input carries none).
   */
 object Main {
 
@@ -145,9 +154,11 @@ object Main {
         }
 
       case Some("curate") =>
-        // the training-data pipeline as one CLI call: quality floor →
-        // exact + near-dup dedup → split → shard export (the library
-        // composition curateCorpus + writeShards, end to end)
+        // the training-data pipeline as one CLI call: (pii scrub) →
+        // quality floor → exact + near-dup dedup → (decontaminate →
+        // domain cap → target mixture) → split → shard export — each
+        // optional stage wired to its library operator
+        import org.apache.spark.sql.functions.col
         val in = opt(args, "input").getOrElse(sys.error("--input required"))
         val out = opt(args, "output").getOrElse(sys.error("--output required"))
         val floor = opt(args, "quality-floor-bp").map(_.toLong)
@@ -156,22 +167,63 @@ object Main {
           .getOrElse(0.4)
         val perShard = opt(args, "docs-per-shard").map(_.toLong)
           .getOrElse(CorpusOps.DocsPerShard)
+        val raw = spark.read.parquet(in)
+        // carry lang/source through when present — the mixture and
+        // domain-cap stages key on them
+        val payloadCols = Seq("doc_id", "text") ++
+          Seq("lang", "source").filter(raw.columns.contains)
         // dropDuplicates: a re-ingested batch can carry the same doc_id
         // twice; without this the join back and the shard self-join
         // would multiply such rows into the output
-        val d = spark.read.parquet(in)
-          .select(org.apache.spark.sql.functions.col("doc_id"),
-            org.apache.spark.sql.functions.col("text"))
+        val deduped = raw.select(payloadCols.map(col): _*)
           .dropDuplicates("doc_id")
+        // --pii-scrub runs FIRST: quality, dedup, and the written shards
+        // all see the scrubbed text
+        val d =
+          if (args.contains("--pii-scrub"))
+            deduped.withColumn("text", CorpusOps.scrubText(col("text")))
+          else deduped
         val total = d.count()
         val curated = CurationOps.curateCorpus(d, floor, threshold)
           .localCheckpoint()
-        val kept = curated.count()
+        var kept = d.join(curated, "doc_id")
+        // --decontaminate-against eval.parquet: drop docs whose 5-gram
+        // overlap with the eval set reaches --max-contamination-bp
+        opt(args, "decontaminate-against").foreach { evalPath =>
+          kept = CurationOps.decontaminateAgainst(kept,
+            spark.read.parquet(evalPath).select("doc_id", "text"),
+            opt(args, "max-contamination-bp").map(_.toLong).getOrElse(1000L))
+        }
+        // --domain-cap N: at most N docs per source, deterministic
+        opt(args, "domain-cap").foreach { n =>
+          if (!kept.columns.contains("source"))
+            sys.error("--domain-cap requires a 'source' column in the input")
+          kept = kept.join(
+            CurationOps.capPerDomain(kept.select("doc_id", "source"), n.toInt)
+              .select("doc_id"), "doc_id")
+        }
+        // --target-mixture lang:w,...: resample to the target language
+        // mix; predicts a lang when the input doesn't carry one
+        opt(args, "target-mixture").foreach { spec =>
+          val weights = spec.split(",").toSeq.map { kv =>
+            kv.split(":") match {
+              case Array(l, w) => l -> w.toLong
+              case _ => sys.error(s"--target-mixture: bad entry '$kv', " +
+                "expected lang:weight[,lang:weight...]")
+            }
+          }
+          if (!kept.columns.contains("lang"))
+            kept = graft.operators.TextOps.withPredictedLang(kept)
+          kept = kept.join(
+            CurationOps.mixtureSample(kept.select("doc_id", "lang"), weights)
+              .select("doc_id"), "doc_id")
+        }
         // checkpoint the payload join: writeShards consumes it in
         // several jobs (rank, offsets, write, count) — one join, not four
-        val toWrite = d.join(curated, "doc_id").localCheckpoint()
+        val toWrite = kept.localCheckpoint()
+        val keptN = toWrite.count()
         val nShards = CorpusOps.writeShards(toWrite, out, perShard)
-        println(s"[curate] kept $kept of $total docs " +
+        println(s"[curate] kept $keptN of $total docs " +
           s"(floor ${floor}bp, near-dup >= $threshold); " +
           s"wrote $nShards shards to $out")
 

@@ -515,6 +515,37 @@ object CurationOps {
          |WHERE g.bucket >= 90
          |GROUP BY 1""".stripMargin))
 
+  /** Removes from `d` (doc_id, text, ...) every document whose distinct
+    * token-5-gram overlap with the `eval` corpus reaches `maxMatchedBp`
+    * basis points — the [[decontaminate]] probe applied as a FILTER:
+    * curate a training corpus against a held-out eval set so no eval
+    * content leaks into the shards (`curate --decontaminate-against`).
+    *
+    * Scale shape: eval sets are small by nature, so their distinct gram
+    * hashes broadcast; the corpus side is one scan (grams never
+    * materialize as strings — the codegen'd xxhash64 shingle kernel) +
+    * one keyed agg + a left-anti join on doc_id. Docs with < 5 tokens
+    * carry no grams and always pass. */
+  def decontaminateAgainst(d: DataFrame, eval: DataFrame,
+      maxMatchedBp: Long = 1000L): DataFrame = {
+    def grams(df: DataFrame) = df
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"),
+        explode(graft.functions.Vec.shingle_hashes(col("toks"), 5))
+          .as("gram"))
+    val evalGrams = grams(eval).select("gram").distinct()
+    val contaminated = grams(d)
+      .join(broadcast(evalGrams.withColumn("hit", lit(1L))),
+        Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(expr("sum(coalesce(hit, 0)) * 10000 div count(1)")
+        .as("matched_bp"))
+      .filter(col("matched_bp") >= maxMatchedBp)
+      .select("doc_id")
+    d.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   // ---------------------------------------------------------------------
   // Per-group quality selection
   // ---------------------------------------------------------------------

@@ -214,6 +214,22 @@ object TextOps {
          |FROM documents""".stripMargin
     })
 
+  /** Appends a predicted `lang` column to a (doc_id, text, ...) frame
+    * via the [[langId]] stopword vote — the reusable form for corpora
+    * that do not carry a language column (`curate --target-mixture` on a
+    * raw corpus). Same expression family as the oracled query: hit
+    * counts per language off one token array, array_max struct tiebreak.
+    * Scan-level, no shuffle. */
+  def withPredictedLang(d: DataFrame): DataFrame = {
+    val votes = stopwords.keys.toSeq.sorted.map { c =>
+      s"struct(size(filter(__toks, x -> x IN (${sqlList(stopwords(c))})))" +
+        s" AS hits, '$c' AS code)"
+    }.mkString(", ")
+    d.withColumn("__toks", split(lower(col("text")), "\\s+"))
+      .withColumn("lang", expr(s"array_max(array($votes)).code"))
+      .drop("__toks")
+  }
+
   /** Intra-document repetition signals (the Gopher-style "repetitious
     * text" filters): for each doc, the share of word-2-grams that are
     * repeats and the share claimed by the single most frequent 2-gram.

@@ -30,6 +30,69 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.toString
   }
 
+  test("curate --pii-scrub and --decontaminate-against filter content") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-curate-flags")
+    val corpusPath = s"$root/corpus.parquet"
+    val evalPath = s"$root/eval.parquet"
+    val out = s"$root/shards"
+    // eval set: 3 docs of 8 distinct tokens each
+    val evalDocs = (0 until 3).map(i =>
+      (100L + i, (0 until 8).map(j => s"eval${i}tok$j").mkString(" ")))
+    // corpus: 40 clean docs, 2 with an email, 3 verbatim eval copies
+    val clean = (0 until 40).map(i =>
+      (i.toLong, (0 until 10).map(j => s"doc${i}word$j").mkString(" ")))
+    val pii = Seq(
+      (50L, "contact alice@example.com for the full data card today"),
+      (51L, "or write bob@example.com about the remaining license terms"))
+    val contaminated = evalDocs.map { case (id, t) => (id + 900, t) }
+    (clean ++ pii ++ contaminated).toDF("doc_id", "text")
+      .write.parquet(corpusPath)
+    evalDocs.toDF("doc_id", "text").write.parquet(evalPath)
+    val printed = captured {
+      cli.Main.run(spark, Array("curate",
+        "--input", corpusPath, "--output", out,
+        "--quality-floor-bp", "0", "--near-dup-threshold", "0.95",
+        "--docs-per-shard", "10",
+        "--pii-scrub",
+        "--decontaminate-against", evalPath,
+        "--max-contamination-bp", "5000"))
+    }
+    assert(printed.contains("[curate] kept"))
+    val back = spark.read.parquet(out)
+    val ids = back.select("doc_id").collect().map(_.getLong(0)).toSet
+    // eval copies are gone, clean docs survive
+    assert(contaminated.forall { case (id, _) => !ids.contains(id) })
+    assert(clean.forall { case (id, _) => ids.contains(id) })
+    // emails scrubbed in the written payload
+    assert(back.filter(col("text").contains("@example.com")).count() == 0)
+    assert(back.filter(col("text").contains("<EMAIL>")).count() == 2)
+  }
+
+  test("curate --domain-cap and --target-mixture shape the output corpus") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft-curate-mix").toString
+    val printed = captured {
+      cli.Main.run(spark, Array("curate",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out,
+        "--quality-floor-bp", "0", "--docs-per-shard", "25",
+        "--domain-cap", "30",
+        "--target-mixture", "en:50,fr:50"))
+    }
+    assert(printed.contains("wrote"))
+    val back = spark.read.parquet(out)
+    // mixture: only the weighted languages remain, both represented
+    val langs = back.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(langs == Set("en", "fr"), s"langs: $langs")
+    // domain cap: at most 30 docs per source
+    val perSource = back.groupBy("source").count().collect()
+      .map(_.getAs[Long]("count"))
+    assert(perSource.nonEmpty && perSource.forall(_ <= 30))
+  }
+
   test("curate runs the corpus pipeline end to end and writes shards") {
     import org.apache.spark.sql.functions._
     val out = Files.createTempDirectory("graft-curate").toString
