@@ -1,7 +1,8 @@
 package graft.streaming
 
-import graft.operators.{DedupOps, TextOps}
-import org.apache.spark.sql.DataFrame
+import graft.operators.{CorpusOps, DedupOps, TextOps}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -60,4 +61,67 @@ object StreamingCuration {
     (survivors,
       DedupOps.buildBandIndex(survivors.select(col("doc_id"), col("text"))))
   }
+
+  /** The running band index as an at-rest parquet table: the batch
+    * schema of [[DedupOps.buildBandIndex]] (doc_id, band, band_key,
+    * mh_arr, sh_hashes). Missing directory = empty index (first batch of
+    * a fresh pipeline), derived from the library builder on an empty
+    * corpus so the schema can never drift from the batch path. */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(indexDir)
+    else DedupOps.buildBandIndex(
+      spark.range(0).selectExpr("id AS doc_id", "CAST(NULL AS STRING) AS text"))
+  }
+
+  /** The full streaming curate pipeline — the reference's
+    * backfill-then-tail shape applied to the corpus: a streaming
+    * (doc_id, text) frame is driven through [[curateBatch]] per
+    * micro-batch; survivors append to `acceptedDir` and their index rows
+    * to `indexDir`, BOTH at-rest parquet tables, so the pipeline resumes
+    * across process restarts without re-shingling history (the band
+    * index is the only state, and it is persisted — no in-memory var to
+    * lose). Terminal [[exportShards]] turns the accepted set into
+    * trainer shards.
+    *
+    * Scale shape per batch: one text scan of the BATCH (quality + fp +
+    * signatures), a probe join against only matching (band, band_key)
+    * buckets of the persisted index, and two appends. History is never
+    * rescanned; the index read is a parquet scan of 8-byte-hash rows
+    * (at 100 TB, bucket the index table by (band, band_key) so the probe
+    * join co-locates without a shuffle of the index side). */
+  def runToAccepted(
+      stream: DataFrame,
+      acceptedDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      qualityFloorBp: Long = 3000L,
+      threshold: Double = 0.4): StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val (survivors, newRows) =
+          curateBatch(batch, readIndex(spark, indexDir),
+            qualityFloorBp, threshold)
+        survivors.select(col("doc_id"), col("text"), col("quality_bp"))
+          .write.mode("append").parquet(acceptedDir)
+        newRows.write.mode("append").parquet(indexDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Shard export over the accepted set — the same
+    * [[CorpusOps.writeShards]] the batch `curate` verb ends with, so a
+    * corpus curated incrementally and one curated in a single batch
+    * produce IDENTICAL shards for the same survivor set (shard
+    * membership is a pure function of doc_id). Returns the shard
+    * count. */
+  def exportShards(spark: SparkSession, acceptedDir: String,
+      outDir: String,
+      docsPerShard: Long = CorpusOps.DocsPerShard): Long =
+    CorpusOps.writeShards(
+      spark.read.parquet(acceptedDir).select("doc_id", "text"),
+      outDir, docsPerShard)
 }

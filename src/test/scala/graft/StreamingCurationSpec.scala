@@ -93,4 +93,63 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!accepted.contains(600004L)) // near-dup dropped in-batch
     accepted.values.foreach(bp => assert(bp >= 3000L))
   }
+
+  test("streaming curate end-to-end writes the same shards as batch curate") {
+    import graft.operators.{CorpusOps, CurationOps}
+    import graft.streaming.StreamingCuration
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // corpus = the sf0.001 documents plus an injected exact copy and an
+    // injected near copy (dup pairs, not chains — the regime where the
+    // batch closure's keep-min-id and the streaming greedy drop agree)
+    val base = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    val injected = Seq(
+      (900001L, textOf(7L)),           // exact copy of doc 7
+      (900002L, nearCopy(textOf(23L))) // near copy of doc 23
+    )
+    val all = (base ++ injected).sortBy(_._1)
+
+    // batch path: the curate verb's composition on the whole corpus
+    val root = Files.createTempDirectory("graft-stream-e2e")
+    val d = all.toSeq.toDF("doc_id", "text")
+    val batchOut = s"$root/batch_shards"
+    CorpusOps.writeShards(
+      d.join(CurationOps.curateCorpus(d), "doc_id").select("doc_id", "text"),
+      batchOut, 50L)
+
+    // streaming path: same corpus in three id-ordered micro-batches
+    // (earlier batches carry smaller ids, so the cross-batch probe drops
+    // the later id of any pair — the batch path's min-id rule)
+    val acceptedDir = s"$root/accepted"
+    val indexDir = s"$root/band_index"
+    val incoming = MemoryStream[(Long, String)]
+    val q = StreamingCuration.runToAccepted(
+      incoming.toDF().toDF("doc_id", "text"),
+      acceptedDir, indexDir, s"$root/ckpt")
+    all.grouped((all.size + 2) / 3).foreach { chunk =>
+      incoming.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamOut = s"$root/stream_shards"
+    StreamingCuration.exportShards(spark, acceptedDir, streamOut, 50L)
+
+    // identical shards: same (doc_id, shard, rank, text) everywhere
+    // partitionBy-inferred `shard` reads back as int — normalize to long
+    val read = (p: String) => spark.read.parquet(p)
+      .selectExpr("doc_id", "CAST(shard AS BIGINT) AS shard",
+        "shuffle_rank", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1) -> r.getLong(2),
+        r.getString(3))).toSet
+    val batchSet = read(batchOut)
+    val streamSet = read(streamOut)
+    assert(batchSet.nonEmpty)
+    assert(streamSet == batchSet)
+    // and the dups were actually dropped along the way
+    val ids = streamSet.map(_._1)
+    assert(!ids.contains(900001L) && !ids.contains(900002L))
+    assert(ids.contains(7L) && ids.contains(23L))
+  }
 }
