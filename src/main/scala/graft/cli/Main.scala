@@ -52,7 +52,10 @@ object Main {
     // lazy: the corpus verbs (`curate`) take --input/--output instead
     lazy val store = new GraftStore(
       opt(args, "store").getOrElse(sys.error("--store required")),
-      tablesPrefix = opt(args, "tables-prefix").getOrElse(""))
+      tablesPrefix = opt(args, "tables-prefix").getOrElse(""),
+      // full-chain deployments: z-ordered bucket leaves instead of
+      // per-address sub-dirs (GraftStore.stage scaladoc)
+      zOrderTransfers = args.contains("--zorder-transfers"))
     val network = opt(args, "network").map(Network.parse)
       .getOrElse(Network.Mainnet)
     args.headOption match {

@@ -54,6 +54,22 @@ object LayoutOps {
   def zValue(a: Column, b: Column): Column =
     part1by1(a).bitwiseOR(shiftleft(part1by1(b), 1))
 
+  /** Order-preserving 31-bit key of a string: its first four bytes,
+    * big-endian packed. Sorting by this key sorts by the string's byte
+    * (= parquet min/max comparison) order down to 4-char granularity, so
+    * it can serve as a z-dimension for a STRING column and the column's
+    * own footer stats stay narrow — no query-side rewrite needed, unlike
+    * hashing (which scatters byte order and ruins string stats). Strings
+    * sharing a 4-byte prefix collide and simply stay adjacent; shorter
+    * strings pad with 0. ASCII-only precondition (true of hex addresses):
+    * a first byte >= 0x80 would spill past 31 bits and get masked by
+    * [[part1by1]], breaking order preservation. */
+  def asciiPrefixKey(c: Column): Column =
+    (ascii(substring(c, 1, 1)).cast("long") * lit(16777216L) +
+      ascii(substring(c, 2, 1)).cast("long") * lit(65536L) +
+      ascii(substring(c, 3, 1)).cast("long") * lit(256L) +
+      ascii(substring(c, 4, 1)).cast("long"))
+
   /** The same spread as a DuckDB SQL step chain over column `x`,
     * emitting intermediate names `p`. */
   private def duckSpreadSteps(x: String, p: String): String =

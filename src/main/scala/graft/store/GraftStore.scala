@@ -31,7 +31,7 @@ import scala.jdk.CollectionConverters._
   * at petabyte scale, reduced to this engine's needs.
   */
 final class GraftStore(val root: String, val bucketSize: Long = 10000L,
-    val tablesPrefix: String = "") {
+    val tablesPrefix: String = "", val zOrderTransfers: Boolean = false) {
 
   val Tables = Seq("blocks", "transactions", "token_transfers")
 
@@ -112,8 +112,28 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
   /** Stage a DataFrame as new leaves of `table`, split by height bucket
     * (plus token `address` sub-partitions for transfers — the reference's
     * per-token tables as partition pruning). Invisible until [[commit]].
-    */
-  def stage(table: String, df: DataFrame): Seq[Leaf] = {
+    *
+    * Transfer layout is deployment-scale dependent: address sub-dirs
+    * (default) give perfect directory-level pruning for a WATCHED-token
+    * instance (a handful of addresses, the reference's per-token tables),
+    * but a full-chain instance carries millions of token addresses and
+    * per-address dirs degenerate into millions of small files. With
+    * [[zOrderTransfers]] the store instead writes ONE leaf per bucket,
+    * rows sorted by the z-value of (address-prefix, height)
+    * ([[graft.operators.LayoutOps.zValue]]): row-group min/max footer
+    * stats stay narrow in BOTH columns, so `address = X AND height
+    * BETWEEN a AND b` (the view-query shape) prunes at the row-group
+    * level instead of the directory level — same pruning power, O(1)
+    * files per bucket at any address cardinality. The address dimension
+    * is the order-preserving byte-prefix key, NOT a hash, so the
+    * `address` column's own string stats stay tight and readers need no
+    * query-side rewrite.
+    *
+    * `writeOptions` pass straight to the parquet writer (row-group
+    * sizing, compression) — at 100 TB, `parquet.block.size` tunes the
+    * pruning granularity the z-layout's stats operate on. */
+  def stage(table: String, df: DataFrame,
+      writeOptions: Map[String, String] = Map.empty): Seq[Leaf] = {
     val seg = s"${physName(table)}/seg-" +
       s"${System.nanoTime()}-${UUID.randomUUID().toString.take(8)}"
     val hc = heightCol(table)
@@ -123,15 +143,28 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
     // sort within partitions by height so parquet row-group min/max stats
     // prune point/range lookups (the engine's replacement for the
     // reference's secondary indexes, OP-SNK-4)
-    val staged = df
-      .withColumn("__bucket", (col(hc) / bucketSize).cast("long"))
-      .sortWithinPartitions(col(hc))
-    val extraParts =
-      if (table == "token_transfers")
-        staged.withColumn("__addr", col("address")) -> Seq("__addr")
-      else staged -> Nil
-    extraParts._1.write.mode(SaveMode.ErrorIfExists)
-      .partitionBy("__bucket" +: extraParts._2: _*)
+    val zTransfers = table == "token_transfers" && zOrderTransfers
+    val sortKey =
+      if (zTransfers)
+        graft.operators.LayoutOps.zValue(
+          graft.operators.LayoutOps.asciiPrefixKey(col("address")), col(hc))
+      else col(hc)
+    val bucketed = df.withColumn("__bucket", (col(hc) / bucketSize).cast("long"))
+    val (withParts, partCols) =
+      if (table == "token_transfers" && !zOrderTransfers)
+        bucketed.withColumn("__addr", col("address")) ->
+          Seq("__bucket", "__addr")
+      else bucketed -> Seq("__bucket")
+    // The explicit sort MUST lead with the partition columns: the parquet
+    // writer requires its output ordered by them and inserts its own
+    // partition-column-only sort when the incoming order doesn't satisfy
+    // that — silently discarding any other sort key. Leading with them
+    // makes the required ordering a prefix of ours, so the height/z key
+    // actually reaches the files.
+    val staged = withParts
+      .sortWithinPartitions(partCols.map(col) :+ sortKey: _*)
+    staged.write.mode(SaveMode.ErrorIfExists).options(writeOptions)
+      .partitionBy(partCols: _*)
       .parquet(s"$root/$seg")
     // enumerate bucket leaves written
     Files.list(rootPath.resolve(seg)).iterator().asScala.toSeq

@@ -72,6 +72,93 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
       fx.goldenTransfers.size)
   }
 
+  /** Row groups of all parquet files under `dir` whose (address,
+    * block_number) footer stats overlap the box — what a scan's
+    * row-group pruning admits (same proof shape as ZOrderSpec, on the
+    * store's own leaves). */
+  private def transferCandidates(dir: String, addr: String,
+      hLo: Long, hHi: Long): (Int, Int) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    var hit = 0
+    var total = 0
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try reader.getFooter.getBlocks.asScala.foreach { bg =>
+        total += 1
+        val stats = bg.getColumns.asScala
+          .map(c => c.getPath.toDotString -> c.getStatistics).toMap
+        val as = stats("address")
+        val aMin = new String(
+          as.genericGetMin.asInstanceOf[Binary].getBytes, "UTF-8")
+        val aMax = new String(
+          as.genericGetMax.asInstanceOf[Binary].getBytes, "UTF-8")
+        val hs = stats("block_number")
+        val hMin = hs.genericGetMin.asInstanceOf[Number].longValue
+        val hMax = hs.genericGetMax.asInstanceOf[Number].longValue
+        if (aMin <= addr && addr <= aMax && hMax >= hLo && hMin <= hHi)
+          hit += 1
+      } finally reader.close()
+    }
+    (hit, total)
+  }
+
+  test("z-order transfer layout prunes address-height boxes " +
+      "without per-address dirs") {
+    import spark.implicits._
+    // full-chain regime: many token addresses (per-address dirs would
+    // mean one dir each), all active across the whole height range
+    val nAddr = 200
+    val addrs = (0 until nAddr)
+      .map(i => f"${(i * 40503) % 65536}%04x" + "e" * 40)
+    val rows = for (h <- 0L until 4096L; k <- 0 until 25) yield
+      (h, "f" * 44, "e" * 44, "01", f"$h%044x",
+        addrs(((h + k * 163L) % nAddr).toInt), k.toLong, 1)
+    val df = rows.toDF("block_number", "from_addr", "to_addr", "value",
+      "tx_hash", "address", "transfer_index", "status").repartition(1)
+    val store = new GraftStore(
+      Files.createTempDirectory("graft-zstore").toString,
+      zOrderTransfers = true)
+    // small row groups so pruning granularity is visible at test size
+    val opts = Map("parquet.block.size" -> (64 * 1024).toString)
+    val zLeaves = store.stage("token_transfers", df, opts)
+    // height-sorted baseline: SAME writer, same options, staged as a
+    // non-z table — the sort key is the only difference
+    val hLeaves = store.stage("transactions", df, opts)
+    store.commit(zLeaves ++ hLeaves)
+
+    // one plain leaf per bucket, no per-address sub-dirs
+    assert(zLeaves.size == 1 && zLeaves.head.bucket == 0L)
+    val zDir = s"${store.root}/${zLeaves.head.dir}"
+    assert(!new java.io.File(zDir).listFiles().exists(
+      _.getName.startsWith("__addr=")))
+
+    // the view-query box: one token, one height range
+    val probe = addrs(57)
+    val (zHit, zTotal) = transferCandidates(zDir, probe, 1024L, 1535L)
+    val (hHit, hTotal) = transferCandidates(
+      s"${store.root}/${hLeaves.head.dir}", probe, 1024L, 1535L)
+    assert(zTotal >= 8 && hTotal >= 8,
+      s"want many row groups: z $zTotal, h $hTotal")
+    val zFrac = zHit.toDouble / zTotal
+    val hFrac = hHit.toDouble / hTotal
+    assert(zFrac < hFrac,
+      s"z layout should prune harder: z $zHit/$zTotal vs height-sort " +
+        s"$hHit/$hTotal")
+
+    // and the layout change is invisible to readers: full round-trip
+    val back = store.read(spark, "token_transfers")
+    assert(back.count() == rows.size)
+    assert(back.filter(col("address") === probe).count() ==
+      rows.count(_._6 == probe))
+  }
+
   test("streaming tail appends new heads and skips duplicates") {
     val store = newStore()
     val src = new FixtureSource(fx)
