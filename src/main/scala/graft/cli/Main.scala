@@ -4,7 +4,7 @@ import graft.GraftSession
 import graft.chain.{ChainFixture, ChainOps, TransferType}
 import graft.etl.{Backfill, FixtureSource, Network, WatchTokens}
 import graft.operators.{CorpusOps, CurationOps}
-import graft.store.GraftStore
+import graft.store.{GraftStore, IndexStore}
 
 import org.apache.spark.sql.SparkSession
 
@@ -230,8 +230,42 @@ object Main {
           s"(floor ${floor}bp, near-dup >= $threshold); " +
           s"wrote $nShards shards to $out")
 
+      case Some("index") =>
+        // persisted-index lifecycle over the store manifest (IndexStore):
+        //   index build  --store S --kind band|span|sketch --input in.parquet
+        //   index append --store S --kind band --input new.parquet
+        //   index search --store S --kind band --input probe.parquet \
+        //       [--threshold 0.4] [--output pairs.parquet]
+        // build/append commit through the same atomic snapshot swap as
+        // the chain tables; search probes the at-rest index — history is
+        // never re-shingled across process restarts
+        val kind = opt(args, "kind").getOrElse(sys.error("--kind required"))
+        val in = opt(args, "input").getOrElse(sys.error("--input required"))
+        val input = spark.read.parquet(in)
+        args.lift(1) match {
+          case Some("build") =>
+            val n = IndexStore.build(store, kind, input)
+            println(s"[index] built fresh '$kind' index: $n leaves")
+          case Some("append") =>
+            val n = IndexStore.append(store, kind, input)
+            println(s"[index] appended to '$kind' index: $n new leaves")
+          case Some("search") =>
+            val hits = IndexStore.search(store, spark, kind, input,
+              opt(args, "threshold").map(_.toDouble).getOrElse(0.4))
+            opt(args, "output") match {
+              case Some(out) =>
+                hits.write.mode("overwrite").parquet(out)
+                println(s"[index] wrote matches to $out")
+              case None =>
+                hits.orderBy(hits.columns.map(org.apache.spark.sql
+                  .functions.col): _*).show(50, truncate = false)
+            }
+          case other =>
+            sys.error(s"usage: index build|append|search ... (got $other)")
+        }
+
       case other =>
-        sys.error(s"usage: export|view|verify|curate ... (got $other)")
+        sys.error(s"usage: export|view|verify|curate|index ... (got $other)")
     }
   }
 }

@@ -113,10 +113,26 @@ object SimilarityOps {
     * numQueries·RescoreBudget survivor ids (broadcast — it is tiny by
     * construction) back to the index; with a persisted columnar index,
     * column pruning makes that deferred fetch the only embedding read. */
-  def sketchSearch(all: DataFrame, numQueries: Int = NumQueries): DataFrame = {
-    val queries = all.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("unit").as("q_unit"),
-        col("sketch").as("q_sketch"))
+  def sketchSearch(all: DataFrame, numQueries: Int = NumQueries): DataFrame =
+    twoStageSearch(all,
+      all.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("unit").as("q_unit"),
+          col("sketch").as("q_sketch")))
+
+  /** Search an at-rest sketch index with EXTERNAL query embeddings
+    * (`vec_id`, `embedding`): the queries are sketched on the fly —
+    * O(queries) work — while the index side reads its sketches from
+    * parquet, never recomputing them ([[graft.store.IndexStore]] search
+    * path). A query whose vec_id collides with an index id is excluded
+    * from its own neighbor list, same as the inline search. */
+  def sketchProbe(index: DataFrame, queryEmb: DataFrame): DataFrame =
+    twoStageSearch(index,
+      withSketch(unit(queryEmb))
+        .select(col("vec_id").as("query_id"), col("unit").as("q_unit"),
+          col("sketch").as("q_sketch")))
+
+  private def twoStageSearch(all: DataFrame, qs: DataFrame): DataFrame = {
+    val queries = qs
     val byHamming = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming"), col("vec_id"))
     val byCos = Window.partitionBy(col("query_id"))

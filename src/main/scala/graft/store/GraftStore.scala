@@ -161,8 +161,29 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
     // that — silently discarding any other sort key. Leading with them
     // makes the required ordering a prefix of ours, so the height/z key
     // actually reaches the files.
+    writeLeaves(table, withParts, partCols, Seq(sortKey), writeOptions)
+  }
+
+  /** Stage a NON-chain table — persisted operator indexes (band/span/
+    * sketch, [[IndexStore]]): the bucket is a caller-supplied expression
+    * over the index's own key space (e.g. a hash of the band key) instead
+    * of a height range, and `sortCols` order rows inside each leaf so
+    * row-group stats prune probe scans. Same leaves, same manifest, same
+    * atomic [[commit]]/[[read]] machinery as the chain tables — an index
+    * commits in the SAME snapshot swap as the data it indexes. */
+  def stageKeyed(table: String, df: DataFrame, bucket: Column,
+      sortCols: Seq[Column],
+      writeOptions: Map[String, String] = Map.empty): Seq[Leaf] =
+    writeLeaves(table, df.withColumn("__bucket", bucket.cast("long")),
+      Seq("__bucket"), sortCols, writeOptions)
+
+  private def writeLeaves(table: String, withParts: DataFrame,
+      partCols: Seq[String], sortCols: Seq[Column],
+      writeOptions: Map[String, String]): Seq[Leaf] = {
+    val seg = s"${physName(table)}/seg-" +
+      s"${System.nanoTime()}-${UUID.randomUUID().toString.take(8)}"
     val staged = withParts
-      .sortWithinPartitions(partCols.map(col) :+ sortKey: _*)
+      .sortWithinPartitions(partCols.map(col) ++ sortCols: _*)
     staged.write.mode(SaveMode.ErrorIfExists).options(writeOptions)
       .partitionBy(partCols: _*)
       .parquet(s"$root/$seg")

@@ -1,0 +1,144 @@
+package graft.store
+
+import graft.operators.{DedupOps, SimilarityOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lifecycle of the persisted operator indexes over [[GraftStore]]'s
+  * manifest — the at-rest form of the incremental dedup/ANN paths
+  * (`index build|append|search` CLI verbs):
+  *
+  *  - `band`   — MinHash band index ([[DedupOps.buildBandIndex]]),
+  *    probed by [[DedupOps.incrementalNearDup]];
+  *  - `span`   — winnow-postings substring index
+  *    ([[DedupOps.buildSpanIndex]]), probed by
+  *    [[DedupOps.incrementalSharedSpans]];
+  *  - `sketch` — ANN sign-sketch index
+  *    ([[SimilarityOps.buildSketchIndex]]), probed by
+  *    [[SimilarityOps.sketchProbe]].
+  *
+  * Index rows are plain parquet leaves committed through the SAME
+  * manifest swap as everything else in the store: a probe always sees a
+  * consistent index snapshot, an append is atomic, and a crash between
+  * stage and commit leaves no trace. Leaves are bucketed by a hash of
+  * the index's own probe key ([[bucketOf]]) and sorted by it inside each
+  * leaf, so (a) [[search]] can prune whole leaves from the manifest when
+  * the probe batch touches few buckets — no file is even LISTED for an
+  * untouched bucket — and (b) row-group stats stay tight on the key for
+  * the scan that remains. History is never re-shingled / re-winnowed /
+  * re-sketched: build and append compute index rows for their OWN input
+  * batch only, and search reads index rows at rest.
+  *
+  * Scale note: the per-batch skew caps (band bucket cap, span df cap)
+  * apply within each build/append batch independently; a key that stays
+  * under the cap in every batch but is degenerate across the union is
+  * not re-capped at probe time. At 100 TB, run periodic compaction
+  * (re-[[build]] from the corpus) to re-apply global caps.
+  */
+object IndexStore {
+
+  /** Leaf-bucket count per index table. 64 bounds manifest size while
+    * letting a small probe batch (the "is this doc a dup" path) prune
+    * most leaves; size it ~sqrt(index rows / target leaf rows) at scale. */
+  val Buckets = 64
+
+  val Kinds = Seq("band", "span", "sketch")
+
+  def tableOf(kind: String): String = kind match {
+    case "band" => "band_index"
+    case "span" => "span_index"
+    case "sketch" => "sketch_index"
+    case other => sys.error(s"unknown index kind '$other' " +
+      s"(expected one of ${Kinds.mkString("|")})")
+  }
+
+  /** The leaf-bucket expression — a hash of the PROBE key, so a probe
+    * batch's candidate leaves are computable from the batch alone. */
+  private def bucketOf(kind: String): Column = kind match {
+    case "band" => pmod(xxhash64(col("band"), col("band_key")), lit(Buckets))
+    case "span" => pmod(col("fp"), lit(Buckets))
+    // sketch search is a full hamming scan by design — spread evenly
+    case _ => pmod(col("vec_id"), lit(Buckets))
+  }
+
+  private def sortOf(kind: String): Seq[Column] = kind match {
+    case "band" => Seq(col("band"), col("band_key"))
+    case "span" => Seq(col("fp"))
+    case _ => Seq(col("vec_id"))
+  }
+
+  /** Index rows for one input batch: (doc_id, text) for band/span,
+    * (vec_id, embedding) for sketch. */
+  private def rowsFor(kind: String, input: DataFrame): DataFrame =
+    kind match {
+      case "band" => DedupOps.buildBandIndex(input)
+      case "span" => DedupOps.buildSpanIndex(input)
+      case _ => SimilarityOps.buildSketchIndex(input)
+    }
+
+  /** Build a FRESH index from `input`: new leaves replace any existing
+    * leaves of the table in one commit (this is also the periodic
+    * compaction that re-applies global skew caps). Returns index rows. */
+  def build(store: GraftStore, kind: String, input: DataFrame): Long = {
+    val rows = rowsFor(kind, input)
+    val adds = store.stageKeyed(tableOf(kind), rows, bucketOf(kind),
+      sortOf(kind))
+    store.commit(adds, drops = store.leavesOf(tableOf(kind)))
+    adds.size.toLong
+  }
+
+  /** Append index rows for a NEW batch — existing leaves untouched,
+    * history never re-processed. Returns leaves added. */
+  def append(store: GraftStore, kind: String, input: DataFrame): Long = {
+    val adds = store.stageKeyed(tableOf(kind), rowsFor(kind, input),
+      bucketOf(kind), sortOf(kind))
+    store.commit(adds)
+    adds.size.toLong
+  }
+
+  /** The live index as a DataFrame (one manifest snapshot). */
+  def read(store: GraftStore, spark: SparkSession, kind: String,
+      bucketPred: Long => Boolean = _ => true): DataFrame = {
+    val leaves = store.leavesOf(tableOf(kind)).filter(l =>
+      bucketPred(l.bucket))
+    require(store.leavesOf(tableOf(kind)).nonEmpty,
+      s"no '$kind' index in store ${store.root} — run `index build` first")
+    store.readLeaves(spark, tableOf(kind), leaves)
+  }
+
+  /** Probe a batch against the at-rest index. For the keyed indexes
+    * (band/span) the probe batch's own keys determine which leaf buckets
+    * can match, so the manifest read is pruned to those — a small batch
+    * (the interactive "is this new doc a dup" shape) reads a few of the
+    * [[Buckets]] leaf sets and never lists the rest. Sketch search scans
+    * all sketches by design (hamming scan), so no leaf pruning applies.
+    *
+    * `probe`: (doc_id, text) for band/span, (vec_id, embedding) for
+    * sketch. Returns the probe operator's pair/neighbor frame. */
+  def search(store: GraftStore, spark: SparkSession, kind: String,
+      probe: DataFrame, threshold: Double = 0.4): DataFrame = kind match {
+    case "band" =>
+      val buckets = probeBuckets(
+        DedupOps.lshBands(DedupOps.minhashSignatures(probe))
+          .select(bucketOf("band").as("b")))
+      DedupOps.incrementalNearDup(probe,
+        read(store, spark, "band", buckets), threshold)
+    case "span" =>
+      val buckets = probeBuckets(
+        probe.select(explode(graft.functions.Vec.winnow_fps(
+            regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
+            DedupOps.SpanGram, DedupOps.SpanWindow)).as("fp"))
+          .select(bucketOf("span").as("b")))
+      DedupOps.incrementalSharedSpans(probe,
+        read(store, spark, "span", buckets))
+    case _ =>
+      SimilarityOps.sketchProbe(read(store, spark, "sketch"), probe)
+  }
+
+  /** Distinct leaf buckets a probe batch can touch — at most [[Buckets]]
+    * longs cross to the driver, never row data. */
+  private def probeBuckets(b: DataFrame): Long => Boolean = {
+    val hit = b.distinct().collect().map(_.getLong(0)).toSet
+    hit.contains
+  }
+}

@@ -30,6 +30,54 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.toString
   }
 
+  test("index build/append/search: at-rest dedup across CLI invocations") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-index-cli").toString
+    val storeDir = s"$root/store"
+    def doc(id: Long, tag: String) =
+      (id, (0 until 60).map(j => s"$tag${id}w$j").mkString(" "))
+    def nearCopy(newId: Long, of: (Long, String)) =
+      (newId, of._2.split(" ").take(52).mkString(" ") + " " +
+        (0 until 8).map(j => s"x${newId}f$j").mkString(" "))
+    val a = (0L until 40L).map(doc(_, "a"))
+    val b = (100L until 110L).map(doc(_, "b"))
+    val aPath = s"$root/a.parquet"
+    val bPath = s"$root/b.parquet"
+    val probePath = s"$root/probe.parquet"
+    a.toDF("doc_id", "text").write.parquet(aPath)
+    b.toDF("doc_id", "text").write.parquet(bPath)
+    // probe: near-copies of an original-batch doc and an appended doc,
+    // plus a novel doc — only the probe file's text is ever shingled
+    Seq(nearCopy(900L, a(7)), nearCopy(901L, b(3)), doc(902L, "z"))
+      .toDF("doc_id", "text").write.parquet(probePath)
+
+    // three separate CLI invocations = three store instances: the index
+    // must survive "process restarts" (all state is the manifest)
+    val built = captured {
+      cli.Main.run(spark, Array("index", "build", "--store", storeDir,
+        "--kind", "band", "--input", aPath))
+    }
+    assert(built.contains("built fresh 'band' index"))
+    val appended = captured {
+      cli.Main.run(spark, Array("index", "append", "--store", storeDir,
+        "--kind", "band", "--input", bPath))
+    }
+    assert(appended.contains("appended"))
+    val outPath = s"$root/hits.parquet"
+    captured {
+      cli.Main.run(spark, Array("index", "search", "--store", storeDir,
+        "--kind", "band", "--input", probePath, "--output", outPath))
+    }
+    val hits = spark.read.parquet(outPath)
+      .select("new_id", "existing_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((900L, 7L)),
+      s"near-copy of original-batch doc not found: $hits")
+    assert(hits.contains((901L, 103L)),
+      s"near-copy of appended doc not found: $hits")
+    assert(!hits.exists(_._1 == 902L), s"novel doc matched: $hits")
+  }
+
   test("curate --pii-scrub and --decontaminate-against filter content") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
