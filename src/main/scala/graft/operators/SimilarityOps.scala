@@ -219,13 +219,7 @@ object SimilarityOps {
     // (every row of a vec_id group carries the same unit), so neither
     // the Lloyd mean step nor the final cells output re-joins `units` —
     // one corpus scan per round instead of scan + shuffle join.
-    def assign(c: DataFrame): DataFrame =
-      units.crossJoin(broadcast(c))
-        .withColumn("dot", vec_dot(col("unit"), col("centroid")))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("dot"), col("cell"))).as("m"),
-          first(col("unit")).as("unit"))
-        .select(col("vec_id"), col("m.cell").as("cell"), col("unit"))
+    def assign(c: DataFrame): DataFrame = ivfAssign(units, c)
 
     for (_ <- 1 to iters) {
       val sums = assign(centDf)
@@ -259,16 +253,32 @@ object SimilarityOps {
     * partitioned by cell, the probe join prunes all unprobed partitions
     * and the scan touches nprobe/k of the corpus. */
   def ivfSearch(cells: DataFrame, centroids: DataFrame, nprobe: Int,
-      numQueries: Int = NumQueries): DataFrame = {
-    val queries = cells.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("unit").as("q_unit"))
+      numQueries: Int = NumQueries): DataFrame =
+    ivfSearchWithProbes(cells,
+      ivfProbes(cells.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("unit").as("q_unit")),
+        centroids, nprobe))
+
+  /** The probe list — each query's top-`nprobe` cells by centroid
+    * affinity: O(queries·k) work against the tiny centroid table, no
+    * corpus access at all. Split out so an at-rest search
+    * ([[graft.store.IndexStore]]) can compute WHICH cells it needs
+    * before reading any cell data, and prune the rest from the
+    * manifest. */
+  def ivfProbes(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
     val byAff = Window.partitionBy(col("query_id"))
       .orderBy(col("aff").desc, col("cell"))
-    val probes = queries.crossJoin(broadcast(centroids))
+    queries.crossJoin(broadcast(centroids))
       .withColumn("aff", vec_dot(col("q_unit"), col("centroid")))
       .withColumn("prnk", row_number().over(byAff))
       .filter(col("prnk") <= nprobe)
       .select(col("query_id"), col("q_unit"), col("cell"))
+  }
+
+  /** Scan stage of the IVF search: exact top-[[K]] by cosine inside the
+    * probed cells only (`probes` from [[ivfProbes]]). */
+  def ivfSearchWithProbes(cells: DataFrame, probes: DataFrame): DataFrame = {
     val byCos = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     cells.join(broadcast(probes), Seq("cell"))
@@ -279,6 +289,23 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank"), round(col("cos"), 3).as("cos"))
   }
+
+  /** Unit-normalize raw (vec_id, embedding) rows — the public form for
+    * index builders outside this object (zero-norm vectors dropped). */
+  def unitVectors(e: DataFrame): DataFrame =
+    unit(e).select(col("vec_id"), col("unit"))
+
+  /** Assign unit vectors to their nearest EXISTING centroid — the IVF
+    * ingest path for new batches: the model (centroids) stays fixed, the
+    * new vectors just land in their cells. One scan of the batch against
+    * k broadcast centroids. */
+  def ivfAssign(units: DataFrame, centroids: DataFrame): DataFrame =
+    units.crossJoin(broadcast(centroids))
+      .withColumn("dot", vec_dot(col("unit"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("dot"), col("cell"))).as("m"),
+        first(col("unit")).as("unit"))
+      .select(col("vec_id"), col("m.cell").as("cell"), col("unit"))
 
   /** IVF approximate top-k over the driver corpus. Rows-only gate:
     * approximate by design, and on this isotropic corpus recall tracks

@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   *    [[DedupOps.incrementalSharedSpans]];
   *  - `sketch` — ANN sign-sketch index
   *    ([[SimilarityOps.buildSketchIndex]]), probed by
-  *    [[SimilarityOps.sketchProbe]].
+  *    [[SimilarityOps.sketchProbe]];
+  *  - `ivf`    — ANN inverted-file index
+  *    ([[SimilarityOps.buildIvfIndex]]; cells + a centroid model table
+  *    committed in one snapshot), probed by
+  *    [[SimilarityOps.ivfSearchWithProbes]] over manifest-pruned cells.
   *
   * Index rows are plain parquet leaves committed through the SAME
   * manifest swap as everything else in the store: a probe always sees a
@@ -42,21 +46,30 @@ object IndexStore {
     * most leaves; size it ~sqrt(index rows / target leaf rows) at scale. */
   val Buckets = 64
 
-  val Kinds = Seq("band", "span", "sketch")
+  val Kinds = Seq("band", "span", "sketch", "ivf")
+
+  /** Companion model table for the `ivf` kind: the k centroids. Committed
+    * in the SAME snapshot swap as the cells, so the model and the data it
+    * partitioned can never drift apart. */
+  val IvfCentroidsTable = "ivf_centroids"
 
   def tableOf(kind: String): String = kind match {
     case "band" => "band_index"
     case "span" => "span_index"
     case "sketch" => "sketch_index"
+    case "ivf" => "ivf_cells"
     case other => sys.error(s"unknown index kind '$other' " +
       s"(expected one of ${Kinds.mkString("|")})")
   }
 
   /** The leaf-bucket expression — a hash of the PROBE key, so a probe
-    * batch's candidate leaves are computable from the batch alone. */
+    * batch's candidate leaves are computable from the batch alone. For
+    * ivf the bucket IS the cell: `ivfProbes` decides which cells a query
+    * set needs, and every other cell's leaves are manifest-pruned. */
   private def bucketOf(kind: String): Column = kind match {
     case "band" => pmod(xxhash64(col("band"), col("band_key")), lit(Buckets))
     case "span" => pmod(col("fp"), lit(Buckets))
+    case "ivf" => col("cell")
     // sketch search is a full hamming scan by design — spread evenly
     case _ => pmod(col("vec_id"), lit(Buckets))
   }
@@ -68,7 +81,8 @@ object IndexStore {
   }
 
   /** Index rows for one input batch: (doc_id, text) for band/span,
-    * (vec_id, embedding) for sketch. */
+    * (vec_id, embedding) for sketch/ivf (ivf handled by its callers —
+    * it also produces a model table). */
   private def rowsFor(kind: String, input: DataFrame): DataFrame =
     kind match {
       case "band" => DedupOps.buildBandIndex(input)
@@ -78,32 +92,61 @@ object IndexStore {
 
   /** Build a FRESH index from `input`: new leaves replace any existing
     * leaves of the table in one commit (this is also the periodic
-    * compaction that re-applies global skew caps). Returns index rows. */
+    * compaction that re-applies global skew caps — and, for ivf, the
+    * re-train that adapts centroids to distribution drift). Returns
+    * leaves added. */
   def build(store: GraftStore, kind: String, input: DataFrame): Long = {
-    val rows = rowsFor(kind, input)
-    val adds = store.stageKeyed(tableOf(kind), rows, bucketOf(kind),
-      sortOf(kind))
-    store.commit(adds, drops = store.leavesOf(tableOf(kind)))
+    val adds =
+      if (kind == "ivf") {
+        val (cells, cents) =
+          SimilarityOps.buildIvfIndex(SimilarityOps.unitVectors(input))
+        store.stageKeyed(tableOf(kind), cells, bucketOf(kind),
+          sortOf(kind)) ++
+          store.stageKeyed(IvfCentroidsTable, cents, lit(0L), Seq(col("cell")))
+      } else
+        store.stageKeyed(tableOf(kind), rowsFor(kind, input), bucketOf(kind),
+          sortOf(kind))
+    store.commit(adds, drops =
+      store.leavesOf(tableOf(kind)) ++ store.leavesOf(IvfCentroidsTable)
+        .filter(_ => kind == "ivf"))
     adds.size.toLong
   }
 
   /** Append index rows for a NEW batch — existing leaves untouched,
-    * history never re-processed. Returns leaves added. */
+    * history never re-processed. For ivf the MODEL stays fixed (the
+    * standard IVF ingest: new vectors land in their nearest existing
+    * cell; re-[[build]] periodically to re-train). Returns leaves
+    * added. */
   def append(store: GraftStore, kind: String, input: DataFrame): Long = {
-    val adds = store.stageKeyed(tableOf(kind), rowsFor(kind, input),
-      bucketOf(kind), sortOf(kind))
+    val rows =
+      if (kind == "ivf")
+        SimilarityOps.ivfAssign(SimilarityOps.unitVectors(input),
+          read(store, input.sparkSession, "ivf-centroids"))
+          .select(col("vec_id"), col("unit"), col("cell"))
+      else rowsFor(kind, input)
+    val adds = store.stageKeyed(tableOf(kind), rows, bucketOf(kind),
+      sortOf(kind))
     store.commit(adds)
     adds.size.toLong
   }
 
   /** The live index as a DataFrame (one manifest snapshot). */
   def read(store: GraftStore, spark: SparkSession, kind: String,
-      bucketPred: Long => Boolean = _ => true): DataFrame = {
-    val leaves = store.leavesOf(tableOf(kind)).filter(l =>
-      bucketPred(l.bucket))
-    require(store.leavesOf(tableOf(kind)).nonEmpty,
-      s"no '$kind' index in store ${store.root} — run `index build` first")
-    store.readLeaves(spark, tableOf(kind), leaves)
+      bucketPred: Long => Boolean = _ => true): DataFrame =
+    readTable(store, spark,
+      if (kind == "ivf-centroids") IvfCentroidsTable else tableOf(kind),
+      bucketPred)
+
+  private def readTable(store: GraftStore, spark: SparkSession,
+      table: String, bucketPred: Long => Boolean): DataFrame = {
+    val all = store.leavesOf(table)
+    require(all.nonEmpty,
+      s"no '$table' leaves in store ${store.root} — run `index build` first")
+    val hit = all.filter(l => bucketPred(l.bucket))
+    // a probe batch can miss every live bucket — keep the schema, read
+    // nothing (limit(0) prunes the scan to zero files at planning)
+    if (hit.isEmpty) store.readLeaves(spark, table, all).limit(0)
+    else store.readLeaves(spark, table, hit)
   }
 
   /** Probe a batch against the at-rest index. For the keyed indexes
@@ -131,6 +174,19 @@ object IndexStore {
           .select(bucketOf("span").as("b")))
       DedupOps.incrementalSharedSpans(probe,
         read(store, spark, "span", buckets))
+    case "ivf" =>
+      // the probe list needs only the tiny centroid table; the cell
+      // reads that follow are pruned to the probed cells — at rest, an
+      // nprobe/k search really does LIST nprobe/k of the data
+      val queries = SimilarityOps.unitVectors(probe)
+        .select(col("vec_id").as("query_id"), col("unit").as("q_unit"))
+      val probes = SimilarityOps.ivfProbes(queries,
+        read(store, spark, "ivf-centroids"), SimilarityOps.IvfProbes)
+        .localCheckpoint() // probed twice: cell set + search join
+      val cellSet = probes.select(col("cell")).distinct()
+        .collect().map(_.getInt(0).toLong).toSet
+      SimilarityOps.ivfSearchWithProbes(
+        read(store, spark, "ivf", cellSet.contains), probes)
     case _ =>
       SimilarityOps.sketchProbe(read(store, spark, "sketch"), probe)
   }

@@ -64,6 +64,41 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.head.getAs[Long]("neighbor_id") == 42L)
   }
 
+  test("ivf index: cells are manifest-pruned leaves; append lands new " +
+      "vectors in existing cells; probe finds the neighbor") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(3)
+    // clustered corpus — the regime where IVF is the right index
+    val centers = (0 until 8).map(_ =>
+      Array.fill(dim)(rnd.nextGaussian()))
+    def point(c: Int): Seq[Float] =
+      centers(c).map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq
+    val base = (0L until 400L).map(i => (i, point((i % 8).toInt)))
+    val root = Files.createTempDirectory("graft-idx-ivf").toString
+    IndexStore.build(new GraftStore(root), "ivf",
+      base.toDF("vec_id", "embedding"))
+    // one leaf per populated cell + the centroid model table, all in
+    // one committed snapshot — the layout manifest pruning needs
+    val s = new GraftStore(root)
+    val cellLeaves = s.leavesOf("ivf_cells")
+    assert(cellLeaves.size > 1, "want per-cell leaves")
+    assert(cellLeaves.map(_.bucket).distinct.size == cellLeaves.size)
+    assert(s.leavesOf("ivf_centroids").size == 1)
+    // append: model fixed, new vectors land in their nearest cells
+    val extra = (5000L until 5040L).map(i => (i, point((i % 8).toInt)))
+    IndexStore.append(new GraftStore(root), "ivf",
+      extra.toDF("vec_id", "embedding"))
+    // probe a nudged copy of an APPENDED vector: found at rank 1, via a
+    // search that only reads the probed cells' leaves
+    val q = Seq((9000L, extra.head._2.map(_ * 1.001f)))
+    val top = IndexStore.search(new GraftStore(root), spark, "ivf",
+      q.toDF("vec_id", "embedding"))
+      .filter(col("rank") === 1).collect()
+    assert(top.length == 1)
+    assert(top.head.getAs[Long]("neighbor_id") == 5000L)
+  }
+
   test("rebuild replaces the old index in one commit; append extends it") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-idx-rebuild").toString
