@@ -90,6 +90,15 @@ object IndexStore {
       case _ => SimilarityOps.buildSketchIndex(input)
     }
 
+  /** Stage ALREADY-COMPUTED index rows of `kind` without committing —
+    * for callers that commit index rows atomically WITH other tables in
+    * one snapshot swap (streaming curate stages its accepted docs and
+    * their band rows together, so a replayed micro-batch can never see
+    * one without the other). */
+  def stageRows(store: GraftStore, kind: String,
+      rows: DataFrame): Seq[store.Leaf] =
+    store.stageKeyed(tableOf(kind), rows, bucketOf(kind), sortOf(kind))
+
   /** Build a FRESH index from `input`: new leaves replace any existing
     * leaves of the table in one commit (this is also the periodic
     * compaction that re-applies global skew caps — and, for ivf, the

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.operators.{CorpusOps, DedupOps, TextOps}
+import graft.store.{GraftStore, IndexStore}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -62,52 +63,74 @@ object StreamingCuration {
       DedupOps.buildBandIndex(survivors.select(col("doc_id"), col("text"))))
   }
 
-  /** The running band index as an at-rest parquet table: the batch
+  /** Manifest table holding the accepted (curated) documents. */
+  val AcceptedTable = "curated_docs"
+
+  /** The running band index read from the store manifest: the batch
     * schema of [[DedupOps.buildBandIndex]] (doc_id, band, band_key,
-    * mh_arr, sh_hashes). Missing directory = empty index (first batch of
-    * a fresh pipeline), derived from the library builder on an empty
+    * mh_arr, sh_hashes). No leaves yet = empty index (first batch of a
+    * fresh pipeline), derived from the library builder on an empty
     * corpus so the schema can never drift from the batch path. */
-  def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) spark.read.parquet(indexDir)
-    else DedupOps.buildBandIndex(
-      spark.range(0).selectExpr("id AS doc_id", "CAST(NULL AS STRING) AS text"))
+  def readIndex(store: GraftStore, spark: SparkSession): DataFrame =
+    if (store.leavesOf(IndexStore.tableOf("band")).isEmpty)
+      DedupOps.buildBandIndex(
+        spark.range(0).selectExpr("id AS doc_id", "CAST(NULL AS STRING) AS text"))
+    else IndexStore.read(store, spark, "band")
+
+  /** One micro-batch of the streaming curate pipeline: [[curateBatch]]
+    * against the at-rest band index, then the survivors AND their index
+    * rows commit to the store in ONE atomic snapshot swap.
+    *
+    * The single commit is what makes the pipeline EXACTLY-ONCE under
+    * foreachBatch's replay semantics: a reader can never observe an
+    * accepted doc without its index rows (or vice versa), and a replayed
+    * batch — foreachBatch re-runs a batch whose epoch didn't commit —
+    * self-matches against the index rows its first run committed
+    * (jaccard 1 on identical docs), so every doc drops in the
+    * cross-batch gate and the replay commits nothing. With the old
+    * two-append form, a crash between the appends left the accepted
+    * table ahead of the index, and the replay double-accepted the
+    * batch. */
+  def processBatch(
+      store: GraftStore,
+      batch: DataFrame,
+      qualityFloorBp: Long = 3000L,
+      threshold: Double = 0.4): Unit = {
+    val spark = batch.sparkSession
+    val (survivors, newRows) =
+      curateBatch(batch, readIndex(store, spark), qualityFloorBp, threshold)
+    val adds = store.stageKeyed(AcceptedTable,
+      survivors.select(col("doc_id"), col("text"), col("quality_bp")),
+      pmod(xxhash64(col("doc_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("doc_id"))) ++
+      IndexStore.stageRows(store, "band", newRows)
+    if (adds.nonEmpty) store.commit(adds)
   }
 
   /** The full streaming curate pipeline — the reference's
     * backfill-then-tail shape applied to the corpus: a streaming
-    * (doc_id, text) frame is driven through [[curateBatch]] per
-    * micro-batch; survivors append to `acceptedDir` and their index rows
-    * to `indexDir`, BOTH at-rest parquet tables, so the pipeline resumes
-    * across process restarts without re-shingling history (the band
-    * index is the only state, and it is persisted — no in-memory var to
-    * lose). Terminal [[exportShards]] turns the accepted set into
-    * trainer shards.
+    * (doc_id, text) frame is driven through [[processBatch]] per
+    * micro-batch; survivors and their band-index rows land in the store
+    * manifest ([[AcceptedTable]] + the [[IndexStore]] band table), so
+    * the pipeline resumes across process restarts without re-shingling
+    * history (the band index is the only state, and it is committed
+    * atomically with the docs it indexes — no in-memory var to lose, no
+    * half-written pair of tables to resume from). Terminal
+    * [[exportShards]] turns the accepted set into trainer shards.
     *
     * Scale shape per batch: one text scan of the BATCH (quality + fp +
     * signatures), a probe join against only matching (band, band_key)
-    * buckets of the persisted index, and two appends. History is never
-    * rescanned; the index read is a parquet scan of 8-byte-hash rows
-    * (at 100 TB, bucket the index table by (band, band_key) so the probe
-    * join co-locates without a shuffle of the index side). */
+    * buckets of the at-rest index (leaf-bucketed by band-key hash, so a
+    * small batch manifest-prunes untouched leaves), and one commit. */
   def runToAccepted(
       stream: DataFrame,
-      acceptedDir: String,
-      indexDir: String,
+      store: GraftStore,
       checkpointDir: String,
       qualityFloorBp: Long = 3000L,
       threshold: Double = 0.4): StreamingQuery =
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val (survivors, newRows) =
-          curateBatch(batch, readIndex(spark, indexDir),
-            qualityFloorBp, threshold)
-        survivors.select(col("doc_id"), col("text"), col("quality_bp"))
-          .write.mode("append").parquet(acceptedDir)
-        newRows.write.mode("append").parquet(indexDir)
-        ()
+        processBatch(store, batch, qualityFloorBp, threshold)
       }
       .option("checkpointLocation", checkpointDir)
       .start()
@@ -118,10 +141,10 @@ object StreamingCuration {
     * produce IDENTICAL shards for the same survivor set (shard
     * membership is a pure function of doc_id). Returns the shard
     * count. */
-  def exportShards(spark: SparkSession, acceptedDir: String,
+  def exportShards(spark: SparkSession, store: GraftStore,
       outDir: String,
       docsPerShard: Long = CorpusOps.DocsPerShard): Long =
     CorpusOps.writeShards(
-      spark.read.parquet(acceptedDir).select("doc_id", "text"),
+      store.read(spark, AcceptedTable).select("doc_id", "text"),
       outDir, docsPerShard)
 }

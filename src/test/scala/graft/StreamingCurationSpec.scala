@@ -94,6 +94,29 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     accepted.values.foreach(bp => assert(bp >= 3000L))
   }
 
+  test("a replayed micro-batch commits nothing (exactly-once)") {
+    import graft.streaming.StreamingCuration
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-stream-replay")
+    val store = new graft.store.GraftStore(s"$root/store")
+    val batch = Seq(
+      (1L, (1 to 80).map(i => f"meadow$i%05d").mkString(" ")),
+      (2L, (1 to 80).map(i => f"basalt$i%05d").mkString(" ")))
+      .toDF("doc_id", "text")
+    StreamingCuration.processBatch(store, batch)
+    val read = () => store.read(spark, StreamingCuration.AcceptedTable)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val first = read()
+    assert(first == Seq(1L, 2L))
+    val snapBefore = store.currentLeaves().toSet
+    // foreachBatch replay: the exact same batch delivered again — every
+    // doc self-matches the index rows the first run committed, so the
+    // replay accepts nothing and adds no leaves
+    StreamingCuration.processBatch(store, batch)
+    assert(read() == first)
+    assert(store.currentLeaves().toSet == snapBefore)
+  }
+
   test("streaming curate end-to-end writes the same shards as batch curate") {
     import graft.operators.{CorpusOps, CurationOps}
     import graft.streaming.StreamingCuration
@@ -122,19 +145,19 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // streaming path: same corpus in three id-ordered micro-batches
     // (earlier batches carry smaller ids, so the cross-batch probe drops
     // the later id of any pair — the batch path's min-id rule)
-    val acceptedDir = s"$root/accepted"
-    val indexDir = s"$root/band_index"
+    val store = new graft.store.GraftStore(s"$root/store")
     val incoming = MemoryStream[(Long, String)]
     val q = StreamingCuration.runToAccepted(
-      incoming.toDF().toDF("doc_id", "text"),
-      acceptedDir, indexDir, s"$root/ckpt")
+      incoming.toDF().toDF("doc_id", "text"), store, s"$root/ckpt")
     all.grouped((all.size + 2) / 3).foreach { chunk =>
       incoming.addData(chunk.toSeq)
       q.processAllAvailable()
     }
     q.stop()
     val streamOut = s"$root/stream_shards"
-    StreamingCuration.exportShards(spark, acceptedDir, streamOut, 50L)
+    // a FRESH store instance reads the manifest — the restart story
+    StreamingCuration.exportShards(spark,
+      new graft.store.GraftStore(s"$root/store"), streamOut, 50L)
 
     // identical shards: same (doc_id, shard, rank, text) everywhere
     // partitionBy-inferred `shard` reads back as int — normalize to long
