@@ -99,6 +99,26 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.head.getAs[Long]("neighbor_id") == 5000L)
   }
 
+  test("bucket predicates prune index reads to fewer files; an " +
+      "all-miss probe keeps the schema") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-idx-prune").toString
+    val store = new GraftStore(root)
+    IndexStore.build(store, "span",
+      (0L until 30L).map(doc(_, "p")).toDF("doc_id", "text"))
+    val full = IndexStore.read(store, spark, "span")
+    val liveBuckets = store.leavesOf("span_index").map(_.bucket).toSet
+    assert(liveBuckets.size > 4, s"want many buckets: $liveBuckets")
+    val one = IndexStore.read(store, spark, "span",
+      Set(liveBuckets.head).contains)
+    assert(one.inputFiles.length < full.inputFiles.length)
+    assert(one.count() > 0 && one.count() < full.count())
+    // a probe that misses every live bucket: empty result, full schema
+    val none = IndexStore.read(store, spark, "span", _ => false)
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == full.columns.toSeq)
+  }
+
   test("rebuild replaces the old index in one commit; append extends it") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-idx-rebuild").toString
