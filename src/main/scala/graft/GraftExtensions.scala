@@ -83,6 +83,10 @@ object GraftExtensions {
     fn("graft_winnow_fps", 3)(a => WinnowFps(a(0),
       intLit("graft_winnow_fps", "k")(a(1)),
       intLit("graft_winnow_fps", "w")(a(2)))),
+    // LM trigram codes (the trained-model scorer LmScoreBp carries its
+    // long[] model in the expression — no SQL-literal form, Column API
+    // only)
+    fn("graft_lm_tri_codes", 1)(a => LmTriCodes(a.head)),
     // U256 decimal-string arithmetic
     fn("graft_u256_from_hex", 1)(a => U256FromHex(a.head)),
     fn("graft_u256_cmp", 2)(a => U256Cmp(a(0), a(1))),

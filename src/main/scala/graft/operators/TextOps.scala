@@ -230,6 +230,78 @@ object TextOps {
       .drop("__toks")
   }
 
+  // ---------------------------------------------------------------------
+  // Character-trigram LM quality score (the CCNet-style perplexity filter)
+  // ---------------------------------------------------------------------
+
+  /** The LM alphabet normalization: lowercase, every non-[a-z0-9] char to
+    * space, runs collapsed, trimmed — ASCII-only output so the kernel's
+    * byte loop and DuckDB's char functions agree position for position. */
+  def lmNorm(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9]", " "), " +", " "))
+
+  /** Train the 37³-entry char-trigram count model in ONE corpus scan:
+    * explode trigram codes ([[graft.functions.Lm.lm_tri_codes]], a
+    * codegen'd kernel) and count by code. The aggregation partial-combines
+    * map-side onto at most 50,653 distinct keys, so the shuffle moves
+    * O(50k) rows per partition no matter the corpus size, and only the
+    * model parameters — never row data — reach the driver (the BPE
+    * trainer's histogram argument, one level lower). */
+  def trainCharLm(docs: DataFrame): Array[Long] = {
+    val model = new Array[Long](graft.functions.Lm.TriSpace)
+    docs
+      .select(explode(
+        graft.functions.Lm.lm_tri_codes(lmNorm(col("text")))).as("code"))
+      .groupBy("code").count()
+      .collect()
+      .foreach(r => model(r.getInt(0)) = r.getLong(1))
+    model
+  }
+
+  /** LM quality score: mean add-one-smoothed trigram probability of each
+    * document under the corpus's own trigram model, in integer basis
+    * points — the CCNet LM-filter shape (train on a reference corpus,
+    * score candidates; here the corpus scores itself, which is the
+    * "flag the outliers" variant). Natural text lands high, gibberish
+    * and wrong-alphabet text low; a curation floor on `lm_bp` is the
+    * perplexity gate. Scoring is a single codegen'd scan
+    * ([[graft.functions.Lm.lm_score_bp]] with the trained model riding
+    * in the expression); the DuckDB oracle recomputes the identical
+    * integer arithmetic from the same corpus, so the gate is a full
+    * hash match despite the model being "learned". Docs with fewer than
+    * one trigram after normalization drop out on both sides. */
+  val lmScore: GraftQuery = GraftQuery(
+    "text_lm_score",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = trainCharLm(d)
+      d.select(col("doc_id"),
+          graft.functions.Lm.lm_score_bp(lmNorm(col("text")), model)
+            .as("lm_bp"))
+        .filter(col("lm_bp").isNotNull)
+    },
+    Some(
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g')) AS s
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, s[i:i+2] AS tri, s[i:i+1] AS big
+        |  FROM norm, unnest(generate_series(1, len(s) - 2)) AS t(i)),
+        |tri_cnt AS (SELECT tri, count(*) AS c FROM pos GROUP BY 1),
+        |big_cnt AS (SELECT big, count(*) AS c FROM pos GROUP BY 1),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    sum((tc.c + 1) * 10000 // (bc.c + 37)) AS total,
+        |    count(*) AS n
+        |  FROM pos p
+        |  JOIN tri_cnt tc ON p.tri = tc.tri
+        |  JOIN big_cnt bc ON p.big = bc.big
+        |  GROUP BY 1)
+        |SELECT doc_id, CAST(total // n AS BIGINT) AS lm_bp
+        |FROM scored""".stripMargin))
+
   /** Intra-document repetition signals (the Gopher-style "repetitious
     * text" filters): for each doc, the share of word-2-grams that are
     * repeats and the share claimed by the single most frequent 2-gram.
@@ -514,5 +586,6 @@ object TextOps {
 
   val all: Seq[GraftQuery] =
     Seq(textStats, qualityScore, tokenCount, fingerprint,
-      winnowFingerprint, langId, repetition, bpeMerges, tokenizeBpeQuery)
+      winnowFingerprint, langId, repetition, lmScore, bpeMerges,
+      tokenizeBpeQuery)
 }

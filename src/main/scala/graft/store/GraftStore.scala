@@ -134,8 +134,6 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
     * pruning granularity the z-layout's stats operate on. */
   def stage(table: String, df: DataFrame,
       writeOptions: Map[String, String] = Map.empty): Seq[Leaf] = {
-    val seg = s"${physName(table)}/seg-" +
-      s"${System.nanoTime()}-${UUID.randomUUID().toString.take(8)}"
     val hc = heightCol(table)
     // Partition dirs use shadow `__` columns so every real column stays in
     // the data files — leaves are then plain parquet, readable in any
@@ -205,17 +203,121 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
     * append added to a leaf it never read. Such a commit throws
     * [[GraftStore.StaleSnapshotException]] — retry from a fresh snapshot. */
   def commit(adds: Seq[Leaf], drops: Seq[Leaf] = Nil,
-      meta: Map[String, String] = Map.empty): Unit = synchronized {
-    val live = currentLeaves()
-    val liveDirs = live.map(_.dir).toSet
-    val stale = drops.filterNot(l => liveDirs.contains(l.dir))
-    if (stale.nonEmpty)
-      throw new GraftStore.StaleSnapshotException(
-        s"${stale.size} drop(s) no longer live (first: ${stale.head.dir}); " +
-          "recompute from a fresh snapshot and retry")
-    val dropSet = drops.map(_.dir).toSet
-    publish(live.filterNot(l => dropSet.contains(l.dir)) ++ adds,
-      currentMeta() ++ meta.map { case (k, v) => metaKey(k) -> v })
+      meta: Map[String, String] = Map.empty): Unit =
+    // The read-modify-write of `_current` must be exclusive across EVERY
+    // writer of this root, not just this instance: two GraftStore
+    // instances over one root (streaming curate + an index append in the
+    // same JVM, or two CLI processes) would otherwise interleave here and
+    // the second publish would silently erase the first's leaves. A
+    // JVM-wide lock keyed by the canonical root serializes in-process
+    // writers; an OS file lock on `_commitlock` extends that to
+    // co-hosted processes (advisory — holds on POSIX local FS; on an
+    // object store there is no lock primitive, which is why lakehouse
+    // formats put this compare-and-swap in a catalog service at scale).
+    GraftStore.rootLock(rootPath).synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        rootPath.resolve("_commitlock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val flock = ch.lock()
+        try {
+          val live = currentLeaves()
+          val liveDirs = live.map(_.dir).toSet
+          val stale = drops.filterNot(l => liveDirs.contains(l.dir))
+          if (stale.nonEmpty)
+            throw new GraftStore.StaleSnapshotException(
+              s"${stale.size} drop(s) no longer live " +
+                s"(first: ${stale.head.dir}); " +
+                "recompute from a fresh snapshot and retry")
+          val dropSet = drops.map(_.dir).toSet
+          publish(live.filterNot(l => dropSet.contains(l.dir)) ++ adds,
+            currentMeta() ++ meta.map { case (k, v) => metaKey(k) -> v })
+        } finally flock.release()
+      } finally ch.close()
+    }
+
+  /** Committed snapshot files, oldest → newest ([[publish]] names embed a
+    * monotonic nanos stamp). The last entry is what `_current` points to
+    * (plus any snapshot a crashed commit wrote but never swapped in —
+    * harmless, vacuumed like the rest). */
+  def snapshots(): Seq[String] =
+    Files.list(rootPath).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("snapshot-") && n.endsWith(".txt"))
+      .toSeq
+      .sortBy(n => n.stripPrefix("snapshot-").takeWhile(_ != '-').toLong)
+
+  /** Leaves as of an explicit snapshot file — time travel. Every commit
+    * writes a NEW snapshot file and leaves are immutable, so any snapshot
+    * name from [[snapshots]] replays that exact version until [[vacuum]]
+    * reclaims it. */
+  def leavesAt(snapshot: String): Seq[Leaf] = {
+    val f = rootPath.resolve(snapshot)
+    require(Files.exists(f), s"snapshot $snapshot not found (vacuumed?)")
+    Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val Array(t, b, d) = l.split("\t", 3)
+        Leaf(t, b.toLong, d)
+      }
+  }
+
+  /** Snapshot-pinned read of `table` at a historic version. */
+  def readAt(spark: SparkSession, table: String, snapshot: String): DataFrame =
+    readLeaves(spark, table, leavesAt(snapshot))
+
+  /** Reclaim storage: drop all but the newest `keepSnapshots` snapshot
+    * files, then delete every leaf directory no RETAINED snapshot
+    * references (dropped by reorg/retention/compaction/rebuild — the
+    * manifest never deletes files, so without vacuum the root grows
+    * without bound) and any staged-but-never-committed orphan. Leaf dirs
+    * younger than `graceMs` (by mtime) survive regardless: an in-flight
+    * writer stages leaves BEFORE its commit makes them visible, and the
+    * grace keeps vacuum from sweeping them mid-stage (Delta/Iceberg's
+    * retention-window rule; size it above the longest expected
+    * stage-to-commit latency). Runs under the commit lock so the retained
+    * set cannot move underneath it. Returns deleted leaf-dir count. */
+  def vacuum(keepSnapshots: Int = 1, graceMs: Long = 0L): Long =
+    GraftStore.rootLock(rootPath).synchronized {
+      require(keepSnapshots >= 1, "must keep at least the current snapshot")
+      val all = snapshots()
+      val (old, kept) = all.splitAt(math.max(all.size - keepSnapshots, 0))
+      val referenced = kept.flatMap(leavesAt).map(_.dir).toSet ++
+        currentLeaves().map(_.dir) // belt-and-braces for odd pointers
+      val cutoff = System.currentTimeMillis() - graceMs
+      var deleted = 0L
+      Files.list(rootPath).iterator().asScala
+        .filter(Files.isDirectory(_)).toSeq
+        .foreach { tableDir =>
+          Files.list(tableDir).iterator().asScala
+            .filter(_.getFileName.toString.startsWith("seg-")).toSeq
+            .foreach { segDir =>
+              Files.list(segDir).iterator().asScala.toSeq.foreach { leafDir =>
+                val rel = rootPath.relativize(leafDir).toString
+                if (Files.isDirectory(leafDir) && !referenced.contains(rel) &&
+                    Files.getLastModifiedTime(leafDir).toMillis < cutoff) {
+                  deleteRecursively(leafDir)
+                  deleted += 1
+                }
+              }
+              // a seg dir whose every bucket was reclaimed is empty now
+              // (modulo parquet _SUCCESS markers) — remove the shell
+              val rest = Files.list(segDir).iterator().asScala.toSeq
+              if (rest.forall(p => !Files.isDirectory(p))) {
+                rest.foreach(Files.delete)
+                Files.delete(segDir)
+              }
+            }
+        }
+      old.foreach(s => Files.deleteIfExists(rootPath.resolve(s)))
+      deleted
+    }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.delete(p)
   }
 
   /** Snapshot-isolated read; `bucketPred` prunes leaves before Spark ever
@@ -274,4 +376,14 @@ object GraftStore {
     * commit. Recompute and retry. */
   final class StaleSnapshotException(msg: String)
     extends RuntimeException(msg)
+
+  /** One JVM-wide lock object per canonical store root: serializes
+    * commits from DIFFERENT GraftStore instances over the same root
+    * (and avoids the OverlappingFileLockException two same-JVM takers of
+    * the `_commitlock` file lock would hit). */
+  private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[store] def rootLock(root: Path): Object =
+    rootLocks.computeIfAbsent(
+      root.toAbsolutePath.normalize.toString, _ => new Object)
 }

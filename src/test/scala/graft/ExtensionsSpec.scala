@@ -46,7 +46,8 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  '[^a-z0-9]', ''), 7, 4) AS fps,
         |  graft_simhash64(transform(split(lower(text), '\\s+'),
         |    t -> xxhash64(t))) AS sh,
-        |  graft_shingle_hashes(split(lower(text), '\\s+'), 5) AS grams
+        |  graft_shingle_hashes(split(lower(text), '\\s+'), 5) AS grams,
+        |  graft_lm_tri_codes(lower(text)) AS tri
         |FROM ext_docs""".stripMargin).head()
     val viaCol = d.select(
       graft.functions.Vec.winnow_fps(
@@ -55,9 +56,11 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         expr("transform(split(lower(text), '\\\\s+'), t -> xxhash64(t))"))
         .as("sh"),
       graft.functions.Vec.shingle_hashes(
-        split(lower(col("text")), "\\s+"), 5).as("grams")).head()
+        split(lower(col("text")), "\\s+"), 5).as("grams"),
+      graft.functions.Lm.lm_tri_codes(lower(col("text"))).as("tri")).head()
     assert(viaSql.getSeq[Long](0) == viaCol.getSeq[Long](0))
     assert(viaSql.getAs[Long]("sh") == viaCol.getAs[Long]("sh"))
+    assert(viaSql.getSeq[Int](3) == viaCol.getSeq[Int](3))
     assert(viaSql.getSeq[Long](2) == viaCol.getSeq[Long](2))
   }
 

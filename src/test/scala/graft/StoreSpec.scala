@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.store.GraftStore
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Manifest-store lifecycle beyond the single-writer happy path: commit
+  * exclusion across INSTANCES (the multi-writer regime — streaming curate
+  * plus an index append over one root), snapshot time travel, and vacuum
+  * (physical reclamation of dropped/orphaned leaves — the manifest itself
+  * never deletes files). */
+class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def rows(ids: Long*): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i, s"payload-$i")).toDF("k", "v")
+  }
+
+  private def commitKeyed(store: GraftStore, table: String,
+      df: DataFrame): Unit =
+    store.commit(store.stageKeyed(table, df, pmod(col("k"), lit(4L)),
+      Seq(col("k"))))
+
+  test("concurrent commits from separate instances all survive") {
+    val root = Files.createTempDirectory("graft-store-conc").toString
+    // each thread uses its OWN GraftStore instance — instance-level
+    // synchronization alone would let publish()'s read-modify-write of
+    // _current interleave and erase earlier commits
+    val threads = (0 until 8).map { i =>
+      new Thread(() =>
+        commitKeyed(new GraftStore(root), "t", rows(i.toLong)))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val live = new GraftStore(root).read(spark, "t")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(live == (0L until 8L), s"lost commits: $live")
+  }
+
+  test("time travel: a historic snapshot replays its exact version") {
+    val root = Files.createTempDirectory("graft-store-tt").toString
+    val store = new GraftStore(root)
+    commitKeyed(store, "t", rows(1L, 2L))
+    val v1 = store.snapshots().last
+    // v2 rewrites the table (drop everything, add the new rows) — the
+    // compaction/rebuild shape
+    store.commit(
+      store.stageKeyed("t", rows(10L), pmod(col("k"), lit(4L)),
+        Seq(col("k"))),
+      drops = store.leavesOf("t"))
+    val now = store.read(spark, "t")
+      .select("k").collect().map(_.getLong(0)).toSet
+    val then_ = store.readAt(spark, "t", v1)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(now == Set(10L))
+    assert(then_ == Set(1L, 2L))
+  }
+
+  test("vacuum reclaims dropped leaves and old snapshots; current reads " +
+      "survive; grace shields young orphans") {
+    val root = Files.createTempDirectory("graft-store-vac").toString
+    val store = new GraftStore(root)
+    commitKeyed(store, "t", rows(1L, 2L))
+    val v1 = store.snapshots().last
+    store.commit(
+      store.stageKeyed("t", rows(10L), pmod(col("k"), lit(4L)),
+        Seq(col("k"))),
+      drops = store.leavesOf("t"))
+    // stage WITHOUT committing: an in-flight writer's orphan
+    val orphan = store.stageKeyed("t", rows(99L), pmod(col("k"), lit(4L)),
+      Seq(col("k")))
+    assert(orphan.nonEmpty)
+    // a generous grace keeps both the orphan and the dropped v1 leaves
+    // (all younger than the window)
+    assert(store.vacuum(keepSnapshots = 2, graceMs = 3600000L) == 0L)
+    // zero grace, keep only current: v1's leaves and the orphan go
+    val deleted = store.vacuum(keepSnapshots = 1, graceMs = 0L)
+    assert(deleted >= orphan.size)
+    assert(store.snapshots() == Seq(store.snapshots().last))
+    intercept[IllegalArgumentException](store.readAt(spark, "t", v1))
+    val live = store.read(spark, "t")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(live.toSeq == Seq((10L, "payload-10")))
+    // every surviving leaf dir on disk is referenced by the one snapshot
+    val referenced = store.currentLeaves().map(_.dir).toSet
+    val onDisk = Files.walk(Paths.get(root)).iterator()
+    while (onDisk.hasNext) {
+      val p = onDisk.next()
+      val rel = Paths.get(root).relativize(p).toString
+      if (rel.contains("__bucket=") && Files.isDirectory(p))
+        assert(referenced.contains(rel), s"unreferenced survivor: $rel")
+    }
+  }
+}
