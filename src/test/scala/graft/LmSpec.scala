@@ -61,12 +61,12 @@ class LmSpec extends AnyFunSuite with BeforeAndAfterAll {
     val viaKernel = normed.zipWithIndex.map(_.swap).toDF("doc_id", "s")
       .select(col("doc_id"), Lm.lm_tri_codes(col("s")).as("codes"),
         Lm.lm_score_bp(col("s"), model).as("bp"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Int](1),
+      .collect().map(r => r.getInt(0) -> (r.getSeq[Int](1),
         if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
 
     normed.zipWithIndex.foreach { case (s, i) =>
-      assert(viaKernel(i)._2 == refCodes(s), s"codes diverge on doc $i")
-      assert(viaKernel(i)._3 == refScore(s, model), s"score diverges on $i")
+      assert(viaKernel(i)._1 == refCodes(s), s"codes diverge on doc $i")
+      assert(viaKernel(i)._2 == refScore(s, model), s"score diverges on $i")
     }
   }
 
