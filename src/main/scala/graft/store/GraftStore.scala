@@ -67,13 +67,13 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
 
   private val MetaPrefix = "#meta\t"
 
-  private def snapshotLines(): Seq[String] = {
-    if (!Files.exists(currentPtr)) return Nil
-    val snapFile = rootPath.resolve(
-      new String(Files.readAllBytes(currentPtr), StandardCharsets.UTF_8).trim)
-    Files.readAllLines(snapFile, StandardCharsets.UTF_8).asScala.toSeq
-      .filter(_.nonEmpty)
-  }
+  private def snapshotLines(): Seq[String] =
+    currentSnapshot() match {
+      case None => Nil
+      case Some(name) =>
+        Files.readAllLines(rootPath.resolve(name), StandardCharsets.UTF_8)
+          .asScala.toSeq.filter(_.nonEmpty)
+    }
 
   def currentLeaves(): Seq[Leaf] =
     snapshotLines().filterNot(_.startsWith("#")).map { l =>
@@ -95,9 +95,48 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
   def metaKey(key: String): String =
     if (tablesPrefix.isEmpty) key else s"${tablesPrefix}_$key"
 
+  /** Next snapshot sequence number: one past the highest sequence any
+    * existing snapshot file carries. The counter is PERSISTED in the file
+    * names themselves, so it is monotonic across process restarts and
+    * machine reboots — unlike `System.nanoTime()`, whose origin is
+    * arbitrary per boot (a reboot would make new snapshots sort BEFORE
+    * old ones, and a negative value would produce an unparseable
+    * `snapshot--...` name). Only called under the commit lock, so two
+    * writers can never mint the same sequence. */
+  private def nextSeq(): Long =
+    boundedInc(snapshotFiles().map(snapshotSeq).maxOption.getOrElse(0L))
+
+  private def snapshotFiles(): Seq[String] =
+    listDir(rootPath)
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("snapshot-") && n.endsWith(".txt"))
+
+  /** Robust sequence parse: digits after the prefix. Legacy names from
+    * the nanoTime era (all-digit positive stamps) keep their relative
+    * order; anything unparseable (e.g. a negative-nanos `snapshot--...`)
+    * sorts first instead of crashing. */
+  private def snapshotSeq(name: String): Long = {
+    val digits = name.stripPrefix("snapshot-").takeWhile(_.isDigit)
+    if (digits.isEmpty) 0L
+    else digits.toLongOption.getOrElse(Long.MaxValue) // overflow → sorts last
+  }
+
+  /** Next snapshot sequence, saturating instead of wrapping if a
+    * degenerate name parsed to Long.MaxValue (uniqueness still holds via
+    * the UUID suffix; order within equal sequences is lexical). */
+  private def boundedInc(n: Long): Long =
+    if (n == Long.MaxValue) n else n + 1L
+
+  /** The snapshot file `_current` points to right now, if any. */
+  def currentSnapshot(): Option[String] =
+    if (!Files.exists(currentPtr)) None
+    else Some(new String(Files.readAllBytes(currentPtr),
+      StandardCharsets.UTF_8).trim)
+
   private def publish(leaves: Seq[Leaf], meta: Map[String, String]): Unit = {
-    val name =
-      s"snapshot-${System.nanoTime()}-${UUID.randomUUID().toString.take(8)}.txt"
+    // zero-padded so lexical order == numeric order for fresh stores
+    val name = f"snapshot-${nextSeq()}%020d-" +
+      s"${UUID.randomUUID().toString.take(8)}.txt"
     val metaLines = meta.toSeq.sorted.map { case (k, v) => s"$MetaPrefix$k\t$v" }
     val body = (metaLines ++ leaves.sortBy(l => (l.table, l.bucket, l.dir))
       .map(l => s"${l.table}\t${l.bucket}\t${l.dir}")).mkString("\n")
@@ -186,7 +225,7 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
       .partitionBy(partCols: _*)
       .parquet(s"$root/$seg")
     // enumerate bucket leaves written
-    Files.list(rootPath.resolve(seg)).iterator().asScala.toSeq
+    listDir(rootPath.resolve(seg))
       .map(_.getFileName.toString)
       .filter(_.startsWith("__bucket="))
       .map(d => Leaf(physName(table), d.stripPrefix("__bucket=").toLong,
@@ -214,6 +253,25 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
     // co-hosted processes (advisory — holds on POSIX local FS; on an
     // object store there is no lock primitive, which is why lakehouse
     // formats put this compare-and-swap in a catalog service at scale).
+    withCommitLock {
+      val live = currentLeaves()
+      val liveDirs = live.map(_.dir).toSet
+      val stale = drops.filterNot(l => liveDirs.contains(l.dir))
+      if (stale.nonEmpty)
+        throw new GraftStore.StaleSnapshotException(
+          s"${stale.size} drop(s) no longer live " +
+            s"(first: ${stale.head.dir}); " +
+            "recompute from a fresh snapshot and retry")
+      val dropSet = drops.map(_.dir).toSet
+      publish(live.filterNot(l => dropSet.contains(l.dir)) ++ adds,
+        currentMeta() ++ meta.map { case (k, v) => metaKey(k) -> v })
+    }
+
+  /** JVM lock + `_commitlock` OS file lock around `body` — the exclusion
+    * every read-modify-write of `_current` needs (commit AND vacuum: a
+    * commit publishing between vacuum's reference-set computation and its
+    * deletes would otherwise lose the new commit's leaves). */
+  private def withCommitLock[T](body: => T): T =
     GraftStore.rootLock(rootPath).synchronized {
       val ch = java.nio.channels.FileChannel.open(
         rootPath.resolve("_commitlock"),
@@ -221,32 +279,16 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
         java.nio.file.StandardOpenOption.WRITE)
       try {
         val flock = ch.lock()
-        try {
-          val live = currentLeaves()
-          val liveDirs = live.map(_.dir).toSet
-          val stale = drops.filterNot(l => liveDirs.contains(l.dir))
-          if (stale.nonEmpty)
-            throw new GraftStore.StaleSnapshotException(
-              s"${stale.size} drop(s) no longer live " +
-                s"(first: ${stale.head.dir}); " +
-                "recompute from a fresh snapshot and retry")
-          val dropSet = drops.map(_.dir).toSet
-          publish(live.filterNot(l => dropSet.contains(l.dir)) ++ adds,
-            currentMeta() ++ meta.map { case (k, v) => metaKey(k) -> v })
-        } finally flock.release()
+        try body finally flock.release()
       } finally ch.close()
     }
 
   /** Committed snapshot files, oldest → newest ([[publish]] names embed a
-    * monotonic nanos stamp). The last entry is what `_current` points to
-    * (plus any snapshot a crashed commit wrote but never swapped in —
-    * harmless, vacuumed like the rest). */
+    * persisted monotonic sequence). The last entry is what `_current`
+    * points to (plus any snapshot a crashed commit wrote but never
+    * swapped in — harmless, vacuumed like the rest). */
   def snapshots(): Seq[String] =
-    Files.list(rootPath).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("snapshot-") && n.endsWith(".txt"))
-      .toSeq
-      .sortBy(n => n.stripPrefix("snapshot-").takeWhile(_ != '-').toLong)
+    snapshotFiles().sortBy(n => (snapshotSeq(n), n))
 
   /** Leaves as of an explicit snapshot file — time travel. Every commit
     * writes a NEW snapshot file and leaves are immutable, so any snapshot
@@ -276,24 +318,33 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
     * writer stages leaves BEFORE its commit makes them visible, and the
     * grace keeps vacuum from sweeping them mid-stage (Delta/Iceberg's
     * retention-window rule; size it above the longest expected
-    * stage-to-commit latency). Runs under the commit lock so the retained
-    * set cannot move underneath it. Returns deleted leaf-dir count. */
-  def vacuum(keepSnapshots: Int = 1, graceMs: Long = 0L): Long =
-    GraftStore.rootLock(rootPath).synchronized {
+    * stage-to-commit latency — the 5-minute default is defense in depth;
+    * 0 is for tests that vacuum their own quiesced root). Runs under the
+    * FULL commit lock — JVM root lock AND the `_commitlock` file lock —
+    * so a commit from a co-hosted PROCESS cannot publish between the
+    * reference-set computation and the deletes. The snapshot `_current`
+    * points to is always retained, whatever its position in name order.
+    * Returns deleted leaf-dir count. */
+  def vacuum(keepSnapshots: Int = 1, graceMs: Long = 300000L): Long =
+    withCommitLock {
       require(keepSnapshots >= 1, "must keep at least the current snapshot")
       val all = snapshots()
-      val (old, kept) = all.splitAt(math.max(all.size - keepSnapshots, 0))
+      val current = currentSnapshot()
+      val (old, kept0) = all.splitAt(math.max(all.size - keepSnapshots, 0))
+      // never reclaim the snapshot _current references, even if something
+      // (a clock anomaly, a legacy-name store) made it sort as "old"
+      val kept = (kept0 ++ current.filter(all.contains)).distinct
       val referenced = kept.flatMap(leavesAt).map(_.dir).toSet ++
         currentLeaves().map(_.dir) // belt-and-braces for odd pointers
       val cutoff = System.currentTimeMillis() - graceMs
       var deleted = 0L
-      Files.list(rootPath).iterator().asScala
-        .filter(Files.isDirectory(_)).toSeq
+      listDir(rootPath)
+        .filter(Files.isDirectory(_))
         .foreach { tableDir =>
-          Files.list(tableDir).iterator().asScala
-            .filter(_.getFileName.toString.startsWith("seg-")).toSeq
+          listDir(tableDir)
+            .filter(_.getFileName.toString.startsWith("seg-"))
             .foreach { segDir =>
-              Files.list(segDir).iterator().asScala.toSeq.foreach { leafDir =>
+              listDir(segDir).foreach { leafDir =>
                 val rel = rootPath.relativize(leafDir).toString
                 if (Files.isDirectory(leafDir) && !referenced.contains(rel) &&
                     Files.getLastModifiedTime(leafDir).toMillis < cutoff) {
@@ -303,20 +354,28 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
               }
               // a seg dir whose every bucket was reclaimed is empty now
               // (modulo parquet _SUCCESS markers) — remove the shell
-              val rest = Files.list(segDir).iterator().asScala.toSeq
+              val rest = listDir(segDir)
               if (rest.forall(p => !Files.isDirectory(p))) {
                 rest.foreach(Files.delete)
                 Files.delete(segDir)
               }
             }
         }
-      old.foreach(s => Files.deleteIfExists(rootPath.resolve(s)))
+      old.filterNot(kept.contains)
+        .foreach(s => Files.deleteIfExists(rootPath.resolve(s)))
       deleted
     }
 
+  /** `Files.list` with the stream closed — the raw stream holds an open
+    * directory fd until closed, and a vacuum over a large store visits
+    * thousands of directories. */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.delete(p)
   }
 

@@ -65,6 +65,55 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(then_ == Set(1L, 2L))
   }
 
+  test("snapshot sequence is monotonic across store re-instantiation " +
+      "(restart/reboot survival)") {
+    val root = Files.createTempDirectory("graft-store-seq").toString
+    commitKeyed(new GraftStore(root), "t", rows(1L))
+    commitKeyed(new GraftStore(root), "t", rows(2L)) // fresh instance =
+    commitKeyed(new GraftStore(root), "t", rows(3L)) // fresh process state
+    val store = new GraftStore(root)
+    val seqs = store.snapshots().map(
+      _.stripPrefix("snapshot-").takeWhile(_.isDigit).toLong)
+    assert(seqs == seqs.sorted && seqs.distinct == seqs,
+      s"non-monotonic snapshot sequence: $seqs")
+    assert(store.currentSnapshot().contains(store.snapshots().last))
+  }
+
+  test("vacuum never reclaims the snapshot _current points to, even when " +
+      "a higher-named stray snapshot exists") {
+    val root = Files.createTempDirectory("graft-store-cur").toString
+    val store = new GraftStore(root)
+    commitKeyed(store, "t", rows(1L, 2L))
+    val current = store.currentSnapshot().get
+    // simulate a crashed commit (or a pre-fix nanoTime-era name from a
+    // later boot): a snapshot file with a HIGHER sequence that _current
+    // never adopted — name order would call it "newest"
+    val stray = "snapshot-99999999999999999999999-deadbeef.txt"
+    Files.write(Paths.get(root, stray),
+      Files.readAllBytes(Paths.get(root, current)))
+    assert(store.snapshots().last == stray) // adversarial name order...
+    store.vacuum(keepSnapshots = 1, graceMs = 0L)
+    // ...yet the live manifest survives and reads still work
+    assert(Files.exists(Paths.get(root, current)),
+      "_current's snapshot was vacuumed")
+    assert(store.read(spark, "t").select("k")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("legacy negative-nanos snapshot names neither crash listing nor " +
+      "outrank real snapshots") {
+    val root = Files.createTempDirectory("graft-store-neg").toString
+    val store = new GraftStore(root)
+    commitKeyed(store, "t", rows(7L))
+    Files.write(Paths.get(root, "snapshot--12345-cafe.txt"),
+      "t\t0\tbogus".getBytes)
+    assert(store.snapshots().head == "snapshot--12345-cafe.txt")
+    assert(store.currentSnapshot().contains(store.snapshots().last))
+    commitKeyed(store, "t", rows(8L)) // nextSeq must not choke either
+    assert(store.read(spark, "t").select("k")
+      .collect().map(_.getLong(0)).toSet == Set(7L, 8L))
+  }
+
   test("vacuum reclaims dropped leaves and old snapshots; current reads " +
       "survive; grace shields young orphans") {
     val root = Files.createTempDirectory("graft-store-vac").toString
