@@ -92,6 +92,10 @@ object GraftExtensions {
     fn("graft_u256_cmp", 2)(a => U256Cmp(a(0), a(1))),
     fn("graft_u256_add", 2)(a => U256Add(a(0), a(1))),
     fn("graft_u256_sum", 1)(a => U256SumAgg(a.head)),
+    // Misra-Gries approximate top-k heavy hitters (aggregate)
+    fn("graft_mg_top_k", 3)(a => MgTopKAgg(a(0),
+      intLit("graft_mg_top_k", "k")(a(1)),
+      intLit("graft_mg_top_k", "capacity")(a(2)))),
     // CBC-20 calldata decode (generator)
     fn("graft_cbc20_decode", 2)(a => Cbc20DecodeExpr(a(0), a(1))),
     // Z-order (Morton) interleave for multi-dim clustering — composed

@@ -721,6 +721,31 @@ object CurationOps {
           .otherwise("test").as("split"))
   }
 
+  /** Approximate corpus-wide heavy hitters via the Misra-Gries mergeable
+    * summary ([[graft.functions.MgTopKAgg]]): the scale path for "top
+    * terms" when the distinct-term set itself is too large to shuffle —
+    * state is capped at `capacity` entries per partition, partials merge
+    * map-side, and only `capacity` rows ever cross the exchange (the
+    * exact [[docFreq]]/[[topTerms]] shuffle one row per DISTINCT term).
+    * Guarantee: every term with true frequency > N/(capacity+1) is
+    * present, estimates undercount by at most N/(capacity+1) (N = total
+    * tokens). Rows-only: estimates depend on encounter order, so no
+    * portable oracle exists — TopKSpec pins the guarantee against exact
+    * counts with forced partial/merge/serde paths. */
+  val topTermsApprox: GraftQuery = GraftQuery(
+    "text_top_terms_approx",
+    (s, dir) => {
+      val tokens = docs(s, dir)
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+      tokens
+        .agg(graft.functions.TopK.mg_top_k(col("token"), 50, 4096).as("top"))
+        .select(posexplode(col("top")).as(Seq("rnk", "entry")))
+        .select((col("rnk") + 1).as("rnk"), col("entry.term").as("term"),
+          col("entry.cnt_est").as("cnt_est"))
+    },
+    None)
+
   /** Driver-visible pipeline run over the corpus + injected near-copies
     * (so the dedup stages do real work at every scale factor). Rows-only:
     * the near-dup stage rides on engine-specific xxhash64 signatures, so
@@ -735,5 +760,5 @@ object CurationOps {
   val all: Seq[GraftQuery] =
     Seq(dedupClusters, sampleSplit, sampleStratified, sampleMixture,
       domainCap, qualityWeighted, qualityCalibration, decontaminate,
-      curationTopK, docFreq, topTerms, curationPipeline)
+      curationTopK, docFreq, topTerms, topTermsApprox, curationPipeline)
 }
