@@ -26,6 +26,9 @@ import org.apache.spark.sql.SparkSession
   * stages, each wired to its library operator:
   *  - `--pii-scrub` scrubs emails/IPs/long digit runs before anything
   *    else sees the text;
+  *  - `--lm-floor-bp N` is the CCNet-style perplexity gate: train the
+  *    char-trigram LM on the corpus itself (or `--lm-ref ref.parquet`),
+  *    keep docs scoring at least N basis points under it;
   *  - `--decontaminate-against eval.parquet` (with
   *    `--max-contamination-bp N`, default 1000) drops docs whose 5-gram
   *    overlap with the eval set reaches the threshold;
@@ -182,11 +185,27 @@ object Main {
           .dropDuplicates("doc_id")
         // --pii-scrub runs FIRST: quality, dedup, and the written shards
         // all see the scrubbed text
-        val d =
+        val scrubbed =
           if (args.contains("--pii-scrub"))
             deduped.withColumn("text", CorpusOps.scrubText(col("text")))
           else deduped
-        val total = d.count()
+        val total = scrubbed.count()
+        // --lm-floor-bp N: the CCNet-shaped perplexity gate
+        // (TextOps.trainCharLm + Lm.lm_score_bp) — train on this corpus
+        // (after scrubbing, so the model never sees scrubbed-away PII) or
+        // on --lm-ref, keep docs scoring >= N bp. Scoring is one codegen'd
+        // scan with the model riding in the expression; only the ~50k
+        // model parameters reach the driver. Docs too short to score
+        // (null lm_bp) fail the gate, as in CCNet.
+        val d = opt(args, "lm-floor-bp") match {
+          case Some(bp) =>
+            val ref = opt(args, "lm-ref")
+              .map(p => spark.read.parquet(p)).getOrElse(scrubbed)
+            val model = graft.operators.TextOps.trainCharLm(ref)
+            scrubbed.filter(graft.functions.Lm.lm_score_bp(
+              graft.operators.TextOps.lmNorm(col("text")), model) >= bp.toLong)
+          case None => scrubbed
+        }
         val curated = CurationOps.curateCorpus(d, floor, threshold)
           .localCheckpoint()
         var kept = d.join(curated, "doc_id")
@@ -236,13 +255,19 @@ object Main {
         //   index append --store S --kind band --input new.parquet
         //   index search --store S --kind band --input probe.parquet \
         //       [--threshold 0.4] [--output pairs.parquet]
+        //   index compact --store S --kind band   (re-apply global caps)
         // build/append commit through the same atomic snapshot swap as
         // the chain tables; search probes the at-rest index — history is
         // never re-shingled across process restarts
         val kind = opt(args, "kind").getOrElse(sys.error("--kind required"))
-        val in = opt(args, "input").getOrElse(sys.error("--input required"))
-        val input = spark.read.parquet(in)
+        // compact works purely on the at-rest index — no --input
+        lazy val input = spark.read.parquet(
+          opt(args, "input").getOrElse(sys.error("--input required")))
         args.lift(1) match {
+          case Some("compact") =>
+            val (dropped, leaves) = IndexStore.compact(store, spark, kind)
+            println(s"[index] compacted '$kind' index: dropped $dropped " +
+              s"rows over global caps, $leaves leaves now")
           case Some("build") =>
             val n = IndexStore.build(store, kind, input)
             println(s"[index] built fresh '$kind' index: $n leaves")
@@ -261,7 +286,8 @@ object Main {
                   .functions.col): _*).show(50, truncate = false)
             }
           case other =>
-            sys.error(s"usage: index build|append|search ... (got $other)")
+            sys.error(s"usage: index build|append|search|compact ... " +
+              s"(got $other)")
         }
 
       case other =>

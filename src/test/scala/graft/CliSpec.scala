@@ -76,6 +76,21 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.contains((901L, 103L)),
       s"near-copy of appended doc not found: $hits")
     assert(!hits.exists(_._1 == 902L), s"novel doc matched: $hits")
+    // a fourth invocation compacts (global caps + leaf merge) and the
+    // same search still answers from the compacted index
+    val compacted = captured {
+      cli.Main.run(spark, Array("index", "compact", "--store", storeDir,
+        "--kind", "band"))
+    }
+    assert(compacted.contains("compacted 'band' index"))
+    captured {
+      cli.Main.run(spark, Array("index", "search", "--store", storeDir,
+        "--kind", "band", "--input", probePath, "--output", outPath))
+    }
+    val hitsAfter = spark.read.parquet(outPath)
+      .select("new_id", "existing_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hitsAfter == hits, s"compaction changed results: $hitsAfter")
   }
 
   test("curate --pii-scrub and --decontaminate-against filter content") {
@@ -116,6 +131,53 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     // emails scrubbed in the written payload
     assert(back.filter(col("text").contains("@example.com")).count() == 0)
     assert(back.filter(col("text").contains("<EMAIL>")).count() == 2)
+  }
+
+  test("curate --lm-floor-bp drops gibberish while natural text passes") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-curate-lm")
+    val corpusPath = s"$root/corpus.parquet"
+    val out = s"$root/shards"
+    // natural corpus: repetitive English dominates the trigram model;
+    // per-doc filler tokens keep the docs clear of the near-dup stage
+    val natural = (0 until 60).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog and the " +
+        "small cat sleeps near the warm fire in the long story " +
+        s"chapter$i section$i part$i topic$i item$i note$i page$i line$i"))
+    // gibberish: uniform random alphanumerics — no trigram is frequent
+    val rnd = new scala.util.Random(3)
+    val junk = (200 until 205).map(i =>
+      (i.toLong, Seq.fill(120)(
+        "abcdefghijklmnopqrstuvwxyz0123456789"(rnd.nextInt(36))).mkString))
+    val df = (natural ++ junk).toDF("doc_id", "text")
+    df.write.parquet(corpusPath)
+    // pick the floor between the two observed score bands so the test
+    // pins SEPARATION (gibberish below, natural above), not an absolute
+    // calibration of the trigram arithmetic (LmSpec owns that)
+    val model = graft.operators.TextOps.trainCharLm(df)
+    val scores = df.select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.Lm.lm_score_bp(
+          graft.operators.TextOps.lmNorm(
+            org.apache.spark.sql.functions.col("text")), model).as("bp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naturalMin = natural.map { case (id, _) => scores(id) }.min
+    val junkMax = junk.map { case (id, _) => scores(id) }.max
+    assert(naturalMin > junkMax, "corpus failed to separate — bad fixture")
+    val floor = (naturalMin + junkMax) / 2
+    val printed = captured {
+      cli.Main.run(spark, Array("curate",
+        "--input", corpusPath, "--output", out,
+        "--quality-floor-bp", "0", "--near-dup-threshold", "0.99",
+        "--docs-per-shard", "50",
+        "--lm-floor-bp", floor.toString))
+    }
+    assert(printed.contains("[curate] kept"))
+    val ids = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(junk.forall { case (id, _) => !ids.contains(id) },
+      s"gibberish survived the LM gate: ${ids.intersect(junk.map(_._1).toSet)}")
+    assert(natural.count { case (id, _) => ids.contains(id) } >= 50,
+      "the LM gate dropped most of the natural corpus")
   }
 
   test("curate --domain-cap and --target-mixture shape the output corpus") {
