@@ -36,8 +36,12 @@ import org.apache.spark.sql.functions._
   * Scale note: the per-batch skew caps (band bucket cap, span df cap)
   * apply within each build/append batch independently; a key that stays
   * under the cap in every batch but is degenerate across the union is
-  * not re-capped at probe time. At 100 TB, run periodic compaction
-  * (re-[[build]] from the corpus) to re-apply global caps.
+  * not re-capped at probe time. [[compact]] closes exactly that gap —
+  * it re-applies the caps GLOBALLY from the at-rest rows alone (no
+  * source text is ever re-shingled) and also merges the leaf debris N
+  * appends accumulate. At 100 TB, schedule it like any table
+  * compaction; re-[[build]] is only needed when the ivf model should
+  * re-train.
   */
 object IndexStore {
 
@@ -119,6 +123,60 @@ object IndexStore {
       store.leavesOf(tableOf(kind)) ++ store.leavesOf(IvfCentroidsTable)
         .filter(_ => kind == "ivf"))
     adds.size.toLong
+  }
+
+  /** Re-apply the GLOBAL skew-cap policies across the union of every
+    * build/append batch — WITHOUT re-shingling, re-winnowing or
+    * re-sketching any source text: the at-rest index rows carry
+    * everything the policies key on. The per-batch caps bound each
+    * batch independently, so a boilerplate key that stays under the cap
+    * in every batch can still be degenerate across the union (the
+    * documented honest caveat of [[append]]); compact closes it:
+    *
+    *  - `band`: duplicate (doc_id, band) rows from re-delivered docs
+    *    collapse, then buckets whose UNION size exceeds
+    *    [[DedupOps.MaxBucketSize]] drop entirely (the build-time
+    *    boilerplate policy, now global);
+    *  - `span`: duplicate (doc_id, fp) postings collapse, then
+    *    fingerprints whose union df exceeds [[DedupOps.MaxSpanDf]] drop;
+    *  - `sketch`/`ivf`: no cap policy — compact collapses re-delivered
+    *    vec_ids and, like the keyed kinds, merges the N-appends × 64
+    *    leaf dirs back to one leaf set per bucket (the ivf MODEL stays
+    *    fixed; re-[[build]] to re-train).
+    *
+    * One scan of the index, narrow keyed exchanges only, and the swap is
+    * a single atomic commit: a concurrent probe sees the old index or
+    * the new one, never a mix. A concurrent APPEND is safe too — its
+    * leaves are not in the drop set, so optimistic concurrency keeps
+    * them live (its rows just miss this compaction round). Returns
+    * (rows dropped by the global policies, leaves after). */
+  def compact(store: GraftStore, spark: SparkSession,
+      kind: String): (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val table = tableOf(kind)
+    val old = store.leavesOf(table)
+    require(old.nonEmpty,
+      s"no '$table' leaves in store ${store.root} — run `index build` first")
+    val live = store.readLeaves(spark, table, old)
+    val rows = (kind match {
+      case "band" =>
+        val bucket = Window.partitionBy(col("band"), col("band_key"))
+        live.dropDuplicates("doc_id", "band")
+          .withColumn("bucket_n", count(lit(1)).over(bucket))
+          .filter(col("bucket_n") <= DedupOps.MaxBucketSize)
+          .drop("bucket_n")
+      case "span" =>
+        val byFp = Window.partitionBy(col("fp"))
+        live.dropDuplicates("doc_id", "fp")
+          .withColumn("df", count(lit(1)).over(byFp))
+          .filter(col("df") <= DedupOps.MaxSpanDf)
+          .drop("df")
+      case _ => live.dropDuplicates("vec_id")
+    }).localCheckpoint() // counted AND staged — one computation
+    val dropped = live.count() - rows.count()
+    val adds = store.stageKeyed(table, rows, bucketOf(kind), sortOf(kind))
+    store.commit(adds, drops = old)
+    (dropped, adds.size.toLong)
   }
 
   /** Append index rows for a NEW batch — existing leaves untouched,

@@ -119,6 +119,111 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none.columns.toSeq == full.columns.toSeq)
   }
 
+  test("compact re-applies the global band cap across appends that were " +
+      "each under it, merges leaf debris, and leaves non-degenerate " +
+      "probes unchanged") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val root = Files.createTempDirectory("graft-idx-compact").toString
+    // boilerplate: byte-identical text under distinct doc_ids — every
+    // batch of 30 stays under MaxBucketSize (64), the union of 90 does
+    // not. Distinct docs ride along in each batch.
+    val boiler = (0 until 60).map(j => s"boilerw$j").mkString(" ")
+    def batch(ids: Range) = ids.map(i =>
+      (i.toLong, if (i % 2 == 0) boiler else doc(i.toLong, "d")._2))
+    val s1 = new GraftStore(root)
+    IndexStore.build(s1, "band", batch(0 until 60).toDF("doc_id", "text"))
+    IndexStore.append(s1, "band", batch(60 until 120).toDF("doc_id", "text"))
+    IndexStore.append(s1, "band", batch(120 until 180).toDF("doc_id", "text"))
+    val leavesBefore = s1.leavesOf("band_index").size
+    // per-batch caps saw 30 boiler docs each — all under 64, all kept
+    val before = IndexStore.read(s1, spark, "band")
+    val boilerRowsBefore = before.filter(col("doc_id") % 2 === 0).count()
+    assert(boilerRowsBefore > 0, "fixture: boiler rows must exist pre-compact")
+    val perBucket = before.groupBy("band", "band_key").count()
+      .agg(max("count")).head().getLong(0)
+    assert(perBucket > DedupOps.MaxBucketSize,
+      s"fixture: union bucket must exceed the cap, got $perBucket")
+
+    val (dropped, leavesAfter) =
+      IndexStore.compact(new GraftStore(root), spark, "band")
+    assert(dropped >= boilerRowsBefore, s"dropped only $dropped rows")
+    assert(leavesAfter < leavesBefore,
+      s"leaf debris not merged: $leavesBefore -> $leavesAfter")
+    val s2 = new GraftStore(root)
+    // the degenerate buckets are gone: no bucket exceeds the cap, and
+    // probe fan-out is bounded again
+    val after = IndexStore.read(s2, spark, "band")
+    assert(after.groupBy("band", "band_key").count()
+      .filter(col("count") > DedupOps.MaxBucketSize).count() == 0)
+    // a probe for a non-degenerate doc is unchanged: near-copy of doc 7
+    val probe = Seq((900L, doc(7L, "d")._2.split(" ").take(52).mkString(" ")
+      + " x0 x1 x2 x3 x4 x5 x6 x7")).toDF("doc_id", "text")
+    val hits = IndexStore.search(s2, spark, "band", probe)
+      .select("new_id", "existing_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((900L, 7L)), s"non-degenerate probe broken: $hits")
+  }
+
+  test("compact collapses re-delivered rows in the keyless kinds") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    val root = Files.createTempDirectory("graft-idx-compact-sk").toString
+    val vecs = (0L until 50L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val s1 = new GraftStore(root)
+    IndexStore.build(s1, "sketch", vecs.toDF("vec_id", "embedding"))
+    // the same batch re-delivered (an at-least-once upstream)
+    IndexStore.append(s1, "sketch", vecs.toDF("vec_id", "embedding"))
+    assert(IndexStore.read(s1, spark, "sketch").count() == 100L)
+    val (dropped, _) = IndexStore.compact(s1, spark, "sketch")
+    assert(dropped == 50L)
+    val after = IndexStore.read(new GraftStore(root), spark, "sketch")
+    assert(after.count() == 50L)
+    assert(after.select("vec_id").distinct().count() == 50L)
+  }
+
+  test("an append racing compact survives it; a compact racing a rebuild " +
+      "fails stale instead of resurrecting dropped rows") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-idx-race").toString
+    val a = (0L until 20L).map(doc(_, "a")).toDF("doc_id", "text")
+    val b = (100L until 110L).map(doc(_, "b")).toDF("doc_id", "text")
+    val store = new GraftStore(root)
+    IndexStore.build(store, "span", a)
+    // interleave: compute compact's staged state from the pre-append
+    // snapshot by hand (read -> stage), let an append land, THEN commit
+    // the compaction — the optimistic-concurrency shape of a slow
+    // compact racing a fast append
+    val oldLeaves = store.leavesOf("span_index")
+    val rows = store.readLeaves(spark, "span_index", oldLeaves)
+      .dropDuplicates("doc_id", "fp").localCheckpoint()
+    IndexStore.append(store, "span", b) // lands mid-compact
+    val adds = store.stageKeyed("span_index", rows,
+      pmod(col("fp"), lit(IndexStore.Buckets.toLong)), Seq(col("fp")))
+    store.commit(adds, drops = oldLeaves) // compact's commit
+    // the racing append's rows are alive: its leaves were not in the
+    // compact's drop set
+    val after = IndexStore.read(new GraftStore(root), spark, "span")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert((100L until 110L).forall(after.contains),
+      s"racing append lost: $after")
+    assert((0L until 20L).forall(after.contains))
+    // opposite order: a REBUILD (drop-everything) lands while a compact
+    // is staged from the old snapshot — the compact must fail stale, not
+    // resurrect the dropped leaves
+    val old2 = store.leavesOf("span_index")
+    val rows2 = store.readLeaves(spark, "span_index", old2)
+      .localCheckpoint()
+    IndexStore.build(store, "span", b) // rebuild drops old2 first
+    val adds2 = store.stageKeyed("span_index", rows2,
+      pmod(col("fp"), lit(IndexStore.Buckets.toLong)), Seq(col("fp")))
+    intercept[GraftStore.StaleSnapshotException] {
+      store.commit(adds2, drops = old2)
+    }
+  }
+
   test("rebuild replaces the old index in one commit; append extends it") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-idx-rebuild").toString
