@@ -290,8 +290,41 @@ object Main {
               s"(got $other)")
         }
 
+      case Some("store") =>
+        // manifest lifecycle:
+        //   store snapshots --store S          (list versions, mark current)
+        //   store vacuum --store S [--keep N] [--grace-ms M]
+        //   store compact --store S [--max-leaves-per-bucket N]
+        // vacuum is the reclamation half of the immutable-manifest design:
+        // commits never delete, so an ETL that reorgs/compacts/rebuilds
+        // forever needs this scheduled like any lakehouse retention job
+        args.lift(1) match {
+          case Some("snapshots") =>
+            val current = store.currentSnapshot()
+            store.snapshots().foreach { s =>
+              val mark = if (current.contains(s)) " <- current" else ""
+              println(s"$s$mark")
+            }
+          case Some("vacuum") =>
+            val deleted = store.vacuum(
+              opt(args, "keep").map(_.toInt).getOrElse(1),
+              opt(args, "grace-ms").map(_.toLong).getOrElse(300000L))
+            println(s"[store] vacuum reclaimed $deleted leaf dir(s)")
+          case Some("compact") =>
+            // merge the small-leaf tails an incremental ingest accretes
+            // (every tail commit = one leaf per touched bucket); retries
+            // internally if a concurrent commit moves the snapshot
+            val merged = graft.etl.Export.compact(spark, store,
+              opt(args, "max-leaves-per-bucket").map(_.toInt).getOrElse(1))
+            println(s"[store] compacted $merged leaf dir(s)")
+          case other =>
+            sys.error(s"usage: store snapshots|vacuum|compact ... " +
+              s"(got $other)")
+        }
+
       case other =>
-        sys.error(s"usage: export|view|verify|curate|index ... (got $other)")
+        sys.error(s"usage: export|view|verify|curate|index|store ... " +
+          s"(got $other)")
     }
   }
 }

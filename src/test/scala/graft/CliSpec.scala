@@ -234,6 +234,43 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shards.forall(_ <= 25))
   }
 
+  test("store snapshots lists versions with the current marked; vacuum " +
+      "reclaims history and live reads survive") {
+    val root = newRoot()
+    captured {
+      cli.Main.run(spark, Array("export", "--store", root, "--blocks", "50"))
+    }
+    captured { // second commit -> second snapshot
+      cli.Main.run(spark, Array("export", "--store", root, "--blocks", "100"))
+    }
+    val listed = captured {
+      cli.Main.run(spark, Array("store", "snapshots", "--store", root))
+    }.linesIterator.toSeq
+    assert(listed.count(_.startsWith("snapshot-")) >= 2)
+    assert(listed.last.endsWith("<- current"), s"current unmarked: $listed")
+    // two exports left two leaves in the hot buckets — compact merges
+    // them, vacuum then reclaims the dropped originals
+    val compacted = captured {
+      cli.Main.run(spark, Array("store", "compact", "--store", root))
+    }
+    assert(compacted.contains("[store] compacted"))
+    val vacuumed = captured {
+      cli.Main.run(spark, Array("store", "vacuum", "--store", root,
+        "--keep", "1", "--grace-ms", "0"))
+    }
+    assert(vacuumed.contains("vacuum reclaimed"))
+    val after = captured {
+      cli.Main.run(spark, Array("store", "snapshots", "--store", root))
+    }.linesIterator.toSeq
+    assert(after.count(_.startsWith("snapshot-")) == 1)
+    // the store still reads coherently after reclamation
+    val shown = captured {
+      cli.Main.run(spark, Array("view", "block", "--store", root,
+        "--number", "42"))
+    }
+    assert(shown.contains("42"))
+  }
+
   test("verify blocks reports the store's lag behind the chain tip") {
     val root = newRoot()
     // store stops at 196 while the fixture chain tip is 199 → lag 3

@@ -63,6 +63,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("[codegen id :"), p)
   }
 
+  test("approximate top-terms partial-aggregates map-side: capacity rows " +
+      "per partition cross the exchange, not one per distinct term") {
+    val p = plan("text_top_terms_approx")
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial mode below the exchange — the map-side combine that makes
+    // the MG summary's shuffle O(capacity), not O(distinct terms)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_mgtopkagg") || p.contains("partial_mg_top_k"),
+      s"expected a partial MG aggregate below the exchange in:\n$p")
+  }
+
   test("top-1 sort-limit plans TakeOrderedAndProject, not a global sort") {
     val p = plan("srt1_top1")
     assert(p.contains("TakeOrderedAndProject"), p)

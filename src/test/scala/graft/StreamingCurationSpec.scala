@@ -117,6 +117,37 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.currentLeaves().toSet == snapBefore)
   }
 
+  test("at-least-once delivery converges: stale replays and partially " +
+      "overlapping batches never double-accept or double-commit") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-stream-ooo")
+    val store = new graft.store.GraftStore(s"$root/store")
+    def doc(id: Long, word: String) =
+      (id, (1 to 80).map(i => f"$word$id%03d$i%05d").mkString(" "))
+    val a = Seq(doc(1L, "amber"), doc(2L, "bison"), doc(3L, "cedar"))
+    val b = Seq(doc(11L, "delta"), doc(12L, "ember"))
+    StreamingCuration.processBatch(store, a.toDF("doc_id", "text"))
+    StreamingCuration.processBatch(store, b.toDF("doc_id", "text"))
+    // a STALE replay: batch a again, though b has landed since — each doc
+    // must self-match the index rows of its ORIGINAL run (the index keeps
+    // all history, not just the last epoch)
+    StreamingCuration.processBatch(store, a.toDF("doc_id", "text"))
+    // partial overlap: one replayed b doc, one near-copy of an a doc
+    // (every 23rd token swapped), one genuinely new doc — only the new
+    // doc may land
+    val nearA = doc(21L, "x")._1 -> a.head._2.split(" ").zipWithIndex
+      .map { case (t, i) => if (i % 23 == 0) "xdupx" else t }.mkString(" ")
+    val mixed = Seq(b.head, (21L, nearA._2), doc(31L, "fjord"))
+    StreamingCuration.processBatch(store, mixed.toDF("doc_id", "text"))
+    val rows = store.read(spark, StreamingCuration.AcceptedTable)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // exactly-once per doc: no doc_id appears twice in the at-rest table
+    assert(rows.size == rows.distinct.size,
+      s"double-committed doc_ids: ${rows.diff(rows.distinct)}")
+    assert(rows.sorted == Seq(1L, 2L, 3L, 11L, 12L, 31L),
+      s"unexpected accepted set: ${rows.sorted}")
+  }
+
   test("streaming curate end-to-end writes the same shards as batch curate") {
     import graft.operators.{CorpusOps, CurationOps}
     import graft.streaming.StreamingCuration

@@ -90,6 +90,20 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(empty.head.getSeq[Any](0).isEmpty)
   }
 
+  test("composes with groupBy: per-group summaries stay independent") {
+    import spark.implicits._
+    val rows = (0 until 300).map(i => ("en", s"e${i % 5}")) ++
+      (0 until 200).map(i => ("fr", s"f${i % 3}"))
+    val perLang = rows.toDF("lang", "token").repartition(6)
+      .groupBy("lang")
+      .agg(TopK.mg_top_k(col("token"), 2, 16).as("top"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).toSet).toMap
+    // no overflow in either group -> exact; top-2 ties break by term asc
+    assert(perLang("en") == Set("e0", "e1"))
+    assert(perLang("fr") == Set("f0", "f1"))
+  }
+
   test("the SQL-registered graft_mg_top_k matches the Column API " +
       "guarantee and rejects non-literal parameters") {
     import spark.implicits._
