@@ -73,8 +73,10 @@ object Bench {
 
     // Centiseconds, trailing zeros stripped ("0.50"→"0.5", "3.00"→"3"):
     // the shortest rendering that still resolves per-query ratios.
+    // Locale.ROOT: a comma-decimal default locale would otherwise emit
+    // "1,21" and corrupt the JSON.
     def fmt(v: Double): String = {
-      val s = f"$v%.2f"
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
@@ -113,10 +115,10 @@ object Bench {
     val (sMin, sMed, sMax) =
       if (sTimes.isEmpty) (0.0, 0.0, 0.0)
       else (sTimes.head, sTimes(sTimes.length / 2), sTimes.last)
-    val loadRatio =
-      if (sMin > 0) f"${sMed / sMin}%.2f" else "1.00"
+    val loadRatio = if (sMin > 0) fmt(sMed / sMin) else "1"
+    def ms(v: Double): Long = math.round(v * 1000)
     val sentinelJson =
-      f""","load_ratio":$loadRatio,"sentinel_ms":[${sMin * 1000}%.0f,${sMed * 1000}%.0f,${sMax * 1000}%.0f]"""
+      s""","load_ratio":$loadRatio,"sentinel_ms":[${ms(sMin)},${ms(sMed)},${ms(sMax)}]"""
     spark.stop()
 
     def render(rs: Seq[(String, Double)]): String = {

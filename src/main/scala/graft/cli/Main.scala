@@ -199,10 +199,15 @@ object Main {
         // (null lm_bp) fail the gate, as in CCNet.
         val d = opt(args, "lm-floor-bp") match {
           case Some(bp) =>
+            // checkpoint: the gate adds a training scan plus a scoring
+            // filter re-evaluated by every downstream job — without this
+            // the read->dropDuplicates->scrub lineage would recompute for
+            // each of them
+            val base = scrubbed.localCheckpoint()
             val ref = opt(args, "lm-ref")
-              .map(p => spark.read.parquet(p)).getOrElse(scrubbed)
+              .map(p => spark.read.parquet(p)).getOrElse(base)
             val model = graft.operators.TextOps.trainCharLm(ref)
-            scrubbed.filter(graft.functions.Lm.lm_score_bp(
+            base.filter(graft.functions.Lm.lm_score_bp(
               graft.operators.TextOps.lmNorm(col("text")), model) >= bp.toLong)
           case None => scrubbed
         }

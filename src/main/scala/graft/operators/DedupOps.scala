@@ -257,6 +257,21 @@ object DedupOps {
     * candidate join, so they are dropped (logged in real deployments). */
   val MaxBucketSize = 64
 
+  /** THE skew-cap policy, in one place: drop every key group larger than
+    * `cap` (boilerplate/degenerate keys that would otherwise go quadratic
+    * in a pair join or fan a probe out unboundedly). Used by the batch
+    * pair path, the incremental probe, index build, AND
+    * [[graft.store.IndexStore.compact]]'s global re-application — one
+    * definition, so build-time and compact-time policies can never
+    * drift. One keyed window exchange, no row data to the driver. */
+  private[graft] def capBuckets(df: DataFrame, keys: Seq[String],
+      cap: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__grp_n", count(lit(1)).over(w))
+      .filter(col("__grp_n") <= cap)
+      .drop("__grp_n")
+  }
+
   /** doc_id, `sh_hashes` (distinct 5-shingle hashes), packed `mh_arr`
     * signature — two codegen'd [[graft.functions.Vec]] kernel passes.
     * Shingle STRINGS never materialize as a column: the exact-verify
@@ -303,12 +318,8 @@ object DedupOps {
     * candidate shuffle entirely; only a kernel's verify stage touches
     * them, and only for survivors. */
   def candidatePairs(sig: DataFrame, threshold: Double): DataFrame = {
-    val bands = lshBands(sig)
-    val bucketSizes = Window.partitionBy(col("band"), col("band_key"))
-    val capped = bands
-      .withColumn("bucket_n", count(lit(1)).over(bucketSizes))
-      .filter(col("bucket_n") <= MaxBucketSize)
-      .drop("bucket_n")
+    val capped = capBuckets(lshBands(sig), Seq("band", "band_key"),
+      MaxBucketSize)
     val a = capped.as("a")
     val b = capped.as("b")
     val pairs = a.join(b,
@@ -392,11 +403,8 @@ object DedupOps {
     // degenerate band_key (boilerplate text) on EITHER side would make the
     // band join quadratic in that bucket. The index side is capped at
     // build time (buildBandIndex); cap the new batch here.
-    val probeBuckets = Window.partitionBy(col("band"), col("band_key"))
-    val probe = lshBands(sig)
-      .withColumn("bucket_n", count(lit(1)).over(probeBuckets))
-      .filter(col("bucket_n") <= MaxBucketSize)
-      .drop("bucket_n")
+    val probe = capBuckets(lshBands(sig), Seq("band", "band_key"),
+      MaxBucketSize)
     // candidate (new, existing) id pairs first — the band probe and the
     // distinct shuffle touch NARROW rows only; signature/shingle payloads
     // attach afterwards, and only for index docs that actually matched
@@ -441,11 +449,7 @@ object DedupOps {
     * cap in [[candidatePairs]]. */
   def buildBandIndex(docs: DataFrame): DataFrame = {
     val sig = minhashSignatures(docs)
-    val buckets = Window.partitionBy(col("band"), col("band_key"))
-    lshBands(sig)
-      .withColumn("bucket_n", count(lit(1)).over(buckets))
-      .filter(col("bucket_n") <= MaxBucketSize)
-      .drop("bucket_n")
+    capBuckets(lshBands(sig), Seq("band", "band_key"), MaxBucketSize)
       .join(sig.select(col("doc_id"), col("mh_arr"), col("sh_hashes")),
         "doc_id")
   }
@@ -615,10 +619,7 @@ object DedupOps {
       explode(graft.functions.Vec.winnow_fps(
         regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
         SpanGram, SpanWindow)).as("fp"))
-    val byFp = Window.partitionBy(col("fp"))
-    fps.withColumn("df", count(lit(1)).over(byFp))
-      .filter(col("df") <= maxDf)
-      .drop("df")
+    capBuckets(fps, Seq("fp"), maxDf)
   }
 
   /** Substring-level incremental probe: NEW documents checked against a

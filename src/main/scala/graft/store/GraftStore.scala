@@ -117,13 +117,20 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
     * sorts first instead of crashing. */
   private def snapshotSeq(name: String): Long = {
     val digits = name.stripPrefix("snapshot-").takeWhile(_.isDigit)
-    if (digits.isEmpty) 0L
-    else digits.toLongOption.getOrElse(Long.MaxValue) // overflow → sorts last
+    // Unparseable names — legacy negative-nanos ('snapshot--…') or a
+    // foreign/corrupt run of >19 digits that would overflow Long — sort
+    // FIRST and contribute nothing to nextSeq: publish can never mint
+    // them, so treating them as ancient garbage keeps the counter sane
+    // (a Long.MaxValue reading would saturate every future sequence) and
+    // lets vacuum reclaim them like any other old snapshot (never the
+    // one `_current` references, which is protected by name).
+    if (digits.isEmpty) 0L else digits.toLongOption.getOrElse(0L)
   }
 
-  /** Next snapshot sequence, saturating instead of wrapping if a
-    * degenerate name parsed to Long.MaxValue (uniqueness still holds via
-    * the UUID suffix; order within equal sequences is lexical). */
+  /** Next snapshot sequence, saturating instead of wrapping at the
+    * (unreachable by publish) Long.MaxValue boundary (uniqueness still
+    * holds via the UUID suffix; order within equal sequences is
+    * lexical). */
   private def boundedInc(n: Long): Long =
     if (n == Long.MaxValue) n else n + 1L
 

@@ -148,35 +148,43 @@ object IndexStore {
     * a single atomic commit: a concurrent probe sees the old index or
     * the new one, never a mix. A concurrent APPEND is safe too — its
     * leaves are not in the drop set, so optimistic concurrency keeps
-    * them live (its rows just miss this compaction round). Returns
-    * (rows dropped by the global policies, leaves after). */
-  def compact(store: GraftStore, spark: SparkSession,
-      kind: String): (Long, Long) = {
-    import org.apache.spark.sql.expressions.Window
-    val table = tableOf(kind)
-    val old = store.leavesOf(table)
-    require(old.nonEmpty,
-      s"no '$table' leaves in store ${store.root} — run `index build` first")
-    val live = store.readLeaves(spark, table, old)
-    val rows = (kind match {
-      case "band" =>
-        val bucket = Window.partitionBy(col("band"), col("band_key"))
-        live.dropDuplicates("doc_id", "band")
-          .withColumn("bucket_n", count(lit(1)).over(bucket))
-          .filter(col("bucket_n") <= DedupOps.MaxBucketSize)
-          .drop("bucket_n")
-      case "span" =>
-        val byFp = Window.partitionBy(col("fp"))
-        live.dropDuplicates("doc_id", "fp")
-          .withColumn("df", count(lit(1)).over(byFp))
-          .filter(col("df") <= DedupOps.MaxSpanDf)
-          .drop("df")
-      case _ => live.dropDuplicates("vec_id")
-    }).localCheckpoint() // counted AND staged — one computation
-    val dropped = live.count() - rows.count()
-    val adds = store.stageKeyed(table, rows, bucketOf(kind), sortOf(kind))
-    store.commit(adds, drops = old)
-    (dropped, adds.size.toLong)
+    * them live (its rows just miss this compaction round); a commit
+    * that DROPS leaves mid-compact (a rebuild, another compact) makes
+    * the stale commit throw, and compact recomputes from a fresh
+    * snapshot — the same retry loop as [[graft.etl.Export.compact]].
+    * Returns (rows dropped by the global policies, leaves after). */
+  def compact(store: GraftStore, spark: SparkSession, kind: String,
+      maxAttempts: Int = 3): (Long, Long) = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val table = tableOf(kind)
+      val old = store.leavesOf(table) // the ONE snapshot resolution
+      require(old.nonEmpty,
+        s"no '$table' leaves in store ${store.root} — run `index build` first")
+      val live = store.readLeaves(spark, table, old)
+      val rows = (kind match {
+        case "band" =>
+          DedupOps.capBuckets(live.dropDuplicates("doc_id", "band"),
+            Seq("band", "band_key"), DedupOps.MaxBucketSize)
+        case "span" =>
+          DedupOps.capBuckets(live.dropDuplicates("doc_id", "fp"),
+            Seq("fp"), DedupOps.MaxSpanDf)
+        case _ => live.dropDuplicates("vec_id")
+      }).localCheckpoint() // counted AND staged — one computation
+      val dropped = live.count() - rows.count()
+      val adds = store.stageKeyed(table, rows, bucketOf(kind), sortOf(kind))
+      try {
+        store.commit(adds, drops = old)
+        return (dropped, adds.size.toLong)
+      } catch {
+        case _: GraftStore.StaleSnapshotException if attempt < maxAttempts =>
+        // loop: a concurrent commit dropped one of our victims —
+        // recompute from a fresh snapshot (our staged leaves are
+        // orphans; vacuum reclaims them past the grace window)
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Append index rows for a NEW batch — existing leaves untouched,

@@ -163,7 +163,9 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     val naturalMin = natural.map { case (id, _) => scores(id) }.min
     val junkMax = junk.map { case (id, _) => scores(id) }.max
     assert(naturalMin > junkMax, "corpus failed to separate — bad fixture")
-    val floor = (naturalMin + junkMax) / 2
+    // junkMax + 1, not the midpoint: integer truncation of a 1-bp gap
+    // would otherwise let the top junk doc pass a >= floor gate
+    val floor = junkMax + 1
     val printed = captured {
       cli.Main.run(spark, Array("curate",
         "--input", corpusPath, "--output", out,

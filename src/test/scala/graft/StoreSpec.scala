@@ -85,10 +85,9 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val store = new GraftStore(root)
     commitKeyed(store, "t", rows(1L, 2L))
     val current = store.currentSnapshot().get
-    // simulate a crashed commit (or a pre-fix nanoTime-era name from a
-    // later boot): a snapshot file with a HIGHER sequence that _current
-    // never adopted — name order would call it "newest"
-    val stray = "snapshot-99999999999999999999999-deadbeef.txt"
+    // simulate a crashed commit: a snapshot file with a HIGHER sequence
+    // that _current never adopted — name order calls it "newest"
+    val stray = "snapshot-00000000000000009999-deadbeef.txt"
     Files.write(Paths.get(root, stray),
       Files.readAllBytes(Paths.get(root, current)))
     assert(store.snapshots().last == stray) // adversarial name order...
@@ -96,6 +95,28 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ...yet the live manifest survives and reads still work
     assert(Files.exists(Paths.get(root, current)),
       "_current's snapshot was vacuumed")
+    assert(store.read(spark, "t").select("k")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("an overflow-digit stray neither poisons the sequence counter nor " +
+      "survives vacuum") {
+    val root = Files.createTempDirectory("graft-store-ovf").toString
+    val store = new GraftStore(root)
+    commitKeyed(store, "t", rows(1L))
+    // 23 digits: beyond Long — publish can never mint this. It must sort
+    // FIRST (ancient garbage), not poison nextSeq into Long.MaxValue
+    // saturation, and must be reclaimable by vacuum.
+    val stray = "snapshot-99999999999999999999999-feedface.txt"
+    Files.write(Paths.get(root, stray), "t\t0\tbogus".getBytes)
+    assert(store.snapshots().head == stray)
+    commitKeyed(store, "t", rows(2L)) // sequence continues normally
+    val seqs = store.snapshots().filterNot(_ == stray).map(
+      _.stripPrefix("snapshot-").takeWhile(_.isDigit).toLong)
+    assert(seqs == seqs.sorted && seqs.last < Long.MaxValue && seqs.last < 100,
+      s"sequence poisoned: $seqs")
+    store.vacuum(keepSnapshots = 1, graceMs = 0L)
+    assert(!Files.exists(Paths.get(root, stray)), "overflow stray retained")
     assert(store.read(spark, "t").select("k")
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
