@@ -180,6 +180,27 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"gibberish survived the LM gate: ${ids.intersect(junk.map(_._1).toSet)}")
     assert(natural.count { case (id, _) => ids.contains(id) } >= 50,
       "the LM gate dropped most of the natural corpus")
+
+    // --lm-ref: the model trains on the REFERENCE corpus, so the gate
+    // measures "looks like the reference", not "looks like the majority
+    // of the input" — with a pure-natural ref the same floor still
+    // separates (junk scores only fall when its own trigrams leave the
+    // model)
+    val refPath = s"$root/ref.parquet"
+    natural.toDF("doc_id", "text").write.parquet(refPath)
+    val out2 = s"$root/shards2"
+    captured {
+      cli.Main.run(spark, Array("curate",
+        "--input", corpusPath, "--output", out2,
+        "--quality-floor-bp", "0", "--near-dup-threshold", "0.99",
+        "--docs-per-shard", "50",
+        "--lm-floor-bp", floor.toString, "--lm-ref", refPath))
+    }
+    val ids2 = spark.read.parquet(out2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(junk.forall { case (id, _) => !ids2.contains(id) },
+      "gibberish survived the reference-trained LM gate")
+    assert(natural.count { case (id, _) => ids2.contains(id) } >= 50)
   }
 
   test("curate --domain-cap and --target-mixture shape the output corpus") {
