@@ -34,7 +34,10 @@ import org.apache.spark.sql.SparkSession
   *    overlap with the eval set reaches the threshold;
   *  - `--domain-cap N` keeps at most N docs per `source`;
   *  - `--target-mixture lang:w,...` resamples to the target language
-  *    mix (predicting a lang when the input carries none).
+  *    mix (predicting a lang when the input carries none);
+  *  - `--mixture-alpha-bp N` instead DERIVES the mix from the corpus as
+  *    w ∝ n^α (α = N/10000 — temperature sampling; mutually exclusive
+  *    with an explicit target).
   */
 object Main {
 
@@ -245,6 +248,19 @@ object Main {
             CurationOps.mixtureSample(kept.select("doc_id", "lang"), weights)
               .select("doc_id"), "doc_id")
         }
+        // --mixture-alpha-bp N: temperature-derived mixture (w_l ∝ n_l^α,
+        // α in basis points) — the "smooth the language imbalance" knob
+        // when no explicit target mix is declared
+        opt(args, "mixture-alpha-bp").foreach { a =>
+          if (opt(args, "target-mixture").isDefined)
+            sys.error("--mixture-alpha-bp and --target-mixture are " +
+              "mutually exclusive (derived vs declared weights)")
+          if (!kept.columns.contains("lang"))
+            kept = graft.operators.TextOps.withPredictedLang(kept)
+          kept = kept.join(
+            CurationOps.mixtureAlpha(kept.select("doc_id", "lang"), a.toLong)
+              .select("doc_id"), "doc_id")
+        }
         // checkpoint the payload join: writeShards consumes it in
         // several jobs (rank, offsets, write, count) — one join, not four
         val toWrite = kept.localCheckpoint()
@@ -253,6 +269,12 @@ object Main {
         println(s"[curate] kept $keptN of $total docs " +
           s"(floor ${floor}bp, near-dup >= $threshold); " +
           s"wrote $nShards shards to $out")
+        // --stats: audit the WRITTEN shards into a _stats sidecar (the
+        // underscore prefix keeps it invisible to shard readers)
+        if (args.contains("--stats")) {
+          val audited = CorpusOps.writeShardStats(spark, out)
+          println(s"[curate] wrote _stats sidecar covering $audited shards")
+        }
 
       case Some("index") =>
         // persisted-index lifecycle over the store manifest (IndexStore):

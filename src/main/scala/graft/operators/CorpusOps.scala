@@ -255,6 +255,34 @@ object CorpusOps {
     (n + docsPerShard - 1) / docsPerShard
   }
 
+  /** Per-shard statistics computed from the WRITTEN shards (one scan of
+    * the at-rest parquet — auditing the artifact itself, not the plan
+    * that produced it): docs, token and char totals, and a sorted
+    * language histogram when the shards carry a `lang` column. The data
+    * card a trainer reads before the data. */
+  def shardStats(spark: SparkSession, shardsDir: String): DataFrame = {
+    val shards = spark.read.parquet(shardsDir)
+    val langAgg =
+      if (shards.columns.contains("lang"))
+        Seq(sort_array(collect_set(col("lang"))).as("langs"))
+      else Seq(array().cast("array<string>").as("langs"))
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), "\\s+")).cast("long")).as("total_tokens"),
+      sum(length(col("text")).cast("long")).as("total_chars")) ++ langAgg
+    shards.groupBy(col("shard")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Write the [[shardStats]] sidecar INTO the shards directory as
+    * `_stats` — underscore-prefixed paths are invisible to parquet
+    * readers (the `_SUCCESS` convention), so `spark.read.parquet(out)`
+    * over the shards is unaffected. Returns the shard count audited. */
+  def writeShardStats(spark: SparkSession, shardsDir: String): Long = {
+    val stats = shardStats(spark, shardsDir).localCheckpoint()
+    stats.write.mode("overwrite").parquet(s"$shardsDir/_stats")
+    stats.count()
+  }
+
   // ---------------------------------------------------------------------
   // PII redaction
   // ---------------------------------------------------------------------

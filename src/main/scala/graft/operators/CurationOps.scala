@@ -291,6 +291,44 @@ object CurationOps {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Temperature-scaled mixture (the multilingual-pretraining alpha
+    * sampling of mT5/XLM-R): the target weights are DERIVED from the
+    * corpus itself as w_l ∝ n_l^α rather than declared — α=1 keeps the
+    * natural distribution, α=0 balances every language to the smallest
+    * ([[sampleStratified]]'s regime), and the α=0.5 middle ground
+    * upweights tail languages without drowning the head. `alphaBp` is α
+    * in basis points (5000 = 0.5).
+    *
+    * Only the per-language COUNTS reach the driver (O(langs) rows);
+    * the power law runs there once, then [[mixtureSample]]'s integer
+    * machinery does the work — broadcast rates, hash-bucket membership,
+    * no document-row shuffle. Weights carry a 1000× fixed-point scale so
+    * small corpora don't collapse to equal integers. Determinism:
+    * identical to mixtureSample's (hash membership — reruns,
+    * repartitioning and ingest order all irrelevant). */
+  def mixtureAlpha(d: DataFrame, alphaBp: Long = 5000L): DataFrame = {
+    require(alphaBp >= 0L && alphaBp <= 10000L,
+      s"mixtureAlpha: alphaBp must be in [0, 10000], got $alphaBp")
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.nonEmpty, "mixtureAlpha: empty corpus")
+    val weights = counts.map { case (l, n) =>
+      l -> math.max(1L,
+        math.round(math.pow(n.toDouble, alphaBp / 10000.0) * 1000.0))
+    }.toSeq.sortBy(_._1)
+    mixtureSample(d, weights)
+  }
+
+  /** Rows-only by design: the derived weights pass through a driver-side
+    * floating-point power, so no portable integer oracle exists;
+    * CurationOpsSpec pins the α-endpoint equivalences (α=0 ≡ balanced,
+    * α=1 ≈ natural) and monotone tail-share growth as α falls. */
+  val sampleMixtureAlpha: GraftQuery = GraftQuery(
+    "sample_mixture_alpha",
+    (s, dir) =>
+      mixtureAlpha(docs(s, dir).select(col("doc_id"), col("lang"))),
+    None)
+
   val sampleMixture: GraftQuery = GraftQuery(
     "sample_mixture",
     (s, dir) =>
@@ -759,6 +797,7 @@ object CurationOps {
 
   val all: Seq[GraftQuery] =
     Seq(dedupClusters, sampleSplit, sampleStratified, sampleMixture,
+      sampleMixtureAlpha,
       domainCap, qualityWeighted, qualityCalibration, decontaminate,
       curationTopK, docFreq, topTerms, topTermsApprox, curationPipeline)
 }

@@ -269,6 +269,20 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
           s"${stale.size} drop(s) no longer live " +
             s"(first: ${stale.head.dir}); " +
             "recompute from a fresh snapshot and retry")
+      // Staged-but-uncommitted leaves are orphans to a concurrent vacuum:
+      // with a grace window shorter than this writer's stage-to-commit
+      // latency, vacuum may have deleted them. Check under the lock
+      // (vacuum holds the same lock, so no interleave after this) and
+      // fail LOUDLY rather than publish a manifest whose references
+      // dangle — every subsequent read of the table would throw.
+      val vanished = adds.filterNot(l =>
+        Files.exists(rootPath.resolve(l.dir)))
+      if (vanished.nonEmpty)
+        throw new GraftStore.StaleSnapshotException(
+          s"${vanished.size} staged leaf dir(s) no longer on disk " +
+            s"(first: ${vanished.head.dir}) — a vacuum with too short a " +
+            "grace window reclaimed them mid-stage; re-stage and retry " +
+            "(and raise vacuum graceMs above stage-to-commit latency)")
       val dropSet = drops.map(_.dir).toSet
       publish(live.filterNot(l => dropSet.contains(l.dir)) ++ adds,
         currentMeta() ++ meta.map { case (k, v) => metaKey(k) -> v })

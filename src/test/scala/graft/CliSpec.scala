@@ -226,6 +226,32 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perSource.nonEmpty && perSource.forall(_ <= 30))
   }
 
+  test("curate --mixture-alpha-bp smooths the language mix and rejects " +
+      "combination with an explicit target") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft-curate-alpha").toString
+    val in = "/root/testdata/sf0.001/documents.parquet"
+    val printed = captured {
+      cli.Main.run(spark, Array("curate",
+        "--input", in, "--output", out,
+        "--quality-floor-bp", "0", "--docs-per-shard", "25",
+        "--mixture-alpha-bp", "5000"))
+    }
+    assert(printed.contains("wrote"))
+    val back = spark.read.parquet(out)
+    // α=0.5 downsamples the head but keeps every language represented
+    val inLangs = spark.read.parquet(in).select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    val outLangs = back.select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(outLangs == inLangs, s"lost languages: ${inLangs -- outLangs}")
+    intercept[RuntimeException] {
+      cli.Main.run(spark, Array("curate",
+        "--input", in, "--output", out,
+        "--mixture-alpha-bp", "5000", "--target-mixture", "en:50,fr:50"))
+    }
+  }
+
   test("curate runs the corpus pipeline end to end and writes shards") {
     import org.apache.spark.sql.functions._
     val out = Files.createTempDirectory("graft-curate").toString
@@ -234,10 +260,16 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
         "--input", "/root/testdata/sf0.001/documents.parquet",
         "--output", out,
         "--quality-floor-bp", "3000",
-        "--docs-per-shard", "25"))
+        "--docs-per-shard", "25",
+        "--stats"))
     }
     assert(printed.contains("[curate] kept"))
     assert(printed.contains("wrote"))
+    assert(printed.contains("_stats sidecar"))
+    // the sidecar audits what landed: per-shard doc counts match
+    val statsBack = spark.read.parquet(s"$out/_stats")
+    val fromStats = statsBack.agg(sum("n_docs")).head().getLong(0)
+    assert(fromStats == spark.read.parquet(out).count())
     val back = spark.read.parquet(out)
     val n = back.count()
     assert(n > 0)

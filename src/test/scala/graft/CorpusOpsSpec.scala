@@ -70,6 +70,42 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("shard _stats sidecar audits the written shards exactly and stays " +
+      "invisible to shard readers") {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shard_stats").toString
+    try {
+      val langed = corpus.withColumn("lang",
+        when(col("doc_id") % 3 === 0, "en").otherwise("fr"))
+      CorpusOps.writeShards(langed, out, docsPerShard = 64L)
+      val audited = CorpusOps.writeShardStats(spark, out)
+      val stats = spark.read.parquet(s"$out/_stats").collect()
+        .map(r => r.getAs[Number]("shard").longValue() ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+            r.getAs[Long]("total_chars"),
+            r.getSeq[String](r.fieldIndex("langs")).toSet)).toMap
+      assert(audited == stats.size.toLong)
+      // recount straight from the shards: the sidecar must match exactly
+      val recount = spark.read.parquet(out)
+        .groupBy("shard").agg(
+          count(lit(1)).as("n"),
+          sum(size(split(col("text"), "\\s+")).cast("long")).as("t"),
+          sum(length(col("text")).cast("long")).as("c"),
+          sort_array(collect_set(col("lang"))).as("l"))
+        .collect().map(r => r.getAs[Number]("shard").longValue() ->
+          (r.getAs[Long]("n"), r.getAs[Long]("t"), r.getAs[Long]("c"),
+            r.getSeq[String](r.fieldIndex("l")).toSet)).toMap
+      assert(stats == recount)
+      // the sidecar does not leak into the shard read (underscore rule)
+      assert(spark.read.parquet(out).count() == langed.count())
+      assert(!spark.read.parquet(out).columns.contains("n_docs"))
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("packChunks equals its naive global-window twin, any bucket size") {
     val want = collectSorted(CorpusOps.packChunksNaive(corpus))
     for (bs <- Seq(1L, 7L, 100L, 1000000L, 0L)) // 0 = adaptive default

@@ -139,6 +139,44 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSet == again.toSet)
   }
 
+  test("alpha mixture: α=1 keeps the natural mix, α=0 balances to the " +
+      "smallest, the tail's share grows monotonically as α falls") {
+    import spark.implicits._
+    // heavy head, thin tail: en 1000, fr 200, zh 40
+    val corpus = ((0L until 1000L).map(i => (i, "en")) ++
+      (1000L until 1200L).map(i => (i, "fr")) ++
+      (1200L until 1240L).map(i => (i, "zh"))).toDF("doc_id", "lang")
+    def byLang(alphaBp: Long): Map[String, Int] =
+      CurationOps.mixtureAlpha(corpus, alphaBp)
+        .collect().map(_.getAs[String]("lang"))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    // α=1: weights ∝ counts — everything survives modulo integer
+    // rounding of the rate arithmetic
+    val natural = byLang(10000L)
+    assert(natural("en") >= 950 && natural("fr") >= 190 &&
+      natural("zh") >= 38, s"natural mix lost docs: $natural")
+    // α=0: uniform weights — every language lands near the smallest's
+    // size (the stratified balance-to-min regime, binomial noise aside)
+    val balanced = byLang(0L)
+    assert(balanced.values.forall(n => n >= 25 && n <= 55),
+      s"balanced mix should pin all langs near 40: $balanced")
+    // monotone: the tail's SHARE never shrinks as α falls
+    val shares = Seq(10000L, 5000L, 0L).map { a =>
+      val m = byLang(a); m("zh").toDouble / m.values.sum
+    }
+    assert(shares == shares.sorted,
+      s"zh share must grow as alpha falls: $shares")
+    // determinism: hash membership — identical set on a re-run
+    assert(CurationOps.mixtureAlpha(corpus, 5000L).collect().map(
+        _.getAs[Long]("doc_id")).toSet ==
+      CurationOps.mixtureAlpha(corpus, 5000L).collect().map(
+        _.getAs[Long]("doc_id")).toSet)
+    // out-of-range α rejected up front
+    intercept[IllegalArgumentException] {
+      CurationOps.mixtureAlpha(corpus, 10001L)
+    }
+  }
+
   test("mixture sample rejects bad weights and missing languages loudly") {
     import spark.implicits._
     val corpus = ((0L until 10L).map(i => (i, "en")) ++

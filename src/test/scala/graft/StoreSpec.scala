@@ -99,6 +99,25 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("a commit whose staged leaves were vacuumed away fails loudly " +
+      "instead of publishing dangling references") {
+    val root = Files.createTempDirectory("graft-store-dangle").toString
+    val store = new GraftStore(root)
+    commitKeyed(store, "t", rows(1L))
+    // the unsafe interleave: stage, then a zero-grace vacuum sweeps the
+    // orphan before the commit lands
+    val staged = store.stageKeyed("t", rows(50L),
+      pmod(col("k"), lit(4L)), Seq(col("k")))
+    store.vacuum(keepSnapshots = 1, graceMs = 0L)
+    val err = intercept[GraftStore.StaleSnapshotException] {
+      store.commit(staged)
+    }
+    assert(err.getMessage.contains("grace"))
+    // the manifest never adopted the dangling refs: reads still work
+    assert(store.read(spark, "t").select("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("an overflow-digit stray neither poisons the sequence counter nor " +
       "survives vacuum") {
     val root = Files.createTempDirectory("graft-store-ovf").toString
