@@ -253,42 +253,74 @@ object CurationOps {
     * T = min over langs of (cnt·100 div w) — the largest total for which
     * no lang's demand T·w div 100 exceeds its supply — and each lang
     * keeps docs whose hash bucket (salt "mix:", mod 10000) falls below
-    * rate_bp = (T·w div 100)·10000 div cnt. Same reproducibility story
-    * as the split: membership survives reruns, re-partitioning, and
-    * ingest order, and any engine with md5 computes the identical set.
+    * rate_bp = ceil(max(T·w div 100, 1)·10000 / cnt), capped at 10000:
+    * the demand clamp + ceiling guarantee a weighted language's rate
+    * never floors to zero. Same reproducibility story as the split:
+    * membership survives reruns, re-partitioning, and ingest order, and
+    * any engine with md5 computes the identical set.
     *
     * Scale shape: rates are O(langs) — broadcast; the corpus side is one
     * scan + one hash compare. No shuffle of document rows at all. */
+  /** Per-language corpus counts, collected to the driver (O(langs)
+    * rows). Documents with a null `lang` are excluded — a null key can
+    * never match a weighted language in the membership join, so the
+    * mixture is defined over classified docs only (run
+    * `withPredictedLang` first if the column may be null). */
+  private def langCounts(d: DataFrame): Map[String, Long] =
+    d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .toMap
+
+  /** The integer rate table both mixture forms share, computed on the
+    * driver in BigInt so no count/weight magnitude can overflow (the
+    * former in-SQL `cnt * total` wrapped past Long at ~1e8 docs with
+    * alpha-derived 1000×-scaled weights). T = min over langs of
+    * (cnt·total div w) is the largest output for which no language's
+    * demand exceeds its supply; each language's demand is clamped to ≥1
+    * doc and its keep-rate is CEILING division capped at 10000, so a
+    * weighted tail language is never floored out of the output (its
+    * survival is then the hash draw, not the arithmetic). */
+  private[graft] def mixtureRates(weights: Seq[(String, Long)],
+      counts: Map[String, Long]): Seq[(String, Long)] = {
+    val total = weights.map(w => BigInt(w._2)).sum
+    val t = weights.map { case (l, w) => BigInt(counts(l)) * total / w }.min
+    weights.map { case (l, w) =>
+      val cnt = BigInt(counts(l))
+      val demand = (t * w / total).max(BigInt(1))
+      l -> ((demand * 10000 + cnt - 1) / cnt).min(BigInt(10000)).toLong
+    }
+  }
+
+  /** One corpus scan: hash-bucket membership against a broadcast
+    * O(langs) rate table. No document-row shuffle. */
+  private def applyMixtureRates(d: DataFrame,
+      rates: Seq[(String, Long)]): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    withHashBucket(d.select(col("doc_id"), col("lang")), "mix:", 10000)
+      .join(broadcast(rates.toDF("lang", "rate_bp")), "lang")
+      .filter(col("bucket") < col("rate_bp"))
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** [[sampleMixture]]'s engine: resample `d` (doc_id, lang) to the
     * target `weights` (integer shares; any total). See the query doc for
     * the arithmetic. Weights must be positive (rejected up front — a
     * zero weight would null the achievable total and silently empty the
     * output), and every weighted language must exist in the corpus: an
-    * absent stratum makes the target unachievable, so it raises when the
-    * query runs rather than silently mis-targeting the mixture. */
+    * absent stratum makes the target unachievable, so it raises here —
+    * eagerly, when the frame is built — rather than silently
+    * mis-targeting the mixture. Costs the corpus two scans total: the
+    * counts aggregation and the membership scan. */
   def mixtureSample(d: DataFrame, weights: Seq[(String, Long)]): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       s"mixtureSample: every weight must be positive, got $weights")
-    val s = d.sparkSession
-    import s.implicits._
-    val total = weights.map(_._2).sum
-    val wdf = weights.toDF("lang", "w")
-    val cw = wdf
-      .join(d.groupBy(col("lang")).agg(count(lit(1)).as("cnt")),
-        Seq("lang"), "left")
-      .select(col("lang"), col("w"),
-        coalesce(col("cnt"),
-          raise_error(concat(
-            lit("mixtureSample: weighted language missing from corpus: "),
-            col("lang"))).cast("bigint")).as("cnt"))
-    val tmax = cw.agg(min(expr(s"cnt * $total div w")).as("t"))
-    val rates = cw.crossJoin(broadcast(tmax))
-      .select(col("lang"),
-        expr(s"(t * w div $total) * 10000 div cnt").as("rate_bp"))
-    withHashBucket(d.select(col("doc_id"), col("lang")), "mix:", 10000)
-      .join(broadcast(rates), "lang")
-      .filter(col("bucket") < col("rate_bp"))
-      .select(col("doc_id"), col("lang"))
+    val counts = langCounts(d)
+    val missing = weights.collect { case (l, _) if !counts.contains(l) => l }
+    require(missing.isEmpty,
+      s"mixtureSample: weighted language missing from corpus: ${missing.mkString(", ")}")
+    applyMixtureRates(d, mixtureRates(weights, counts))
   }
 
   /** Temperature-scaled mixture (the multilingual-pretraining alpha
@@ -299,24 +331,27 @@ object CurationOps {
     * upweights tail languages without drowning the head. `alphaBp` is α
     * in basis points (5000 = 0.5).
     *
-    * Only the per-language COUNTS reach the driver (O(langs) rows);
-    * the power law runs there once, then [[mixtureSample]]'s integer
-    * machinery does the work — broadcast rates, hash-bucket membership,
-    * no document-row shuffle. Weights carry a 1000× fixed-point scale so
-    * small corpora don't collapse to equal integers. Determinism:
-    * identical to mixtureSample's (hash membership — reruns,
-    * repartitioning and ingest order all irrelevant). */
+    * Only the per-language COUNTS reach the driver (O(langs) rows, one
+    * aggregation shared with the rate table — the corpus is scanned
+    * exactly twice: counts, then membership); the power law runs there
+    * once, then [[mixtureRates]]'s BigInt machinery does the work —
+    * broadcast rates, hash-bucket membership, no document-row shuffle.
+    * Weights carry a 1000× fixed-point scale so small corpora don't
+    * collapse to equal integers (safe at any corpus size: the rate
+    * arithmetic is BigInt). Null-`lang` docs are excluded (see
+    * [[langCounts]]). Determinism: identical to mixtureSample's (hash
+    * membership — reruns, repartitioning and ingest order all
+    * irrelevant). */
   def mixtureAlpha(d: DataFrame, alphaBp: Long = 5000L): DataFrame = {
     require(alphaBp >= 0L && alphaBp <= 10000L,
       s"mixtureAlpha: alphaBp must be in [0, 10000], got $alphaBp")
-    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val counts = langCounts(d)
     require(counts.nonEmpty, "mixtureAlpha: empty corpus")
-    val weights = counts.map { case (l, n) =>
+    val weights = counts.toSeq.sortBy(_._1).map { case (l, n) =>
       l -> math.max(1L,
         math.round(math.pow(n.toDouble, alphaBp / 10000.0) * 1000.0))
-    }.toSeq.sortBy(_._1)
-    mixtureSample(d, weights)
+    }
+    applyMixtureRates(d, mixtureRates(weights, counts))
   }
 
   /** Rows-only by design: the derived weights pass through a driver-side
@@ -343,7 +378,9 @@ object CurationOps {
          |  JOIN weights w ON c.lang = w.lang),
          |t AS (SELECT min(cnt * 100 // w) AS t FROM cw),
          |rates AS (
-         |  SELECT lang, (t.t * w // 100) * 10000 // cnt AS rate_bp
+         |  SELECT lang, least(10000,
+         |    (greatest(t.t * w // 100, 1) * 10000 + cnt - 1) // cnt)
+         |    AS rate_bp
          |  FROM cw, t)
          |SELECT d.doc_id, d.lang
          |FROM (SELECT doc_id, lang, ${bucketDuckSql("mix:", 10000)}

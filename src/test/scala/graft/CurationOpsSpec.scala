@@ -199,6 +199,54 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(messages(err).contains("missing from corpus"))
   }
 
+  test("mixture never floors a weighted tail language out, and null " +
+      "lang rows are excluded rather than crashing the alpha mixture") {
+    import spark.implicits._
+    // the flooring counter-example: en 10, zh 1 at α=0.5 used to yield
+    // rate_bp(zh)=0 — zh vanished despite the tail-upweighting promise.
+    // The demand clamp + ceiling now keep its one doc deterministically.
+    val tiny = ((0L until 10L).map(i => (i, "en")) :+ (10L, "zh"))
+      .toDF("doc_id", "lang")
+    val langs = CurationOps.mixtureAlpha(tiny, 5000L)
+      .collect().map(_.getAs[String]("lang")).toSet
+    assert(langs.contains("zh"), s"tail language floored out: $langs")
+    // null lang: a web-crawl reality. The null count-group used to leak
+    // into the derived weights and fire raise_error at run time; now
+    // null-lang docs are excluded from the mixture, nothing crashes.
+    val withNulls = (0L until 50L)
+      .map(i => (i, if (i % 5 == 0) null else if (i < 30) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val out = CurationOps.mixtureAlpha(withNulls, 5000L).collect()
+    assert(out.forall(_.getAs[String]("lang") != null))
+    assert(out.nonEmpty)
+  }
+
+  test("mixture rate arithmetic is exact at pretraining-corpus scale " +
+      "(the regime where in-SQL Long products wrapped)") {
+    // 3e8 docs with alpha-style 1000×-scaled weights: the former SQL
+    // plan computed cnt*total ≈ 1000·N² ≈ 9e22 >> Long.MaxValue and
+    // wrapped silently (ANSI off). The BigInt driver path must agree
+    // with an independent floating-point model of the same formula.
+    val counts = Map("en" -> 200_000_000L, "zh" -> 90_000_000L,
+      "sw" -> 10_000_000L)
+    val weights = counts.toSeq.sorted.map { case (l, n) =>
+      l -> math.round(math.pow(n.toDouble, 0.5) * 1000.0)
+    }
+    val rates = CurationOps.mixtureRates(weights, counts).toMap
+    assert(rates.values.forall(r => r >= 1L && r <= 10000L),
+      s"rates out of range (overflow regression?): $rates")
+    val total = weights.map(w => BigDecimal(w._2)).sum
+    val t = weights.map { case (l, w) =>
+      BigDecimal(counts(l)) * total / BigDecimal(w) }.min
+    weights.foreach { case (l, w) =>
+      val expect = (t * w / total) * 10000 / counts(l)
+      assert((BigDecimal(rates(l)) - expect).abs <= 1,
+        s"$l: got ${rates(l)}, float model says $expect")
+    }
+    // α=0.5 upweights the tail: sw keeps a strictly higher fraction
+    assert(rates("sw") > rates("en"))
+  }
+
   test("domain cap keeps at most N per source, stable under repartitioning") {
     import spark.implicits._
     val d = (0L until 300L).map(i => (i, s"src${i % 3}"))

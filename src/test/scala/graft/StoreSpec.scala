@@ -108,6 +108,14 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     // orphan before the commit lands
     val staged = store.stageKeyed("t", rows(50L),
       pmod(col("k"), lit(4L)), Seq(col("k")))
+    // age the staged leaves past any same-millisecond mtime/cutoff tie:
+    // vacuum keeps dirs whose mtime >= cutoff, and a fast FS can land
+    // the write and the vacuum in the same ms
+    staged.foreach { l =>
+      Files.setLastModifiedTime(Paths.get(root, l.dir),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000L))
+    }
     store.vacuum(keepSnapshots = 1, graceMs = 0L)
     val err = intercept[GraftStore.StaleSnapshotException] {
       store.commit(staged)
