@@ -365,6 +365,12 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
           listDir(tableDir)
             .filter(_.getFileName.toString.startsWith("seg-"))
             .foreach { segDir =>
+              // sampled BEFORE any child deletion below refreshes it: a
+              // seg dir younger than the grace may be an in-flight
+              // stage's target (parquet mkdirs the shell first, then
+              // populates it) — the shell gets the same grace leaves do
+              val segFresh =
+                Files.getLastModifiedTime(segDir).toMillis >= cutoff
               listDir(segDir).foreach { leafDir =>
                 val rel = rootPath.relativize(leafDir).toString
                 if (Files.isDirectory(leafDir) && !referenced.contains(rel) &&
@@ -374,9 +380,13 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
                 }
               }
               // a seg dir whose every bucket was reclaimed is empty now
-              // (modulo parquet _SUCCESS markers) — remove the shell
+              // (modulo parquet _SUCCESS markers) — remove the shell,
+              // unless it is inside the grace window (deleting a fresh
+              // empty shell races the writer about to populate it; a
+              // truly orphaned shell ages past the grace and the next
+              // vacuum removes it)
               val rest = listDir(segDir)
-              if (rest.forall(p => !Files.isDirectory(p))) {
+              if (!segFresh && rest.forall(p => !Files.isDirectory(p))) {
                 rest.foreach(Files.delete)
                 Files.delete(segDir)
               }

@@ -46,6 +46,62 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(live == (0L until 8L), s"lost commits: $live")
   }
 
+  test("vacuum looping against live commits loses nothing: every commit " +
+      "survives and _current always resolves") {
+    val root = Files.createTempDirectory("graft-store-race").toString
+    val store = new GraftStore(root)
+    commitKeyed(store, "t", rows(-1L))
+    // a retention daemon on the same root as a live writer: vacuum takes
+    // the same file commit lock as commit (the round's ADVICE fix), so
+    // no interleave may compute a reference set that misses a commit
+    // publishing "between" — this hammers that window for real
+    @volatile var stop = false
+    @volatile var vacuumError: Option[Throwable] = None
+    val vacuumer = new Thread(() =>
+      try {
+        while (!stop) new GraftStore(root).vacuum(
+          keepSnapshots = 1, graceMs = 60000L)
+      } catch { case t: Throwable => vacuumError = Some(t) })
+    vacuumer.start()
+    try (0L until 10L).foreach(i => commitKeyed(store, "t", rows(i)))
+    finally { stop = true; vacuumer.join() }
+    assert(vacuumError.isEmpty, s"vacuum crashed mid-race: $vacuumError")
+    val reopened = new GraftStore(root)
+    val live = reopened.read(spark, "t")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(live == (-1L +: (0L until 10L)), s"lost commits: $live")
+    // the pointer target survived every sweep and is the newest snapshot
+    val current = reopened.currentSnapshot().get
+    assert(Files.exists(Paths.get(root, current)))
+    assert(reopened.snapshots().last == current)
+  }
+
+  test("contending full-table rewrites: one wins, the loser fails stale " +
+      "and converges on a fresh-snapshot retry") {
+    val root = Files.createTempDirectory("graft-store-rewrite").toString
+    val store = new GraftStore(root)
+    commitKeyed(store, "t", rows(1L, 2L))
+    // both writers plan a compaction from the SAME snapshot: each stages
+    // a replacement and drops the leaves it read. Whichever commits
+    // second must fail loudly (its drops are gone) — silently winning
+    // would resurrect the first rewrite's dropped rows.
+    val baseline = store.leavesOf("t")
+    val stagedA = store.stageKeyed("t", rows(10L),
+      pmod(col("k"), lit(4L)), Seq(col("k")))
+    val stagedB = store.stageKeyed("t", rows(20L),
+      pmod(col("k"), lit(4L)), Seq(col("k")))
+    store.commit(stagedA, drops = baseline)
+    intercept[GraftStore.StaleSnapshotException] {
+      store.commit(stagedB, drops = baseline)
+    }
+    // the documented recovery: recompute drops from the CURRENT snapshot
+    // and retry — B's rewrite then replaces A's cleanly
+    store.commit(stagedB, drops = store.leavesOf("t"))
+    val live = store.read(spark, "t")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(live == Set(20L), s"rewrite race left wrong state: $live")
+  }
+
   test("time travel: a historic snapshot replays its exact version") {
     val root = Files.createTempDirectory("graft-store-tt").toString
     val store = new GraftStore(root)
