@@ -44,6 +44,45 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!hits.exists(_._1 == 701L))
   }
 
+  test("live concurrent appends from separate instances both land, and " +
+      "the at-rest probe sees every batch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-idx-conc").toString
+    val corpus = (0L until 20L).map(doc(_, "s"))
+    IndexStore.build(new GraftStore(root), "span",
+      corpus.toDF("doc_id", "text"))
+    // real threads, own store instance each — the multi-ingest regime
+    // (two streaming curate executors appending to one shared index).
+    // Appends are adds-only commits, so neither may fail stale NOR
+    // erase the other's leaves at the _current read-modify-write.
+    val batches = Seq(
+      (100L until 120L).map(doc(_, "a")),
+      (200L until 220L).map(doc(_, "b")))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = batches.map { b =>
+      new Thread(() =>
+        try IndexStore.append(new GraftStore(root), "span",
+          b.toDF("doc_id", "text"))
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"append crashed mid-race: ${errs.peek()}")
+    // probes that duplicate one doc from EACH batch (and the original
+    // build) all hit — nothing was silently erased
+    val probe = Seq(
+      (900L, corpus(5)._2.substring(0, 200) + " tail"),
+      (901L, batches(0)(3)._2.substring(0, 200) + " tail"),
+      (902L, batches(1)(7)._2.substring(0, 200) + " tail"))
+    val hits = IndexStore.search(new GraftStore(root), spark, "span",
+      probe.toDF("doc_id", "text"))
+      .select("new_id", "existing_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((900L, 5L)), s"build batch lost: $hits")
+    assert(hits.contains((901L, 103L)), s"append A lost: $hits")
+    assert(hits.contains((902L, 207L)), s"append B lost: $hits")
+  }
+
   test("sketch index: at-rest ANN probe ranks the near-identical vector " +
       "first") {
     import spark.implicits._
