@@ -74,6 +74,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a partial MG aggregate below the exchange in:\n$p")
   }
 
+  test("mixture membership joins the broadcast rate table — document " +
+      "rows never shuffle") {
+    // both mixture forms reduce to one corpus scan filtered against an
+    // O(langs) broadcast; a SortMergeJoin here would shuffle every doc
+    // row by lang (skewed: one hot partition per head language)
+    for (q <- Seq("sample_mixture", "sample_mixture_alpha")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+      assert(!p.contains("SortMergeJoin"), s"$q: $p")
+    }
+  }
+
   test("top-1 sort-limit plans TakeOrderedAndProject, not a global sort") {
     val p = plan("srt1_top1")
     assert(p.contains("TakeOrderedAndProject"), p)
