@@ -316,6 +316,11 @@ object CurationOps {
   def mixtureSample(d: DataFrame, weights: Seq[(String, Long)]): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       s"mixtureSample: every weight must be positive, got $weights")
+    // a repeated language would emit two rate rows and the membership
+    // join would match (and emit) each kept doc once per row
+    val dups = weights.groupBy(_._1).collect { case (l, ws) if ws.size > 1 => l }
+    require(dups.isEmpty,
+      s"mixtureSample: duplicate language in weights: ${dups.mkString(", ")}")
     val counts = langCounts(d)
     val missing = weights.collect { case (l, _) if !counts.contains(l) => l }
     require(missing.isEmpty,
@@ -346,7 +351,9 @@ object CurationOps {
     require(alphaBp >= 0L && alphaBp <= 10000L,
       s"mixtureAlpha: alphaBp must be in [0, 10000], got $alphaBp")
     val counts = langCounts(d)
-    require(counts.nonEmpty, "mixtureAlpha: empty corpus")
+    require(counts.nonEmpty,
+      "mixtureAlpha: no docs with a non-null lang (empty corpus, or an " +
+        "unclassified one — run withPredictedLang first)")
     val weights = counts.toSeq.sortBy(_._1).map { case (l, n) =>
       l -> math.max(1L,
         math.round(math.pow(n.toDouble, alphaBp / 10000.0) * 1000.0))

@@ -188,6 +188,12 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       CurationOps.mixtureSample(corpus, Seq.empty)
     }
+    // a repeated language would double-emit every kept doc of that lang
+    // through the membership join — rejected up front
+    val dupErr = intercept[IllegalArgumentException] {
+      CurationOps.mixtureSample(corpus, Seq("en" -> 50L, "en" -> 50L))
+    }
+    assert(dupErr.getMessage.contains("duplicate language"))
     // a weighted language absent from the corpus: raises at run time
     // instead of silently mis-targeting the remaining strata
     val err = intercept[Exception] {
