@@ -253,6 +253,28 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rates("sw") > rates("en"))
   }
 
+  test("mixture rates are exactly invariant to weight scaling across a " +
+      "randomized sweep (the BigInt-rationality property)") {
+    // rate_bp depends only on the weight RATIOS: every step — t's floor,
+    // the demand floor, the ceiling — is a rational in which a common
+    // weight factor k cancels, so mixtureRates(k·w) == mixtureRates(w)
+    // EXACTLY, for any magnitudes. Long-wrapping arithmetic (the bug the
+    // BigInt rewrite killed) breaks this at large counts×k; so would any
+    // future "optimization" that reorders the integer ops.
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 200) {
+      val langs = (0 until (2 + rnd.nextInt(6))).map(i => s"l$i")
+      val counts = langs.map(_ -> (1L + rnd.nextLong(1_000_000_000_000L)))
+        .toMap
+      val weights = langs.map(_ -> (1L + rnd.nextLong(1_000_000L)))
+      val k = 1L + rnd.nextLong(1_000L)
+      val scaled = weights.map { case (l, w) => l -> w * k }
+      assert(CurationOps.mixtureRates(weights, counts) ==
+        CurationOps.mixtureRates(scaled, counts),
+        s"scale invariance broke at k=$k, counts=$counts, weights=$weights")
+    }
+  }
+
   test("domain cap keeps at most N per source, stable under repartitioning") {
     import spark.implicits._
     val d = (0L until 300L).map(i => (i, s"src${i % 3}"))
