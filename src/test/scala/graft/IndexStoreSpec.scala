@@ -223,6 +223,85 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.select("vec_id").distinct().count() == 50L)
   }
 
+  test("ivf compact collapses re-deliveries and merges append debris " +
+      "while a racing append and a live probe ride through the swap") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(19)
+    val centers = (0 until 8).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    def point(c: Int): Seq[Float] =
+      centers(c).map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq
+    val root = Files.createTempDirectory("graft-idx-ivf-compact").toString
+    val base = (0L until 400L).map(i => (i, point((i % 8).toInt)))
+    val extra = (1000L until 1040L).map(i => (i, point((i % 8).toInt)))
+    val s1 = new GraftStore(root)
+    IndexStore.build(s1, "ivf", base.toDF("vec_id", "embedding"))
+    IndexStore.append(s1, "ivf", extra.toDF("vec_id", "embedding"))
+    // the same append re-delivered (an at-least-once upstream)
+    IndexStore.append(s1, "ivf", extra.toDF("vec_id", "embedding"))
+    val leavesBefore = s1.leavesOf("ivf_cells").size
+    assert(IndexStore.read(s1, spark, "ivf").count() == 480L)
+    // real threads, own store instance each: compact, an append of a NEW
+    // batch, and a probe that lands on whichever side of the swap the
+    // scheduler picks. Neither writer may fail stale (the append drops
+    // nothing, so compact's drop set stays live; the append's own leaves
+    // are not in it), and the probe must rank the true neighbor first
+    // against EITHER snapshot (compact only collapses duplicate vec_ids).
+    val racing = (2000L until 2020L).map(i => (i, point((i % 8).toInt)))
+    val dropped = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val startGate = new java.util.concurrent.CountDownLatch(1)
+    val threads = Seq(
+      new Thread(() => try {
+        startGate.await()
+        dropped.set(IndexStore.compact(new GraftStore(root), spark, "ivf")._1)
+      } catch { case t: Throwable => errs.add(t) }),
+      new Thread(() => try {
+        startGate.await()
+        IndexStore.append(new GraftStore(root), "ivf",
+          racing.toDF("vec_id", "embedding"))
+        ()
+      } catch { case t: Throwable => errs.add(t) }),
+      new Thread(() => try {
+        startGate.await()
+        val top = IndexStore.search(new GraftStore(root), spark, "ivf",
+          Seq((9000L, base(42)._2.map(_ * 1.001f)))
+            .toDF("vec_id", "embedding"))
+          .filter(col("rank") === 1).collect()
+        assert(top.length == 1 && top.head.getAs[Long]("neighbor_id") == 42L,
+          s"mid-swap probe missed: ${top.toSeq}")
+      } catch { case t: Throwable => errs.add(t) }))
+    threads.foreach(_.start())
+    startGate.countDown()
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"race crashed: ${errs.peek()}")
+    // the 40 re-delivered rows are gone whichever order the race ran in
+    // (the racing batch's vec_ids are fresh, so they never add dups)
+    assert(dropped.get() == 40L, s"dropped ${dropped.get()} rows, want 40")
+    val s2 = new GraftStore(root)
+    val after = IndexStore.read(s2, spark, "ivf")
+    assert(after.count() == 460L, s"rows after race: ${after.count()}")
+    assert(after.select("vec_id").distinct().count() == 460L)
+    assert(s2.leavesOf("ivf_cells").size < leavesBefore,
+      s"leaf debris not merged: $leavesBefore -> " +
+        s"${s2.leavesOf("ivf_cells").size}")
+    // the model survived compact untouched (re-train is re-build's job)
+    assert(s2.leavesOf("ivf_centroids").size == 1)
+    // nothing was lost: nudged copies of a build vector, a re-delivered
+    // vector, and the RACING append's vector all resolve at rank 1
+    val probes = Seq(
+      (9100L, base(42)._2.map(_ * 1.001f)),
+      (9101L, extra.head._2.map(_ * 1.001f)),
+      (9102L, racing.head._2.map(_ * 1.001f)))
+    val got = IndexStore.search(s2, spark, "ivf",
+      probes.toDF("vec_id", "embedding"))
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    assert(got == Map(9100L -> 42L, 9101L -> 1000L, 9102L -> 2000L),
+      s"post-race neighbors wrong: $got")
+  }
+
   test("an append racing compact survives it; a compact racing a rebuild " +
       "fails stale instead of resurrecting dropped rows") {
     import spark.implicits._

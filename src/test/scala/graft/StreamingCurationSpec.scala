@@ -148,6 +148,63 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected accepted set: ${rows.sorted}")
   }
 
+  test("processBatch racing `index compact`: both commits land, and " +
+      "exactly-once survives the leaf swap") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-stream-compact")
+    val store = new graft.store.GraftStore(s"$root/store")
+    def doc(id: Long, word: String) =
+      (id, (1 to 80).map(i => f"$word$id%03d$i%05d").mkString(" "))
+    val a = Seq(doc(1L, "amber"), doc(2L, "bison"))
+    val b = Seq(doc(11L, "delta"), doc(12L, "ember"))
+    StreamingCuration.processBatch(store, a.toDF("doc_id", "text"))
+    StreamingCuration.processBatch(store, b.toDF("doc_id", "text"))
+    // the racing batch: one new doc + one near-copy of an accepted doc.
+    // Real threads, own store instance each — the maintenance regime
+    // (periodic `index compact` scheduled next to a live curate stream).
+    // Compact's commit swaps every band leaf; processBatch is adds-only,
+    // so NEITHER side may fail stale: compact's drops stay live (the
+    // stream never drops), and the stream's adds are not in compact's
+    // drop set. The band rows the stream appends mid-compact just miss
+    // this compaction round — the documented append-vs-compact contract.
+    val c = Seq(doc(21L, "fjord"),
+      (22L, a.head._2.split(" ").zipWithIndex.map { case (t, i) =>
+        if (i % 23 == 0) "xdupx" else t }.mkString(" ")))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = Seq(
+      new Thread(() => try {
+        start.await()
+        graft.store.IndexStore.compact(
+          new graft.store.GraftStore(s"$root/store"), spark, "band")
+        ()
+      } catch { case t: Throwable => errs.add(t) }),
+      new Thread(() => try {
+        start.await()
+        StreamingCuration.processBatch(
+          new graft.store.GraftStore(s"$root/store"), c.toDF("doc_id", "text"))
+      } catch { case t: Throwable => errs.add(t) }))
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"race crashed: ${errs.peek()}")
+    val read = () => store.read(spark, StreamingCuration.AcceptedTable)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // the new doc landed, the near-copy was caught against WHICHEVER index
+    // snapshot the stream read (pre- or post-compact: compact only
+    // collapses duplicates, so doc 1's band rows are in both)
+    assert(read() == Seq(1L, 2L, 11L, 12L, 21L),
+      s"accepted set wrong after race: ${read()}")
+    // exactly-once across the swap: replaying every batch — including the
+    // one that raced the compaction — commits nothing
+    val snap = store.currentLeaves().toSet
+    Seq(a, b, c).foreach(batch =>
+      StreamingCuration.processBatch(store, batch.toDF("doc_id", "text")))
+    assert(read() == Seq(1L, 2L, 11L, 12L, 21L))
+    assert(store.currentLeaves().toSet == snap,
+      "a replayed batch committed leaves after compaction")
+  }
+
   test("streaming curate end-to-end writes the same shards as batch curate") {
     import graft.operators.{CorpusOps, CurationOps}
     import graft.streaming.StreamingCuration
