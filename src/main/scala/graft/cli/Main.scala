@@ -344,8 +344,37 @@ object Main {
             val merged = graft.etl.Export.compact(spark, store,
               opt(args, "max-leaves-per-bucket").map(_.toInt).getOrElse(1))
             println(s"[store] compacted $merged leaf dir(s)")
+          case Some("changes") =>
+            // incremental consumption: what landed between two committed
+            // versions (store changes --from SNAP [--to SNAP]). Default
+            // output is the manifest-level diff (no file opened); with
+            // --table T --keys k1,k2 it counts logically-new rows —
+            // rewrite survivors subtracted bucket-locally
+            val from = opt(args, "from").getOrElse(sys.error(
+              "store changes needs --from <snapshot> (see store snapshots)"))
+            val to = opt(args, "to").orElse(store.currentSnapshot())
+              .getOrElse(sys.error("store has no committed snapshot"))
+            (opt(args, "table"), opt(args, "keys")) match {
+              case (Some(t), Some(ks)) =>
+                val n = store.readNewRows(spark, t, from, to,
+                  ks.split(",").toSeq).count()
+                println(s"[store] $n new row(s) in '$t' $from -> $to")
+              case (Some(_), None) | (None, Some(_)) =>
+                sys.error("store changes needs BOTH --table and --keys " +
+                  "for a row-level diff (neither for the manifest diff)")
+              case _ =>
+                val (added, removed) = store.leavesDiff(from, to)
+                val tables = (added.map(_.table) ++ removed.map(_.table))
+                  .distinct.sorted
+                if (tables.isEmpty) println(s"[store] no changes $from -> $to")
+                else tables.foreach { t =>
+                  val a = added.count(_.table == t)
+                  val r = removed.count(_.table == t)
+                  println(s"$t: +$a leaf dir(s), -$r dropped")
+                }
+            }
           case other =>
-            sys.error(s"usage: store snapshots|vacuum|compact ... " +
+            sys.error(s"usage: store snapshots|vacuum|compact|changes ... " +
               s"(got $other)")
         }
 

@@ -330,6 +330,60 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
   def readAt(spark: SparkSession, table: String, snapshot: String): DataFrame =
     readLeaves(spark, table, leavesAt(snapshot))
 
+  /** Manifest diff between two committed versions: (added, removed)
+    * leaves across every table in the root. Leaf dirs are immutable and
+    * uniquely named, so set-difference on dir paths IS the net effect of
+    * every commit between the two snapshots, whatever interleaving of
+    * writers produced them — the physical change set an incremental
+    * consumer starts from, O(manifest) driver-side work with no file
+    * ever opened. */
+  def leavesDiff(from: String, to: String): (Seq[Leaf], Seq[Leaf]) = {
+    val a = leavesAt(from)
+    val b = leavesAt(to)
+    val aDirs = a.map(_.dir).toSet
+    val bDirs = b.map(_.dir).toSet
+    (b.filterNot(l => aDirs.contains(l.dir)),
+      a.filterNot(l => bDirs.contains(l.dir)))
+  }
+
+  /** Leaves of `table` present at `to` but not at `from` — the physical
+    * increment (Iceberg-style incremental scan input). */
+  def leavesAddedBetween(table: String, from: String, to: String): Seq[Leaf] =
+    leavesDiff(from, to)._1.filter(_.table == physName(table))
+
+  /** Logically-NEW rows of `table` between two snapshots, keyed by
+    * `keyCols` — the incremental-consumption read: a downstream job
+    * (re-tokenization, index refresh, export) processes what landed
+    * since its last run instead of re-scanning the table.
+    *
+    * The physical increment alone over-reports under rewrites: a reorg
+    * bucket replacement, an [[graft.etl.Export.compact]], or an index
+    * re-cap re-stages SURVIVING rows into fresh leaf dirs. The
+    * subtraction here reads only the FROM-snapshot leaves of the buckets
+    * the added leaves touch — bucket assignment is a pure function of
+    * the row (height range or key hash), so a rewritten row lands in the
+    * same bucket and untouched buckets are never opened: the read costs
+    * O(changed buckets), not O(table), at any store size. Re-delivered
+    * duplicates inside the increment are passed through as stored (keyed
+    * consumers dedupe; the exactly-once ingest paths never write them).
+    * Deletes are not surfaced — consume [[leavesDiff]]'s removed side
+    * for reorg/retention handling. */
+  def readNewRows(spark: SparkSession, table: String, from: String,
+      to: String, keyCols: Seq[String]): DataFrame = {
+    val added = leavesAddedBetween(table, from, to)
+    if (added.isEmpty)
+      return readLeaves(spark, table,
+        leavesAt(to).filter(_.table == physName(table))).limit(0)
+    val addedRows = readLeaves(spark, table, added)
+    val buckets = added.map(_.bucket).toSet
+    val oldSame = leavesAt(from).filter(l =>
+      l.table == physName(table) && buckets.contains(l.bucket))
+    if (oldSame.isEmpty) addedRows
+    else addedRows.join(
+      readLeaves(spark, table, oldSame).select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+  }
+
   /** Reclaim storage: drop all but the newest `keepSnapshots` snapshot
     * files, then delete every leaf directory no RETAINED snapshot
     * references (dropped by reorg/retention/compaction/rebuild — the

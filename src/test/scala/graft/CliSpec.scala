@@ -326,6 +326,39 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shown.contains("42"))
   }
 
+  test("store changes reports the manifest diff and counts logically-new " +
+      "rows between snapshots") {
+    val root = newRoot()
+    captured {
+      cli.Main.run(spark, Array("export", "--store", root, "--blocks", "50"))
+    }
+    val v1 = new GraftStore(root).currentSnapshot().get
+    captured {
+      cli.Main.run(spark, Array("export", "--store", root, "--blocks", "100"))
+    }
+    // manifest-level: the incremental export added leaves to the chain
+    // tables (no file is opened for this form)
+    val diff = captured {
+      cli.Main.run(spark, Array("store", "changes", "--store", root,
+        "--from", v1))
+    }
+    assert(diff.linesIterator.exists(_.startsWith("blocks: +")), diff)
+    // row-level: both exports land in height bucket 0, so the logical
+    // count only works because the from-snapshot's bucket is subtracted —
+    // 50 genuinely new blocks, the first 50 not re-reported
+    val rowLevel = captured {
+      cli.Main.run(spark, Array("store", "changes", "--store", root,
+        "--from", v1, "--table", "blocks", "--keys", "number"))
+    }
+    assert(rowLevel.contains("50 new row(s) in 'blocks'"), rowLevel)
+    // half-specified row-level form is a loud error, not a silent guess
+    val err = intercept[RuntimeException] {
+      cli.Main.run(spark, Array("store", "changes", "--store", root,
+        "--from", v1, "--table", "blocks"))
+    }
+    assert(err.getMessage.contains("BOTH --table and --keys"))
+  }
+
   test("verify blocks reports the store's lag behind the chain tip") {
     val root = newRoot()
     // store stops at 196 while the fixture chain tip is 199 → lag 3

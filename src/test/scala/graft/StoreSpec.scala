@@ -121,6 +121,51 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(then_ == Set(1L, 2L))
   }
 
+  test("incremental read between snapshots: appends surface whole, " +
+      "rewrite survivors are subtracted bucket-locally, deletes are " +
+      "manifest-only") {
+    val root = Files.createTempDirectory("graft-store-cdc").toString
+    val store = new GraftStore(root)
+    val keys = (df: DataFrame) =>
+      df.select("k").collect().map(_.getLong(0)).sorted.toSeq
+    // v1: eight rows across the four k%4 buckets
+    commitKeyed(store, "t", rows(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    val v1 = store.snapshots().last
+    // v2: a plain append
+    commitKeyed(store, "t", rows(10L, 11L))
+    val v2 = store.snapshots().last
+    // v3: bucket-0 rewrite — the reorg/compaction shape: drop the bucket's
+    // leaves, re-stage survivors 0 and 4 alongside new row 20, delete 8's
+    // worth of nothing (no other bucket is touched)
+    store.commit(
+      store.stageKeyed("t", rows(0L, 4L, 20L), pmod(col("k"), lit(4L)),
+        Seq(col("k"))),
+      drops = store.leavesOf("t").filter(_.bucket == 0L))
+    val v3 = store.snapshots().last
+    // append increment: exactly the appended rows
+    assert(keys(store.readNewRows(spark, "t", v1, v2, Seq("k")))
+      == Seq(10L, 11L))
+    // rewrite increment: survivors 0 and 4 were re-staged into a fresh
+    // leaf dir (physically "added"), but only 20 is logically new
+    val phys = store.leavesAddedBetween("t", v2, v3)
+    assert(phys.map(_.bucket).toSet == Set(0L),
+      s"rewrite touched unexpected buckets: $phys")
+    assert(keys(store.readLeaves(spark, "t", phys)).toSet
+      == Set(0L, 4L, 20L))
+    assert(keys(store.readNewRows(spark, "t", v2, v3, Seq("k"))) == Seq(20L))
+    // spanning increment composes: appends + the rewrite's one new row
+    assert(keys(store.readNewRows(spark, "t", v1, v3, Seq("k")))
+      == Seq(10L, 11L, 20L))
+    // same-snapshot increment is empty but keeps the schema
+    val none = store.readNewRows(spark, "t", v3, v3, Seq("k"))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
+    // the manifest diff carries the removed side (reorg/retention
+    // consumers): the rewrite dropped bucket 0's original leaf
+    val (added, removed) = store.leavesDiff(v2, v3)
+    assert(added.forall(_.table == "t") && removed.forall(_.table == "t"))
+    assert(removed.map(_.bucket).toSet == Set(0L))
+  }
+
   test("snapshot sequence is monotonic across store re-instantiation " +
       "(restart/reboot survival)") {
     val root = Files.createTempDirectory("graft-store-seq").toString
