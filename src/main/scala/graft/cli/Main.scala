@@ -90,14 +90,21 @@ object Main {
         val transfers = store.read(spark, "token_transfers")
         args.lift(1) match {
           case Some("block") =>
+            // height-keyed lookups go through the stat-pruned read: only
+            // leaves whose footer min/max overlap the height are listed
+            // (hash lookups have no height bound — full manifest scan)
             val df = opt(args, "number")
-              .map(n => ChainOps.blockByNumber(blocks, n.toLong))
+              .map(n => ChainOps.blockByNumber(
+                store.readHeightRange(spark, "blocks", n.toLong, n.toLong),
+                n.toLong))
               .orElse(opt(args, "hash").map(ChainOps.blockByHash(blocks, _)))
               .getOrElse(sys.error("--number or --hash required"))
             df.show(20, truncate = false)
           case Some("transaction") =>
             val df = opt(args, "block-number")
-              .map(n => ChainOps.txsOfBlock(txs, n.toLong))
+              .map(n => ChainOps.txsOfBlock(
+                store.readHeightRange(spark, "transactions", n.toLong,
+                  n.toLong), n.toLong))
               .orElse(opt(args, "hash").map(ChainOps.txByHash(txs, _)))
               .getOrElse(sys.error("--block-number or --hash required"))
             df.show(20, truncate = false)
@@ -364,13 +371,23 @@ object Main {
                   "for a row-level diff (neither for the manifest diff)")
               case _ =>
                 val (added, removed) = store.leavesDiff(from, to)
+                // row deltas come from the manifests' footer stats — only
+                // printed when every leaf on that side carries them
+                val (sFrom, sTo) = (store.statsAt(from), store.statsAt(to))
+                def rowsNote(ls: Seq[store.Leaf], sign: String,
+                    st: Map[String, store.LeafStats]): String =
+                  if (ls.nonEmpty && ls.forall(l => st.contains(l.dir)))
+                    s" ($sign${ls.map(l => st(l.dir).rows).sum} rows)"
+                  else ""
                 val tables = (added.map(_.table) ++ removed.map(_.table))
                   .distinct.sorted
                 if (tables.isEmpty) println(s"[store] no changes $from -> $to")
                 else tables.foreach { t =>
-                  val a = added.count(_.table == t)
-                  val r = removed.count(_.table == t)
-                  println(s"$t: +$a leaf dir(s), -$r dropped")
+                  val a = added.filter(_.table == t)
+                  val r = removed.filter(_.table == t)
+                  println(s"$t: +${a.size} leaf dir(s)" +
+                    rowsNote(a, "+", sTo) +
+                    s", -${r.size} dropped" + rowsNote(r, "-", sFrom))
                 }
             }
           case other =>

@@ -37,12 +37,16 @@ object Tail {
     * the O(1) resume cursor never points above live data. */
   def rollbackFrom(spark: SparkSession, store: GraftStore,
       height: Long): Unit = {
-    val pred = store.leavesAtOrAbove(height)
     val (adds, drops) = store.Tables.map { table =>
-      val affected = store.leavesOf(table).filter(l => pred(l.bucket))
+      // ONE leaf list drives both the read and the drop set (a pred-based
+      // re-resolve could interleave with a concurrent commit), pruned by
+      // manifest footer stats: a leaf whose max height sits below the
+      // rollback point contains nothing to delete and is neither read nor
+      // rewritten — only the actual tail leaves churn
+      val affected = store.leavesForHeights(table, height, Long.MaxValue)
       if (affected.isEmpty) (Nil, Nil)
       else {
-        val kept = store.read(spark, table, pred)
+        val kept = store.readLeaves(spark, table, affected)
           .filter(col(store.heightCol(table)) < height)
         (store.stage(table, kept), affected)
       }
@@ -71,8 +75,7 @@ object Tail {
     // reorg below the stored tip arriving together with later heads would
     // be appended on top of stale canonical blocks.
     if (last >= 0) {
-      val storedTipHash = store.read(spark, "blocks",
-          store.leavesAtOrAbove(last))
+      val storedTipHash = store.readHeightRange(spark, "blocks", last, last)
         .filter(col("number") === last).select("hash").head().getString(0)
       val linked =
         if (head.number == last + 1) head.parent_hash == storedTipHash
@@ -104,7 +107,7 @@ object Tail {
       source: ChainSource, storedTip: Long): Long = {
     val lookback = 100L
     val from = math.max(0L, storedTip - lookback)
-    val stored = store.read(spark, "blocks", store.leavesAtOrAbove(from))
+    val stored = store.readHeightRange(spark, "blocks", from, Long.MaxValue)
       .filter(col("number") >= from)
       .select(col("number"), col("hash").as("stored_hash"))
     val fresh = source.blocks(spark, from, storedTip)

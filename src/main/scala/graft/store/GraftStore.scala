@@ -60,6 +60,13 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
 
   final case class Leaf(table: String, bucket: Long, dir: String)
 
+  /** Per-leaf footer statistics carried in the snapshot manifest:
+    * row count, and min/max of the table's height column for the chain
+    * tables (None for keyed index tables and for leaves whose footers
+    * lacked usable column statistics). */
+  final case class LeafStats(rows: Long, minH: Option[Long],
+      maxH: Option[Long])
+
   private def rootPath: Path = Paths.get(root)
   private def currentPtr: Path = rootPath.resolve("_current")
 
@@ -94,6 +101,36 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
 
   def metaKey(key: String): String =
     if (tablesPrefix.isEmpty) key else s"${tablesPrefix}_$key"
+
+  private val StatsPrefix = "#stats\t"
+
+  /** Leaf statistics of the CURRENT snapshot, keyed by leaf dir. Absent
+    * entries (legacy snapshots, leaves staged by a different process)
+    * mean "no information" — every consumer must treat a missing entry
+    * as "keep the leaf". */
+  def currentStats(): Map[String, LeafStats] = parseStats(snapshotLines())
+
+  /** Leaf statistics as of an explicit snapshot file. */
+  def statsAt(snapshot: String): Map[String, LeafStats] = {
+    val f = rootPath.resolve(snapshot)
+    require(Files.exists(f), s"snapshot $snapshot not found (vacuumed?)")
+    parseStats(Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq)
+  }
+
+  private def parseStats(lines: Seq[String]): Map[String, LeafStats] =
+    lines.filter(_.startsWith(StatsPrefix)).map { l =>
+      // "#stats\tdir\trows\tmin\tmax" — min/max empty for keyed tables
+      val p = l.split("\t", -1)
+      p(1) -> LeafStats(p(2).toLong,
+        if (p(3).isEmpty) None else Some(p(3).toLong),
+        if (p(4).isEmpty) None else Some(p(4).toLong))
+    }.toMap
+
+  /** Footer stats for leaves THIS instance staged but has not yet
+    * committed — moved into the snapshot manifest by [[commit]]. Keyed
+    * by dir; dirs are unique per write, so entries never collide. */
+  private val pendingStats =
+    new java.util.concurrent.ConcurrentHashMap[String, LeafStats]()
 
   /** Next snapshot sequence number: one past the highest sequence any
     * existing snapshot file carries. The counter is PERSISTED in the file
@@ -140,13 +177,18 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
     else Some(new String(Files.readAllBytes(currentPtr),
       StandardCharsets.UTF_8).trim)
 
-  private def publish(leaves: Seq[Leaf], meta: Map[String, String]): Unit = {
+  private def publish(leaves: Seq[Leaf], meta: Map[String, String],
+      stats: Map[String, LeafStats]): Unit = {
     // zero-padded so lexical order == numeric order for fresh stores
     val name = f"snapshot-${nextSeq()}%020d-" +
       s"${UUID.randomUUID().toString.take(8)}.txt"
     val metaLines = meta.toSeq.sorted.map { case (k, v) => s"$MetaPrefix$k\t$v" }
-    val body = (metaLines ++ leaves.sortBy(l => (l.table, l.bucket, l.dir))
-      .map(l => s"${l.table}\t${l.bucket}\t${l.dir}")).mkString("\n")
+    val sorted = leaves.sortBy(l => (l.table, l.bucket, l.dir))
+    val statLines = sorted.flatMap(l => stats.get(l.dir).map(s =>
+      s"$StatsPrefix${l.dir}\t${s.rows}\t${s.minH.getOrElse("")}\t" +
+        s"${s.maxH.getOrElse("")}"))
+    val body = (metaLines ++ statLines ++
+      sorted.map(l => s"${l.table}\t${l.bucket}\t${l.dir}")).mkString("\n")
     Files.write(rootPath.resolve(name), body.getBytes(StandardCharsets.UTF_8))
     val tmp =
       rootPath.resolve(s"_current.tmp-${UUID.randomUUID().toString.take(8)}")
@@ -232,11 +274,61 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
       .partitionBy(partCols: _*)
       .parquet(s"$root/$seg")
     // enumerate bucket leaves written
-    listDir(rootPath.resolve(seg))
+    val leaves = listDir(rootPath.resolve(seg))
       .map(_.getFileName.toString)
       .filter(_.startsWith("__bucket="))
       .map(d => Leaf(physName(table), d.stripPrefix("__bucket=").toLong,
         s"$seg/$d"))
+    // collect footer stats for the manifest — metadata reads only, no
+    // Spark job, no data page touched (the lakehouse write-side stats
+    // pass). Chain tables get min/max of their height column so reads
+    // can prune below bucket granularity; keyed tables get row counts.
+    leaves.foreach(l => pendingStats.put(l.dir,
+      footerStats(rootPath.resolve(l.dir), heightCol.get(table))))
+    leaves
+  }
+
+  /** Rows + min/max of `field` across every parquet footer under `dir`.
+    * min/max are None unless EVERY non-empty row group contributed
+    * either column statistics or provably-all-null rows (a null height
+    * can never match a height predicate, so all-null groups don't widen
+    * the range) — a partial range would prune rows it doesn't cover. */
+  private def footerStats(dir: Path, field: Option[String]): LeafStats = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def files(p: Path): Seq[Path] =
+      if (Files.isDirectory(p)) listDir(p).flatMap(files)
+      else if (p.getFileName.toString.endsWith(".parquet")) Seq(p) else Nil
+    var rows = 0L
+    var mn = Option.empty[Long]
+    var mx = Option.empty[Long]
+    var complete = true
+    files(dir).foreach { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toUri), conf))
+      try r.getFooter.getBlocks.asScala.foreach { b =>
+        rows += b.getRowCount
+        field.foreach { hc =>
+          val st = b.getColumns.asScala
+            .find(_.getPath.toDotString == hc).map(_.getStatistics)
+          st match {
+            case Some(s) if s != null && s.hasNonNullValue =>
+              (s.genericGetMin, s.genericGetMax) match {
+                case (lo: Number, hi: Number) =>
+                  mn = Some(mn.fold(lo.longValue)(math.min(_, lo.longValue)))
+                  mx = Some(mx.fold(hi.longValue)(math.max(_, hi.longValue)))
+                case _ => if (b.getRowCount > 0) complete = false
+              }
+            case Some(s) if s != null && s.isNumNullsSet &&
+                s.getNumNulls == b.getRowCount => // all-null group: inert
+            case _ => if (b.getRowCount > 0) complete = false
+          }
+        }
+      } finally r.close()
+    }
+    if (field.isDefined && complete) LeafStats(rows, mn, mx)
+    else LeafStats(rows, None, None)
   }
 
   /** One atomic commit across tables; `meta` entries merge into (and
@@ -284,8 +376,15 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
             "grace window reclaimed them mid-stage; re-stage and retry " +
             "(and raise vacuum graceMs above stage-to-commit latency)")
       val dropSet = drops.map(_.dir).toSet
+      // stats: retained leaves keep their published entries; adds bring
+      // the footer stats writeLeaves collected at stage time (absent when
+      // a DIFFERENT process staged them — readers then just keep the leaf)
+      val addStats = adds.flatMap(l =>
+        Option(pendingStats.get(l.dir)).map(l.dir -> _)).toMap
       publish(live.filterNot(l => dropSet.contains(l.dir)) ++ adds,
-        currentMeta() ++ meta.map { case (k, v) => metaKey(k) -> v })
+        currentMeta() ++ meta.map { case (k, v) => metaKey(k) -> v },
+        currentStats() ++ addStats)
+      adds.foreach(l => pendingStats.remove(l.dir))
     }
 
   /** JVM lock + `_commitlock` OS file lock around `body` — the exclusion
@@ -494,6 +593,32 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
 
   def leavesAtOrAbove(height: Long): Long => Boolean =
     b => b >= height / bucketSize
+
+  /** Leaves of `table` that can contain heights in [lo, hi]: bucket-range
+    * pruning first (free — bucket is a height range by construction),
+    * then per-leaf min/max footer stats from the manifest where present.
+    * An incremental tail accretes one leaf per touched bucket per commit,
+    * so the tip bucket of a live store holds MANY leaves; stats pruning
+    * takes a point/range lookup from O(commits since compaction) files to
+    * O(overlapping leaves) — without opening a single file to decide.
+    * Leaves without stats (legacy snapshots, foreign stagers) are kept. */
+  def leavesForHeights(table: String, lo: Long, hi: Long): Seq[Leaf] = {
+    val stats = currentStats()
+    currentLeaves().filter { l =>
+      l.table == physName(table) &&
+        l.bucket >= lo / bucketSize && l.bucket <= hi / bucketSize &&
+        stats.get(l.dir).forall(s =>
+          s.minH.forall(_ <= hi) && s.maxH.forall(_ >= lo))
+    }
+  }
+
+  /** Snapshot-isolated read of `table` pruned to the leaves whose height
+    * range overlaps [lo, hi] — the point-lookup / range-scan entry the
+    * view and tail control paths use. Callers still apply their own row
+    * filter; this only bounds which files are listed. */
+  def readHeightRange(spark: SparkSession, table: String, lo: Long,
+      hi: Long): DataFrame =
+    readLeaves(spark, table, leavesForHeights(table, lo, hi))
 
   private def emptyLike(spark: SparkSession, table: String): DataFrame = {
     import graft.chain.{Block, TokenTransfer, Transaction}

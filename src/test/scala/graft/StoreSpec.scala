@@ -121,6 +121,54 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(then_ == Set(1L, 2L))
   }
 
+  test("manifest footer stats prune height reads below bucket " +
+      "granularity; a stats-free legacy manifest falls back to keeping " +
+      "every leaf") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft-store-stats").toString
+    val store = new GraftStore(root)
+    def blocksDf(lo: Long, hi: Long) =
+      (lo to hi).map(n => (n, s"payload-$n")).toDF("number", "payload")
+    // three tail-shaped commits into the SAME height bucket (bucketSize
+    // 10000) with disjoint ranges — the live-tip regime where every
+    // commit adds one more leaf to bucket 0
+    Seq((0L, 9L), (100L, 109L), (200L, 209L)).foreach { case (lo, hi) =>
+      store.commit(store.stage("blocks", blocksDf(lo, hi)))
+    }
+    val all = store.leavesOf("blocks")
+    assert(all.size == 3 && all.forall(_.bucket == 0L))
+    // every leaf carries footer stats in the manifest
+    val stats = store.currentStats()
+    assert(all.forall(l => stats.contains(l.dir)),
+      s"stats missing for ${all.filterNot(l => stats.contains(l.dir))}")
+    assert(all.map(l => stats(l.dir).rows).sum == 30L)
+    assert(stats.values.forall(s => s.minH.isDefined && s.maxH.isDefined))
+    // a point lookup touches ONE leaf of the three in the bucket, and
+    // lists fewer files than the unpruned read
+    val hit = store.leavesForHeights("blocks", 105L, 105L)
+    assert(hit.size == 1, s"stats did not prune: $hit")
+    assert(store.readHeightRange(spark, "blocks", 105L, 105L)
+      .filter(col("number") === 105L).count() == 1)
+    assert(store.readHeightRange(spark, "blocks", 105L, 105L)
+      .inputFiles.length < store.read(spark, "blocks").inputFiles.length)
+    // a range spanning two leaves keeps exactly those
+    assert(store.leavesForHeights("blocks", 5L, 102L).size == 2)
+    // stats ride through a commit that doesn't touch the table
+    commitKeyed(store, "other", rows(1L))
+    assert(store.leavesForHeights("blocks", 105L, 105L).size == 1)
+    // legacy manifest without #stats lines (a pre-stats store): nothing
+    // is pruned away and reads stay correct
+    val snap = Paths.get(root).resolve(store.currentSnapshot().get)
+    Files.write(snap, Files.readAllLines(snap).asScala
+      .filterNot(_.startsWith("#stats")).asJava)
+    val legacy = new GraftStore(root)
+    assert(legacy.currentStats().isEmpty)
+    assert(legacy.leavesForHeights("blocks", 105L, 105L).size == 3)
+    assert(legacy.readHeightRange(spark, "blocks", 105L, 105L)
+      .filter(col("number") === 105L).count() == 1)
+  }
+
   test("incremental read between snapshots: appends surface whole, " +
       "rewrite survivors are subtracted bucket-locally, deletes are " +
       "manifest-only") {
