@@ -25,18 +25,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 cannot read as
-    * a timestamp. Sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (see [[GraftSession]]); the loader normalizes the long nanos to a
-    * micros-precision TimestampType (truncating, matching DuckDB's
-    * `CAST(ts_ns AS TIMESTAMP)`). */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some corpus
+    * drops and TIMESTAMP_MICROS in others, so the loader adapts to the read
+    * schema rather than assuming one encoding:
+    *   - `LongType`: the nanosAsLong path (sessions set
+    *     `spark.sql.legacy.parquet.nanosAsLong=true`, see [[GraftSession]]);
+    *     normalize long nanos to a micros-precision TimestampType
+    *     (truncating, matching DuckDB's `CAST(ts_ns AS TIMESTAMP)`).
+    *   - `TimestampNTZType`: micros without UTC adjustment; cast to the
+    *     session-TZ TimestampType (UTC session → same instant) so downstream
+    *     `unix_timestamp`/`window` calls see one type everywhere.
+    *   - `TimestampType`: pass through. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // NB: integer `div`, not `/` — epoch nanos exceed double precision,
-    // so float division would corrupt the low microseconds.
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema("ts").dataType match {
+        // NB: integer `div`, not `/` — epoch nanos exceed double precision,
+        // so float division would corrupt the low microseconds.
+        case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => df
+      }
+    } else df
   }
 }
 
