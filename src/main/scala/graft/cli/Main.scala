@@ -366,9 +366,47 @@ object Main {
                 val n = store.readNewRows(spark, t, from, to,
                   ks.split(",").toSeq).count()
                 println(s"[store] $n new row(s) in '$t' $from -> $to")
-              case (Some(_), None) | (None, Some(_)) =>
-                sys.error("store changes needs BOTH --table and --keys " +
-                  "for a row-level diff (neither for the manifest diff)")
+              case (Some(t), None) =>
+                // per-bucket detail for one table: which buckets the
+                // increment touched, their leaf/row deltas, and the height
+                // span of the new data (footer stats — still no file
+                // opened). An incremental consumer sizes its catch-up job
+                // and its height-pruned re-verify window from this alone.
+                val (added, removed) = store.leavesDiff(from, to)
+                val phys = store.physName(t)
+                val a = added.filter(_.table == phys)
+                val r = removed.filter(_.table == phys)
+                if (a.isEmpty && r.isEmpty)
+                  println(s"[store] no changes in '$t' $from -> $to")
+                else {
+                  val (sFrom, sTo) = (store.statsAt(from), store.statsAt(to))
+                  (a.map(_.bucket) ++ r.map(_.bucket)).distinct.sorted
+                    .foreach { b =>
+                      val ab = a.filter(_.bucket == b)
+                      val rb = r.filter(_.bucket == b)
+                      def side(ls: Seq[store.Leaf], sign: String,
+                          st: Map[String, store.LeafStats]): String = {
+                        val stats = ls.flatMap(l => st.get(l.dir))
+                        val rows =
+                          if (ls.nonEmpty && stats.size == ls.size)
+                            s" $sign${stats.map(_.rows).sum} rows"
+                          else ""
+                        val hs = stats.flatMap(s =>
+                          for (mn <- s.minH; mx <- s.maxH) yield (mn, mx))
+                        val span =
+                          if (hs.nonEmpty && hs.size == ls.size)
+                            s" h[${hs.map(_._1).min}..${hs.map(_._2).max}]"
+                          else ""
+                        s"$sign${ls.size} leaf dir(s)$rows$span"
+                      }
+                      println(s"$t bucket $b: ${side(ab, "+", sTo)}, " +
+                        side(rb, "-", sFrom))
+                    }
+                }
+              case (None, Some(_)) =>
+                sys.error("store changes --keys needs --table too " +
+                  "(--table alone = per-bucket detail; neither = " +
+                  "manifest diff)")
               case _ =>
                 val (added, removed) = store.leavesDiff(from, to)
                 // row deltas come from the manifests' footer stats — only

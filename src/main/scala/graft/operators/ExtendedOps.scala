@@ -175,6 +175,72 @@ object ExtendedOps {
         |    UNBOUNDED FOLLOWING) AS last_in_status
         |FROM orders""".stripMargin))
 
+  /** Scale path for [[winExtras]]: the same four analytics with no window
+    * over more than one bucket of rows. The decomposition (the idiom of
+    * `ChainOps.identityMismatchesScalable`):
+    *
+    *   - global row position = per-bucket `row_number` (parallel windows,
+    *     hash-partitioned by bucket) + the cumulative row count of lower
+    *     buckets, carried by a broadcast one-row-per-bucket metadata frame;
+    *   - `ntile(4)` = arithmetic on (position, total count) — the same
+    *     ceil-division tiling Spark's NTile computes (first `n % 4` tiles
+    *     get `n div 4 + 1` rows, the rest `n div 4`);
+    *   - `lead(key)` = per-bucket lead; the one null row per bucket (its
+    *     last) is patched with the next non-empty bucket's first key from
+    *     the same metadata frame (key gaps can leave buckets empty, so the
+    *     successor is found with a bucket-level lead, not `b + 1`);
+    *   - `first/last_value` over an unbounded frame ordered by the key =
+    *     per-status min/max, broadcast-joined back.
+    *
+    * The only single-partition exchange is the bucket-metadata window (one
+    * row per bucket — offsets, successor first-key, total); the data path
+    * shuffles once by bucket hash. Result-identical to [[winExtras]], same
+    * oracle SQL; on a 1000-executor table the global-sort form would
+    * single-partition the entire table, this runs as a normal job. */
+  def winExtrasScalableFn(s: SparkSession, dir: String,
+      bucketSize: Long): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr(s"o_orderkey div $bucketSize").as("b"))
+    val wOrd = Window.orderBy(col("b"))
+    val meta = orders.groupBy(col("b"))
+      .agg(count(lit(1)).as("cnt"), min(col("o_orderkey")).as("first_key"))
+      .select(col("b"),
+        coalesce(sum(col("cnt"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("offset"),
+        lead(col("first_key"), 1).over(wOrd).as("next_first"),
+        sum(col("cnt"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))
+          .as("n_total"))
+    val statusBounds = t(s, dir, "orders").groupBy(col("o_orderstatus"))
+      .agg(min(col("o_orderkey")).as("first_in_status"),
+        max(col("o_orderkey")).as("last_in_status"))
+    val wB = Window.partitionBy(col("b")).orderBy(col("o_orderkey"))
+    orders
+      .withColumn("rn_b", row_number().over(wB).cast("long"))
+      .withColumn("lead_b", lead(col("o_orderkey"), 1).over(wB))
+      .join(broadcast(meta), Seq("b"))
+      .join(broadcast(statusBounds), Seq("o_orderstatus"))
+      .withColumn("rn", col("rn_b") + col("offset"))
+      .withColumn("tile_q", expr("n_total div 4"))
+      .withColumn("tile_r", expr("n_total % 4"))
+      .select(col("o_orderkey"),
+        when(col("rn") <= col("tile_r") * (col("tile_q") + lit(1)),
+          expr("(rn - 1) div (tile_q + 1) + 1"))
+          .otherwise(
+            expr("tile_r + (rn - tile_r * (tile_q + 1) - 1) div tile_q + 1"))
+          .cast("int").as("quartile"),
+        coalesce(col("lead_b"), col("next_first")).as("next_key"),
+        col("first_in_status"), col("last_in_status"))
+  }
+
+  val winExtrasScalable: GraftQuery = GraftQuery(
+    "win_extras_scalable",
+    (s, dir) => winExtrasScalableFn(s, dir, bucketSize = 1024L),
+    winExtras.oracle) // result-identical by construction — same full oracle
+
   /** Session-window aggregation (batch shape of the streaming
     * sessionization): Spark's session_window vs the classic SQL
     * gap-flag + running-sum session id derivation in DuckDB. */
@@ -199,5 +265,6 @@ object ExtendedOps {
 
   val all: Seq[GraftQuery] = Seq(
     fnJson, fnDates, fnStrings, fnMath, fnArrays, aggPercentiles,
-    aggMinMaxBy, aggTimeWindow, winExtras, aggSessionWindow)
+    aggMinMaxBy, aggTimeWindow, winExtras, winExtrasScalable,
+    aggSessionWindow)
 }

@@ -616,6 +616,37 @@ object RelationalOps {
       .filter(col("o_orderkey") =!= col("rn") - 1)
   }
 
+  /** Scale path of [[win1GapCheck]] as a driver-oracled query: the exact
+    * `ChainOps.continuityGapsScalable` decomposition (per-bucket lag +
+    * one-row-per-bucket boundary exchange) run over the same verify slice,
+    * against the same oracle SQL — the hash gate proves the scalable form
+    * result-identical to the global-window demo, not just spec-equal. */
+  val win1GapCheckScalable: GraftQuery = q(
+    "win1_gap_check_scalable",
+    win1GapCheck.oracle.get) { (s, dir) =>
+    val keys = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("number"))
+    graft.chain.ChainOps.continuityGapsScalable(keys, bucketSize = 1024L)
+      .select(col("number").as("o_orderkey"),
+        col("prev_number").as("prev_key"))
+  }
+
+  /** Scale path of [[win2RowNumber]] as a driver-oracled query — the
+    * `ChainOps.identityMismatchesScalable` decomposition (per-bucket
+    * row_number + broadcast cumulative offsets; the only global window
+    * sees one row per bucket). Same oracle SQL as the global form. */
+  val win2RowNumberScalable: GraftQuery = q(
+    "win2_row_number_scalable",
+    win2RowNumber.oracle.get) { (s, dir) =>
+    val keys = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("number"))
+    graft.chain.ChainOps.identityMismatchesScalable(keys, bucketSize = 1024L)
+      .select(col("number").as("o_orderkey"),
+        (col("expected") + 1).cast("long").as("rn"))
+  }
+
   /** Analytic frame — running sum per partition with deterministic
     * tiebreak ordering (declared surface, SURVEY §2.8). */
   val win3RunningSum: GraftQuery = q(
@@ -663,5 +694,6 @@ object RelationalOps {
     set1UnionAll, setIntersect, setExcept,
     fn1Substring, fn2Prefix, fn3HexParse, fn4TimestampFormat,
     fn5IntervalCutoff, fn7Arithmetic, fn8Conditional, fn9SplitExtract,
-    win1GapCheck, win2RowNumber, win3RunningSum, win4Rank)
+    win1GapCheck, win1GapCheckScalable, win2RowNumber,
+    win2RowNumberScalable, win3RunningSum, win4Rank)
 }

@@ -351,12 +351,25 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
         "--from", v1, "--table", "blocks", "--keys", "number"))
     }
     assert(rowLevel.contains("50 new row(s) in 'blocks'"), rowLevel)
-    // half-specified row-level form is a loud error, not a silent guess
-    val err = intercept[RuntimeException] {
+    // --table alone: per-bucket detail from footer stats, no file opened —
+    // the incremental export appended one leaf of the 50 new blocks into
+    // height bucket 0, and its height span comes straight from the
+    // manifest's footer stats
+    val perBucket = captured {
       cli.Main.run(spark, Array("store", "changes", "--store", root,
         "--from", v1, "--table", "blocks"))
     }
-    assert(err.getMessage.contains("BOTH --table and --keys"))
+    val line = perBucket.linesIterator
+      .find(_.startsWith("blocks bucket 0:"))
+    assert(line.isDefined, perBucket)
+    assert(line.get.contains("+1 leaf dir(s) +50 rows h[50..99]"), perBucket)
+    assert(line.get.contains("-0 leaf dir(s)"), perBucket)
+    // --keys without --table is still a loud error, not a silent guess
+    val err = intercept[RuntimeException] {
+      cli.Main.run(spark, Array("store", "changes", "--store", root,
+        "--from", v1, "--keys", "number"))
+    }
+    assert(err.getMessage.contains("--keys needs --table"))
   }
 
   test("verify blocks reports the store's lag behind the chain tip") {

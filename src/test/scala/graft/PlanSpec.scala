@@ -242,6 +242,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange ".r.findAllIn(p).size == 1, p)
   }
 
+  test("scalable win_extras single-partitions only the bucket metadata") {
+    val df = graft.operators.ExtendedOps.winExtrasScalable.fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==")(0)
+    // one single-partition exchange: the one-row-per-bucket metadata window
+    // (offsets + successor first-key + total). The orders rows themselves
+    // shuffle by bucket hash; both metadata frames come back as broadcasts.
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning(b"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("scalable gap check never single-partitions the keys") {
+    val df = SparkEntry.queries("win1_gap_check_scalable")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==")(0)
+    // per-bucket lag windows + a bucket-level boundary join — no global
+    // window anywhere, so no single-partition exchange at all
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("hashpartitioning("), p)
+  }
+
+  test("scalable row-number check single-partitions only bucket offsets") {
+    val df = SparkEntry.queries("win2_row_number_scalable")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==")(0)
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning("), p)
+  }
+
   test("scalable identity check single-partitions only the per-bucket offsets") {
     val blocks = graft.chain.ChainFixture.build(200).blocksDF(spark)
     val df = graft.chain.ChainOps.identityMismatchesScalable(blocks, 50L)
