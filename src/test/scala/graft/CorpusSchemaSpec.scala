@@ -76,6 +76,27 @@ class CorpusSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"embeddings must be fixed-width, got ${widths.mkString(",")}")
   }
 
+  test("legacy long-nanos events corpora still normalize (loader branch)") {
+    // The corpus has shipped events.ts both as TIMESTAMP(NANOS) — which the
+    // nanosAsLong session config reads as LongType — and as
+    // TIMESTAMP_MICROS. The micros corpus on disk covers the second branch;
+    // this covers the first with a synthetic long-nanos table.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val microsA = 1700000000123456L // 2023-11-14T22:13:20.123456Z
+    val microsB = 1700003600999999L
+    val tmp = java.nio.file.Files.createTempDirectory("nanocorpus").toString
+    Seq((1L, microsA * 1000L + 789L), (2L, microsB * 1000L + 1L))
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val df = Tables.t(spark, tmp, "events")
+    assert(df.schema("ts").dataType == TimestampType)
+    // sub-microsecond nanos truncate; the microsecond value is exact
+    val got = df.orderBy("event_id")
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(microsA, microsB))
+  }
+
   test("tpch-ish key columns keep their join types") {
     // Integral is what the joins require; the corpus mixes int32/int64
     // (e.g. c_nationkey int32 vs l_orderkey int64) and Spark coerces,
