@@ -141,9 +141,17 @@ object ChainOps {
   }
 
   /** Scale path for [[continuityGaps]]: per-bucket windows (parallel, no
-    * global sort) + a boundary exchange of one row per bucket. Identical
-    * results to the global-window form; shuffle is bounded by the bucket
-    * count, so the check runs on a 1000-executor table as a normal job. */
+    * global sort) + a boundary check over one row per bucket. Identical
+    * results to the global-window form; the only global window runs over
+    * the bucket summaries, so the check runs on a 1000-executor table as
+    * a normal job.
+    *
+    * The boundary pairs each bucket's first height with the last height of
+    * its PREDECESSOR NON-EMPTY bucket (a bucket-level lag), not of bucket
+    * `b - 1`: a gap wider than `bucketSize` leaves whole buckets empty, so
+    * an adjacency join on bucket number would never form the spanning pair
+    * and the scalable verify would miss exactly the large gaps it exists
+    * to find (caught by WinScalableSpec's randomized sweep). */
   def continuityGapsScalable(blocks: DataFrame, bucketSize: Long): DataFrame = {
     val withBucket = blocks
       .select(col("number"), (col("number") / bucketSize).cast("long").as("b"))
@@ -152,15 +160,14 @@ object ChainOps {
       .select(col("number"), lag(col("number"), 1).over(w).as("prev_number"))
       .filter(col("prev_number").isNotNull &&
         col("number") =!= col("prev_number") + 1)
-    // boundary exchange: first height of each bucket vs last height of the
-    // previous bucket (one row per bucket on each side)
-    val firsts = withBucket.groupBy(col("b"))
-      .agg(min(col("number")).as("number"))
-    val lasts = withBucket.groupBy((col("b") + 1).as("b"))
-      .agg(max(col("number")).as("prev_number"))
-    val boundary = firsts.join(lasts, Seq("b"))
-      .filter(col("number") =!= col("prev_number") + 1)
-      .select(col("number"), col("prev_number"))
+    val perBucket = withBucket.groupBy(col("b"))
+      .agg(min(col("number")).as("first_key"), max(col("number")).as("last_key"))
+    val boundary = perBucket
+      .select(col("first_key").as("number"),
+        lag(col("last_key"), 1).over(Window.orderBy(col("b")))
+          .as("prev_number"))
+      .filter(col("prev_number").isNotNull &&
+        col("number") =!= col("prev_number") + 1)
     inBucket.unionByName(boundary)
   }
 

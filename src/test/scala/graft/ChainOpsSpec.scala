@@ -78,6 +78,14 @@ class ChainOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val atBoundary = blocks.filter(col("number") =!= 100L)
     assert(asSet(ChainOps.continuityGapsScalable(atBoundary, 50L)) ==
       Set((101L, 99L)))
+    // a gap WIDER than a bucket leaves whole buckets empty — the boundary
+    // must pair across them (heights 40..159 missing at bucketSize 50
+    // empties buckets 1 and 2; the missing-span report is (160, 39))
+    val wideGap = blocks.filter(col("number") < 40 || col("number") >= 160)
+    assert(asSet(ChainOps.continuityGapsScalable(wideGap, 50L)) ==
+      Set((160L, 39L)))
+    assert(asSet(ChainOps.continuityGapsScalable(wideGap, 50L)) ==
+      asSet(ChainOps.continuityGaps(wideGap)))
   }
 
   test("scalable identity check equals the global-window form") {

@@ -255,14 +255,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
-  test("scalable gap check never single-partitions the keys") {
+  test("scalable gap check single-partitions only the bucket summaries") {
     val df = SparkEntry.queries("win1_gap_check_scalable")(spark, dir)
     df.collect()
     val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
       .split("== Initial Plan ==")(0)
-    // per-bucket lag windows + a bucket-level boundary join — no global
-    // window anywhere, so no single-partition exchange at all
-    assert(!p.contains("Exchange SinglePartition"), p)
+    // per-bucket lag windows over the keys (hash-partitioned by bucket) +
+    // ONE single-partition window over one row per bucket — the boundary
+    // lag that pairs each bucket with its predecessor NON-EMPTY bucket
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
     assert(p.contains("hashpartitioning("), p)
   }
 

@@ -40,6 +40,43 @@ class WinScalableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(ExtendedOps.winExtrasScalableFn(spark, dir, 1L << 40)) == global)
   }
 
+  test("randomized sweep: all three scalable twins equal their global " +
+      "forms on adversarial keyspaces and bucket sizes") {
+    // Seeded: failures reproduce. Keyspaces are distinct (o_orderkey is a
+    // PK — with duplicates, global-order tie-breaks are nondeterministic
+    // and BOTH forms would be unstable), but otherwise adversarial: dense
+    // runs, huge gaps, singleton tables, counts not divisible by 4.
+    import graft.operators.{ExtendedOps, RelationalOps}
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5ca1ab1e)
+    val statuses = Array("O", "F", "P")
+    for (trial <- 1 to 5) {
+      val nKeys = 1 + rnd.nextInt(300)
+      val span = 1 + rnd.nextInt(5000)
+      val keys = rnd.shuffle((0 until span).toList).take(nKeys)
+        .map(_.toLong + rnd.nextInt(3) * 100000L) // occasional far outliers
+        .distinct
+      val df = keys.map(k => (k, statuses(rnd.nextInt(statuses.length))))
+        .toDF("o_orderkey", "o_orderstatus")
+      val tmp = java.nio.file.Files.createTempDirectory(s"winsweep$trial")
+        .toString
+      df.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+      val bucketSize = Seq(1L, 7L, 64L, 1L << 30)(rnd.nextInt(4))
+      assert(
+        rows(ExtendedOps.winExtrasScalableFn(spark, tmp, bucketSize)) ==
+          rows(ExtendedOps.winExtras.fn(spark, tmp)),
+        s"win_extras trial $trial bucketSize $bucketSize n=${keys.size}")
+      assert(
+        rows(RelationalOps.win1GapCheckScalable.fn(spark, tmp)) ==
+          rows(RelationalOps.win1GapCheck.fn(spark, tmp)),
+        s"gap check trial $trial n=${keys.size}")
+      assert(
+        rows(RelationalOps.win2RowNumberScalable.fn(spark, tmp)) ==
+          rows(RelationalOps.win2RowNumber.fn(spark, tmp)),
+        s"row-number trial $trial n=${keys.size}")
+    }
+  }
+
   test("ntile arithmetic matches Spark's NTile when n % 4 != 0") {
     // 10 rows -> tiles of 3,3,2,2: positions 1-3 ->1, 4-6 ->2, 7-8 ->3, 9-10 ->4
     import spark.implicits._
