@@ -153,8 +153,11 @@ object ChainOps {
     * and the scalable verify would miss exactly the large gaps it exists
     * to find (caught by WinScalableSpec's randomized sweep). */
   def continuityGapsScalable(blocks: DataFrame, bucketSize: Long): DataFrame = {
+    // integer `div`, not `/`: double division mis-buckets keys once the
+    // quotient's ulp exceeds 1/bucketSize (large synthetic keys; epoch-like
+    // ids), shifting first/last into the wrong bucket
     val withBucket = blocks
-      .select(col("number"), (col("number") / bucketSize).cast("long").as("b"))
+      .select(col("number"), expr(s"number div $bucketSize").as("b"))
     val w = Window.partitionBy(col("b")).orderBy(col("number"))
     val inBucket = withBucket
       .select(col("number"), lag(col("number"), 1).over(w).as("prev_number"))
@@ -187,8 +190,9 @@ object ChainOps {
     * 1000-executor full-table verify never single-partitions the data.
     * Identical results to the global-window form. */
   def identityMismatchesScalable(blocks: DataFrame, bucketSize: Long): DataFrame = {
+    // integer `div` for the same reason as continuityGapsScalable
     val withBucket = blocks
-      .select(col("number"), (col("number") / bucketSize).cast("long").as("b"))
+      .select(col("number"), expr(s"number div $bucketSize").as("b"))
     val counts = withBucket.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
     val wCum = Window.orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -361,6 +361,16 @@ object Main {
               "store changes needs --from <snapshot> (see store snapshots)"))
             val to = opt(args, "to").orElse(store.currentSnapshot())
               .getOrElse(sys.error("store has no committed snapshot"))
+            // a typo'd --table must stay a loud error, not read as an empty
+            // increment: validate against the tables either snapshot
+            // actually carries before any form runs
+            opt(args, "table").foreach { t =>
+              val known = (store.leavesAt(from) ++ store.leavesAt(to))
+                .map(_.table).toSet
+              if (!known.contains(store.physName(t)))
+                sys.error(s"unknown table '$t' (store has: " +
+                  s"${known.toSeq.sorted.mkString(", ")})")
+            }
             (opt(args, "table"), opt(args, "keys")) match {
               case (Some(t), Some(ks)) =>
                 val n = store.readNewRows(spark, t, from, to,

@@ -214,7 +214,7 @@ object ExtendedOps {
           .over(wOrd.rowsBetween(Window.unboundedPreceding,
             Window.unboundedFollowing))
           .as("n_total"))
-    val statusBounds = t(s, dir, "orders").groupBy(col("o_orderstatus"))
+    val statusBounds = orders.groupBy(col("o_orderstatus"))
       .agg(min(col("o_orderkey")).as("first_in_status"),
         max(col("o_orderkey")).as("last_in_status"))
     val wB = Window.partitionBy(col("b")).orderBy(col("o_orderkey"))

@@ -82,10 +82,9 @@ class ChainOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // must pair across them (heights 40..159 missing at bucketSize 50
     // empties buckets 1 and 2; the missing-span report is (160, 39))
     val wideGap = blocks.filter(col("number") < 40 || col("number") >= 160)
-    assert(asSet(ChainOps.continuityGapsScalable(wideGap, 50L)) ==
-      Set((160L, 39L)))
-    assert(asSet(ChainOps.continuityGapsScalable(wideGap, 50L)) ==
-      asSet(ChainOps.continuityGaps(wideGap)))
+    val wideGot = asSet(ChainOps.continuityGapsScalable(wideGap, 50L))
+    assert(wideGot == Set((160L, 39L)))
+    assert(wideGot == asSet(ChainOps.continuityGaps(wideGap)))
   }
 
   test("scalable identity check equals the global-window form") {

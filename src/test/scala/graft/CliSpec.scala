@@ -370,6 +370,13 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
         "--from", v1, "--keys", "number"))
     }
     assert(err.getMessage.contains("--keys needs --table"))
+    // so is a typo'd table name — never a silent empty increment
+    val typo = intercept[RuntimeException] {
+      cli.Main.run(spark, Array("store", "changes", "--store", root,
+        "--from", v1, "--table", "blokcs"))
+    }
+    assert(typo.getMessage.contains("unknown table 'blokcs'"), typo.getMessage)
+    assert(typo.getMessage.contains("blocks"), typo.getMessage)
   }
 
   test("verify blocks reports the store's lag behind the chain tip") {
