@@ -636,7 +636,9 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
   }
 
   def bucketCol(table: String): Column =
-    (col(heightCol(table)) / bucketSize).cast("long")
+    // integer `div`: double division mis-buckets once the quotient's ulp
+    // exceeds 1/bucketSize (same hazard as the scalable chain checks)
+    expr(s"`${heightCol(table)}` div $bucketSize")
 }
 
 object GraftStore {

@@ -214,6 +214,113 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(removed.map(_.bucket).toSet == Set(0L))
   }
 
+  test("readNewRows pinned to two snapshots is stable while writers " +
+      "append and rewrite concurrently") {
+    val root = Files.createTempDirectory("graft-store-cdc-race").toString
+    val store = new GraftStore(root)
+    val keys = (df: DataFrame) =>
+      df.select("k").collect().map(_.getLong(0)).sorted.toSeq
+    commitKeyed(store, "t", rows(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    val v1 = store.snapshots().last
+    commitKeyed(store, "t", rows(10L, 11L))
+    val v2 = store.snapshots().last
+    // an incremental consumer's increment is pinned to two committed
+    // versions; live writers churning the CURRENT snapshot (appends and
+    // full-bucket compaction rewrites that re-stage the pinned leaves'
+    // rows into fresh dirs) must never change what the pinned increment
+    // returns — snapshot manifests are immutable and vacuum isn't running
+    @volatile var stop = false
+    @volatile var appended = 0
+    @volatile var writerError: Option[Throwable] = None
+    val appender = new Thread(() => {
+      try {
+        val w = new GraftStore(root)
+        var i = 0
+        while (!stop) {
+          commitKeyed(w, "t", rows(100L + i))
+          appended += 1
+          i += 1
+        }
+      } catch { case t: Throwable => writerError = Some(t) }
+    })
+    val rewriter = new Thread(() => {
+      try {
+        val w = new GraftStore(root)
+        while (!stop) {
+          try {
+            val drops = w.leavesOf("t").filter(_.bucket == 0L)
+            if (drops.nonEmpty) {
+              val survivors = w.readLeaves(spark, "t", drops)
+              w.commit(
+                w.stageKeyed("t", survivors, pmod(col("k"), lit(4L)),
+                  Seq(col("k"))),
+                drops)
+            }
+          } catch { // racing the appender: recompute and go again
+            case _: GraftStore.StaleSnapshotException => ()
+          }
+        }
+      } catch { case t: Throwable => writerError = Some(t) }
+    })
+    appender.start(); rewriter.start()
+    try {
+      (1 to 8).foreach { i =>
+        assert(keys(store.readNewRows(spark, "t", v1, v2, Seq("k")))
+          == Seq(10L, 11L), s"pinned increment drifted on iteration $i")
+      }
+    } finally { stop = true; appender.join(); rewriter.join() }
+    assert(writerError.isEmpty, s"writer crashed mid-race: $writerError")
+    // nothing the writers did was lost either: base + append rows all live
+    val live = keys(new GraftStore(root).read(spark, "t"))
+    val expected =
+      ((0L to 7L) ++ Seq(10L, 11L) ++ (0 until appended).map(100L + _))
+        .sorted
+    assert(live == expected, s"lost writes: $live vs $expected")
+  }
+
+  test("height-pruned reads racing a rollback/re-ingest loop always see " +
+      "one committed state, never a mix") {
+    val root = Files.createTempDirectory("graft-store-rollback-race").toString
+    val store = new GraftStore(root)
+    val fx = graft.chain.ChainFixture.build(200)
+    graft.etl.Backfill.run(spark, new graft.etl.FixtureSource(fx), store,
+      0, 199)
+    val full = (120L to 180L).toSeq
+    val rolled = (120L to 149L).toSeq
+    @volatile var stop = false
+    @volatile var loopError: Option[Throwable] = None
+    val roller = new Thread(() => {
+      try {
+        val w = new GraftStore(root)
+        val reingest = fx.blocksDF(spark).filter(col("number") >= 150)
+        (1 to 3).foreach { _ =>
+          graft.etl.Tail.rollbackFrom(spark, w, 150L)
+          w.commit(w.stage("blocks", reingest),
+            meta = Map("tip" -> "199"))
+        }
+      } catch { case t: Throwable => loopError = Some(t) }
+      finally stop = true
+    })
+    roller.start()
+    try {
+      while (!stop) {
+        // each read resolves ONE leaf list; with footer-stats pruning it
+        // must return a committed state — all of 120..180 or the
+        // rolled-back 120..149 — never a partial mix of the two
+        val got = store.readHeightRange(spark, "blocks", 120L, 180L)
+          .filter(col("number").between(120L, 180L))
+          .select("number").collect().map(_.getLong(0)).sorted.toSeq
+        assert(got == full || got == rolled,
+          s"mixed-snapshot read: ${got.size} rows [${got.headOption}" +
+            s"..${got.lastOption}]")
+      }
+    } finally roller.join()
+    assert(loopError.isEmpty, s"rollback loop crashed: $loopError")
+    // loop ends re-ingested: the store converges to the full chain
+    assert(store.readHeightRange(spark, "blocks", 0L, 199L)
+      .select("number").distinct().count() == 200L)
+  }
+
   test("snapshot sequence is monotonic across store re-instantiation " +
       "(restart/reboot survival)") {
     val root = Files.createTempDirectory("graft-store-seq").toString
