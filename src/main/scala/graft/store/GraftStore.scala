@@ -235,7 +235,7 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
         graft.operators.LayoutOps.zValue(
           graft.operators.LayoutOps.asciiPrefixKey(col("address")), col(hc))
       else col(hc)
-    val bucketed = df.withColumn("__bucket", (col(hc) / bucketSize).cast("long"))
+    val bucketed = df.withColumn("__bucket", expr(s"`$hc` div $bucketSize"))
     val (withParts, partCols) =
       if (table == "token_transfers" && !zOrderTransfers)
         bucketed.withColumn("__addr", col("address")) ->
