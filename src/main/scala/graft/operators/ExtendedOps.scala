@@ -196,7 +196,15 @@ object ExtendedOps {
     * row per bucket — offsets, successor first-key, total); the data path
     * shuffles once by bucket hash. Result-identical to [[winExtras]], same
     * oracle SQL; on a 1000-executor table the global-sort form would
-    * single-partition the entire table, this runs as a normal job. */
+    * single-partition the entire table, this runs as a normal job.
+    *
+    * Sizing: `bucketSize` must scale with the KEY SPAN so the metadata
+    * frame stays driver-bounded — a fixed size over a 1e12 keyspace means
+    * 1e9 bucket rows and the "bounded" window/broadcast stop being
+    * bounded. [[spanBucketSize]] (what the driver query uses) targets a
+    * constant bucket count from one min/max aggregate; callers with
+    * pathological in-bucket skew trade bucket count against per-bucket
+    * window width. */
   def winExtrasScalableFn(s: SparkSession, dir: String,
       bucketSize: Long): DataFrame = {
     val orders = t(s, dir, "orders")
@@ -236,9 +244,21 @@ object ExtendedOps {
         col("first_in_status"), col("last_in_status"))
   }
 
+  /** Bucket size targeting ~`buckets` buckets over `keyCol`'s span — one
+    * tiny min/max aggregate (two longs to the driver), then every
+    * downstream per-bucket structure is bounded by `buckets` at ANY data
+    * scale. */
+  def spanBucketSize(df: DataFrame, keyCol: String,
+      buckets: Long = 4096L): Long = {
+    val r = df.agg(min(col(keyCol)), max(col(keyCol))).head()
+    if (r.isNullAt(0)) 1L
+    else math.max(1L, (r.getLong(1) - r.getLong(0) + 1) / buckets)
+  }
+
   val winExtrasScalable: GraftQuery = GraftQuery(
     "win_extras_scalable",
-    (s, dir) => winExtrasScalableFn(s, dir, bucketSize = 1024L),
+    (s, dir) => winExtrasScalableFn(s, dir,
+      spanBucketSize(t(s, dir, "orders"), "o_orderkey")),
     winExtras.oracle) // result-identical by construction — same full oracle
 
   /** Session-window aggregation (batch shape of the streaming

@@ -627,7 +627,8 @@ object RelationalOps {
     val keys = t(s, dir, "orders")
       .filter(col("o_orderkey") % 7 =!= 0)
       .select(col("o_orderkey").as("number"))
-    graft.chain.ChainOps.continuityGapsScalable(keys, bucketSize = 1024L)
+    graft.chain.ChainOps.continuityGapsScalable(keys,
+      ExtendedOps.spanBucketSize(keys, "number"))
       .select(col("number").as("o_orderkey"),
         col("prev_number").as("prev_key"))
   }
@@ -642,7 +643,8 @@ object RelationalOps {
     val keys = t(s, dir, "orders")
       .filter(col("o_orderkey") % 7 =!= 0)
       .select(col("o_orderkey").as("number"))
-    graft.chain.ChainOps.identityMismatchesScalable(keys, bucketSize = 1024L)
+    graft.chain.ChainOps.identityMismatchesScalable(keys,
+      ExtendedOps.spanBucketSize(keys, "number"))
       .select(col("number").as("o_orderkey"),
         (col("expected") + 1).cast("long").as("rn"))
   }

@@ -77,6 +77,20 @@ class WinScalableSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("spanBucketSize keeps the bucket count bounded at any key span") {
+    import graft.operators.ExtendedOps.spanBucketSize
+    import spark.implicits._
+    val small = Seq(1L, 5L, 9L).toDF("k")
+    assert(spanBucketSize(small, "k") == 1L) // tiny span: one key per bucket
+    val wide = Seq(0L, 1L << 50).toDF("k")
+    val bs = spanBucketSize(wide, "k")
+    // the derived size caps the bucket count near the target regardless
+    // of span — the metadata frame stays driver-bounded at any scale
+    assert(((1L << 50) / bs) <= 4097L, s"bucket count unbounded: size $bs")
+    val empty = Seq.empty[Long].toDF("k")
+    assert(spanBucketSize(empty, "k") == 1L)
+  }
+
   test("ntile arithmetic matches Spark's NTile when n % 4 != 0") {
     // 10 rows -> tiles of 3,3,2,2: positions 1-3 ->1, 4-6 ->2, 7-8 ->3, 9-10 ->4
     import spark.implicits._
