@@ -250,9 +250,20 @@ object ExtendedOps {
     * scale. */
   def spanBucketSize(df: DataFrame, keyCol: String,
       buckets: Long = 4096L): Long = {
-    val r = df.agg(min(col(keyCol)), max(col(keyCol))).head()
+    // cast: the corpus has shipped key columns as both int32 and int64
+    // (the schema canary deliberately pins "integral", not the width)
+    val r = df.agg(min(col(keyCol).cast("long")),
+      max(col(keyCol).cast("long"))).head()
     if (r.isNullAt(0)) 1L
-    else math.max(1L, (r.getLong(1) - r.getLong(0) + 1) / buckets)
+    else {
+      // max - min overflows for mixed-sign extremes; saturating at
+      // Long.MaxValue errs toward FEWER, wider buckets — the safe
+      // direction (too small a size would unbound the metadata frame)
+      val span =
+        try Math.subtractExact(r.getLong(1), r.getLong(0))
+        catch { case _: ArithmeticException => Long.MaxValue }
+      span / buckets + 1L // divide-then-+1: no +1 overflow, always >= 1
+    }
   }
 
   val winExtrasScalable: GraftQuery = GraftQuery(

@@ -97,6 +97,22 @@ class CorpusSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(microsA, microsB))
   }
 
+  test("native-timestamp events corpora pass through unchanged " +
+      "(loader branch)") {
+    // third loader branch: parquet micros WITH UTC adjustment reads as
+    // TimestampType (Spark's own output format) and must not be re-scaled
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val micros = 1700000000123456L
+    val tmp = java.nio.file.Files.createTempDirectory("tzcorpus").toString
+    Seq(1L).toDF("event_id")
+      .withColumn("ts", timestamp_micros(lit(micros)))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val df = Tables.t(spark, tmp, "events")
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(df.select(unix_micros(col("ts"))).head().getLong(0) == micros)
+  }
+
   test("tpch-ish key columns keep their join types") {
     // Integral is what the joins require; the corpus mixes int32/int64
     // (e.g. c_nationkey int32 vs l_orderkey int64) and Spark coerces,

@@ -89,6 +89,15 @@ class WinScalableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(((1L << 50) / bs) <= 4097L, s"bucket count unbounded: size $bs")
     val empty = Seq.empty[Long].toDF("k")
     assert(spanBucketSize(empty, "k") == 1L)
+    // mixed-sign extremes must not wrap the span negative and collapse to
+    // size 1 (one bucket PER KEY — the unbounded case the helper exists
+    // to prevent); saturation gives few, wide buckets instead
+    val extremes = Seq(Long.MinValue, -1L, 0L, Long.MaxValue).toDF("k")
+    val ebs = spanBucketSize(extremes, "k")
+    assert(ebs >= Long.MaxValue / 4096L, s"span wrapped: size $ebs")
+    // int32 key columns (the corpus ships both widths) must not throw
+    val int32 = Seq(1, 100, 5000).toDF("k")
+    assert(spanBucketSize(int32, "k") >= 1L)
   }
 
   test("ntile arithmetic matches Spark's NTile when n % 4 != 0") {
