@@ -47,6 +47,45 @@ class TemporalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (103L, Some(900L), Some(3L))))
   }
 
+  test("randomized sweep: asofJoin equals a brute-force greatest-at-or-" +
+      "before join on adversarial key/ts collisions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xa50f)
+    for (trial <- 1 to 5) {
+      // dense key/ts ranges force the adversarial shapes: left ts exactly
+      // equal to a right ts (inclusive match), keys with no right rows,
+      // many left rows sharing one key, right rows after every left ts
+      val left = (1 to 40 + rnd.nextInt(60)).map(i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(20).toLong))
+        .toDF("id", "k", "ts")
+      val right = (1 to 30 + rnd.nextInt(40)).map(_ =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+        .toDF("k", "rts", "payload")
+        // the operator's contract: right unique per (key, ts)
+        .groupBy("k", "rts").agg(max("payload").as("payload"))
+      val got = TemporalOps.asofJoin(left, right, "k", "k", "ts", "rts")
+        .select(col("id"), col("payload"), col("__r_ts"))
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toSet
+      // brute force: join every at-or-before candidate, keep the greatest
+      val expected = left.as("l")
+        .join(right.as("r"),
+          col("l.k") === col("r.k") && col("r.rts") <= col("l.ts"), "left")
+        .groupBy(col("l.id"))
+        .agg(max_by(col("r.payload"), col("r.rts")).as("payload"),
+          max(col("r.rts")).as("rts"))
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toSet
+      assert(got == expected, s"asof sweep trial $trial diverged")
+    }
+  }
+
   test("join_asof rows cover every event exactly once") {
     val out = TemporalOps.joinAsof.fn(spark, dir)
     val events = Tables.t(spark, dir, "events")
