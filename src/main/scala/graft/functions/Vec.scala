@@ -94,19 +94,113 @@ object Vec {
     new GenericArrayData(words)
   }
 
+  // ---- Portable hash family (cross-engine oracle-able) ----
+  //
+  // The dedup kernels below (token/shingle/char-gram hashes, MinHash
+  // slots, SimHash) all ride on ONE portable 60-bit hash: a pair of
+  // polynomial folds
+  //     f1 = fold((a, c) -> (a*131 + c) mod 1e9+7,    0, codepoints)
+  //     f2 = fold((a, c) -> (a*137 + c) mod 998244353, 0, codepoints)
+  //     P(s) = f1 << 30 | f2
+  // — plain 64-bit integer arithmetic any engine reproduces exactly
+  // (both moduli are < 2^30, so every intermediate fits in a signed
+  // long; the DuckDB oracles recompute the folds with list_reduce).
+  // This is the winnowFingerprints portability pattern widened to 60
+  // bits so the collision behavior stays xxhash64-class (p ≈ n²/2⁶¹)
+  // while the whole MinHash/SimHash/LSH family becomes hash-checkable
+  // cross-engine. Code POINTS (not UTF-8 bytes) are the hashed units,
+  // matching DuckDB's ascii(s[j]); an all-ASCII fast path walks bytes.
+
+  val HashP1 = 1000000007L
+  val HashP2 = 998244353L
+  val HashB1 = 131L
+  val HashB2 = 137L
+  /** f1 occupies bits 30..59, f2 bits 0..29 — P(s) < 2^60. */
+  val HashPairShift = 30
+
+  /** The portable pair-hash P(s) over a string's code points. */
+  def portableHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    if (s == null) return 0L
+    val nb = s.numBytes()
+    var ascii = true
+    var i = 0
+    while (ascii && i < nb) {
+      if (s.getByte(i) < 0) ascii = false else i += 1
+    }
+    var h1 = 0L
+    var h2 = 0L
+    if (ascii) {
+      i = 0
+      while (i < nb) {
+        val c = s.getByte(i) & 0xffL
+        h1 = (h1 * HashB1 + c) % HashP1
+        h2 = (h2 * HashB2 + c) % HashP2
+        i += 1
+      }
+    } else {
+      val str = s.toString
+      var j = 0
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        h1 = (h1 * HashB1 + cp) % HashP1
+        h2 = (h2 * HashB2 + cp) % HashP2
+        j += Character.charCount(cp)
+      }
+    }
+    (h1 << HashPairShift) | h2
+  }
+
+  /** The portable pair-hash lifted to a long window: the same two folds
+    * over already-hashed values (each < 2^60, so acc*131 + v < 2^61 —
+    * no overflow before the mod). */
+  private def foldLongs(hs: Array[Long], from: Int, n: Int): Long = {
+    var g1 = 0L
+    var g2 = 0L
+    var j = from
+    val end = from + n
+    while (j < end) {
+      val h = hs(j)
+      g1 = (g1 * HashB1 + h) % HashP1
+      g2 = (g2 * HashB2 + h) % HashP2
+      j += 1
+    }
+    (g1 << HashPairShift) | g2
+  }
+
+  /** Per-token portable hashes of a string array — the SimHash input and
+    * the inner stage of [[shingleHashes]]. Null elements hash to 0. */
+  def tokenHashes(toks: ArrayData): ArrayData = {
+    val cnt = toks.numElements()
+    val out = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      out(i) = portableHash(toks.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash slot constants: the affine 2-universal family
+    * g_j(h) = (A_j·h + B_j) mod p1 over h mod p1, with (A_j, B_j) drawn
+    * from fixed integer recurrences so the DuckDB oracle derives them
+    * from j with the same two multiplications. */
+  def minhashA(j: Int): Long = (j * 2654435761L) % (HashP1 - 1) + 1
+  def minhashB(j: Int): Long = (j * 2246822519L) % HashP1
+
   /** k MinHash slots over pre-hashed shingles: slot j is
-    * min over h of xxh64(h, seed=j) — one pass over the hash array
-    * instead of k interpreted `array_min(transform(...))` lambdas. */
+    * min over h of (A_j·(h mod p1) + B_j) mod p1 — one pass over the
+    * hash array; every product stays under 2^60 (A_j, h mod p1 < 2^30). */
   def minhash(hashes: ArrayData, k: Int): ArrayData = {
     val n = hashes.numElements()
+    val as = Array.tabulate(k)(minhashA)
+    val bs = Array.tabulate(k)(minhashB)
     val out = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = hashes.getLong(i)
+      val hm = hashes.getLong(i) % HashP1
       var j = 0
       while (j < k) {
-        val v = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashLong(h, j)
+        val v = (as(j) * hm + bs(j)) % HashP1
         if (v < out(j)) out(j) = v
         j += 1
       }
@@ -115,18 +209,23 @@ object Vec {
     new GenericArrayData(out)
   }
 
-  /** 64-bit SimHash over token hashes: per-bit majority vote (term
+  /** SimHash width: the portable pair-hash carries 60 meaningful bits,
+    * so the vote vector (and the packed sketch) is 60 bits wide — banded
+    * 4 × 15 by the near-dup pair kernel. */
+  val SimHashBits = 60
+
+  /** 60-bit SimHash over token hashes: per-bit majority vote (term
     * frequency counts — duplicates vote once per occurrence), packed with
     * bit b set when votes are positive. One per-row pass — replaces an
-    * explode + 64-column groupBy aggregation (a full shuffle). */
+    * explode + per-bit groupBy aggregation (a full shuffle). */
   def simhash(hashes: ArrayData): Long = {
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](SimHashBits)
     val n = hashes.numElements()
     var i = 0
     while (i < n) {
       val h = hashes.getLong(i)
       var b = 0
-      while (b < 64) {
+      while (b < SimHashBits) {
         if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
@@ -134,32 +233,28 @@ object Vec {
     }
     var packed = 0L
     var b = 0
-    while (b < 64) {
+    while (b < SimHashBits) {
       if (votes(b) > 0) packed |= 1L << b
       b += 1
     }
     packed
   }
 
-  /** Distinct xxhash64 values of the space-joined n-token shingles of a
-    * token array — first-seen order, one tight pass. Hash-identical to
-    * `xxhash64(concat_ws(' ', slice(toks, i+1, n)))` (XXH64 over the
-    * UTF8 bytes, seed 42), so signatures/bands are unchanged vs the HOF
-    * form; the shingle STRINGS are never materialized as a column. */
+  /** Distinct portable hashes of the n-token shingles of a token array —
+    * first-seen order, one tight pass: tokens are pair-hashed once, each
+    * shingle is the pair-fold of its n token hashes. Shingle STRINGS are
+    * never materialized as a column, and the values are exactly what the
+    * DuckDB oracle recomputes from the same token array. */
   def shingleHashes(toks: ArrayData, n: Int): ArrayData = {
     val cnt = toks.numElements()
     if (cnt < n) return new GenericArrayData(Array.empty[Long])
-    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    val th = new Array[Long](cnt)
     var i = 0
+    while (i < cnt) { th(i) = portableHash(toks.getUTF8String(i)); i += 1 }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
     while (i <= cnt - n) {
-      var j = 0
-      while (j < n) { window(j) = toks.getUTF8String(i + j); j += 1 }
-      val s = org.apache.spark.unsafe.types.UTF8String
-        .concatWs(space, window: _*)
-      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUTF8String(s, 42L))
+      seen.add(foldLongs(th, i, n))
       i += 1
     }
     val out = new Array[Long](seen.size)
@@ -169,11 +264,10 @@ object Vec {
     new GenericArrayData(out)
   }
 
-  /** Distinct xxhash64 values of the n-char grams of a string — the
+  /** Distinct portable hashes of the n-char grams of a string — the
     * character analogue of [[shingleHashes]]. Mirrors
     * `substring(text, i, n) for i in 1..greatest(len-n+1, 1)` (so a
-    * shorter-than-n text yields one truncated gram), hash-identical to
-    * `xxhash64(substring(...))`. */
+    * shorter-than-n text yields one truncated gram). */
   def charGramHashes(
       text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
     val len = text.numChars()
@@ -181,9 +275,7 @@ object Vec {
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
     while (i < grams) {
-      val g = text.substringSQL(i + 1, n)
-      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUTF8String(g, 42L))
+      seen.add(portableHash(text.substringSQL(i + 1, n)))
       i += 1
     }
     val out = new Array[Long](seen.size)
@@ -264,7 +356,11 @@ object Vec {
   def minhash_sig(c: Column, k: Int): Column =
     columnOf(MinHashSig(exprOf(c), k))
 
-  /** 64-bit SimHash (bigint) of an array<bigint> of token hashes. */
+  /** Per-token portable pair-hashes (array<bigint>) of an array<string>
+    * column — the SimHash input stage. */
+  def token_hashes(c: Column): Column = columnOf(TokenHashes(exprOf(c)))
+
+  /** 60-bit SimHash (bigint) of an array<bigint> of token hashes. */
   def simhash64(c: Column): Column = columnOf(SimHash64(exprOf(c)))
 
   /** Distinct n-token shingle hashes (array<bigint>) of an array<string>
@@ -363,6 +459,17 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.Vec.winnowFingerprints($c, $k, $w);")
   override protected def withNewChildInternal(c: Expression): WinnowFps =
+    copy(child = c)
+}
+
+case class TokenHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    Vec.tokenHashes(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Vec.tokenHashes($c);")
+  override protected def withNewChildInternal(c: Expression): TokenHashes =
     copy(child = c)
 }
 

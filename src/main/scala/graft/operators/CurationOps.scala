@@ -549,11 +549,11 @@ object CurationOps {
     * The engine side runs the dedup family's trick end-to-end: grams
     * never materialize as strings — [[graft.functions.Vec
     * .shingleHashes]] (codegen'd kernel) emits each doc's DISTINCT
-    * 5-gram xxhash64 set straight off the token array, and the overlap
-    * joins 8-byte longs instead of ~35-byte gram strings. The oracle
-    * keeps joining the literal strings: overlap COUNTS are what is
-    * compared, and those agree up to 64-bit hash collisions (p ≈ n²/2⁶⁵
-    * — immaterial at any n this engine will see per join). */
+    * portable 5-gram hash set straight off the token array, and the
+    * overlap joins 8-byte longs instead of ~35-byte gram strings. The
+    * oracle keeps joining the literal strings: overlap COUNTS are what
+    * is compared, and those agree up to 60-bit hash collisions
+    * (p ≈ n²/2⁶¹ — immaterial at any n this engine will see per join). */
   val decontaminate: GraftQuery = GraftQuery(
     "text_decontaminate",
     (s, dir) => {
@@ -605,7 +605,7 @@ object CurationOps {
     *
     * Scale shape: eval sets are small by nature, so their distinct gram
     * hashes broadcast; the corpus side is one scan (grams never
-    * materialize as strings — the codegen'd xxhash64 shingle kernel) +
+    * materialize as strings — the codegen'd portable shingle kernel) +
     * one keyed agg + a left-anti join on doc_id. Docs with < 5 tokens
     * carry no grams and always pass. */
   def decontaminateAgainst(d: DataFrame, eval: DataFrame,
@@ -830,8 +830,10 @@ object CurationOps {
 
   /** Driver-visible pipeline run over the corpus + injected near-copies
     * (so the dedup stages do real work at every scale factor). Rows-only:
-    * the near-dup stage rides on engine-specific xxhash64 signatures, so
-    * no portable oracle exists — CurationOpsSpec pins the semantics
+    * the near-dup stage feeds connected components — an iterative
+    * fixpoint no single portable SQL statement expresses (the signature
+    * hashes themselves are portable since round 9) — CurationOpsSpec
+    * pins the semantics
     * (injected copies collapse to their originals, survivors are
     * pairwise non-duplicate, floor and split invariants hold). */
   val curationPipeline: GraftQuery = GraftQuery(

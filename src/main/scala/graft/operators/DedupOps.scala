@@ -247,6 +247,8 @@ object DedupOps {
   // ---------------------------------------------------------------------
 
   val NumHashes = 16
+  /** Token-shingle width for the MinHash family. */
+  val ShingleN = 5
   /** 8 bands x 2 rows: band-match prob at Jaccard j is 1-(1-j^2)^8 —
     * ~0.985 at j=0.64 — trading extra candidates (verified exactly anyway)
     * for recall. */
@@ -276,23 +278,137 @@ object DedupOps {
     * signature — two codegen'd [[graft.functions.Vec]] kernel passes.
     * Shingle STRINGS never materialize as a column: the exact-verify
     * Jaccard runs over the distinct hash sets, which equals the
-    * string-set Jaccard up to 64-bit collisions (~1e-15 per doc pair),
-    * and the candidate-join payload shrinks to 8 bytes per shingle. */
+    * string-set Jaccard up to 60-bit collisions (~1e-14 per doc pair),
+    * and the candidate-join payload shrinks to 8 bytes per shingle.
+    * Every hash is the portable pair-fold family ([[graft.functions.Vec
+    * .portableHash]]), so the whole signature — and everything built on
+    * it — is recomputed step-for-step by the DuckDB oracles. */
   def minhashSignatures(d: DataFrame): DataFrame =
     d.withColumn("toks", split(lower(col("text")), "\\s+"))
-      .filter(size(col("toks")) >= 5)
+      .filter(size(col("toks")) >= ShingleN)
       .withColumn("sh_hashes",
-        graft.functions.Vec.shingle_hashes(col("toks"), 5))
+        graft.functions.Vec.shingle_hashes(col("toks"), ShingleN))
       .select(col("doc_id"), col("sh_hashes"),
         graft.functions.Vec.minhash_sig(col("sh_hashes"), NumHashes)
           .as("mh_arr"))
 
-  /** (doc_id, band, band_key) — one row per band. */
+  // ---------------------------------------------------------------------
+  // Portable-hash oracle SQL builders: every fragment below recomputes a
+  // Vec kernel verbatim in DuckDB SQL (the winnow-oracle pattern), so the
+  // MinHash/SimHash/LSH queries carry full rows+schema+hash gates.
+  // ---------------------------------------------------------------------
+
+  import graft.functions.Vec.{HashB1, HashB2, HashP1, HashP2, HashPairShift}
+
+  /** DuckDB mirror of [[graft.functions.Vec.portableHash]] over a string
+    * expression (must be a plain column/lambda var — it is re-evaluated
+    * per char). */
+  private def pHashSql(e: String): String =
+    s"CASE WHEN len($e) = 0 THEN 0 ELSE " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(1, len($e)), " +
+      s"j -> CAST(ascii($e[j]) AS BIGINT))), " +
+      s"(a, x) -> (a * $HashB1 + x) % $HashP1) * ${1L << HashPairShift} + " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(1, len($e)), " +
+      s"j -> CAST(ascii($e[j]) AS BIGINT))), " +
+      s"(a, x) -> (a * $HashB2 + x) % $HashP2) END"
+
+  /** DuckDB mirror of the pair-fold over a BIGINT list expression. */
+  private def foldLongsSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $e), " +
+      s"(a, x) -> (a * $HashB1 + x) % $HashP1) * ${1L << HashPairShift} + " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $e), " +
+      s"(a, x) -> (a * $HashB2 + x) % $HashP2)"
+
+  /** Signature CTE chain over `src(doc_id, text)`, names prefixed with
+    * `p`: tokens → token hashes → distinct shingle hashes → MinHash
+    * slots → band keys → bucket-capped bands. Mirrors
+    * [[minhashSignatures]] + [[lshBands]] + [[capBuckets]]. */
+  private def sigCtesSql(src: String, p: String): String = {
+    val slotSql =
+      s"list_transform(generate_series(0, ${NumHashes - 1}), sj -> " +
+        s"list_min(list_transform(sh_hashes, h -> " +
+        s"(((sj * 2654435761) % ${HashP1 - 1} + 1) * (h % $HashP1)" +
+        s" + (sj * 2246822519) % $HashP1) % $HashP1)))"
+    val bandKeySql = (0 until RowsPerBand).foldLeft("CAST(0 AS BIGINT)")(
+      (acc, r) =>
+        s"(($acc) * $HashB1 + mh_arr[$RowsPerBand * b.band + ${r + 1}])" +
+          s" % $HashP1")
+    s"""${p}tok AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+       |  FROM $src),
+       |${p}th AS (
+       |  SELECT doc_id, list_transform(toks, t -> ${pHashSql("t")}) AS th
+       |  FROM ${p}tok WHERE len(toks) >= $ShingleN),
+       |${p}sig AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |      generate_series(1, len(th) - ${ShingleN - 1}),
+       |      i -> ${foldLongsSql(s"th[i:i+${ShingleN - 1}]")})) AS sh_hashes
+       |  FROM ${p}th),
+       |${p}mh AS (
+       |  SELECT doc_id, sh_hashes, $slotSql AS mh_arr FROM ${p}sig),
+       |${p}bands AS (
+       |  SELECT doc_id, b.band, $bandKeySql AS band_key
+       |  FROM ${p}mh CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b),
+       |${p}capped AS (
+       |  SELECT doc_id, band, band_key FROM (
+       |    SELECT doc_id, band, band_key,
+       |      count(*) OVER (PARTITION BY band, band_key) AS n
+       |    FROM ${p}bands)
+       |  WHERE n <= $MaxBucketSize)""".stripMargin
+  }
+
+  /** Signature-estimated Jaccard (slot agreement / k) — the candidate
+    * prefilter, mirrored. */
+  private def estSql(aM: String, bM: String): String =
+    s"list_sum(list_transform(generate_series(1, $NumHashes), " +
+      s"i -> CASE WHEN $aM[i] = $bM[i] THEN 1 ELSE 0 END)) " +
+      s"/ CAST($NumHashes AS DOUBLE)"
+
+  /** Exact-Jaccard verify tail shared by the batch and incremental
+    * oracles: double-ratio threshold gate + integer basis points out. */
+  private def jaccardBpSql(aSh: String, bSh: String): String =
+    s"""CAST(len(list_intersect($aSh, $bSh)) * 10000
+       |    // len(list_distinct($aSh || $bSh)) AS BIGINT) AS jaccard_bp""".stripMargin
+
+  private def jaccardGateSql(aSh: String, bSh: String,
+      threshold: Double): String =
+    s"CAST(len(list_intersect($aSh, $bSh)) AS DOUBLE) " +
+      s"/ len(list_distinct($aSh || $bSh)) >= " +
+      java.lang.Double.toString(threshold)
+
+  /** The [[withNearDups]] corpus as oracle SQL (DuckDB's index lambda is
+    * 1-based, hence (i-1) where Spark's `transform` index is 0-based). */
+  private val NearDupsSrcSql: String =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    array_to_string(list_transform(regexp_split_to_array(text, '\s+'),
+      |      (x, i) -> CASE WHEN (i-1) % 23 = 0 THEN 'xdupx' ELSE x END), ' ')
+      |  FROM documents WHERE doc_id < 25""".stripMargin
+
+  /** The [[perturbedCopies]] batch as oracle SQL. */
+  private val PerturbedSrcSql: String =
+    """SELECT doc_id + 1000000 AS doc_id,
+      |    array_to_string(list_transform(regexp_split_to_array(text, '\s+'),
+      |      (x, i) -> CASE WHEN (i-1) % 23 = 0 THEN 'xdupx' ELSE x END), ' ')
+      |      AS text
+      |  FROM documents WHERE doc_id < 25""".stripMargin
+
+  /** (doc_id, band, band_key) — one row per band. The band key is the
+    * portable fold (acc·131 + slot) mod p1 over the band's slots (slots
+    * are already < p1, so every intermediate fits a long), recomputed
+    * verbatim by the DuckDB oracles. */
   def lshBands(sig: DataFrame): DataFrame = {
+    import graft.functions.Vec.{HashB1, HashP1}
     val bandStructs = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand)
         .map(r => element_at(col("mh_arr"), b * RowsPerBand + r + 1))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("band_key"))
+      val key = cols.foldLeft(lit(0L))((acc, c) =>
+        (acc * lit(HashB1) + c) % lit(HashP1))
+      struct(lit(b).as("band"), key.as("band_key"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
@@ -354,11 +470,17 @@ object DedupOps {
     val sb = sig.select(col("doc_id").as("id_b"),
       col("sh_hashes").as("sh_b"))
     candidatePairs(sig, threshold).join(sa, "id_a").join(sb, "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      // the threshold gate stays the exact double ratio (i/u is an exact
+      // IEEE function of two small ints — identical in any engine); the
+      // REPORTED value is integer basis points, so the driver hash never
+      // rides on decimal-rounding conventions
+      .filter(col("inter").cast("double") / col("uni") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        expr("inter * 10000 div uni").as("jaccard_bp"))
   }
 
   /** MinHash kernel: exact Jaccard over distinct shingle-hash sets for
@@ -366,11 +488,31 @@ object DedupOps {
   def minhashNearDupPairs(d: DataFrame, threshold: Double): DataFrame =
     minhashPairsFromSignatures(signatures(d), threshold)
 
-  /** MinHash-LSH near-dup detection over corpus + injected near-copies. */
+  /** MinHash-LSH near-dup detection over corpus + injected near-copies.
+    * Fully hash-oracled: the portable signature family lets DuckDB
+    * recompute shingles, slots, band buckets, the cap, the estimate
+    * prefilter, and the exact-Jaccard verify step-for-step. */
   val minhashLsh: GraftQuery = GraftQuery(
     "dedup_minhash_lsh",
     (s, dir) => minhashNearDupPairs(withNearDups(docs(s, dir)), 0.4),
-    None) // xxhash64 signatures are engine-specific — rows-only gate
+    Some {
+      val floor = java.lang.Double.toString(0.4 * 0.6)
+      s"""WITH src AS ($NearDupsSrcSql),
+         |${sigCtesSql("src", "")},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id)
+         |SELECT p.id_a, p.id_b,
+         |  ${jaccardBpSql("sa.sh_hashes", "sb.sh_hashes")}
+         |FROM pairs p
+         |JOIN mh sa ON sa.doc_id = p.id_a
+         |JOIN mh sb ON sb.doc_id = p.id_b
+         |WHERE ${estSql("sa.mh_arr", "sb.mh_arr")} >= $floor
+         |  AND ${jaccardGateSql("sa.sh_hashes", "sb.sh_hashes", 0.4)}"""
+        .stripMargin
+    })
 
   /** Incremental (streaming-shaped) near-dup: new documents probed
     * against the persistent band index of the existing corpus — history
@@ -383,7 +525,25 @@ object DedupOps {
       val index = buildBandIndex(d).localCheckpoint()
       incrementalNearDup(perturbedCopies(d), index, 0.4)
     },
-    None)
+    Some {
+      val floor = java.lang.Double.toString(0.4 * 0.6)
+      s"""WITH probe_src AS (
+         |  $PerturbedSrcSql),
+         |${sigCtesSql("documents", "i_")},
+         |${sigCtesSql("probe_src", "p_")},
+         |cand AS (
+         |  SELECT DISTINCT p.doc_id AS new_id, i.doc_id AS existing_id
+         |  FROM p_capped p JOIN i_capped i
+         |    ON p.band = i.band AND p.band_key = i.band_key)
+         |SELECT c.new_id, c.existing_id,
+         |  ${jaccardBpSql("sn.sh_hashes", "se.sh_hashes")}
+         |FROM cand c
+         |JOIN p_mh sn ON sn.doc_id = c.new_id
+         |JOIN i_mh se ON se.doc_id = c.existing_id
+         |WHERE ${estSql("sn.mh_arr", "se.mh_arr")} >= $floor
+         |  AND ${jaccardGateSql("sn.sh_hashes", "se.sh_hashes", 0.4)}"""
+        .stripMargin
+    })
 
   /** Incremental near-dup check: signatures of a NEW batch of docs joined
     * against an existing band index (historical signatures) — the
@@ -433,12 +593,13 @@ object DedupOps {
         expr(s"size(filter(zip_with(mh_n, mh_i, (x, y) -> x = y), v -> v))" +
           s" / CAST($NumHashes AS DOUBLE)"))
       .filter(col("est") >= threshold * 0.6)
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_n"), col("sh_i"))).cast("double") /
-          size(array_union(col("sh_n"), col("sh_i"))))
-      .filter(col("jaccard") >= threshold)
+      .withColumn("inter",
+        size(array_intersect(col("sh_n"), col("sh_i"))).cast("long"))
+      .withColumn("uni",
+        size(array_union(col("sh_n"), col("sh_i"))).cast("long"))
+      .filter(col("inter").cast("double") / col("uni") >= threshold)
       .select(col("new_id"), col("existing_id"),
-        round(col("jaccard"), 3).as("jaccard"))
+        expr("inter * 10000 div uni").as("jaccard_bp"))
   }
 
   /** Band index of a corpus for [[incrementalNearDup]]: one row per
@@ -458,26 +619,30 @@ object DedupOps {
   // SimHash
   // ---------------------------------------------------------------------
 
-  /** 64-bit SimHash per doc: per-bit vote over token hashes, packed in a
-    * single codegen'd [[graft.functions.Vec.simhash64]] pass — a pure
-    * scan-stage expression, NO shuffle at all (the previous form exploded
-    * tokens and re-aggregated through a 64-column groupBy). */
+  /** 60-bit SimHash per doc: per-bit vote over portable token hashes,
+    * packed in a single codegen'd [[graft.functions.Vec.simhash64]] pass
+    * — a pure scan-stage expression, NO shuffle at all (the previous form
+    * exploded tokens and re-aggregated through a per-bit groupBy). */
   def simhash(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
       graft.functions.Vec.simhash64(
-        expr("transform(split(lower(text), '\\\\s+'), t -> xxhash64(t))"))
+        graft.functions.Vec.token_hashes(split(lower(col("text")), "\\s+")))
         .as("simhash"))
 
-  private def popcount(c: Column): Column = expr(s"bit_count(${c})")
+  /** SimHash band layout: 4 bands × 15 bits over the 60-bit sketch —
+    * pigeonhole: hamming <= 3 guarantees at least one identical band. */
+  val SimHashBands = 4
+  val SimHashBandBits: Int = graft.functions.Vec.SimHashBits / SimHashBands
 
-  /** SimHash near-dup pairs: 4x16-bit band join (pigeonhole: hamming <= 3
+  /** SimHash near-dup pairs: 4x15-bit band join (pigeonhole: hamming <= 3
     * guarantees one identical band), then exact hamming check. */
   def simhashNearDupPairs(d: DataFrame, maxHamming: Int): DataFrame = {
     val sh = simhash(d).localCheckpoint() // see minhashNearDupPairs
+    val mask = (1L << SimHashBandBits) - 1
     val banded = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until SimHashBands).map(b =>
         struct(lit(b).as("band"),
-          col("simhash").bitwiseAND(lit(0xffffL << (16 * b)))
+          col("simhash").bitwiseAND(lit(mask << (SimHashBandBits * b)))
             .as("band_val"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"),
         col("bk.band_val"))
@@ -490,7 +655,7 @@ object DedupOps {
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
       .distinct()
       .withColumn("hamming",
-        expr("bit_count(sh_a ^ sh_b)"))
+        expr("bit_count(sh_a ^ sh_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
@@ -498,7 +663,36 @@ object DedupOps {
   val simhashDedup: GraftQuery = GraftQuery(
     "dedup_simhash",
     (s, dir) => simhashNearDupPairs(withNearDups(docs(s, dir)), 3),
-    None)
+    Some {
+      val bits = graft.functions.Vec.SimHashBits
+      val mask = (1L << SimHashBandBits) - 1
+      s"""WITH src AS ($NearDupsSrcSql),
+         |tok AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+         |  FROM src),
+         |th AS (
+         |  SELECT doc_id, list_transform(toks, t -> ${pHashSql("t")}) AS th
+         |  FROM tok),
+         |sh AS (
+         |  SELECT doc_id, CAST(list_sum(list_transform(
+         |      generate_series(0, ${bits - 1}), b ->
+         |    CASE WHEN list_sum(list_transform(th, x ->
+         |        CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |    THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS simhash
+         |  FROM th),
+         |banded AS (
+         |  SELECT doc_id, simhash, b.band,
+         |    simhash & (CAST($mask AS BIGINT) << ($SimHashBandBits * b.band))
+         |      AS band_val
+         |  FROM sh CROSS JOIN
+         |    (SELECT unnest(generate_series(0, ${SimHashBands - 1})) AS band) b)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.band_val = b.band_val
+         |  AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+    })
 
   // ---------------------------------------------------------------------
   // n-gram Jaccard (bounded pair generation via shared-band prefilter)
@@ -531,13 +725,44 @@ object DedupOps {
           col("grams").as("g_a")), "id_a")
         .join(grams.select(col("doc_id").as("id_b"),
           col("grams").as("g_b")), "id_b")
-        .withColumn("ngram_jaccard",
-          round(size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-            size(array_union(col("g_a"), col("g_b"))), 3))
-        .filter(col("ngram_jaccard") >= 0.5)
-        .select("id_a", "id_b", "ngram_jaccard")
+        .withColumn("inter",
+          size(array_intersect(col("g_a"), col("g_b"))).cast("long"))
+        .withColumn("uni",
+          size(array_union(col("g_a"), col("g_b"))).cast("long"))
+        .filter(col("inter").cast("double") / col("uni") >= 0.5)
+        .select(col("id_a"), col("id_b"),
+          expr("inter * 10000 div uni").as("ngram_jaccard_bp"))
     },
-    None)
+    Some {
+      val floor = java.lang.Double.toString(0.45 * 0.6)
+      s"""WITH src AS ($NearDupsSrcSql),
+         |${sigCtesSql("src", "")},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id),
+         |cand AS (
+         |  SELECT p.id_a, p.id_b FROM pairs p
+         |  JOIN mh sa ON sa.doc_id = p.id_a
+         |  JOIN mh sb ON sb.doc_id = p.id_b
+         |  WHERE ${estSql("sa.mh_arr", "sb.mh_arr")} >= $floor),
+         |grams AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |      generate_series(1, greatest(len(text) - 2, 1)),
+         |      i -> ${pHashSql("text[i:i+2]")})) AS grams
+         |  FROM src
+         |  WHERE doc_id IN (SELECT id_a FROM cand UNION SELECT id_b FROM cand))
+         |SELECT c.id_a, c.id_b,
+         |  CAST(len(list_intersect(ga.grams, gb.grams)) * 10000
+         |    // len(list_distinct(ga.grams || gb.grams)) AS BIGINT)
+         |    AS ngram_jaccard_bp
+         |FROM cand c
+         |JOIN grams ga ON ga.doc_id = c.id_a
+         |JOIN grams gb ON gb.doc_id = c.id_b
+         |WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+         |  / len(list_distinct(ga.grams || gb.grams)) >= 0.5""".stripMargin
+    })
 
   // ---------------------------------------------------------------------
   // Substring-level duplication (shared spans)
@@ -570,7 +795,7 @@ object DedupOps {
     * the pair aggregate is partial-combined map-side. Work is
     * proportional to shared-fingerprint postings, never all-pairs.
     *
-    * Unlike the xxhash64 dedup family this IS exactly oracle-able: the
+    * Like the rest of the dedup family this is exactly oracle-able: the
     * winnow hash is the portable polynomial fold of
     * [[graft.operators.TextOps.winnowFingerprint]], recomputed verbatim
     * by the DuckDB oracle. */
@@ -640,8 +865,8 @@ object DedupOps {
       .filter(col("n_shared") >= minShared)
 
   /** Slice copies probed against the base corpus's span index. Fully
-    * oracled (portable winnow hash), unlike `dedup_incremental` whose
-    * xxhash64 band keys are engine-specific. */
+    * oracled (portable winnow hash), like `dedup_incremental`'s portable
+    * band index. */
   val spansIncremental: GraftQuery = GraftQuery(
     "dedup_spans_incremental",
     (s, dir) => {
