@@ -4,24 +4,30 @@ import graft.GraftQuery
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Multimodal (image/audio/video) column plumbing (SURVEY §7.6).
+/** Multimodal (image/audio) column plumbing (SURVEY §7.6).
   *
   * Media payloads are opaque `binary` columns with typed metadata, exactly
   * as a 100 TB training corpus stores them; decode / feature-extraction
-  * runs per-partition so a real codec (JNI image/audio library) would be
-  * loaded once per executor, batch-process rows, and never touch the
-  * driver. The codec itself is STUBBED here (container ships no media
-  * libraries): `stubDecode` is a deterministic fake standing in for e.g.
-  * JPEG decode + resize or PCM frame sampling. The Spark-side contract —
-  * schema, binary handling, partition shape, per-partition batching — is
-  * real and oracle-tested.
+  * runs per-partition so the codec is initialized once per executor,
+  * batch-processes rows, and never touches the driver.
+  *
+  * The codecs are REAL pure-JVM decoders (no external deps, no egress):
+  * image payloads are PNG containers decoded with `javax.imageio`
+  * (lossless — decoded pixels are bit-exact and deterministic), audio
+  * payloads are WAV/PCM containers parsed with `javax.sound.sampled`.
+  * The fixture corpus generates the containers deterministically from the
+  * asset id, so every decoded value is reproducible driver-side — that is
+  * what the VALUES oracles below recompute. Resize is an explicit
+  * nearest-neighbor kernel over the decoded pixels (not `Graphics2D`,
+  * whose filtering is implementation-defined), keeping results identical
+  * across JVMs.
   */
 object MultimodalOps {
 
   final case class Asset(
       asset_id: Long,
       kind: String, // image | audio
-      payload: Array[Byte],
+      payload: Array[Byte], // PNG container | WAV container
       width: Int, // image meta (0 for audio)
       height: Int,
       sample_rate: Int) // audio meta (0 for image)
@@ -29,36 +35,122 @@ object MultimodalOps {
   final case class AssetFeatures(
       asset_id: Long,
       kind: String,
-      byte_len: Int,
-      checksum: Long,
+      byte_len: Int, // encoded container size
+      checksum: Long, // over DECODED content (pixels / PCM samples)
       feat_dim: Int)
 
-  /** Deterministic synthetic corpus: payload bytes derived from asset id. */
-  def assets(n: Int): Seq[Asset] = (0 until n).map { i =>
-    val kind = if (i % 2 == 0) "image" else "audio"
-    val len = 64 + (i * 37) % 192
-    val payload = Array.tabulate[Byte](len)(j => ((i * 131 + j * 17) % 251).toByte)
-    if (kind == "image") Asset(i.toLong, kind, payload, 32 + i % 64, 32 + i % 48, 0)
-    else Asset(i.toLong, kind, payload, 0, 0, 8000 + 100 * (i % 80))
+  /** Deterministic RGB value of pixel (x, y) of image asset i. */
+  private[graft] def pixel(i: Int, x: Int, y: Int): Int = {
+    val r = (i * 131 + x * 17 + y * 29) % 256
+    val g = (i * 37 + x * 5 + y * 11) % 256
+    val b = (i * 59 + x * 23 + y * 3) % 256
+    (r << 16) | (g << 8) | b
   }
 
-  /** Rolling 31x checksum over bytes — the shared deterministic stand-in
-    * for decoded-content identity across all three stub codecs. */
+  /** Deterministic 8-bit PCM sample j of audio asset i (unsigned byte,
+    * the WAV convention for 8-bit). */
+  private def sample(i: Int, j: Int): Int = (i * 131 + j * 17) % 251
+
+  /** PNG-encode the deterministic image for asset i. */
+  private def pngPayload(i: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixel(i, x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** WAV-encode (PCM_UNSIGNED 8-bit mono) the deterministic samples. */
+  private def wavPayload(i: Int, nSamples: Int, rate: Int): Array[Byte] = {
+    val pcm = Array.tabulate[Byte](nSamples)(j => sample(i, j).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      rate.toFloat, 8, 1, 1, rate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic corpus of real PNG/WAV containers. */
+  def assets(n: Int): Seq[Asset] = (0 until n).map { i =>
+    if (i % 2 == 0) {
+      val (w, h) = (32 + i % 64, 32 + i % 48)
+      Asset(i.toLong, "image", pngPayload(i, w, h), w, h, 0)
+    } else {
+      val rate = 8000 + 100 * (i % 80)
+      Asset(i.toLong, "audio", wavPayload(i, 64 + (i * 37) % 192, rate),
+        0, 0, rate)
+    }
+  }
+
+  /** Rolling 31x checksum — decoded-content identity in the feature rows
+    * (pixel bytes for images, PCM sample bytes for audio). */
   private def checksum(bytes: Iterable[Byte]): Long = {
     var c = 0L
     bytes.foreach(b => c = (c * 31 + (b & 0xff)) & 0xffffffffL)
     c
   }
 
-  /** STUB decode: stands in for the real media decode + feature extract.
-    * Deterministic over the payload so the pipeline is testable; swap the
-    * body for a real codec without touching the surrounding plan. */
-  def stubDecode(a: Asset): AssetFeatures = {
-    val featDim =
-      if (a.kind == "image") (a.width * a.height) / 64 else a.sample_rate / 100
-    AssetFeatures(a.asset_id, a.kind, a.payload.length, checksum(a.payload),
-      featDim)
+  /** Decode an image payload to its pixel matrix (PNG is lossless, so
+    * this is exact). ImageIO's disk cache is disabled — executor decode
+    * must never touch local temp files. */
+  private[graft] def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    img
   }
+
+  /** Decoded RGB bytes in row-major (r, g, b) order. */
+  private[graft] def rgbBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    var k = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        out(k) = ((p >> 16) & 0xff).toByte
+        out(k + 1) = ((p >> 8) & 0xff).toByte
+        out(k + 2) = (p & 0xff).toByte
+        x += 1; k += 3
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode an audio payload's PCM sample bytes via javax.sound. */
+  private[graft] def pcmBytes(payload: Array[Byte]): Array[Byte] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try ais.readAllBytes() finally ais.close()
+  }
+
+  /** REAL decode + feature extract: PNG → pixels / WAV → PCM samples;
+    * the checksum fingerprints the decoded content, feat_dim is the
+    * downstream embedding width ((w·h)/64 pixel blocks for images, one
+    * dim per 10 ms of audio). */
+  def decode(a: Asset): AssetFeatures =
+    if (a.kind == "image") {
+      val img = decodeImage(a.payload)
+      AssetFeatures(a.asset_id, a.kind, a.payload.length,
+        checksum(rgbBytes(img)), (img.getWidth * img.getHeight) / 64)
+    } else {
+      AssetFeatures(a.asset_id, a.kind, a.payload.length,
+        checksum(pcmBytes(a.payload)), a.sample_rate / 100)
+    }
 
   val NumAssets = 64
 
@@ -69,17 +161,17 @@ object MultimodalOps {
     import spark.implicits._
     assets(n).toDS()
       .repartition(col("kind"))
-      .mapPartitions(_.map(stubDecode))
+      .mapPartitions(_.map(decode))
       .toDF()
   }
 
-  /** Oracle from the same deterministic formula computed driver-side,
+  /** Oracle from the same deterministic decode computed driver-side,
     * without Spark — checks the distributed plumbing end-to-end. */
   val features: GraftQuery = GraftQuery(
     "multimodal_features",
     (s, _) => extractFeatures(s, NumAssets),
     Some {
-      val rows = assets(NumAssets).map(stubDecode).map(f =>
+      val rows = assets(NumAssets).map(decode).map(f =>
         s"(${f.asset_id}, '${f.kind}', ${f.byte_len}, ${f.checksum}, ${f.feat_dim})")
       "SELECT CAST(asset_id AS BIGINT) AS asset_id, kind, " +
         "CAST(byte_len AS INTEGER) AS byte_len, " +
@@ -90,7 +182,7 @@ object MultimodalOps {
     })
 
   // ---------------------------------------------------------------------
-  // Frame sampling (audio/video → per-frame rows)
+  // Frame sampling (audio → per-frame rows over DECODED samples)
   // ---------------------------------------------------------------------
 
   final case class Frame(
@@ -99,17 +191,19 @@ object MultimodalOps {
       frame_len: Int,
       frame_checksum: Long)
 
-  /** Frame size in payload bytes — stands in for e.g. 20 ms of PCM or a
-    * video keyframe stride; real pipelines pick it from the codec. */
+  /** Frame size in PCM samples — stands in for e.g. 20 ms of audio; real
+    * pipelines pick it from the stream format. */
   val FrameBytes = 48
 
   private def payloadFrames(a: Asset): Seq[Frame] =
-    a.payload.grouped(FrameBytes).zipWithIndex.map { case (chunk, idx) =>
-      Frame(a.asset_id, idx, chunk.length, checksum(chunk))
+    pcmBytes(a.payload).grouped(FrameBytes).zipWithIndex.map {
+      case (chunk, idx) => Frame(a.asset_id, idx, chunk.length,
+        checksum(chunk))
     }.toSeq
 
-  /** Frame sampling: ONE binary row fans out to ceil(len/FrameBytes)
-    * frame rows — the `flatMap` shape a real frame sampler has. Runs in
+  /** Frame sampling: ONE binary row fans out to ceil(samples/FrameBytes)
+    * frame rows — the `flatMap` shape a real frame sampler has, over the
+    * DECODED PCM stream (the WAV container is parsed per row). Runs in
     * the scan stage (no shuffle: fan-out is per-row); at 100 TB the only
     * shuffle anywhere downstream is whatever the consumer groups by.
     * Audio only — image rows don't frame-sample. */
@@ -145,19 +239,34 @@ object MultimodalOps {
       asset_id: Long,
       width: Int,
       height: Int,
-      byte_len: Int,
-      checksum: Long)
+      byte_len: Int, // resized pixel bytes (w·h·3)
+      checksum: Long) // over the resized RGB byte stream
 
-  /** STUB resize to `tw`×`th`: payload subsampled at the ratio a real
-    * scaler would use (one byte per target pixel block, deterministic),
-    * metadata recomputed. Swap the body for a real image library; the
-    * binary-in/binary-out per-partition shape is what survives. */
-  def stubResize(a: Asset, tw: Int, th: Int): ResizedAsset = {
-    val stride = math.max(1, a.payload.length / math.max(1, (tw * th) / 64))
-    val resized = a.payload.indices.collect {
-      case j if j % stride == 0 => a.payload(j)
+  /** REAL resize to `tw`×`th`: PNG-decode, then an explicit
+    * nearest-neighbor sample of the source pixel grid — src(x·sw/tw,
+    * y·sh/th) — which is pure integer arithmetic and therefore identical
+    * on every JVM (Graphics2D scaling filters are not pinned by spec).
+    * The per-partition binary-in/features-out shape is what survives at
+    * scale. */
+  def resizeImage(a: Asset, tw: Int, th: Int): ResizedAsset = {
+    val img = decodeImage(a.payload)
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    val out = new Array[Byte](tw * th * 3)
+    var y = 0
+    var k = 0
+    while (y < th) {
+      val sy = y * sh / th
+      var x = 0
+      while (x < tw) {
+        val p = img.getRGB(x * sw / tw, sy)
+        out(k) = ((p >> 16) & 0xff).toByte
+        out(k + 1) = ((p >> 8) & 0xff).toByte
+        out(k + 2) = (p & 0xff).toByte
+        x += 1; k += 3
+      }
+      y += 1
     }
-    ResizedAsset(a.asset_id, tw, th, resized.length, checksum(resized))
+    ResizedAsset(a.asset_id, tw, th, out.length, checksum(out))
   }
 
   val TargetW = 16
@@ -169,7 +278,7 @@ object MultimodalOps {
     import spark.implicits._
     assets(n).toDS()
       .filter(col("kind") === "image")
-      .mapPartitions(_.map(stubResize(_, TargetW, TargetH)))
+      .mapPartitions(_.map(resizeImage(_, TargetW, TargetH)))
       .toDF()
   }
 
@@ -178,7 +287,7 @@ object MultimodalOps {
     (s, _) => resizeImages(s, NumAssets),
     Some {
       val rows = assets(NumAssets).filter(_.kind == "image")
-        .map(stubResize(_, TargetW, TargetH))
+        .map(resizeImage(_, TargetW, TargetH))
         .map(r =>
           s"(${r.asset_id}, ${r.width}, ${r.height}, ${r.byte_len}, ${r.checksum})")
       "SELECT CAST(asset_id AS BIGINT) AS asset_id, " +

@@ -32,7 +32,7 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val injected = pairs.filter { case (a, b) => b == a + 1000000 }
     // every injected near-copy (of a doc with >=5 tokens) must be caught
     assert(injected.length >= 24)
-    // jaccard is in (0,1] and pairs are ordered
+    // pairs are ordered (id_a < id_b)
     assert(pairs.forall { case (a, b) => a < b })
   }
 
@@ -46,7 +46,7 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("simhash near-dup pairs are low-hamming and include injected copies") {
     val rows = DedupOps.simhashDedup.fn(spark, dir).collect()
-    assert(rows.forall(_.getAs[Int]("hamming") <= 3))
+    assert(rows.forall(_.getAs[Long]("hamming") <= 3L))
     assert(rows.exists(r =>
       r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 1000000))
   }
@@ -210,24 +210,50 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = MultimodalOps.extractFeatures(spark, 64).collect()
       .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("checksum"),
         r.getAs[Int]("feat_dim"))).toSet
-    val want = MultimodalOps.assets(64).map(MultimodalOps.stubDecode)
+    val want = MultimodalOps.assets(64).map(MultimodalOps.decode)
       .map(f => (f.asset_id, f.checksum, f.feat_dim)).toSet
     assert(got == want)
+  }
+
+  test("PNG decode is a REAL codec: pixels round-trip the generator formula") {
+    val img0 = MultimodalOps.assets(1).head
+    val img = MultimodalOps.decodeImage(img0.payload)
+    assert(img.getWidth == img0.width && img.getHeight == img0.height)
+    // spot-check decoded pixels against the deterministic generator —
+    // PNG is lossless, so every pixel must round-trip bit-exact
+    Seq((0, 0), (7, 3), (img0.width - 1, img0.height - 1)).foreach {
+      case (x, y) =>
+        assert((img.getRGB(x, y) & 0xffffff) ==
+          MultimodalOps.pixel(0, x, y), s"pixel ($x, $y)")
+    }
+  }
+
+  test("WAV parse is a REAL codec: PCM samples round-trip the generator") {
+    val a = MultimodalOps.assets(2)(1)
+    assert(a.kind == "audio")
+    val pcm = MultimodalOps.pcmBytes(a.payload)
+    // container is larger than the samples (44-byte RIFF header)
+    assert(a.payload.length > pcm.length)
+    assert(pcm.length == 64 + 37 % 192)
+    pcm.zipWithIndex.foreach { case (b, j) =>
+      assert((b & 0xff) == (1 * 131 + j * 17) % 251, s"sample $j")
+    }
   }
 
   test("multimodal frame sampling fans out per-payload and covers every byte") {
     val got = MultimodalOps.sampleFrames(spark, 64).collect()
     val audio = MultimodalOps.assets(64).filter(_.kind == "audio")
     // one row group per FrameBytes chunk, including the short tail frame
-    val wantCount = audio.map(a =>
-      (a.payload.length + MultimodalOps.FrameBytes - 1) /
-        MultimodalOps.FrameBytes).sum
+    val pcmLens = audio.map(a =>
+      a.asset_id -> MultimodalOps.pcmBytes(a.payload).length).toMap
+    val wantCount = pcmLens.values.map(n =>
+      (n + MultimodalOps.FrameBytes - 1) / MultimodalOps.FrameBytes).sum
     assert(got.length == wantCount)
-    // per-asset frame lengths reassemble the payload exactly
+    // per-asset frame lengths reassemble the DECODED sample stream
     val byAsset = got.groupBy(_.getAs[Long]("asset_id"))
     audio.foreach { a =>
       val frames = byAsset(a.asset_id).sortBy(_.getAs[Int]("frame_idx"))
-      assert(frames.map(_.getAs[Int]("frame_len")).sum == a.payload.length)
+      assert(frames.map(_.getAs[Int]("frame_len")).sum == pcmLens(a.asset_id))
       assert(frames.init.forall(
         _.getAs[Int]("frame_len") == MultimodalOps.FrameBytes))
     }
@@ -242,7 +268,7 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Int]("height") == MultimodalOps.TargetH)
       assert(r.getAs[Int]("byte_len") > 0)
     }
-    val want = images.map(a => MultimodalOps.stubResize(a,
+    val want = images.map(a => MultimodalOps.resizeImage(a,
       MultimodalOps.TargetW, MultimodalOps.TargetH))
       .map(x => (x.asset_id, x.byte_len, x.checksum)).toSet
     assert(got.map(r => (r.getAs[Long]("asset_id"),
