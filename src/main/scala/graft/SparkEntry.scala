@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.chain.ChainQueries
-import graft.operators.{CorpusOps, CurationOps, DedupOps, ExtendedOps, LayoutOps, MultimodalOps, RelationalOps, SimilarityOps, TemporalOps, TextOps}
+import graft.operators.{CorpusOps, CurationOps, DedupOps, ExtendedOps, LayoutOps, MultimodalOps, RelationalOps, SimilarityOps, SkewOps, TemporalOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,7 +11,8 @@ object SparkEntry {
   def allQueries: Seq[GraftQuery] =
     RelationalOps.all ++ ChainQueries.all ++ TextOps.all ++ DedupOps.all ++
       SimilarityOps.all ++ MultimodalOps.all ++ ExtendedOps.all ++
-      CurationOps.all ++ TemporalOps.all ++ CorpusOps.all ++ LayoutOps.all
+      CurationOps.all ++ TemporalOps.all ++ CorpusOps.all ++ LayoutOps.all ++
+      SkewOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -80,4 +81,62 @@ object SkewOps {
         joinType)
       .drop("__salt")
   }
+
+  // ---------------------------------------------------------------------
+  // Driver-visible oracled queries: the salted plans against the UNSALTED
+  // SQL — results must be identical by construction, so a full DuckDB
+  // rows+schema+hash gate proves the 100 TB skew machinery is semantics-
+  // preserving (PlanSpec separately asserts the salt actually fans the
+  // hot key across tasks).
+  // ---------------------------------------------------------------------
+
+  /** Synthetic hot key: every 4th lineitem row collapses onto sentinel
+    * key -1 — ~25% of the table on ONE reducer if aggregated naively. */
+  private def hotAggKey: Column =
+    when(col("l_orderkey") % 4 === 0, lit(-1L)).otherwise(col("l_suppkey"))
+
+  /** Salted two-phase sum over the hot-keyed lineitem. Decimal-exact
+    * partials (order-independent), so salted == unsalted to the bit. */
+  val saltedAggQuery: GraftQuery = GraftQuery(
+    "skew_salted_agg",
+    (s, dir) =>
+      saltedSum(Tables.t(s, dir, "lineitem"), hotAggKey,
+          col("l_quantity").cast("decimal(18,2)"), col("l_orderkey"), 16)
+        .select(col("key"),
+          round(col("total"), 2).cast("double").as("total")),
+    Some(
+      """SELECT CASE WHEN l_orderkey % 4 = 0 THEN -1 ELSE l_suppkey END
+        |    AS key,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS total
+        |FROM lineitem GROUP BY 1""".stripMargin))
+
+  /** Salted equi-join of hot-keyed lineitem (25% of rows directed at
+    * part 1) against the part dimension, aggregated per brand. The small
+    * side replicates across 16 salts; the oracle is the plain join. */
+  val saltedJoinQuery: GraftQuery = GraftQuery(
+    "skew_salted_join",
+    (s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+        .withColumn("jk",
+          when(col("l_orderkey") % 4 === 0, lit(1L))
+            .otherwise(col("l_partkey")))
+      val p = Tables.t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      saltedJoin(li, p, col("jk"), col("p_partkey"), col("l_orderkey"), 16)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double").as("sum_qty"))
+    },
+    Some(
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem JOIN part
+        |  ON p_partkey =
+        |    (CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE l_partkey END)
+        |GROUP BY 1""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(saltedAggQuery, saltedJoinQuery)
 }

@@ -135,6 +135,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("salted aggregate fans the hot key across salts (keyed phase-1 exchange)") {
+    val p = plan("skew_salted_agg")
+    // phase 1 exchanges on (__key, __salt) — the hot key spreads over 16
+    // reducers; phase 2 exchanges on __key alone to merge partials
+    assert(p.contains("__salt"), p)
+    assert(p.contains("hashpartitioning(__key"), p)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("salted join replicates the small side and joins on (key, salt)") {
+    val p = plan("skew_salted_join")
+    // the small side fans out via explode(sequence(0..salts-1)) — a
+    // Generate node — and the equi-join condition carries the salt
+    assert(p.contains("Generate"), p)
+    assert(p.contains("__salt"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("as-of join is one keyed shuffle + window — no join operator at all") {
     val p = plan("join_asof")
     // the union-and-window formulation: the only join in the plan is the
