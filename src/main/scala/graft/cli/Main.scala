@@ -361,15 +361,25 @@ object Main {
               "store changes needs --from <snapshot> (see store snapshots)"))
             val to = opt(args, "to").orElse(store.currentSnapshot())
               .getOrElse(sys.error("store has no committed snapshot"))
-            // a typo'd --table must stay a loud error, not read as an empty
-            // increment: validate against the tables either snapshot
-            // actually carries before any form runs
+            // a typo'd --table must stay a loud error, not read as an
+            // empty increment — but "no leaves at these two snapshots" is
+            // not a typo signal by itself (a legitimate table can be empty
+            // at both endpoints), so validate against EVERY snapshot's
+            // leaves, and list candidates by the LOGICAL name --table
+            // actually takes (tablesPrefix stripped)
             opt(args, "table").foreach { t =>
-              val known = (store.leavesAt(from) ++ store.leavesAt(to))
+              val ever = store.snapshots().flatMap(store.leavesAt)
                 .map(_.table).toSet
-              if (!known.contains(store.physName(t)))
+              if (!ever.contains(store.physName(t))) {
+                val pfx = store.tablesPrefix
+                val logical = ever.toSeq.map { n =>
+                  if (pfx.nonEmpty && n.startsWith(pfx + "_"))
+                    n.drop(pfx.length + 1)
+                  else n
+                }.sorted
                 sys.error(s"unknown table '$t' (store has: " +
-                  s"${known.toSeq.sorted.mkString(", ")})")
+                  s"${logical.mkString(", ")})")
+              }
             }
             (opt(args, "table"), opt(args, "keys")) match {
               case (Some(t), Some(ks)) =>

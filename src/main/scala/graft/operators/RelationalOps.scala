@@ -628,7 +628,7 @@ object RelationalOps {
       .filter(col("o_orderkey") % 7 =!= 0)
       .select(col("o_orderkey").as("number"))
     graft.chain.ChainOps.continuityGapsScalable(keys,
-      ExtendedOps.spanBucketSize(keys, "number"))
+      ExtendedOps.cachedSpanBucketSize(dir, "orders:gaps", "number")(keys))
       .select(col("number").as("o_orderkey"),
         col("prev_number").as("prev_key"))
   }
@@ -644,7 +644,7 @@ object RelationalOps {
       .filter(col("o_orderkey") % 7 =!= 0)
       .select(col("o_orderkey").as("number"))
     graft.chain.ChainOps.identityMismatchesScalable(keys,
-      ExtendedOps.spanBucketSize(keys, "number"))
+      ExtendedOps.cachedSpanBucketSize(dir, "orders:gaps", "number")(keys))
       .select(col("number").as("o_orderkey"),
         (col("expected") + 1).cast("long").as("rn"))
   }

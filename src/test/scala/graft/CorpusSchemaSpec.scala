@@ -21,7 +21,23 @@ class CorpusSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession =
     GraftSession.builder("local[4]", 4).getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = { spark.stop(); deleteTempDirs() }
+  // temp parquet dirs created by the tests below — deleted once in
+  // afterAll so repeated sweep runs don't leak disk
+  private val tmpDirs =
+    scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+  private def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tmpDirs.synchronized { tmpDirs += p }
+    p.toString
+  }
+  private def deleteTempDirs(): Unit = tmpDirs.foreach { p =>
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
 
   private def fieldType(table: String, column: String): DataType =
     Tables.t(spark, dir, table).schema(column).dataType
@@ -85,7 +101,7 @@ class CorpusSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.functions._
     val microsA = 1700000000123456L // 2023-11-14T22:13:20.123456Z
     val microsB = 1700003600999999L
-    val tmp = java.nio.file.Files.createTempDirectory("nanocorpus").toString
+    val tmp = tempDir("nanocorpus")
     Seq((1L, microsA * 1000L + 789L), (2L, microsB * 1000L + 1L))
       .toDF("event_id", "ts")
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
@@ -104,7 +120,7 @@ class CorpusSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val micros = 1700000000123456L
-    val tmp = java.nio.file.Files.createTempDirectory("tzcorpus").toString
+    val tmp = tempDir("tzcorpus")
     Seq(1L).toDF("event_id")
       .withColumn("ts", timestamp_micros(lit(micros)))
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")

@@ -16,7 +16,23 @@ class WinScalableSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark =
     GraftSession.builder("local[4]", 4).getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = { spark.stop(); deleteTempDirs() }
+  // temp parquet dirs created by the tests below — deleted once in
+  // afterAll so repeated sweep runs don't leak disk
+  private val tmpDirs =
+    scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+  private def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tmpDirs.synchronized { tmpDirs += p }
+    p.toString
+  }
+  private def deleteTempDirs(): Unit = tmpDirs.foreach { p =>
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
 
   private def rows(df: org.apache.spark.sql.DataFrame): Set[Row] = {
     val cols = df.columns.sorted.map(org.apache.spark.sql.functions.col)
@@ -58,8 +74,7 @@ class WinScalableSpec extends AnyFunSuite with BeforeAndAfterAll {
         .distinct
       val df = keys.map(k => (k, statuses(rnd.nextInt(statuses.length))))
         .toDF("o_orderkey", "o_orderstatus")
-      val tmp = java.nio.file.Files.createTempDirectory(s"winsweep$trial")
-        .toString
+      val tmp = tempDir(s"winsweep$trial")
       df.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
       val bucketSize = Seq(1L, 7L, 64L, 1L << 30)(rnd.nextInt(4))
       assert(
@@ -111,7 +126,7 @@ class WinScalableSpec extends AnyFunSuite with BeforeAndAfterAll {
       ntile(4).over(Window.orderBy(col("o_orderkey"))).as("quartile"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     // run the scalable decomposition over the same tiny frame via a temp dir
-    val tmp = java.nio.file.Files.createTempDirectory("winscale").toString
+    val tmp = tempDir("winscale")
     df.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
     val got = ExtendedOps.winExtrasScalableFn(spark, tmp, 8L)
       .select("o_orderkey", "quartile")
