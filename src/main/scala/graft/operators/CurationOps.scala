@@ -361,15 +361,41 @@ object CurationOps {
     applyMixtureRates(d, mixtureRates(weights, counts))
   }
 
-  /** Rows-only by design: the derived weights pass through a driver-side
-    * floating-point power, so no portable integer oracle exists;
-    * CurationOpsSpec pins the α-endpoint equivalences (α=0 ≡ balanced,
-    * α=1 ≈ natural) and monotone tail-share growth as α falls. */
+  /** Hash-oracled since round 9 at the query's α = 0.5: the driver-side
+    * weight is round(pow(n, 0.5)·1000) and pow(n, 0.5) ≡ sqrt(n) on IEEE
+    * doubles (CurationOpsSpec pins the identity over a wide integer
+    * sweep; DuckDB's sqrt/round agree — both are correctly-rounded
+    * operations), so the whole rate table is reproducible in SQL with
+    * HUGEINT arithmetic mirroring the BigInt machinery. Other α values
+    * route through a general driver-side pow and stay spec-gated
+    * (α-endpoint equivalences, monotone tail-share growth). */
   val sampleMixtureAlpha: GraftQuery = GraftQuery(
     "sample_mixture_alpha",
     (s, dir) =>
       mixtureAlpha(docs(s, dir).select(col("doc_id"), col("lang"))),
-    None)
+    Some(
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS cnt FROM documents
+         |  WHERE lang IS NOT NULL GROUP BY 1),
+         |w AS (
+         |  SELECT lang, cnt,
+         |    greatest(1, CAST(round(sqrt(CAST(cnt AS DOUBLE)) * 1000)
+         |      AS BIGINT)) AS w
+         |  FROM counts),
+         |tot AS (SELECT CAST(sum(w) AS HUGEINT) AS total FROM w),
+         |t AS (SELECT min(CAST(cnt AS HUGEINT) * tot.total // w) AS t
+         |      FROM w, tot),
+         |rates AS (
+         |  SELECT lang, least(10000, CAST(
+         |    (greatest(t.t * w // tot.total, 1) * 10000 + cnt - 1) // cnt
+         |    AS BIGINT)) AS rate_bp
+         |  FROM w, t, tot)
+         |SELECT d.doc_id, d.lang
+         |FROM (SELECT doc_id, lang, ${bucketDuckSql("mix:", 10000)}
+         |        AS bucket
+         |      FROM documents) d
+         |JOIN rates r ON d.lang = r.lang
+         |WHERE d.bucket < r.rate_bp""".stripMargin))
 
   val sampleMixture: GraftQuery = GraftQuery(
     "sample_mixture",
@@ -829,17 +855,60 @@ object CurationOps {
     None)
 
   /** Driver-visible pipeline run over the corpus + injected near-copies
-    * (so the dedup stages do real work at every scale factor). Rows-only:
-    * the near-dup stage feeds connected components — an iterative
-    * fixpoint no single portable SQL statement expresses (the signature
-    * hashes themselves are portable since round 9) — CurationOpsSpec
-    * pins the semantics
-    * (injected copies collapse to their originals, survivors are
-    * pairwise non-duplicate, floor and split invariants hold). */
+    * (so the dedup stages do real work at every scale factor). FULLY
+    * hash-oracled since round 9: the signature hashes are portable, so
+    * the whole composition — quality floor, exact-dedup keep, LSH
+    * candidate generation, Jaccard verify, transitive-closure collapse
+    * (a recursive CTE mirroring the label-propagation fixpoint, the
+    * [[dedupClusters]] pattern), and the split assignment — is one
+    * DuckDB statement recomputing every stage. CurationOpsSpec
+    * additionally pins the semantics (injected copies collapse to their
+    * originals, survivors are pairwise non-duplicate, floor and split
+    * invariants hold). */
   val curationPipeline: GraftQuery = GraftQuery(
     "curation_pipeline",
     (s, dir) => curateCorpus(DedupOps.withNearDups(docs(s, dir))),
-    None)
+    Some {
+      val floor = java.lang.Double.toString(0.4 * 0.6)
+      s"""WITH RECURSIVE src AS (${DedupOps.NearDupsSrcSql}),
+         |scored AS (
+         |  SELECT doc_id, text, ${TextOps.qualityBpDuckSql} AS quality_bp
+         |  FROM src
+         |  WHERE ${TextOps.qualityBpDuckSql} >= 3000),
+         |ek AS (
+         |  SELECT doc_id, text, quality_bp FROM (
+         |    SELECT doc_id, text, quality_bp, row_number() OVER (
+         |      PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |${DedupOps.sigCtesSql("ek", "")},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT p.id_a, p.id_b FROM pairs p
+         |  JOIN mh sa ON sa.doc_id = p.id_a
+         |  JOIN mh sb ON sb.doc_id = p.id_b
+         |  WHERE ${DedupOps.estSql("sa.mh_arr", "sb.mh_arr")} >= $floor
+         |    AND ${DedupOps.jaccardGateSql("sa.sh_hashes", "sb.sh_hashes", 0.4)}),
+         |und AS (SELECT id_a AS a, id_b AS b FROM edges
+         |        UNION SELECT id_b, id_a FROM edges),
+         |reach AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |losers AS (
+         |  SELECT a AS doc_id FROM reach GROUP BY a
+         |  HAVING least(a, min(b)) <> a)
+         |SELECT e.doc_id, e.quality_bp,
+         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, quality_bp,
+         |        ${bucketDuckSql("split:", 100)} AS bucket FROM ek) e
+         |WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+    })
 
   val all: Seq[GraftQuery] =
     Seq(dedupClusters, sampleSplit, sampleStratified, sampleMixture,

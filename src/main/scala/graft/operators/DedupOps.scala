@@ -303,7 +303,7 @@ object DedupOps {
   /** DuckDB mirror of [[graft.functions.Vec.portableHash]] over a string
     * expression (must be a plain column/lambda var — it is re-evaluated
     * per char). */
-  private def pHashSql(e: String): String =
+  private[operators] def pHashSql(e: String): String =
     s"CASE WHEN len($e) = 0 THEN 0 ELSE " +
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(generate_series(1, len($e)), " +
@@ -315,7 +315,7 @@ object DedupOps {
       s"(a, x) -> (a * $HashB2 + x) % $HashP2) END"
 
   /** DuckDB mirror of the pair-fold over a BIGINT list expression. */
-  private def foldLongsSql(e: String): String =
+  private[operators] def foldLongsSql(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $e), " +
       s"(a, x) -> (a * $HashB1 + x) % $HashP1) * ${1L << HashPairShift} + " +
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), $e), " +
@@ -325,7 +325,7 @@ object DedupOps {
     * `p`: tokens → token hashes → distinct shingle hashes → MinHash
     * slots → band keys → bucket-capped bands. Mirrors
     * [[minhashSignatures]] + [[lshBands]] + [[capBuckets]]. */
-  private def sigCtesSql(src: String, p: String): String = {
+  private[operators] def sigCtesSql(src: String, p: String): String = {
     val slotSql =
       s"list_transform(generate_series(0, ${NumHashes - 1}), sj -> " +
         s"list_min(list_transform(sh_hashes, h -> " +
@@ -362,18 +362,18 @@ object DedupOps {
 
   /** Signature-estimated Jaccard (slot agreement / k) — the candidate
     * prefilter, mirrored. */
-  private def estSql(aM: String, bM: String): String =
+  private[operators] def estSql(aM: String, bM: String): String =
     s"list_sum(list_transform(generate_series(1, $NumHashes), " +
       s"i -> CASE WHEN $aM[i] = $bM[i] THEN 1 ELSE 0 END)) " +
       s"/ CAST($NumHashes AS DOUBLE)"
 
   /** Exact-Jaccard verify tail shared by the batch and incremental
     * oracles: double-ratio threshold gate + integer basis points out. */
-  private def jaccardBpSql(aSh: String, bSh: String): String =
+  private[operators] def jaccardBpSql(aSh: String, bSh: String): String =
     s"""CAST(len(list_intersect($aSh, $bSh)) * 10000
        |    // len(list_distinct($aSh || $bSh)) AS BIGINT) AS jaccard_bp""".stripMargin
 
-  private def jaccardGateSql(aSh: String, bSh: String,
+  private[operators] def jaccardGateSql(aSh: String, bSh: String,
       threshold: Double): String =
     s"CAST(len(list_intersect($aSh, $bSh)) AS DOUBLE) " +
       s"/ len(list_distinct($aSh || $bSh)) >= " +
@@ -381,7 +381,7 @@ object DedupOps {
 
   /** The [[withNearDups]] corpus as oracle SQL (DuckDB's index lambda is
     * 1-based, hence (i-1) where Spark's `transform` index is 0-based). */
-  private val NearDupsSrcSql: String =
+  private[operators] val NearDupsSrcSql: String =
     """SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000,
@@ -390,7 +390,7 @@ object DedupOps {
       |  FROM documents WHERE doc_id < 25""".stripMargin
 
   /** The [[perturbedCopies]] batch as oracle SQL. */
-  private val PerturbedSrcSql: String =
+  private[operators] val PerturbedSrcSql: String =
     """SELECT doc_id + 1000000 AS doc_id,
       |    array_to_string(list_transform(regexp_split_to_array(text, '\s+'),
       |      (x, i) -> CASE WHEN (i-1) % 23 = 0 THEN 'xdupx' ELSE x END), ' ')

@@ -177,6 +177,18 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pow(n, 0.5) == sqrt(n): the identity the α=0.5 oracle rides on") {
+    // the sample_mixture_alpha oracle recomputes the driver-side weight
+    // round(pow(n, 0.5)*1000) as round(sqrt(n)*1000) in DuckDB; sqrt is
+    // correctly rounded by IEEE in both engines, so the oracle is exact
+    // IFF this JVM's pow(x, 0.5) equals its sqrt — pin that over a wide
+    // integer sweep (dense low range + strided high range)
+    (1L to 100000L).foreach(n =>
+      assert(math.pow(n.toDouble, 0.5) == math.sqrt(n.toDouble), s"n=$n"))
+    (100001L to 4000000000L by 9999991L).foreach(n =>
+      assert(math.pow(n.toDouble, 0.5) == math.sqrt(n.toDouble), s"n=$n"))
+  }
+
   test("mixture sample rejects bad weights and missing languages loudly") {
     import spark.implicits._
     val corpus = ((0L until 10L).map(i => (i, "en")) ++
