@@ -77,6 +77,7 @@ object GraftExtensions {
       MinHashSig(a(0), intLit("graft_minhash_sig", "k")(a(1)))),
     fn("graft_simhash64", 1)(a => SimHash64(a.head)),
     fn("graft_token_hashes", 1)(a => TokenHashes(a.head)),
+    fn("graft_portable_hash64", 1)(a => PortableHash64(a.head)),
     fn("graft_shingle_hashes", 2)(a =>
       ShingleHashes(a(0), intLit("graft_shingle_hashes", "n")(a(1)))),
     fn("graft_char_gram_hashes", 2)(a =>

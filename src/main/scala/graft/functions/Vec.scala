@@ -61,16 +61,30 @@ object Vec {
     h
   }
 
-  /** Seeded Gaussian hyperplanes, cached per (seed, bits, dim) — one
-    * generation per executor JVM, deterministic across executors/replays
-    * (scala.util.Random's Gaussian stream is fixed for a given seed). */
+  /** Seeded Rademacher (±1) hyperplanes, cached per (seed, bits, dim) —
+    * one generation per executor JVM. Entry (i, j) is the POPCOUNT
+    * PARITY of the portable hash of "seed:i:j" mapped to ±1, so the
+    * whole plane matrix — and therefore every sketch bit — is
+    * reproducible by any engine (the DuckDB oracles rebuild it as
+    * bit_count(hash) & 1). Parity over ALL bits, not one bit: the
+    * pair-fold is linear in the character codes, so any single output
+    * bit is strongly correlated across the related "seed:i:j" strings
+    * (measured row-correlation std 0.85 vs the 0.125 an i.i.d. matrix
+    * gives — recall collapsed to 0.36); popcount parity mixes the full
+    * word and restores i.i.d.-grade correlations (0.138) and recall
+    * (0.96 vs 0.98 Gaussian on the driver corpus, TrainingOpsSpec
+    * gates ≥ 0.8). Sign-LSH with ±1 projections is the Achlioptas-style
+    * database-friendly variant of the Gaussian family. */
   private val planeCache =
     new ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]()
 
   def planes(seed: Long, bits: Int, dim: Int): Array[Array[Double]] =
     planeCache.computeIfAbsent((seed, bits, dim), { key =>
-      val rng = new scala.util.Random(key._1)
-      Array.fill(key._2)(Array.fill(key._3)(rng.nextGaussian()))
+      Array.tabulate(key._2)(i => Array.tabulate(key._3) { j =>
+        val h = portableHash(org.apache.spark.unsafe.types.UTF8String
+          .fromString(s"${key._1}:$i:$j"))
+        if ((java.lang.Long.bitCount(h) & 1) != 0) 1.0 else -1.0
+      })
     })
 
   /** bits-wide sign sketch of a unit vector: bit i of the packed words is
@@ -360,6 +374,11 @@ object Vec {
     * column — the SimHash input stage. */
   def token_hashes(c: Column): Column = columnOf(TokenHashes(exprOf(c)))
 
+  /** Portable pair-hash (bigint) of a string column — the cross-engine
+    * stand-in for xxhash64 wherever a deterministic scatter/rank needs a
+    * DuckDB-recomputable value. */
+  def portable_hash64(c: Column): Column = columnOf(PortableHash64(exprOf(c)))
+
   /** 60-bit SimHash (bigint) of an array<bigint> of token hashes. */
   def simhash64(c: Column): Column = columnOf(SimHash64(exprOf(c)))
 
@@ -459,6 +478,17 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.Vec.winnowFingerprints($c, $k, $w);")
   override protected def withNewChildInternal(c: Expression): WinnowFps =
+    copy(child = c)
+}
+
+case class PortableHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    Vec.portableHash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Vec.portableHash($c);")
+  override protected def withNewChildInternal(c: Expression): PortableHash64 =
     copy(child = c)
 }
 

@@ -304,22 +304,26 @@ object DedupOps {
     * expression (must be a plain column/lambda var — it is re-evaluated
     * per char). */
   private[operators] def pHashSql(e: String): String =
+    // lambda vars are deliberately obscure (pj/pa/px): this fragment is
+    // composed INSIDE callers' lambdas (e.g. the Rademacher plane
+    // builder's `j`), where a plain `j` would silently shadow the outer
+    // variable and hash the wrong string
     s"CASE WHEN len($e) = 0 THEN 0 ELSE " +
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(generate_series(1, len($e)), " +
-      s"j -> CAST(ascii($e[j]) AS BIGINT))), " +
-      s"(a, x) -> (a * $HashB1 + x) % $HashP1) * ${1L << HashPairShift} + " +
+      s"pj -> CAST(ascii(($e)[pj]) AS BIGINT))), " +
+      s"(pa, px) -> (pa * $HashB1 + px) % $HashP1) * ${1L << HashPairShift} + " +
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(generate_series(1, len($e)), " +
-      s"j -> CAST(ascii($e[j]) AS BIGINT))), " +
-      s"(a, x) -> (a * $HashB2 + x) % $HashP2) END"
+      s"pj -> CAST(ascii(($e)[pj]) AS BIGINT))), " +
+      s"(pa, px) -> (pa * $HashB2 + px) % $HashP2) END"
 
   /** DuckDB mirror of the pair-fold over a BIGINT list expression. */
   private[operators] def foldLongsSql(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $e), " +
-      s"(a, x) -> (a * $HashB1 + x) % $HashP1) * ${1L << HashPairShift} + " +
+      s"(fa, fx) -> (fa * $HashB1 + fx) % $HashP1) * ${1L << HashPairShift} + " +
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), $e), " +
-      s"(a, x) -> (a * $HashB2 + x) % $HashP2)"
+      s"(fa, fx) -> (fa * $HashB2 + fx) % $HashP2)"
 
   /** Signature CTE chain over `src(doc_id, text)`, names prefixed with
     * `p`: tokens → token hashes → distinct shingle hashes → MinHash

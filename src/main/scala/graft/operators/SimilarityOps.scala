@@ -151,14 +151,21 @@ object SimilarityOps {
       .withColumn("cos", cosine)
       .withColumn("rank", row_number().over(byCos))
       .filter(col("rank") <= K)
+      // floor(cos·10⁴): one double multiply + floor — exact cross-engine
+      // (a decimal ROUNDING of the double would ride on each engine's
+      // convention; floor does not)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), round(col("cos"), 3).as("cos"))
+        col("rank"), floor(col("cos") * 10000).cast("long").as("cos_bp"))
   }
 
   /** Sketch-LSH approximate top-k: hamming scan over the 256-bit sketches,
-    * exact rescore of the top [[RescoreBudget]] candidates. Rows-only gate
-    * (approximate by design); TrainingOpsSpec asserts recall ≥ 0.8 vs
-    * [[bruteForce]] at sf0.01 and persisted-index equivalence. */
+    * exact rescore of the top [[RescoreBudget]] candidates. FULLY
+    * hash-oracled since round 9: the Rademacher planes derive from the
+    * portable hash, the unit norm / projection / cosine folds are all
+    * fixed-order double arithmetic, so DuckDB recomputes sketch bits,
+    * hamming ranks, the rescore and the final ranking bit-for-bit.
+    * TrainingOpsSpec additionally asserts recall ≥ 0.8 vs [[bruteForce]]
+    * at sf0.01 and persisted-index equivalence. */
   val lshTopK: GraftQuery = GraftQuery(
     "ann_topk_lsh",
     (s, dir) =>
@@ -166,11 +173,81 @@ object SimilarityOps {
       // lineage keeps AQE from re-canonicalizing the self-join plan per
       // query stage (see graft-build-notes).
       sketchSearch(buildSketchIndex(emb(s, dir)).localCheckpoint()),
-    None)
+    Some(lshOracleSql))
 
   // ---------------------------------------------------------------------
   // IVF (inverted-file) index — the clustered-data scale path
   // ---------------------------------------------------------------------
+
+  // ---------------------------------------------------------------------
+  // Oracle SQL for the sketch search: DuckDB recomputes unit vectors
+  // (fixed-order norm fold), the Rademacher plane matrix (popcount
+  // parity of the portable hash of "seed:i:j" — see Vec.planes), the
+  // per-vector sketch bits, the hamming candidate ranking, and the
+  // exact-cosine rescore, all with the same left-to-right double folds
+  // the codegen'd kernels use, so every intermediate is bit-identical.
+  // ---------------------------------------------------------------------
+
+  /** CTE chain: u (unit vectors) / pl (plane matrix) / sk (sketch bits)
+    * / surv (hamming top-budget) / lsh (rescored top-k). */
+  private def sketchCtesSql: String = {
+    val planeHash = DedupOps.pHashSql(
+      s"('$SketchSeed:' || CAST(i.i AS VARCHAR) || ':' || " +
+        "CAST(j - 1 AS VARCHAR))")
+    s"""u AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(embedding,
+       |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+       |        (a, b) -> a + b))) AS unit
+       |  FROM embeddings
+       |  WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
+       |pl AS (
+       |  SELECT list(srow ORDER BY i) AS mat FROM (
+       |    SELECT i.i, list_transform(
+       |      generate_series(1, (SELECT max(len(embedding)) FROM embeddings)),
+       |      j -> CASE WHEN bit_count($planeHash) & 1 = 1
+       |           THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS srow
+       |    FROM (SELECT unnest(generate_series(0, ${SketchBits - 1})) AS i) i)),
+       |sk AS (
+       |  SELECT vec_id, list_transform(generate_series(1, $SketchBits), bi ->
+       |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(generate_series(1, len(unit)),
+       |          j -> unit[j] * mat[bi][j])),
+       |      (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END) AS bits
+       |  FROM u CROSS JOIN pl),
+       |surv AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id AS query_id, n.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_sum(list_transform(generate_series(1, $SketchBits), i ->
+       |          CASE WHEN q.bits[i] <> n.bits[i] THEN 1 ELSE 0 END)),
+       |        n.vec_id) AS cand_rank
+       |    FROM sk q JOIN sk n ON n.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $NumQueries)
+       |  WHERE cand_rank <= $RescoreBudget),
+       |lsh AS (
+       |  SELECT query_id, vec_id AS neighbor_id, rank,
+       |    CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
+       |  FROM (
+       |    SELECT s.query_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.query_id
+       |        ORDER BY cos DESC, s.vec_id) AS rank, cos
+       |    FROM (
+       |      SELECT s.query_id, s.vec_id,
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(generate_series(1, len(uq.unit)),
+       |            j -> uq.unit[j] * un.unit[j])), (a, b) -> a + b) AS cos
+       |      FROM surv s
+       |      JOIN u uq ON uq.vec_id = s.query_id
+       |      JOIN u un ON un.vec_id = s.vec_id) s)
+       |  WHERE rank <= $K)""".stripMargin
+  }
+
+  private def lshOracleSql: String =
+    s"""WITH $sketchCtesSql
+       |SELECT query_id, neighbor_id, rank, cos_bp FROM lsh""".stripMargin
 
   /** IVF cell count. Real deployments size this ~sqrt(corpus); 16 keeps
     * the driver corpus's cells populated. */
@@ -330,9 +407,10 @@ object SimilarityOps {
     * NumQueries·K rows — negligible. IVF is deliberately absent: on
     * this isotropic corpus its recall is the misleading ~nprobe/cells
     * number (see [[IvfProbes]]) — its gate lives in TrainingOpsSpec on
-    * a clustered corpus, where the index belongs. Rows-only gate (the
-    * metric rides on the approximate engine, and the engine on
-    * xxhash-seeded hyperplanes); TrainingOpsSpec bounds the values. */
+    * a clustered corpus, where the index belongs. Hash-oracled since
+    * round 9: the sketch engine is portable, so DuckDB recomputes BOTH
+    * searches and the recall arithmetic; TrainingOpsSpec additionally
+    * bounds the values. */
   val recallReport: GraftQuery = GraftQuery(
     "ann_recall_report",
     (s, dir) => {
@@ -358,7 +436,29 @@ object SimilarityOps {
           .select(lit("all").as("query"),
             expr("hits * 10000 div n").as("recall_bp")))
     },
-    None)
+    Some(
+      s"""WITH $sketchCtesSql,
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.embedding, n.embedding)
+         |          DESC, n.vec_id) AS rank
+         |    FROM embeddings q, embeddings n
+         |    WHERE q.vec_id < $NumQueries AND n.vec_id <> q.vec_id) sub
+         |  WHERE rank <= $K),
+         |perq AS (
+         |  SELECT b.query_id, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN l.neighbor_id IS NULL THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS hits
+         |  FROM brute b LEFT JOIN lsh l
+         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |  GROUP BY 1)
+         |SELECT CAST(query_id AS VARCHAR) AS query,
+         |  hits * 10000 // n AS recall_bp FROM perq
+         |UNION ALL
+         |SELECT 'all',
+         |  CAST(sum(hits) * 10000 // sum(n) AS BIGINT) FROM perq""".stripMargin))
 
   /** Vectors kept per IVF cell by [[diverseSample]]. */
   val DiversePerCell = 10
@@ -371,13 +471,16 @@ object SimilarityOps {
     * any (vec_id, cell) partition of the space: a persisted IVF
     * index's cells ([[buildIvfIndex]]) when one exists, or the
     * scan-speed sign-bucket partition the driver query uses. The
-    * sample itself is one window shuffle keyed by cell. Rows-only
-    * gate (cells are engine-specific); TrainingOpsSpec pins the
-    * quota, rank shape, and determinism. */
+    * sample itself is one window shuffle keyed by cell; the in-cell
+    * rank hash is the portable pair-hash of the id, so any engine
+    * reproduces the draw (hash-oracled since round 9; TrainingOpsSpec
+    * pins the quota, rank shape, and determinism). */
   def diverseSample(cells: DataFrame,
       perCell: Int = DiversePerCell): DataFrame = {
     val byHash = Window.partitionBy(col("cell"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .orderBy(graft.functions.Vec
+          .portable_hash64(col("vec_id").cast("string")),
+        col("vec_id"))
     cells
       .withColumn("rnk", row_number().over(byHash))
       .filter(col("rnk") <= perCell)
@@ -393,7 +496,23 @@ object SimilarityOps {
       diverseSample(graft.operators.DedupOps
         .normalizedWithBucket(emb(s, dir), bits = 6)
         .select(col("vec_id"), col("bucket").as("cell"))),
-    None)
+    Some(
+      s"""WITH nz AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
+         |cells AS (
+         |  SELECT vec_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(generate_series(1, 6), i ->
+         |      CASE WHEN embedding[i] >= 0 THEN CAST(1 AS BIGINT)
+         |           ELSE 0 END)),
+         |    (a, x) -> a * 2 + x) AS cell
+         |  FROM nz)
+         |SELECT vec_id, cell, rnk FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+         |    ORDER BY ${DedupOps.pHashSql("CAST(vec_id AS VARCHAR)")},
+         |      vec_id) AS rnk
+         |  FROM cells)
+         |WHERE rnk <= $DiversePerCell""".stripMargin))
 
   val all: Seq[GraftQuery] =
     Seq(bruteForce, lshTopK, ivfTopK, recallReport, diverse)

@@ -87,9 +87,18 @@ class VecSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p1 = Vec.planes(42L, 256, 64)
     val p2 = Vec.planes(42L, 256, 64)
     assert(p1 eq p2) // cached
-    val rng = new scala.util.Random(42L)
-    val firstPlane = Array.fill(64)(rng.nextGaussian())
+    // independent recompute of the portable Rademacher derivation:
+    // entry (i, j) = popcount parity of the pair-hash of "seed:i:j"
+    val firstPlane = Array.tabulate(64) { j =>
+      val h = Vec.portableHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"42:0:$j"))
+      if ((java.lang.Long.bitCount(h) & 1) != 0) 1.0 else -1.0
+    }
     assert(p1(0).sameElements(firstPlane))
+    // ±1 entries, balanced within binomial noise across the matrix
+    assert(p1.flatten.forall(x => x == 1.0 || x == -1.0))
+    val plus = p1.flatten.count(_ == 1.0)
+    assert(math.abs(plus - 8192) < 500, s"biased plane matrix: $plus/+16384")
   }
 
   // ---- winnowing fingerprints ----
