@@ -389,9 +389,9 @@ object TextOps {
     *
     * Both paths compute the identical merge table (TrainingOpsSpec pins
     * them against each other and against a sequential reference).
-    * Returns (round, left, right, freq) in learned order. Rows-only
-    * driver gate: a K-round fold isn't expressible as one DuckDB
-    * statement. */
+    * Returns (round, left, right, freq) in learned order. Hash-oracled
+    * since round 9: the K-round loop IS expressible in DuckDB by
+    * unrolling it into K materialized CTE pairs ([[bpeChainSql]]). */
   def learnBpeMerges(d: DataFrame, rounds: Int,
       localVocabMax: Long = 100000L): Seq[(Int, String, String, Long)] = {
     val vocab0 = d
@@ -476,6 +476,47 @@ object TextOps {
 
   val BpeRounds = 12
 
+  /** The K-round BPE training loop unrolled as a DuckDB CTE chain — the
+    * oracle for [[bpeMerges]] and [[tokenizeBpeQuery]]. Each round is two
+    * MATERIALIZED CTEs (plain CTEs are inlined per reference, which
+    * re-evaluates the whole prefix chain exponentially — measured 192 s
+    * vs 0.4 s): m_k picks the (freq desc, l, r) argmax pair over the
+    * round's vocabulary, v_k rewrites every word by the same greedy
+    * left-to-right fold [[mergeFoldExpr]] uses (list-of-lists
+    * accumulator). v_k LEFT JOINs its merge row so an exhausted round
+    * (no pairs left) carries the vocabulary through unchanged, exactly
+    * like the trainer's early exit. The final v_K doubles as the learned
+    * tokenization of every distinct word, which is what the tokenize
+    * oracle joins against. */
+  private def bpeChainSql(rounds: Int): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += """v0 AS MATERIALIZED (
+      |  SELECT word, regexp_split_to_array(word, '') AS syms, cnt FROM (
+      |    SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |      SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+      |      FROM documents) WHERE word <> '' GROUP BY 1))""".stripMargin
+    (1 to rounds).foreach { r =>
+      ctes += s"""m$r AS MATERIALIZED (
+        |  SELECT $r AS round, l AS left_sym, r AS right_sym,
+        |    CAST(freq AS BIGINT) AS freq
+        |  FROM (
+        |    SELECT p.l AS l, p.r AS r, sum(cnt) AS freq FROM (
+        |      SELECT unnest(list_transform(generate_series(1, len(syms)-1),
+        |        i -> struct_pack(l := syms[i], r := syms[i+1]))) AS p, cnt
+        |      FROM v${r - 1} WHERE len(syms) >= 2)
+        |    GROUP BY 1, 2 ORDER BY freq DESC, l, r LIMIT 1))""".stripMargin
+      ctes += s"""v$r AS MATERIALIZED (
+        |  SELECT v.word, CASE WHEN len(v.syms) < 2 OR m.left_sym IS NULL
+        |    THEN v.syms ELSE
+        |    list_reduce(list_transform(v.syms, s -> [s]),
+        |      (acc, x) -> CASE WHEN acc[-1] = m.left_sym AND x[1] = m.right_sym
+        |        THEN acc[1:len(acc)-1] || [m.left_sym || m.right_sym]
+        |        ELSE acc || x END) END AS syms, v.cnt
+        |  FROM v${r - 1} v LEFT JOIN m$r m ON TRUE)""".stripMargin
+    }
+    ctes.result().mkString(",\n")
+  }
+
   val bpeMerges: GraftQuery = GraftQuery(
     "text_bpe_merges",
     (s, dir) => {
@@ -483,7 +524,11 @@ object TextOps {
       learnBpeMerges(t(s, dir, "documents"), BpeRounds)
         .toDF("round", "left_sym", "right_sym", "freq")
     },
-    None)
+    Some(
+      s"""WITH ${bpeChainSql(BpeRounds)}
+         |SELECT round, left_sym, right_sym, freq FROM (
+         |  ${(1 to BpeRounds).map(r => s"SELECT * FROM m$r")
+              .mkString(" UNION ALL ")})""".stripMargin))
 
   /** UTF-8 byte order — Spark's UTF8String binary comparison, used so
     * the local trainer tie-breaks exactly like the distributed one. */
@@ -550,8 +595,9 @@ object TextOps {
     * shuffle at all. A chain of SQL `aggregate()` folds could express
     * the same thing, but Spark's higher-order array functions are
     * interpreted (CodegenFallback), so the deliberate `mapPartitions`
-    * here is the faster form, not a shortcut. Rows-only gate (inherits
-    * the merge table's); TrainingOpsSpec pins counts against the
+    * here is the faster form, not a shortcut. Hash-oracled since round
+    * 9 (the unrolled training chain's final vocabulary doubles as the
+    * word→token-count table); TrainingOpsSpec pins counts against the
     * sequential kernel. */
   def tokenizeBpe(d: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
@@ -582,7 +628,21 @@ object TextOps {
       val merges = learnBpeMerges(d, BpeRounds).map(m => (m._2, m._3))
       tokenizeBpe(d, merges)
     },
-    None)
+    Some(
+      s"""WITH ${bpeChainSql(BpeRounds)},
+         |words AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS word
+         |  FROM documents),
+         |perdoc AS (
+         |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS word_cnt,
+         |    CAST(sum(len(v.syms)) AS BIGINT) AS bpe_token_cnt
+         |  FROM words w JOIN v$BpeRounds v ON v.word = w.word
+         |  GROUP BY 1)
+         |SELECT d.doc_id AS doc_id, coalesce(p.word_cnt, 0) AS word_cnt,
+         |  coalesce(p.bpe_token_cnt, 0) AS bpe_token_cnt
+         |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id"""
+        .stripMargin))
 
   val all: Seq[GraftQuery] =
     Seq(textStats, qualityScore, tokenCount, fingerprint,
