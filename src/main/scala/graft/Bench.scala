@@ -106,7 +106,8 @@ object Bench {
     val errs =
       if (errList.isEmpty) ""
       else errList.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    val total = fmt(results.map(_._2).filter(_ >= 0).sum)
+    val totalRaw = results.map(_._2).filter(_ >= 0).sum
+    val total = fmt(totalRaw)
     val sfName = sfDir.split('/').last
     // Sentinel summary (milliseconds): min ≈ the box's attainable speed
     // for the fixed op (comparable ACROSS rounds — the op never changes),
@@ -126,8 +127,7 @@ object Bench {
     // load ratio — "what this run would have clocked on the idle box" —
     // so a polluted run is comparable across rounds without a judge
     // re-deriving it from the sentinel samples.
-    val totalNorm =
-      fmt(results.map(_._2).filter(_ >= 0).sum / math.max(loadRatioD, 1.0))
+    val totalNorm = fmt(totalRaw / math.max(loadRatioD, 1.0))
 
     def render(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }

@@ -383,23 +383,23 @@ object DedupOps {
       s"/ len(list_distinct($aSh || $bSh)) >= " +
       java.lang.Double.toString(threshold)
 
-  /** The [[withNearDups]] corpus as oracle SQL (DuckDB's index lambda is
-    * 1-based, hence (i-1) where Spark's `transform` index is 0-based). */
-  private[operators] val NearDupsSrcSql: String =
-    """SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000,
-      |    array_to_string(list_transform(regexp_split_to_array(text, '\s+'),
-      |      (x, i) -> CASE WHEN (i-1) % 23 = 0 THEN 'xdupx' ELSE x END), ' ')
-      |  FROM documents WHERE doc_id < 25""".stripMargin
-
-  /** The [[perturbedCopies]] batch as oracle SQL. */
+  /** The [[perturbedCopies]] batch as oracle SQL (DuckDB's index lambda
+    * is 1-based, hence (i-1) where Spark's `transform` index is
+    * 0-based). */
   private[operators] val PerturbedSrcSql: String =
     """SELECT doc_id + 1000000 AS doc_id,
       |    array_to_string(list_transform(regexp_split_to_array(text, '\s+'),
       |      (x, i) -> CASE WHEN (i-1) % 23 = 0 THEN 'xdupx' ELSE x END), ' ')
       |      AS text
       |  FROM documents WHERE doc_id < 25""".stripMargin
+
+  /** The [[withNearDups]] corpus as oracle SQL — composed from
+    * [[PerturbedSrcSql]] so the perturbation can never drift between the
+    * batch and incremental oracles. */
+  private[operators] val NearDupsSrcSql: String =
+    s"""SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  $PerturbedSrcSql""".stripMargin
 
   /** (doc_id, band, band_key) — one row per band. The band key is the
     * portable fold (acc·131 + slot) mod p1 over the band's slots (slots

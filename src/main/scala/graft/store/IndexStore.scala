@@ -52,6 +52,37 @@ object IndexStore {
 
   val Kinds = Seq("band", "span", "sketch", "ivf")
 
+  /** Hash/projection family version stamped into the store manifest by
+    * every index commit. The round-9 migration changed the signature
+    * hashes (xxhash64 → portable pair-fold) and the sketch planes
+    * (Gaussian → portable Rademacher): index rows written under one
+    * family are SILENTLY incompatible with probes computed under another
+    * — a band probe joins nothing and reports "no duplicates", a sketch
+    * probe ranks hamming against noise. The stamp turns that silent
+    * wrong answer into a loud rebuild instruction. */
+  val HashFormat = "portable-v1"
+  private val FormatKey = "index_hash_format"
+
+  /** Commit meta every index writer must include (commit itself applies
+    * the store's key prefix) — public so callers that commit staged
+    * index rows themselves ([[graft.streaming.StreamingCuration]]'s
+    * atomic docs+index snapshot) stamp the same version. */
+  val formatMeta: Map[String, String] = Map(FormatKey -> HashFormat)
+
+  /** Reject an at-rest index written under a different (or unstamped —
+    * pre-versioning) hash family before any probe runs against it. */
+  private def checkFormat(store: GraftStore): Unit =
+    store.currentMeta().get(store.metaKey(FormatKey)) match {
+      case Some(HashFormat) => ()
+      case Some(other) => sys.error(
+        s"index at ${store.root} was written under hash format '$other'; " +
+          s"this engine computes '$HashFormat' — probes would silently " +
+          "match nothing. Re-run `index build` (and re-append batches).")
+      case None => sys.error(
+        s"index at ${store.root} predates hash-format stamping (engine " +
+          s"family '$HashFormat') — rebuild it with `index build`.")
+    }
+
   /** Companion model table for the `ivf` kind: the k centroids. Committed
     * in the SAME snapshot swap as the cells, so the model and the data it
     * partitioned can never drift apart. */
@@ -121,7 +152,8 @@ object IndexStore {
           sortOf(kind))
     store.commit(adds, drops =
       store.leavesOf(tableOf(kind)) ++ store.leavesOf(IvfCentroidsTable)
-        .filter(_ => kind == "ivf"))
+        .filter(_ => kind == "ivf"),
+      meta = formatMeta)
     adds.size.toLong
   }
 
@@ -162,6 +194,7 @@ object IndexStore {
       val old = store.leavesOf(table) // the ONE snapshot resolution
       require(old.nonEmpty,
         s"no '$table' leaves in store ${store.root} — run `index build` first")
+      checkFormat(store)
       val live = store.readLeaves(spark, table, old)
       val rows = (kind match {
         case "band" =>
@@ -175,7 +208,7 @@ object IndexStore {
       val dropped = live.count() - rows.count()
       val adds = store.stageKeyed(table, rows, bucketOf(kind), sortOf(kind))
       try {
-        store.commit(adds, drops = old)
+        store.commit(adds, drops = old, meta = formatMeta)
         return (dropped, adds.size.toLong)
       } catch {
         case _: GraftStore.StaleSnapshotException if attempt < maxAttempts =>
@@ -193,6 +226,9 @@ object IndexStore {
     * cell; re-[[build]] periodically to re-train). Returns leaves
     * added. */
   def append(store: GraftStore, kind: String, input: DataFrame): Long = {
+    // appending to EXISTING leaves must not mix hash families; an
+    // append into an empty table acts as the first build and stamps
+    if (store.leavesOf(tableOf(kind)).nonEmpty) checkFormat(store)
     val rows =
       if (kind == "ivf")
         SimilarityOps.ivfAssign(SimilarityOps.unitVectors(input),
@@ -201,7 +237,7 @@ object IndexStore {
       else rowsFor(kind, input)
     val adds = store.stageKeyed(tableOf(kind), rows, bucketOf(kind),
       sortOf(kind))
-    store.commit(adds)
+    store.commit(adds, meta = formatMeta)
     adds.size.toLong
   }
 
@@ -217,6 +253,7 @@ object IndexStore {
     val all = store.leavesOf(table)
     require(all.nonEmpty,
       s"no '$table' leaves in store ${store.root} — run `index build` first")
+    checkFormat(store)
     val hit = all.filter(l => bucketPred(l.bucket))
     // a probe batch can miss every live bucket — keep the schema, read
     // nothing (limit(0) prunes the scan to zero files at planning)

@@ -104,7 +104,8 @@ object StreamingCuration {
       pmod(xxhash64(col("doc_id")), lit(IndexStore.Buckets.toLong)),
       Seq(col("doc_id"))) ++
       IndexStore.stageRows(store, "band", newRows)
-    if (adds.nonEmpty) store.commit(adds)
+    if (adds.nonEmpty)
+      store.commit(adds, meta = IndexStore.formatMeta)
   }
 
   /** The full streaming curate pipeline — the reference's

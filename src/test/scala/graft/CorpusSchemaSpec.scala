@@ -14,29 +14,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * time). This spec exists so the NEXT silent drift fails here, loudly,
   * naming the drifted column — instead of as a pile of opaque query errors.
   */
-class CorpusSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
+class CorpusSchemaSpec extends AnyFunSuite with BeforeAndAfterAll with TempDirCleanup {
 
   private val dir = "/root/testdata/sf0.001"
 
   lazy val spark: SparkSession =
     GraftSession.builder("local[4]", 4).getOrCreate()
 
-  override def afterAll(): Unit = { spark.stop(); deleteTempDirs() }
-  // temp parquet dirs created by the tests below — deleted once in
-  // afterAll so repeated sweep runs don't leak disk
-  private val tmpDirs =
-    scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-  private def tempDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    tmpDirs.synchronized { tmpDirs += p }
-    p.toString
-  }
-  private def deleteTempDirs(): Unit = tmpDirs.foreach { p =>
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-  }
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 
 
   private def fieldType(table: String, column: String): DataType =

@@ -44,6 +44,36 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!hits.exists(_._1 == 701L))
   }
 
+  test("an index written under a different hash family is rejected loudly") {
+    import spark.implicits._
+    // Simulate a legacy (pre-round-9) index: band rows committed WITHOUT
+    // the hash-format stamp. Probing it with the current engine would
+    // silently match nothing (incompatible band keys) — the guard must
+    // turn that into an error naming the rebuild.
+    val root = Files.createTempDirectory("graft-idx-fmt").toString
+    val legacy = new GraftStore(root)
+    legacy.commit(IndexStore.stageRows(legacy, "band",
+      graft.operators.DedupOps.buildBandIndex(
+        (0L until 10L).map(doc(_, "f")).toDF("doc_id", "text"))))
+    val probe = Seq(doc(3L, "f")).toDF("doc_id", "text")
+    val e = intercept[RuntimeException] {
+      IndexStore.search(new GraftStore(root), spark, "band", probe).collect()
+    }
+    assert(e.getMessage.contains("hash-format"), e.getMessage)
+    // append into the unstamped index is rejected the same way
+    val e2 = intercept[RuntimeException] {
+      IndexStore.append(new GraftStore(root), "band",
+        Seq(doc(90L, "f")).toDF("doc_id", "text"))
+    }
+    assert(e2.getMessage.contains("hash-format"), e2.getMessage)
+    // a rebuild stamps the format and everything works again
+    IndexStore.build(new GraftStore(root), "band",
+      (0L until 10L).map(doc(_, "f")).toDF("doc_id", "text"))
+    val hits = IndexStore.search(new GraftStore(root), spark, "band", probe)
+      .select("new_id", "existing_id").collect()
+    assert(hits.nonEmpty)
+  }
+
   test("live concurrent appends from separate instances both land, and " +
       "the at-rest probe sees every batch") {
     import spark.implicits._
