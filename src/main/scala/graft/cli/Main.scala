@@ -368,15 +368,17 @@ object Main {
             // leaves, and list candidates by the LOGICAL name --table
             // actually takes (tablesPrefix stripped)
             opt(args, "table").foreach { t =>
-              val ever = store.snapshots().flatMap(store.leavesAt)
-                .map(_.table).toSet
-              if (!ever.contains(store.physName(t))) {
-                val pfx = store.tablesPrefix
-                val logical = ever.toSeq.map { n =>
-                  if (pfx.nonEmpty && n.startsWith(pfx + "_"))
-                    n.drop(pfx.length + 1)
-                  else n
-                }.sorted
+              // newest-first with short-circuit: the common case (a real
+              // table) usually hits in the latest manifest, so a
+              // long-lived store doesn't parse thousands of snapshots
+              // for a typo check. Only the (rare) error path reads them
+              // all, to list every candidate name.
+              val phys = store.physName(t)
+              val known = store.snapshots().reverseIterator
+                .exists(s => store.leavesAt(s).exists(_.table == phys))
+              if (!known) {
+                val logical = store.snapshots().flatMap(store.leavesAt)
+                  .map(l => store.logicalName(l.table)).distinct.sorted
                 sys.error(s"unknown table '$t' (store has: " +
                   s"${logical.mkString(", ")})")
               }

@@ -100,11 +100,18 @@ object MultimodalOps {
     c
   }
 
-  /** Decode an image payload to its pixel matrix (PNG is lossless, so
-    * this is exact). ImageIO's disk cache is disabled — executor decode
-    * must never touch local temp files. */
-  private[graft] def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+  /** One-time JVM-global codec setup (per executor JVM, not per row):
+    * ImageIO's disk cache is disabled — executor decode must never touch
+    * local temp files. */
+  private lazy val imageioReady: Boolean = {
     javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
+
+  /** Decode an image payload to its pixel matrix (PNG is lossless, so
+    * this is exact). */
+  private[graft] def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    require(imageioReady)
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
     require(img != null, "undecodable image payload")
@@ -154,6 +161,12 @@ object MultimodalOps {
 
   val NumAssets = 64
 
+  /** The driver-side oracle corpus, generated once — since the codecs
+    * became real, container generation is real work, and three VALUES
+    * oracles below would otherwise each regenerate all [[NumAssets]]
+    * payloads at enumeration time. */
+  private lazy val oracleAssets: Seq[Asset] = assets(NumAssets)
+
   /** Feature-extraction pipeline: binary corpus → repartition by kind
     * (codec affinity: one codec per partition at scale) → per-partition
     * batch decode → typed features. */
@@ -171,7 +184,7 @@ object MultimodalOps {
     "multimodal_features",
     (s, _) => extractFeatures(s, NumAssets),
     Some {
-      val rows = assets(NumAssets).map(decode).map(f =>
+      val rows = oracleAssets.map(decode).map(f =>
         s"(${f.asset_id}, '${f.kind}', ${f.byte_len}, ${f.checksum}, ${f.feat_dim})")
       "SELECT CAST(asset_id AS BIGINT) AS asset_id, kind, " +
         "CAST(byte_len AS INTEGER) AS byte_len, " +
@@ -219,7 +232,7 @@ object MultimodalOps {
     "multimodal_frames",
     (s, _) => sampleFrames(s, NumAssets),
     Some {
-      val rows = assets(NumAssets).filter(_.kind == "audio")
+      val rows = oracleAssets.filter(_.kind == "audio")
         .flatMap(payloadFrames)
         .map(f =>
           s"(${f.asset_id}, ${f.frame_idx}, ${f.frame_len}, ${f.frame_checksum})")
@@ -286,7 +299,7 @@ object MultimodalOps {
     "multimodal_resize",
     (s, _) => resizeImages(s, NumAssets),
     Some {
-      val rows = assets(NumAssets).filter(_.kind == "image")
+      val rows = oracleAssets.filter(_.kind == "image")
         .map(resizeImage(_, TargetW, TargetH))
         .map(r =>
           s"(${r.asset_id}, ${r.width}, ${r.height}, ${r.byte_len}, ${r.checksum})")

@@ -91,12 +91,21 @@ object SimilarityOps {
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
     },
     Some(
-      s"""SELECT query_id, neighbor_id, rank FROM (
+      // nzb mirrors the engine's unit() null-filter: a zero-norm vector
+      // has no direction, is dropped as query AND neighbor (DuckDB's
+      // cosine would yield NaN, which sorts as greatest — a zero vector
+      // would otherwise top every neighbor list the engine excludes it
+      // from)
+      s"""WITH nzb AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE list_sum(list_transform(embedding,
+         |    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0)
+         |SELECT query_id, neighbor_id, rank FROM (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          |    row_number() OVER (PARTITION BY q.vec_id
          |      ORDER BY list_cosine_similarity(q.embedding, n.embedding)
          |        DESC, n.vec_id) AS rank
-         |  FROM embeddings q, embeddings n
+         |  FROM nzb q, nzb n
          |  WHERE q.vec_id < $NumQueries AND n.vec_id <> q.vec_id) sub
          |WHERE rank <= $K""".stripMargin))
 
@@ -443,13 +452,18 @@ object SimilarityOps {
     },
     Some(
       s"""WITH $sketchCtesSql,
+         |nzb AS (
+         |  -- mirrors the engine's unit() null-filter; see ann_topk_brute
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE list_sum(list_transform(embedding,
+         |    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0),
          |brute AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          |      row_number() OVER (PARTITION BY q.vec_id
          |        ORDER BY list_cosine_similarity(q.embedding, n.embedding)
          |          DESC, n.vec_id) AS rank
-         |    FROM embeddings q, embeddings n
+         |    FROM nzb q, nzb n
          |    WHERE q.vec_id < $NumQueries AND n.vec_id <> q.vec_id) sub
          |  WHERE rank <= $K),
          |perq AS (

@@ -42,6 +42,15 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
   def physName(table: String): String =
     if (tablesPrefix.isEmpty) table else s"${tablesPrefix}_$table"
 
+  /** Inverse of [[physName]] for display: the logical name a user would
+    * type (manifest names outside this instance's namespace pass
+    * through unchanged). Lives here so the `prefix_name` convention has
+    * exactly one home. */
+  def logicalName(phys: String): String =
+    if (tablesPrefix.nonEmpty && phys.startsWith(tablesPrefix + "_"))
+      phys.drop(tablesPrefix.length + 1)
+    else phys
+
   /** Live leaves of one logical table (this instance's namespace). */
   def leavesOf(table: String): Seq[Leaf] =
     currentLeaves().filter(_.table == physName(table))

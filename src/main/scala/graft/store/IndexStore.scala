@@ -59,28 +59,40 @@ object IndexStore {
     * family are SILENTLY incompatible with probes computed under another
     * — a band probe joins nothing and reports "no duplicates", a sketch
     * probe ranks hamming against noise. The stamp turns that silent
-    * wrong answer into a loud rebuild instruction. */
+    * wrong answer into a loud rebuild instruction.
+    *
+    * The stamp is PER KIND: one store can hold several index kinds, and
+    * a `build("band", ...)` must not vouch for sketch/span/ivf rows it
+    * never touched (a store-wide stamp would launder a legacy store's
+    * other kinds through any one rebuild). */
   val HashFormat = "portable-v1"
-  private val FormatKey = "index_hash_format"
+  private def formatKey(kind: String): String = {
+    tableOf(kind) // validates the kind name
+    s"index_hash_format.$kind"
+  }
 
-  /** Commit meta every index writer must include (commit itself applies
-    * the store's key prefix) — public so callers that commit staged
-    * index rows themselves ([[graft.streaming.StreamingCuration]]'s
-    * atomic docs+index snapshot) stamp the same version. */
-  val formatMeta: Map[String, String] = Map(FormatKey -> HashFormat)
+  /** Commit meta every index writer of `kind` must include (commit
+    * itself applies the store's key prefix) — public so callers that
+    * commit staged index rows themselves
+    * ([[graft.streaming.StreamingCuration]]'s atomic docs+index
+    * snapshot) stamp the same version for the kind they stage. */
+  def formatMeta(kind: String): Map[String, String] =
+    Map(formatKey(kind) -> HashFormat)
 
-  /** Reject an at-rest index written under a different (or unstamped —
-    * pre-versioning) hash family before any probe runs against it. */
-  private def checkFormat(store: GraftStore): Unit =
-    store.currentMeta().get(store.metaKey(FormatKey)) match {
+  /** Reject an at-rest `kind` index written under a different (or
+    * unstamped — pre-versioning) hash family before any probe runs
+    * against it. */
+  private def checkFormat(store: GraftStore, kind: String): Unit =
+    store.currentMeta().get(store.metaKey(formatKey(kind))) match {
       case Some(HashFormat) => ()
       case Some(other) => sys.error(
-        s"index at ${store.root} was written under hash format '$other'; " +
-          s"this engine computes '$HashFormat' — probes would silently " +
-          "match nothing. Re-run `index build` (and re-append batches).")
+        s"'$kind' index at ${store.root} was written under hash format " +
+          s"'$other'; this engine computes '$HashFormat' — probes would " +
+          "silently match nothing. Re-run `index build` (and re-append " +
+          "batches).")
       case None => sys.error(
-        s"index at ${store.root} predates hash-format stamping (engine " +
-          s"family '$HashFormat') — rebuild it with `index build`.")
+        s"'$kind' index at ${store.root} predates hash-format stamping " +
+          s"(engine family '$HashFormat') — rebuild it with `index build`.")
     }
 
   /** Companion model table for the `ivf` kind: the k centroids. Committed
@@ -153,7 +165,7 @@ object IndexStore {
     store.commit(adds, drops =
       store.leavesOf(tableOf(kind)) ++ store.leavesOf(IvfCentroidsTable)
         .filter(_ => kind == "ivf"),
-      meta = formatMeta)
+      meta = formatMeta(kind))
     adds.size.toLong
   }
 
@@ -194,7 +206,7 @@ object IndexStore {
       val old = store.leavesOf(table) // the ONE snapshot resolution
       require(old.nonEmpty,
         s"no '$table' leaves in store ${store.root} — run `index build` first")
-      checkFormat(store)
+      checkFormat(store, kind)
       val live = store.readLeaves(spark, table, old)
       val rows = (kind match {
         case "band" =>
@@ -208,7 +220,7 @@ object IndexStore {
       val dropped = live.count() - rows.count()
       val adds = store.stageKeyed(table, rows, bucketOf(kind), sortOf(kind))
       try {
-        store.commit(adds, drops = old, meta = formatMeta)
+        store.commit(adds, drops = old, meta = formatMeta(kind))
         return (dropped, adds.size.toLong)
       } catch {
         case _: GraftStore.StaleSnapshotException if attempt < maxAttempts =>
@@ -228,7 +240,7 @@ object IndexStore {
   def append(store: GraftStore, kind: String, input: DataFrame): Long = {
     // appending to EXISTING leaves must not mix hash families; an
     // append into an empty table acts as the first build and stamps
-    if (store.leavesOf(tableOf(kind)).nonEmpty) checkFormat(store)
+    if (store.leavesOf(tableOf(kind)).nonEmpty) checkFormat(store, kind)
     val rows =
       if (kind == "ivf")
         SimilarityOps.ivfAssign(SimilarityOps.unitVectors(input),
@@ -237,23 +249,24 @@ object IndexStore {
       else rowsFor(kind, input)
     val adds = store.stageKeyed(tableOf(kind), rows, bucketOf(kind),
       sortOf(kind))
-    store.commit(adds, meta = formatMeta)
+    store.commit(adds, meta = formatMeta(kind))
     adds.size.toLong
   }
 
   /** The live index as a DataFrame (one manifest snapshot). */
   def read(store: GraftStore, spark: SparkSession, kind: String,
       bucketPred: Long => Boolean = _ => true): DataFrame =
-    readTable(store, spark,
-      if (kind == "ivf-centroids") IvfCentroidsTable else tableOf(kind),
-      bucketPred)
+    if (kind == "ivf-centroids")
+      // the model rides the `ivf` kind's stamp (committed together)
+      readTable(store, spark, "ivf", IvfCentroidsTable, bucketPred)
+    else readTable(store, spark, kind, tableOf(kind), bucketPred)
 
   private def readTable(store: GraftStore, spark: SparkSession,
-      table: String, bucketPred: Long => Boolean): DataFrame = {
+      kind: String, table: String, bucketPred: Long => Boolean): DataFrame = {
     val all = store.leavesOf(table)
     require(all.nonEmpty,
       s"no '$table' leaves in store ${store.root} — run `index build` first")
-    checkFormat(store)
+    checkFormat(store, kind)
     val hit = all.filter(l => bucketPred(l.bucket))
     // a probe batch can miss every live bucket — keep the schema, read
     // nothing (limit(0) prunes the scan to zero files at planning)

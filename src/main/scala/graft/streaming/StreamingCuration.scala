@@ -105,7 +105,7 @@ object StreamingCuration {
       Seq(col("doc_id"))) ++
       IndexStore.stageRows(store, "band", newRows)
     if (adds.nonEmpty)
-      store.commit(adds, meta = IndexStore.formatMeta)
+      store.commit(adds, meta = IndexStore.formatMeta("band"))
   }
 
   /** The full streaming curate pipeline — the reference's

@@ -66,12 +66,22 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq(doc(90L, "f")).toDF("doc_id", "text"))
     }
     assert(e2.getMessage.contains("hash-format"), e2.getMessage)
+    // a legacy SPAN index in the same store must stay rejected — the
+    // stamp is per kind, so a band rebuild can't vouch for span rows it
+    // never touched
+    legacy.commit(IndexStore.stageRows(legacy, "span",
+      graft.operators.DedupOps.buildSpanIndex(
+        (0L until 10L).map(doc(_, "f")).toDF("doc_id", "text"))))
     // a rebuild stamps the format and everything works again
     IndexStore.build(new GraftStore(root), "band",
       (0L until 10L).map(doc(_, "f")).toDF("doc_id", "text"))
     val hits = IndexStore.search(new GraftStore(root), spark, "band", probe)
       .select("new_id", "existing_id").collect()
     assert(hits.nonEmpty)
+    val e3 = intercept[RuntimeException] {
+      IndexStore.search(new GraftStore(root), spark, "span", probe).collect()
+    }
+    assert(e3.getMessage.contains("hash-format"), e3.getMessage)
   }
 
   test("live concurrent appends from separate instances both land, and " +
