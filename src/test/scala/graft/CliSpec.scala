@@ -379,6 +379,32 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(typo.getMessage.contains("blocks"), typo.getMessage)
   }
 
+  test("store changes --table error lists LOGICAL names under a " +
+      "tables prefix") {
+    val root = newRoot()
+    captured {
+      cli.Main.run(spark, Array("export", "--store", root,
+        "--tables-prefix", "ctn", "--blocks", "20"))
+    }
+    val v1 = new GraftStore(root, tablesPrefix = "ctn")
+      .currentSnapshot().get
+    // candidates must be retypeable as --table values: 'blocks', not
+    // the physical 'ctn_blocks' (which would fail again if retyped)
+    val typo = intercept[RuntimeException] {
+      cli.Main.run(spark, Array("store", "changes", "--store", root,
+        "--tables-prefix", "ctn", "--from", v1, "--table", "blokcs"))
+    }
+    assert(typo.getMessage.contains("unknown table 'blokcs'"), typo.getMessage)
+    assert(typo.getMessage.contains("blocks"), typo.getMessage)
+    assert(!typo.getMessage.contains("ctn_blocks"), typo.getMessage)
+    // and the real logical name validates
+    val ok = captured {
+      cli.Main.run(spark, Array("store", "changes", "--store", root,
+        "--tables-prefix", "ctn", "--from", v1, "--table", "blocks"))
+    }
+    assert(ok.contains("no changes in 'blocks'"), ok)
+  }
+
   test("verify blocks reports the store's lag behind the chain tip") {
     val root = newRoot()
     // store stops at 196 while the fixture chain tip is 199 → lag 3
