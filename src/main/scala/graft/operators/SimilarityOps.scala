@@ -201,12 +201,10 @@ object SimilarityOps {
   // the codegen'd kernels use, so every intermediate is bit-identical.
   // ---------------------------------------------------------------------
 
-  /** CTE chain: u (unit vectors) / pl (plane matrix) / sk (sketch bits)
-    * / surv (hamming top-budget) / lsh (rescored top-k). */
-  private def sketchCtesSql: String = {
-    val planeHash = DedupOps.pHashSql(
-      s"('$SketchSeed:' || CAST(i.i AS VARCHAR) || ':' || " +
-        "CAST(j - 1 AS VARCHAR))")
+  /** Zero-norm-filtered unit vectors as a DuckDB CTE — mirrors the
+    * engine's [[unit]] (fixed-order norm fold, null-filter). Shared by
+    * the sketch and ivf oracles so the two can never drift. */
+  private def unitCteSql: String =
     s"""u AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
@@ -216,7 +214,23 @@ object SimilarityOps {
        |        (a, b) -> a + b))) AS unit
        |  FROM embeddings
        |  WHERE list_sum(list_transform(embedding,
-       |    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0),
+       |    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0)""".stripMargin
+
+  /** DuckDB mirror of [[graft.functions.Vec.dot]] (left-to-right fold
+    * over the common prefix). Lambda vars are obscure (dj/da/db) so the
+    * fragment composes inside callers' windows without shadowing. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, least(len($a), len($b))), " +
+      s"dj -> ($a)[dj] * ($b)[dj])), (da, db) -> da + db)"
+
+  /** CTE chain: u (unit vectors) / pl (plane matrix) / sk (sketch bits)
+    * / surv (hamming top-budget) / lsh (rescored top-k). */
+  private def sketchCtesSql: String = {
+    val planeHash = DedupOps.pHashSql(
+      s"('$SketchSeed:' || CAST(i.i AS VARCHAR) || ':' || " +
+        "CAST(j - 1 AS VARCHAR))")
+    s"""$unitCteSql,
        |pl AS (
        |  SELECT list(srow ORDER BY i) AS mat FROM (
        |    SELECT i.i, list_transform(
@@ -280,23 +294,39 @@ object SimilarityOps {
     * and replay-identical. */
   val IvfIters = 4
 
+  /** Centroid-sum quantization grid: unit components are snapped to
+    * 1/2^40 before the per-cell Lloyd sum, making the sum an EXACT
+    * integer — order-independent across partitions (double summation is
+    * not), and recomputable verbatim by any engine. The quantization
+    * error (~1e-12 relative) is noise next to the cluster noise k-means
+    * averages over. The 1/n of the mean is skipped entirely: the
+    * spherical update only needs the DIRECTION, and normalize(sum/n) =
+    * normalize(sum). */
+  val IvfQuant: Double = (1L << 40).toDouble
+
   /** Spherical k-means coarse quantizer over (vec_id, unit) rows.
     * Returns (cells, centroids): cells = (vec_id, unit, cell) — persist
     * this partitioned BY cell so a probe prunes partitions; centroids =
     * (cell, centroid), O(k·dim) — the model, not data.
     *
-    * Distribution: assignment and the per-dimension mean are DataFrame
+    * Distribution: assignment and the per-dimension sum are DataFrame
     * jobs (crossJoin with k broadcast centroids + codegen'd dot;
     * posexplode + partial-agg sum). Only the k·dim centroid matrix ever
     * reaches the driver (collect of model PARAMETERS between rounds —
     * ~4 KB here; the corpus itself never leaves the executors).
-    * Deterministic end-to-end: seeded init = k smallest xxhash64(vec_id),
-    * fixed iteration count, struct-max tie-breaks. */
+    * Deterministic end-to-end AND portable (round-9): seeded init = k
+    * smallest portable pair-hash of 'ivf:vec_id', fixed iteration
+    * count, [[IvfQuant]]-integer sums (exact at any partitioning; the
+    * decimal accumulator never wraps), struct-max tie-breaks. Every
+    * step is plain integer arithmetic or a fixed-order double fold, so
+    * the `ann_topk_ivf` oracle unrolls the whole trainer in DuckDB. */
   def buildIvfIndex(units: DataFrame, k: Int = IvfCells,
       iters: Int = IvfIters): (DataFrame, DataFrame) = {
     val spark = units.sparkSession
     var centroids: Seq[(Int, Seq[Double])] = units
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .orderBy(graft.functions.Vec.portable_hash64(
+        concat(lit("ivf:"), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(k)
       .select(col("unit")).collect()
       .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }.toSeq
     require(centroids.nonEmpty, "buildIvfIndex: empty corpus")
@@ -308,27 +338,30 @@ object SimilarityOps {
     }
     // Argmax assignment that keeps the unit vector in the aggregate
     // (every row of a vec_id group carries the same unit), so neither
-    // the Lloyd mean step nor the final cells output re-joins `units` —
+    // the Lloyd sum step nor the final cells output re-joins `units` —
     // one corpus scan per round instead of scan + shuffle join.
     def assign(c: DataFrame): DataFrame = ivfAssign(units, c)
 
     for (_ <- 1 to iters) {
       val sums = assign(centDf)
         .select(col("cell"), posexplode(col("unit")))
+        // floor(x·Q + 0.5): explicit round-half-up on both engines
+        // (JVM Math.round and SQL round() disagree on negative halves)
         .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(floor(col("col") * lit(IvfQuant) + lit(0.5))
+          .cast("decimal(38,0)")).as("s"))
         .collect()
       val byCell = sums.groupBy(_.getInt(0))
       centroids = centroids.map { case (cell, old) =>
         byCell.get(cell) match {
           case None => cell -> old // empty cell keeps its centroid
           case Some(rows) =>
-            val mean = new Array[Double](dim)
-            rows.foreach(r => mean(r.getInt(1)) =
-              r.getDouble(2) / r.getLong(3))
-            val norm = math.sqrt(mean.map(x => x * x).sum)
+            val sv = new Array[Double](dim)
+            rows.foreach(r => sv(r.getInt(1)) =
+              r.getDecimal(2).doubleValue)
+            val norm = math.sqrt(sv.map(x => x * x).sum)
             cell -> (if (norm == 0) old
-                     else mean.map(_ / norm).toSeq)
+                     else sv.map(_ / norm).toSeq)
         }
       }
     }
@@ -377,8 +410,10 @@ object SimilarityOps {
       .withColumn("cos", vec_dot(col("q_unit"), col("unit")))
       .withColumn("rank", row_number().over(byCos))
       .filter(col("rank") <= K)
+      // floor-basis-points render like the lsh search — floor is the
+      // same function on both engines (round() half-behavior is not)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), round(col("cos"), 3).as("cos"))
+        col("rank"), floor(col("cos") * 10000).cast("long").as("cos_bp"))
   }
 
   /** Unit-normalize raw (vec_id, embedding) rows — the public form for
@@ -398,11 +433,100 @@ object SimilarityOps {
         first(col("unit")).as("unit"))
       .select(col("vec_id"), col("m.cell").as("cell"), col("unit"))
 
-  /** IVF approximate top-k over the driver corpus. Rows-only gate:
-    * approximate by design, and on this isotropic corpus recall tracks
-    * nprobe/k (see [[IvfProbes]]); the recall contract (≥ 0.9 at
-    * nprobe/k = 1/8 scan fraction) is spec-asserted on a clustered
-    * corpus in TrainingOpsSpec, where IVF is the right index. */
+  /** The [[buildIvfIndex]] trainer unrolled as DuckDB CTEs (the BPE
+    * pattern: a fixed-round iterative fold has no single-statement SQL
+    * form, but a FIXED iteration count unrolls; MATERIALIZED stops the
+    * per-reference re-inlining that would re-run every earlier round
+    * exponentially). Round r: `asg{r}` = argmax assignment under the
+    * previous centroids (dot DESC, cell DESC tie — the engine's
+    * struct-max), `csum{r}` = per-(cell, dim) sum of [[IvfQuant]]-
+    * quantized components (BIGINT → exact, order-free), `ivf{r}` = the
+    * normalized sum directions, empty/zero-sum cells keeping their old
+    * centroid. `ivf0` is the init: the k smallest portable hashes of
+    * 'ivf:vec_id'. */
+  private def ivfTrainCtesSql(k: Int, iters: Int): String = {
+    val qLit = java.lang.Double.toString(IvfQuant)
+    val dimSql = "(SELECT max(len(unit)) FROM u)"
+    val init =
+      s"""ivf0 AS MATERIALIZED (
+         |  SELECT CAST(irn - 1 AS INTEGER) AS cell, unit AS centroid FROM (
+         |    SELECT unit, row_number() OVER (ORDER BY
+         |      ${DedupOps.pHashSql("('ivf:' || CAST(vec_id AS VARCHAR))")},
+         |      vec_id) AS irn FROM u) i
+         |  WHERE irn <= $k)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""asg$r AS MATERIALIZED (
+         |  SELECT vec_id, unit, cell FROM (
+         |    SELECT q.vec_id, q.unit, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${dotSql("q.unit", "c.centroid")} DESC, c.cell DESC) AS ark
+         |    FROM u q CROSS JOIN ivf${r - 1} c) s
+         |  WHERE ark = 1),
+         |csum$r AS MATERIALIZED (
+         |  SELECT cell, dpos,
+         |    sum(CAST(floor(unit[dpos] * $qLit + 0.5) AS BIGINT)) AS s
+         |  FROM asg$r, (SELECT unnest(generate_series(1, $dimSql)) AS dpos) d
+         |  GROUP BY 1, 2),
+         |ivf$r AS MATERIALIZED (
+         |  SELECT p.cell,
+         |    CASE WHEN n.nrm IS NULL OR n.nrm = 0 THEN p.centroid
+         |         ELSE list_transform(n.sv, sx -> sx / n.nrm) END AS centroid
+         |  FROM ivf${r - 1} p LEFT JOIN (
+         |    SELECT cell, sv,
+         |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(sv, sy -> sy * sy)), (na, nb) -> na + nb))
+         |        AS nrm
+         |    FROM (SELECT cell, list(CAST(s AS DOUBLE) ORDER BY dpos) AS sv
+         |      FROM csum$r GROUP BY cell) g) n
+         |  ON n.cell = p.cell)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
+  /** The whole `ann_topk_ivf` pipeline in one DuckDB statement: unit
+    * vectors → the unrolled trainer → final cell assignment → per-query
+    * probe list (top-nprobe cells by centroid affinity, cell ASC tie) →
+    * exact top-[[K]] inside the probed cells. Every double is a
+    * fixed-order fold over integers or previously-pinned doubles, so
+    * the hash gate holds bit-for-bit. */
+  private def ivfOracleSql: String =
+    s"""WITH $unitCteSql,
+       |${ivfTrainCtesSql(IvfCells, IvfIters)},
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, unit, cell FROM (
+       |    SELECT q.vec_id, q.unit, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${dotSql("q.unit", "c.centroid")} DESC, c.cell DESC) AS ark
+       |    FROM u q CROSS JOIN ivf$IvfIters c) s
+       |  WHERE ark = 1),
+       |probes AS MATERIALIZED (
+       |  SELECT query_id, q_unit, cell FROM (
+       |    SELECT a.vec_id AS query_id, a.unit AS q_unit, c.cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        ${dotSql("a.unit", "c.centroid")} DESC, c.cell ASC) AS prk
+       |    FROM cells a CROSS JOIN ivf$IvfIters c
+       |    WHERE a.vec_id < $NumQueries) s
+       |  WHERE prk <= $IvfProbes)
+       |SELECT query_id, neighbor_id, rank, cos_bp FROM (
+       |  SELECT s.query_id, s.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY s.cos DESC, s.vec_id) AS rank,
+       |    CAST(floor(s.cos * 10000) AS BIGINT) AS cos_bp
+       |  FROM (
+       |    SELECT p.query_id, t.vec_id,
+       |      ${dotSql("p.q_unit", "t.unit")} AS cos
+       |    FROM cells t JOIN probes p ON p.cell = t.cell
+       |    WHERE t.vec_id <> p.query_id) s) r
+       |WHERE rank <= $K""".stripMargin
+
+  /** IVF approximate top-k over the driver corpus. Hash-oracled since
+    * round 9 (see [[ivfTrainCtesSql]] — the "iterative FP centroid
+    * means" blocker fell to integer-quantized sums plus the
+    * normalize(sum/n) = normalize(sum) identity). Recall semantics
+    * unchanged: on this isotropic corpus recall tracks nprobe/k (see
+    * [[IvfProbes]]); the recall contract (≥ 0.9 at nprobe/k = 1/5 scan
+    * fraction) stays spec-asserted on a clustered corpus in
+    * TrainingOpsSpec, where IVF is the right index. */
   val ivfTopK: GraftQuery = GraftQuery(
     "ann_topk_ivf",
     (s, dir) => {
@@ -411,7 +535,7 @@ object SimilarityOps {
       val (cells, cents) = buildIvfIndex(units)
       ivfSearch(cells, cents, IvfProbes)
     },
-    None)
+    Some(ivfOracleSql))
 
   /** Self-measuring ANN quality: recall@[[K]] of the sketch-LSH search
     * against the exact brute-force top-k, per query plus an "all" total

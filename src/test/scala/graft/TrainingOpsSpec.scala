@@ -415,4 +415,82 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // all 25 injected partial overlaps must surface
     assert(injected.length == 25)
   }
+
+  test("distributed IVF trainer equals a sequential re-derivation on " +
+      "random corpora (portable arithmetic is partitioning-proof)") {
+    import spark.implicits._
+    // The round-9 portable trainer's whole claim is that every step is
+    // exact integer arithmetic or a fixed-order double fold — i.e. the
+    // distributed computation (partial-agg sums, broadcast argmax) is
+    // BIT-IDENTICAL to a single-threaded reference, at any
+    // partitioning. Randomized corpora exercise argmax ties (duplicate
+    // vectors), empty cells (k near n), and skewed clusters.
+    val rnd = new scala.util.Random(271828)
+    for (trial <- 1 to 5) {
+      val dim = 3 + rnd.nextInt(6)
+      val n = 20 + rnd.nextInt(60)
+      val k = 2 + rnd.nextInt(6)
+      val base = Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
+      val units = (0 until n).map { i =>
+        // cluster draw, with occasional EXACT duplicates to force ties
+        val v =
+          if (i > 0 && rnd.nextInt(10) == 0)
+            null // marker: copy the previous vector
+          else base(i % k).map(_ + 0.3 * rnd.nextGaussian())
+        (i.toLong, v)
+      }.foldLeft(Vector.empty[(Long, Seq[Double])]) { case (acc, (id, v)) =>
+        val raw = if (v == null) acc.last._2 else {
+          val nn = math.sqrt(v.map(x => x * x).sum)
+          v.map(_ / nn).toSeq
+        }
+        acc :+ (id -> raw)
+      }
+      val df = units.toDF("vec_id", "unit").repartition(1 + rnd.nextInt(7))
+      val (cellsDf, centsDf) = SimilarityOps.buildIvfIndex(df, k = k)
+      val gotCents = centsDf.collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      val gotCells = cellsDf.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+      // sequential reference: same init, same quantized sums, BigInt
+      // accumulation (exact), same tie-breaks — no Spark involved
+      def pHash(id: Long): Long = graft.functions.Vec.portableHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"ivf:$id"))
+      var cents: Seq[(Int, Seq[Double])] = units
+        .sortBy { case (id, _) => (pHash(id), id) }.take(k)
+        .zipWithIndex.map { case ((_, u), i) => i -> u }
+      def assignAll(cs: Seq[(Int, Seq[Double])]): Map[Long, Int] =
+        units.map { case (id, u) =>
+          id -> cs.map { case (cell, c) =>
+            (u.zip(c).map { case (a, b) => a * b }.sum, cell)
+          }.maxBy(identity)._2 // (dot, cell) max = struct-max tie-break
+        }.toMap
+      for (_ <- 1 to SimilarityOps.IvfIters) {
+        val asg = assignAll(cents)
+        cents = cents.map { case (cell, old) =>
+          val members = units.filter(p => asg(p._1) == cell)
+          if (members.isEmpty) cell -> old
+          else {
+            val sums = Array.fill(dim)(BigInt(0))
+            members.foreach { case (_, u) =>
+              var j = 0
+              while (j < dim) {
+                sums(j) += BigInt(math.floor(
+                  u(j) * SimilarityOps.IvfQuant + 0.5).toLong)
+                j += 1
+              }
+            }
+            val sv = sums.map(_.doubleValue)
+            val norm = math.sqrt(sv.map(x => x * x).sum)
+            cell -> (if (norm == 0) old else sv.map(_ / norm).toSeq)
+          }
+        }
+      }
+      val refCells = assignAll(cents)
+      assert(cents.toMap == gotCents,
+        s"trial $trial centroids diverged (n=$n k=$k dim=$dim)")
+      assert(refCells == gotCells,
+        s"trial $trial assignment diverged (n=$n k=$k dim=$dim)")
+    }
+  }
 }
