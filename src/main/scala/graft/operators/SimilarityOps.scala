@@ -342,16 +342,32 @@ object SimilarityOps {
     // one corpus scan per round instead of scan + shuffle join.
     def assign(c: DataFrame): DataFrame = ivfAssign(units, c)
 
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       val sums = assign(centDf)
         .select(col("cell"), posexplode(col("unit")))
         // floor(x·Q + 0.5): explicit round-half-up on both engines
         // (JVM Math.round and SQL round() disagree on negative halves)
         .groupBy(col("cell"), col("pos"))
         .agg(sum(floor(col("col") * lit(IvfQuant) + lit(0.5))
-          .cast("decimal(38,0)")).as("s"))
+          .cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("c"))
         .collect()
       val byCell = sums.groupBy(_.getInt(0))
+      // Fixed-dimension precondition, checked from the round-1 sums (no
+      // extra corpus pass — posexplode already visited every component).
+      // Vec.dot tolerates ragged lengths via common-prefix semantics,
+      // but the Lloyd sum does not: a dimension a vector lacks reads as
+      // 0.0 in the engine's dense array and as NULL in the oracle's
+      // unnest — silently divergent centroids (or an out-of-range write
+      // when a vector is LONGER than the init centroid). A fixed-dim
+      // cell shows exactly `dim` pos groups with one uniform member
+      // count; any ragged shape breaks one of the three checks.
+      if (round == 1) byCell.foreach { case (cell, rows) =>
+        require(rows.length == dim && rows.forall(_.getInt(1) < dim) &&
+            rows.map(_.getLong(3)).distinct.length == 1,
+          s"buildIvfIndex: embeddings must share one dimension (cell " +
+            s"$cell saw ${rows.length} dimensions, init expects $dim)")
+      }
       centroids = centroids.map { case (cell, old) =>
         byCell.get(cell) match {
           case None => cell -> old // empty cell keeps its centroid
@@ -444,6 +460,17 @@ object SimilarityOps {
     * normalized sum directions, empty/zero-sum cells keeping their old
     * centroid. `ivf0` is the init: the k smallest portable hashes of
     * 'ivf:vec_id'. */
+  /** Argmax-assignment SQL body shared by every trainer round and the
+    * final `cells` CTE (one copy, so the engine's struct-max tie-break —
+    * dot DESC, cell DESC — cannot drift between them). */
+  private def ivfAssignSql(centTable: String): String =
+    s"""SELECT vec_id, unit, cell FROM (
+       |    SELECT q.vec_id, q.unit, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${dotSql("q.unit", "c.centroid")} DESC, c.cell DESC) AS ark
+       |    FROM u q CROSS JOIN $centTable c) s
+       |  WHERE ark = 1""".stripMargin
+
   private def ivfTrainCtesSql(k: Int, iters: Int): String = {
     val qLit = java.lang.Double.toString(IvfQuant)
     val dimSql = "(SELECT max(len(unit)) FROM u)"
@@ -456,12 +483,7 @@ object SimilarityOps {
          |  WHERE irn <= $k)""".stripMargin
     val rounds = (1 to iters).map { r =>
       s"""asg$r AS MATERIALIZED (
-         |  SELECT vec_id, unit, cell FROM (
-         |    SELECT q.vec_id, q.unit, c.cell,
-         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |        ${dotSql("q.unit", "c.centroid")} DESC, c.cell DESC) AS ark
-         |    FROM u q CROSS JOIN ivf${r - 1} c) s
-         |  WHERE ark = 1),
+         |  ${ivfAssignSql(s"ivf${r - 1}")}),
          |csum$r AS MATERIALIZED (
          |  SELECT cell, dpos,
          |    sum(CAST(floor(unit[dpos] * $qLit + 0.5) AS BIGINT)) AS s
@@ -493,12 +515,7 @@ object SimilarityOps {
     s"""WITH $unitCteSql,
        |${ivfTrainCtesSql(IvfCells, IvfIters)},
        |cells AS MATERIALIZED (
-       |  SELECT vec_id, unit, cell FROM (
-       |    SELECT q.vec_id, q.unit, c.cell,
-       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-       |        ${dotSql("q.unit", "c.centroid")} DESC, c.cell DESC) AS ark
-       |    FROM u q CROSS JOIN ivf$IvfIters c) s
-       |  WHERE ark = 1),
+       |  ${ivfAssignSql(s"ivf$IvfIters")}),
        |probes AS MATERIALIZED (
        |  SELECT query_id, q_unit, cell FROM (
        |    SELECT a.vec_id AS query_id, a.unit AS q_unit, c.cell,

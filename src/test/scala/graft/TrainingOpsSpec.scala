@@ -426,10 +426,17 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // partitioning. Randomized corpora exercise argmax ties (duplicate
     // vectors), empty cells (k near n), and skewed clusters.
     val rnd = new scala.util.Random(271828)
-    for (trial <- 1 to 5) {
+    var emptyCellSeen = false
+    for (trial <- 1 to 8) {
       val dim = 3 + rnd.nextInt(6)
-      val n = 20 + rnd.nextInt(60)
-      val k = 2 + rnd.nextInt(6)
+      // Trials 6-8 pin the empty-cell branch: k near n means several
+      // init centroids win no argmax (duplicates and near-ties), so the
+      // keep-old-centroid path (engine `case None`, reference
+      // `members.isEmpty`, oracle `n.nrm IS NULL`) actually runs —
+      // with k <= 7 and n >= 20 it fired only by luck.
+      val n = if (trial > 5) 6 + rnd.nextInt(7) else 20 + rnd.nextInt(60)
+      val k = if (trial > 5) math.max(2, n - rnd.nextInt(3))
+              else 2 + rnd.nextInt(6)
       val base = Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
       val units = (0 until n).map { i =>
         // cluster draw, with occasional EXACT duplicates to force ties
@@ -469,7 +476,7 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         val asg = assignAll(cents)
         cents = cents.map { case (cell, old) =>
           val members = units.filter(p => asg(p._1) == cell)
-          if (members.isEmpty) cell -> old
+          if (members.isEmpty) { emptyCellSeen = true; cell -> old }
           else {
             val sums = Array.fill(dim)(BigInt(0))
             members.foreach { case (_, u) =>
@@ -492,5 +499,25 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(refCells == gotCells,
         s"trial $trial assignment diverged (n=$n k=$k dim=$dim)")
     }
+    // The sweep's coverage claim is load-bearing: if no trial produced
+    // an empty cell, the keep-old-centroid branch went untested and a
+    // regression there would pass. Fail the sweep itself in that case.
+    assert(emptyCellSeen, "sweep never exercised the empty-cell branch")
+  }
+
+  test("buildIvfIndex rejects ragged embedding dimensions loudly") {
+    import spark.implicits._
+    // Vec.dot would silently score the common prefix; the trainer's
+    // dense Lloyd sum and the oracle's unnest disagree about the
+    // missing dimensions — so ragged input is a precondition failure,
+    // not a training run.
+    val ragged = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.0, 0.0, 1.0))).toDF("vec_id", "unit")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.buildIvfIndex(ragged, k = 2)
+    }
+    assert(e.getMessage.contains("share one dimension"))
   }
 }
