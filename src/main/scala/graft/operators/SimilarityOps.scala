@@ -449,17 +449,6 @@ object SimilarityOps {
         first(col("unit")).as("unit"))
       .select(col("vec_id"), col("m.cell").as("cell"), col("unit"))
 
-  /** The [[buildIvfIndex]] trainer unrolled as DuckDB CTEs (the BPE
-    * pattern: a fixed-round iterative fold has no single-statement SQL
-    * form, but a FIXED iteration count unrolls; MATERIALIZED stops the
-    * per-reference re-inlining that would re-run every earlier round
-    * exponentially). Round r: `asg{r}` = argmax assignment under the
-    * previous centroids (dot DESC, cell DESC tie — the engine's
-    * struct-max), `csum{r}` = per-(cell, dim) sum of [[IvfQuant]]-
-    * quantized components (BIGINT → exact, order-free), `ivf{r}` = the
-    * normalized sum directions, empty/zero-sum cells keeping their old
-    * centroid. `ivf0` is the init: the k smallest portable hashes of
-    * 'ivf:vec_id'. */
   /** Argmax-assignment SQL body shared by every trainer round and the
     * final `cells` CTE (one copy, so the engine's struct-max tie-break —
     * dot DESC, cell DESC — cannot drift between them). */
@@ -471,6 +460,17 @@ object SimilarityOps {
        |    FROM u q CROSS JOIN $centTable c) s
        |  WHERE ark = 1""".stripMargin
 
+  /** The [[buildIvfIndex]] trainer unrolled as DuckDB CTEs (the BPE
+    * pattern: a fixed-round iterative fold has no single-statement SQL
+    * form, but a FIXED iteration count unrolls; MATERIALIZED stops the
+    * per-reference re-inlining that would re-run every earlier round
+    * exponentially). Round r: `asg{r}` = argmax assignment under the
+    * previous centroids (dot DESC, cell DESC tie — the engine's
+    * struct-max), `csum{r}` = per-(cell, dim) sum of [[IvfQuant]]-
+    * quantized components (BIGINT → exact, order-free), `ivf{r}` = the
+    * normalized sum directions, empty/zero-sum cells keeping their old
+    * centroid. `ivf0` is the init: the k smallest portable hashes of
+    * 'ivf:vec_id'. */
   private def ivfTrainCtesSql(k: Int, iters: Int): String = {
     val qLit = java.lang.Double.toString(IvfQuant)
     val dimSql = "(SELECT max(len(unit)) FROM u)"
