@@ -198,8 +198,10 @@ object Vec {
     * g_j(h) = (A_j·h + B_j) mod p1 over h mod p1, with (A_j, B_j) drawn
     * from fixed integer recurrences so the DuckDB oracle derives them
     * from j with the same two multiplications. */
-  def minhashA(j: Int): Long = (j * 2654435761L) % (HashP1 - 1) + 1
-  def minhashB(j: Int): Long = (j * 2246822519L) % HashP1
+  val MinhashMulA = 2654435761L
+  val MinhashMulB = 2246822519L
+  def minhashA(j: Int): Long = (j * MinhashMulA) % (HashP1 - 1) + 1
+  def minhashB(j: Int): Long = (j * MinhashMulB) % HashP1
 
   /** k MinHash slots over pre-hashed shingles: slot j is
     * min over h of (A_j·(h mod p1) + B_j) mod p1 — one pass over the

@@ -298,7 +298,8 @@ object DedupOps {
   // MinHash/SimHash/LSH queries carry full rows+schema+hash gates.
   // ---------------------------------------------------------------------
 
-  import graft.functions.Vec.{HashB1, HashB2, HashP1, HashP2, HashPairShift}
+  import graft.functions.Vec.{HashB1, HashB2, HashP1, HashP2,
+    HashPairShift, MinhashMulA, MinhashMulB}
 
   /** DuckDB mirror of [[graft.functions.Vec.portableHash]] over a string
     * expression (must be a plain column/lambda var — it is re-evaluated
@@ -333,8 +334,8 @@ object DedupOps {
     val slotSql =
       s"list_transform(generate_series(0, ${NumHashes - 1}), sj -> " +
         s"list_min(list_transform(sh_hashes, h -> " +
-        s"(((sj * 2654435761) % ${HashP1 - 1} + 1) * (h % $HashP1)" +
-        s" + (sj * 2246822519) % $HashP1) % $HashP1)))"
+        s"(((sj * $MinhashMulA) % ${HashP1 - 1} + 1) * (h % $HashP1)" +
+        s" + (sj * $MinhashMulB) % $HashP1) % $HashP1)))"
     val bandKeySql = (0 until RowsPerBand).foldLeft("CAST(0 AS BIGINT)")(
       (acc, r) =>
         s"(($acc) * $HashB1 + mh_arr[$RowsPerBand * b.band + ${r + 1}])" +
