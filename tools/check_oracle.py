@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local pre-validation of the driver's DuckDB-oracle compare.
 
-Usage: check_oracle.py <sfDir> <verifyOutDir>
+Usage: check_oracle.py <sfDir> <verifyOutDir> [name,name,...]
+
+The optional third arg restricts the compare to those query names — pass
+the same filter a filtered `graft.Verify` run got, so a fast iteration
+loop doesn't report missing-file FAILs for every query it didn't rerun.
 
 Mimics the driver: for each query result parquet under verifyOutDir and its
 oracle SQL (oracle_sql.json), run the SQL in DuckDB with views over the
@@ -23,12 +27,19 @@ def canon(df):
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only is not None:
+        unknown = only - set(oracles)
+        if unknown:
+            print(f"FAIL filter names not in oracle_sql.json: "
+                  f"{', '.join(sorted(unknown))}")
+            return 1
+        oracles = {n: s for n, s in oracles.items() if n in only}
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
         try:
@@ -59,4 +70,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
