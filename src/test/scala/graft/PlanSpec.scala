@@ -126,6 +126,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(specs.nonEmpty && specs.forall(_.contains("query_id")), p)
   }
 
+  test("IVF ANN broadcasts probes and centroids; windows per query_id") {
+    val p = plan("ann_topk_ivf")
+    // the probe list is O(queries·nprobe) and the centroid table is
+    // O(k·dim) — both broadcast, so the corpus (cells) side never
+    // shuffles for a join; every ranking window partitions by query_id
+    // (a global Window here would serialize the search on one task)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("query_id")), p)
+  }
+
   test("ngram verify stage is bounded by candidates (semi-join prune)") {
     val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
     df.collect()
