@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.Files
-
 import graft.store.{GraftStore, IndexStore}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -14,19 +12,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * only state is the manifest on disk). The band kind is exercised
   * end-to-end through the CLI in CliSpec; here the span and sketch kinds
   * and the replace-on-rebuild contract. */
-class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
+    with TempDirCleanup {
 
   lazy val spark: SparkSession =
     GraftSession.builder("local[4]", 4).getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 
   private def doc(id: Long, tag: String): (Long, String) =
     (id, (0 until 60).map(j => s"$tag${id}w$j").mkString(" "))
 
   test("span index: at-rest probe finds a substring dup across restarts") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-idx-span").toString
+    val root = tempDir("graft-idx-span")
     val corpus = (0L until 30L).map(doc(_, "s"))
     IndexStore.build(new GraftStore(root), "span",
       corpus.toDF("doc_id", "text"))
@@ -50,7 +49,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the hash-format stamp. Probing it with the current engine would
     // silently match nothing (incompatible band keys) — the guard must
     // turn that into an error naming the rebuild.
-    val root = Files.createTempDirectory("graft-idx-fmt").toString
+    val root = tempDir("graft-idx-fmt")
     val legacy = new GraftStore(root)
     legacy.commit(IndexStore.stageRows(legacy, "band",
       graft.operators.DedupOps.buildBandIndex(
@@ -87,7 +86,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("live concurrent appends from separate instances both land, and " +
       "the at-rest probe sees every batch") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-idx-conc").toString
+    val root = tempDir("graft-idx-conc")
     val corpus = (0L until 20L).map(doc(_, "s"))
     IndexStore.build(new GraftStore(root), "span",
       corpus.toDF("doc_id", "text"))
@@ -128,7 +127,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val dim = 16
     val rnd = new scala.util.Random(7)
-    val root = Files.createTempDirectory("graft-idx-sketch").toString
+    val root = tempDir("graft-idx-sketch")
     val base = (0L until 200L).map(i =>
       (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
     IndexStore.build(new GraftStore(root), "sketch",
@@ -154,7 +153,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     def point(c: Int): Seq[Float] =
       centers(c).map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq
     val base = (0L until 400L).map(i => (i, point((i % 8).toInt)))
-    val root = Files.createTempDirectory("graft-idx-ivf").toString
+    val root = tempDir("graft-idx-ivf")
     IndexStore.build(new GraftStore(root), "ivf",
       base.toDF("vec_id", "embedding"))
     // one leaf per populated cell + the centroid model table, all in
@@ -181,7 +180,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("bucket predicates prune index reads to fewer files; an " +
       "all-miss probe keeps the schema") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-idx-prune").toString
+    val root = tempDir("graft-idx-prune")
     val store = new GraftStore(root)
     IndexStore.build(store, "span",
       (0L until 30L).map(doc(_, "p")).toDF("doc_id", "text"))
@@ -203,7 +202,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       "probes unchanged") {
     import spark.implicits._
     import graft.operators.DedupOps
-    val root = Files.createTempDirectory("graft-idx-compact").toString
+    val root = tempDir("graft-idx-compact")
     // boilerplate: byte-identical text under distinct doc_ids — every
     // batch of 30 stays under MaxBucketSize (64), the union of 90 does
     // not. Distinct docs ride along in each batch.
@@ -248,7 +247,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val dim = 16
     val rnd = new scala.util.Random(11)
-    val root = Files.createTempDirectory("graft-idx-compact-sk").toString
+    val root = tempDir("graft-idx-compact-sk")
     val vecs = (0L until 50L).map(i =>
       (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
     val s1 = new GraftStore(root)
@@ -271,7 +270,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val centers = (0 until 8).map(_ => Array.fill(dim)(rnd.nextGaussian()))
     def point(c: Int): Seq[Float] =
       centers(c).map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq
-    val root = Files.createTempDirectory("graft-idx-ivf-compact").toString
+    val root = tempDir("graft-idx-ivf-compact")
     val base = (0L until 400L).map(i => (i, point((i % 8).toInt)))
     val extra = (1000L until 1040L).map(i => (i, point((i % 8).toInt)))
     val s1 = new GraftStore(root)
@@ -345,7 +344,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("an append racing compact survives it; a compact racing a rebuild " +
       "fails stale instead of resurrecting dropped rows") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-idx-race").toString
+    val root = tempDir("graft-idx-race")
     val a = (0L until 20L).map(doc(_, "a")).toDF("doc_id", "text")
     val b = (100L until 110L).map(doc(_, "b")).toDF("doc_id", "text")
     val store = new GraftStore(root)
@@ -384,7 +383,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("rebuild replaces the old index in one commit; append extends it") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-idx-rebuild").toString
+    val root = tempDir("graft-idx-rebuild")
     val a = (0L until 20L).map(doc(_, "a")).toDF("doc_id", "text")
     val b = (100L until 110L).map(doc(_, "b")).toDF("doc_id", "text")
     val s1 = new GraftStore(root)
@@ -399,5 +398,57 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = IndexStore.read(new GraftStore(root), spark, "span")
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(after.forall(_ >= 100L), s"stale rows survived: $after")
+  }
+
+  test("cross-kind commits race safely: band and ivf appends to ONE " +
+      "store both land, keeping both format stamps") {
+    import spark.implicits._
+    // One store hosting several index kinds is the normal regime
+    // (streaming curate owns band, ANN owns ivf). Appends are adds-only
+    // commits, and the manifest meta is a read-modify-write under the
+    // commit lock — a lost update there would drop the OTHER kind's
+    // hash-format stamp and brick its probes with a rebuild error.
+    val root = tempDir("graft-idx-xkind")
+    val corpus = (0L until 20L).map(doc(_, "x"))
+    IndexStore.build(new GraftStore(root), "band",
+      corpus.toDF("doc_id", "text"))
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    val centers = (0 until 8).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    def point(c: Int): Seq[Float] =
+      centers(c).map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq
+    IndexStore.build(new GraftStore(root), "ivf",
+      (0L until 200L).map(i => (i, point((i % 8).toInt)))
+        .toDF("vec_id", "embedding"))
+    val appendedVec = point(3)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = Seq(
+      new Thread(() =>
+        try IndexStore.append(new GraftStore(root), "band",
+          Seq(doc(500L, "y")).toDF("doc_id", "text"))
+        catch { case t: Throwable => errs.add(t) }),
+      new Thread(() =>
+        try IndexStore.append(new GraftStore(root), "ivf",
+          Seq((900L, appendedVec)).toDF("vec_id", "embedding"))
+        catch { case t: Throwable => errs.add(t) }))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"cross-kind append crashed: ${errs.peek()}")
+    // both per-kind stamps survive the interleaved meta writes ...
+    val meta = new GraftStore(root).currentMeta()
+    for (kind <- Seq("band", "ivf"))
+      assert(meta.get(s"index_hash_format.$kind")
+        .contains(IndexStore.HashFormat), s"$kind stamp lost: $meta")
+    // ... and both searches see their appended rows
+    val bandHits = IndexStore.search(new GraftStore(root), spark, "band",
+      Seq((700L, doc(500L, "y")._2)).toDF("doc_id", "text"))
+      .select("existing_id").collect().map(_.getLong(0)).toSet
+    assert(bandHits.contains(500L), s"band append lost: $bandHits")
+    val top = IndexStore.search(new GraftStore(root), spark, "ivf",
+      Seq((901L, appendedVec.map(x => (x + 0.01f * rnd.nextGaussian())
+        .toFloat))).toDF("vec_id", "embedding"))
+      .filter(col("rank") === 1).collect()
+    assert(top.length == 1 && top.head.getAs[Long]("neighbor_id") == 900L,
+      s"ivf append lost: ${top.mkString(",")}")
   }
 }
