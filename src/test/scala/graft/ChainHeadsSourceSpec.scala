@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 
 import graft.chain.{ChainFixture, ChainOps}
 import graft.etl.{Backfill, FixtureSource, Tail}
@@ -11,17 +10,18 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The custom MicroBatchStream heads source driving the real tail ingest
   * end-to-end: readStream from height offsets → foreachBatch → store. */
-class ChainHeadsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+class ChainHeadsSourceSpec extends AnyFunSuite with BeforeAndAfterAll
+    with TempDirCleanup {
 
   lazy val spark: SparkSession =
     GraftSession.builder("local[4]", 4).getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 
   test("heads stream feeds tail ingest from height offsets to a full store") {
     val fx = ChainFixture.build(200)
     val store = new GraftStore(
-      Files.createTempDirectory("graft-store").toString, bucketSize = 50L)
+      tempDir("graft-store"), bucketSize = 50L)
     Backfill.run(spark, new FixtureSource(fx), store, 0, 99)
 
     val heads = spark.readStream
@@ -31,7 +31,7 @@ class ChainHeadsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .load()
     val q = Tail.attach(spark, store, new FixtureSource(fx), heads)
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-ckpt").toString)
+        tempDir("graft-ckpt"))
       .start()
     q.processAllAvailable()
     q.stop()

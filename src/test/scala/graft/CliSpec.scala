@@ -1,7 +1,6 @@
 package graft
 
 import java.io.{ByteArrayOutputStream, PrintStream}
-import java.nio.file.Files
 
 import graft.chain.ChainFixture
 import graft.etl.{Backfill, FixtureSource}
@@ -12,17 +11,18 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** CLI verify parity: chain-tip lag reporting (verify.rs:35-39) and the
   * real `verify transactions` check (reference stub, verify.rs:92). */
-class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
+class CliSpec extends AnyFunSuite with BeforeAndAfterAll
+    with TempDirCleanup {
 
   lazy val spark: SparkSession =
     GraftSession.builder("local[4]", 4).getOrCreate()
 
   lazy val fx: ChainFixture.Fixture = ChainFixture.build(200)
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 
   private def newRoot(): String =
-    Files.createTempDirectory("graft-store").toString
+    tempDir("graft-store")
 
   private def captured(body: => Unit): String = {
     val out = new ByteArrayOutputStream()
@@ -32,7 +32,7 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("index build/append/search: at-rest dedup across CLI invocations") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-index-cli").toString
+    val root = tempDir("graft-index-cli")
     val storeDir = s"$root/store"
     def doc(id: Long, tag: String) =
       (id, (0 until 60).map(j => s"$tag${id}w$j").mkString(" "))
@@ -96,7 +96,7 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("curate --pii-scrub and --decontaminate-against filter content") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-curate-flags")
+    val root = tempPath("graft-curate-flags")
     val corpusPath = s"$root/corpus.parquet"
     val evalPath = s"$root/eval.parquet"
     val out = s"$root/shards"
@@ -135,7 +135,7 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("curate --lm-floor-bp drops gibberish while natural text passes") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-curate-lm")
+    val root = tempPath("graft-curate-lm")
     val corpusPath = s"$root/corpus.parquet"
     val out = s"$root/shards"
     // natural corpus: repetitive English dominates the trigram model;
@@ -205,7 +205,7 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("curate --domain-cap and --target-mixture shape the output corpus") {
     import org.apache.spark.sql.functions._
-    val out = Files.createTempDirectory("graft-curate-mix").toString
+    val out = tempDir("graft-curate-mix")
     val printed = captured {
       cli.Main.run(spark, Array("curate",
         "--input", "/root/testdata/sf0.001/documents.parquet",
@@ -229,7 +229,7 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("curate --mixture-alpha-bp smooths the language mix and rejects " +
       "combination with an explicit target") {
     import org.apache.spark.sql.functions._
-    val out = Files.createTempDirectory("graft-curate-alpha").toString
+    val out = tempDir("graft-curate-alpha")
     val in = "/root/testdata/sf0.001/documents.parquet"
     val printed = captured {
       cli.Main.run(spark, Array("curate",
@@ -254,7 +254,7 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("curate runs the corpus pipeline end to end and writes shards") {
     import org.apache.spark.sql.functions._
-    val out = Files.createTempDirectory("graft-curate").toString
+    val out = tempDir("graft-curate")
     val printed = captured {
       cli.Main.run(spark, Array("curate",
         "--input", "/root/testdata/sf0.001/documents.parquet",

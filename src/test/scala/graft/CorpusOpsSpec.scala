@@ -13,12 +13,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * DuckDB oracles at sf0.01; these specs pin the equivalence argument
   * itself plus the plan shape that makes the decomposition scale.)
   */
-class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll
+    with TempDirCleanup {
 
   lazy val spark: SparkSession =
     GraftSession.builder("local[4]", 4).getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 
   /** Multi-partition corpus with ragged doc lengths and sparse, unsorted
     * doc_ids (gaps force empty buckets at small bucket sizes). */
@@ -36,8 +37,7 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.orderBy("doc_id").collect().toSeq.map(_.toSeq)
 
   test("shard export: balanced sizes, rank-ordered files, lossless round-trip") {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_shards").toString
+    val out = tempDir("graft_shards")
     try {
       val nShards = CorpusOps.writeShards(corpus, out, docsPerShard = 64L)
       val n = corpus.count()
@@ -73,8 +73,7 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("shard _stats sidecar audits the written shards exactly and stays " +
       "invisible to shard readers") {
     import spark.implicits._
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_shard_stats").toString
+    val out = tempDir("graft_shard_stats")
     try {
       val langed = corpus.withColumn("lang",
         when(col("doc_id") % 3 === 0, "en").otherwise("fr"))

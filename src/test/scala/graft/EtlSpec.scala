@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 
 import graft.chain.{ChainFixture, ChainOps}
 import graft.etl.{Backfill, FixtureSource, Tail}
@@ -14,7 +13,8 @@ import org.scalatest.funsuite.AnyFunSuite
 /** ETL end-to-end (SURVEY §5.2 item 5): backfill + streaming tail with an
   * injected reorg over the manifest-committed store; final tables must
   * equal the fixture-derived goldens and survive crash/replay semantics. */
-class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
+class EtlSpec extends AnyFunSuite with BeforeAndAfterAll
+    with TempDirCleanup {
 
   lazy val spark: SparkSession =
     GraftSession.builder("local[4]", 4).getOrCreate()
@@ -23,9 +23,9 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def newStore(): GraftStore =
     new GraftStore(
-      Files.createTempDirectory("graft-store").toString, bucketSize = 50L)
+      tempDir("graft-store"), bucketSize = 50L)
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 
   test("staged-but-uncommitted writes are invisible (atomicity)") {
     val store = newStore()
@@ -123,7 +123,7 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = rows.toDF("block_number", "from_addr", "to_addr", "value",
       "tx_hash", "address", "transfer_index", "status").repartition(1)
     val store = new GraftStore(
-      Files.createTempDirectory("graft-zstore").toString,
+      tempDir("graft-zstore"),
       zOrderTransfers = true)
     // small row groups so pruning granularity is visible at test size
     val opts = Map("parquet.block.size" -> (64 * 1024).toString)
@@ -168,7 +168,7 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stream = MemoryStream[Tail.Head]
     val query = Tail.attach(spark, store, src, stream.toDF())
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-ckpt").toString)
+        tempDir("graft-ckpt"))
       .start()
     val heads = (190 to 199).map(n =>
       Tail.Head(n.toLong, fx.blocks(n).hash, fx.blocks(n).parent_hash))
@@ -194,7 +194,7 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stream = MemoryStream[Tail.Head]
     val query = Tail.attach(spark, store, forked, stream.toDF())
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-ckpt").toString)
+        tempDir("graft-ckpt"))
       .start()
     stream.addData(Tail.Head(156L, "next-after-fork", fork.last.hash))
     query.processAllAvailable()

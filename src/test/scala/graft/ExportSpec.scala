@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 
 import graft.chain.{ChainFixture, ChainOps}
 import graft.etl.{Backfill, ChainSource, Export, FixtureSource, Network,
@@ -12,17 +11,18 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Export orchestration: lazy gate, crash-retry with tail wipe, retention
   * sweep (OP-STR-5/6/7, export.rs:46-71 semantics). */
-class ExportSpec extends AnyFunSuite with BeforeAndAfterAll {
+class ExportSpec extends AnyFunSuite with BeforeAndAfterAll
+    with TempDirCleanup {
 
   lazy val spark: SparkSession =
     GraftSession.builder("local[4]", 4).getOrCreate()
 
   lazy val fx: ChainFixture.Fixture = ChainFixture.build(200)
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 
   private def newStore() = new GraftStore(
-    Files.createTempDirectory("graft-store").toString, bucketSize = 50L)
+    tempDir("graft-store"), bucketSize = 50L)
 
   /** Source that fails mid-ingest for the first `failures` attempts. */
   private class FlakySource(inner: ChainSource, failures: Int)
@@ -110,7 +110,7 @@ class ExportSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("tables-prefix isolates two instances sharing one store root") {
-    val root = Files.createTempDirectory("graft-store").toString
+    val root = tempDir("graft-store")
     val a = new GraftStore(root, bucketSize = 50L, tablesPrefix = "etl_a")
     val b = new GraftStore(root, bucketSize = 50L, tablesPrefix = "etl_b")
     Backfill.run(spark, new FixtureSource(fx), a, 0, 49)

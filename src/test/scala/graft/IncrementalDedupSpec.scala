@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 
 import graft.operators.DedupOps
 import graft.streaming.StreamOps
@@ -13,14 +12,15 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Incremental near-dup detection: a stream of new documents probed
   * against a static band index of the historical corpus — duplicates are
   * flagged per micro-batch without re-scanning history. */
-class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll
+    with TempDirCleanup {
 
   private val dir = "/root/testdata/sf0.001"
 
   lazy val spark: SparkSession =
     GraftSession.builder("local[4]", 4).getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 
   private def corpus: DataFrame =
     Tables.t(spark, dir, "documents").select("doc_id", "text")
@@ -64,7 +64,7 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
         ()
       }
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-ckpt").toString)
+        tempDir("graft-ckpt"))
       .start()
     val copy = nearCopyOf(corpus, 11L, 900011L)
       .collect().map(r => (r.getLong(0), r.getString(1)))

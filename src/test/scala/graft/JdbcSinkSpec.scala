@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 
 import graft.chain.ChainFixture
 import graft.etl.{Backfill, FixtureSource}
@@ -12,20 +11,21 @@ import org.scalatest.funsuite.AnyFunSuite
 /** JDBC sink parity (reference `--storage sqlite3/postgres`): export the
   * parquet store into embedded Derby and read it back through Spark's
   * JDBC source. */
-class JdbcSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
+class JdbcSinkSpec extends AnyFunSuite with BeforeAndAfterAll
+    with TempDirCleanup {
 
   lazy val spark: SparkSession =
     GraftSession.builder("local[4]", 4).getOrCreate()
 
   lazy val fx: ChainFixture.Fixture = ChainFixture.build(60)
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 
   test("store tables round-trip through a JDBC database") {
     val store = new GraftStore(
-      Files.createTempDirectory("graft-store").toString, bucketSize = 50L)
+      tempDir("graft-store"), bucketSize = 50L)
     Backfill.run(spark, new FixtureSource(fx), store, 0, 59)
-    val db = Files.createTempDirectory("graft-derby").resolve("db")
+    val db = tempPath("graft-derby").resolve("db")
     val url = s"jdbc:derby:$db;create=true"
 
     val counts = JdbcSink.export(spark, store, url, prefix = "p1")

@@ -13,12 +13,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * plus an index append over one root), snapshot time travel, and vacuum
   * (physical reclamation of dropped/orphaned leaves — the manifest itself
   * never deletes files). */
-class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+class StoreSpec extends AnyFunSuite with BeforeAndAfterAll
+    with TempDirCleanup {
 
   lazy val spark: SparkSession =
     GraftSession.builder("local[4]", 4).getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 
   private def rows(ids: Long*): DataFrame = {
     import spark.implicits._
@@ -31,7 +32,7 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(col("k"))))
 
   test("concurrent commits from separate instances all survive") {
-    val root = Files.createTempDirectory("graft-store-conc").toString
+    val root = tempDir("graft-store-conc")
     // each thread uses its OWN GraftStore instance — instance-level
     // synchronization alone would let publish()'s read-modify-write of
     // _current interleave and erase earlier commits
@@ -48,7 +49,7 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("vacuum looping against live commits loses nothing: every commit " +
       "survives and _current always resolves") {
-    val root = Files.createTempDirectory("graft-store-race").toString
+    val root = tempDir("graft-store-race")
     val store = new GraftStore(root)
     commitKeyed(store, "t", rows(-1L))
     // a retention daemon on the same root as a live writer: vacuum takes
@@ -78,7 +79,7 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("contending full-table rewrites: one wins, the loser fails stale " +
       "and converges on a fresh-snapshot retry") {
-    val root = Files.createTempDirectory("graft-store-rewrite").toString
+    val root = tempDir("graft-store-rewrite")
     val store = new GraftStore(root)
     commitKeyed(store, "t", rows(1L, 2L))
     // both writers plan a compaction from the SAME snapshot: each stages
@@ -103,7 +104,7 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("time travel: a historic snapshot replays its exact version") {
-    val root = Files.createTempDirectory("graft-store-tt").toString
+    val root = tempDir("graft-store-tt")
     val store = new GraftStore(root)
     commitKeyed(store, "t", rows(1L, 2L))
     val v1 = store.snapshots().last
@@ -126,7 +127,7 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every leaf") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    val root = Files.createTempDirectory("graft-store-stats").toString
+    val root = tempDir("graft-store-stats")
     val store = new GraftStore(root)
     def blocksDf(lo: Long, hi: Long) =
       (lo to hi).map(n => (n, s"payload-$n")).toDF("number", "payload")
@@ -172,7 +173,7 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("incremental read between snapshots: appends surface whole, " +
       "rewrite survivors are subtracted bucket-locally, deletes are " +
       "manifest-only") {
-    val root = Files.createTempDirectory("graft-store-cdc").toString
+    val root = tempDir("graft-store-cdc")
     val store = new GraftStore(root)
     val keys = (df: DataFrame) =>
       df.select("k").collect().map(_.getLong(0)).sorted.toSeq
@@ -216,7 +217,7 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("readNewRows pinned to two snapshots is stable while writers " +
       "append and rewrite concurrently") {
-    val root = Files.createTempDirectory("graft-store-cdc-race").toString
+    val root = tempDir("graft-store-cdc-race")
     val store = new GraftStore(root)
     val keys = (df: DataFrame) =>
       df.select("k").collect().map(_.getLong(0)).sorted.toSeq
@@ -280,7 +281,7 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("height-pruned reads racing a rollback/re-ingest loop always see " +
       "one committed state, never a mix") {
-    val root = Files.createTempDirectory("graft-store-rollback-race").toString
+    val root = tempDir("graft-store-rollback-race")
     val store = new GraftStore(root)
     val fx = graft.chain.ChainFixture.build(200)
     graft.etl.Backfill.run(spark, new graft.etl.FixtureSource(fx), store,
@@ -323,7 +324,7 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("snapshot sequence is monotonic across store re-instantiation " +
       "(restart/reboot survival)") {
-    val root = Files.createTempDirectory("graft-store-seq").toString
+    val root = tempDir("graft-store-seq")
     commitKeyed(new GraftStore(root), "t", rows(1L))
     commitKeyed(new GraftStore(root), "t", rows(2L)) // fresh instance =
     commitKeyed(new GraftStore(root), "t", rows(3L)) // fresh process state
@@ -337,7 +338,7 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("vacuum never reclaims the snapshot _current points to, even when " +
       "a higher-named stray snapshot exists") {
-    val root = Files.createTempDirectory("graft-store-cur").toString
+    val root = tempDir("graft-store-cur")
     val store = new GraftStore(root)
     commitKeyed(store, "t", rows(1L, 2L))
     val current = store.currentSnapshot().get
@@ -357,7 +358,7 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("a commit whose staged leaves were vacuumed away fails loudly " +
       "instead of publishing dangling references") {
-    val root = Files.createTempDirectory("graft-store-dangle").toString
+    val root = tempDir("graft-store-dangle")
     val store = new GraftStore(root)
     commitKeyed(store, "t", rows(1L))
     // the unsafe interleave: stage, then a zero-grace vacuum sweeps the
@@ -384,7 +385,7 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("an overflow-digit stray neither poisons the sequence counter nor " +
       "survives vacuum") {
-    val root = Files.createTempDirectory("graft-store-ovf").toString
+    val root = tempDir("graft-store-ovf")
     val store = new GraftStore(root)
     commitKeyed(store, "t", rows(1L))
     // 23 digits: beyond Long — publish can never mint this. It must sort
@@ -406,7 +407,7 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("legacy negative-nanos snapshot names neither crash listing nor " +
       "outrank real snapshots") {
-    val root = Files.createTempDirectory("graft-store-neg").toString
+    val root = tempDir("graft-store-neg")
     val store = new GraftStore(root)
     commitKeyed(store, "t", rows(7L))
     Files.write(Paths.get(root, "snapshot--12345-cafe.txt"),
@@ -420,7 +421,7 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("vacuum reclaims dropped leaves and old snapshots; current reads " +
       "survive; grace shields young orphans") {
-    val root = Files.createTempDirectory("graft-store-vac").toString
+    val root = tempDir("graft-store-vac")
     val store = new GraftStore(root)
     commitKeyed(store, "t", rows(1L, 2L))
     val v1 = store.snapshots().last

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 
 import graft.operators.DedupOps
 import graft.streaming.StreamingCuration
@@ -15,14 +14,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * within itself, deduped against everything accepted so far, and the
   * band index grows with the survivors — so a later batch's copy of an
   * earlier batch's doc is caught without re-shingling history. */
-class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll
+    with TempDirCleanup {
 
   private val dir = "/root/testdata/sf0.001"
 
   lazy val spark: SparkSession =
     GraftSession.builder("local[4]", 4).getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 
   private def corpus: DataFrame =
     Tables.t(spark, dir, "documents").select("doc_id", "text")
@@ -56,7 +56,7 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
         ()
       }
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-ckpt").toString)
+        tempDir("graft-ckpt"))
       .start()
 
     // 80 distinct tokens, >500 chars: clears the quality floor (length +
@@ -97,7 +97,7 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("a replayed micro-batch commits nothing (exactly-once)") {
     import graft.streaming.StreamingCuration
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-stream-replay")
+    val root = tempPath("graft-stream-replay")
     val store = new graft.store.GraftStore(s"$root/store")
     val batch = Seq(
       (1L, (1 to 80).map(i => f"meadow$i%05d").mkString(" ")),
@@ -120,7 +120,7 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("at-least-once delivery converges: stale replays and partially " +
       "overlapping batches never double-accept or double-commit") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-stream-ooo")
+    val root = tempPath("graft-stream-ooo")
     val store = new graft.store.GraftStore(s"$root/store")
     def doc(id: Long, word: String) =
       (id, (1 to 80).map(i => f"$word$id%03d$i%05d").mkString(" "))
@@ -151,7 +151,7 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("processBatch racing `index compact`: both commits land, and " +
       "exactly-once survives the leaf swap") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-stream-compact")
+    val root = tempPath("graft-stream-compact")
     val store = new graft.store.GraftStore(s"$root/store")
     def doc(id: Long, word: String) =
       (id, (1 to 80).map(i => f"$word$id%03d$i%05d").mkString(" "))
@@ -223,7 +223,7 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val all = (base ++ injected).sortBy(_._1)
 
     // batch path: the curate verb's composition on the whole corpus
-    val root = Files.createTempDirectory("graft-stream-e2e")
+    val root = tempPath("graft-stream-e2e")
     val d = all.toSeq.toDF("doc_id", "text")
     val batchOut = s"$root/batch_shards"
     CorpusOps.writeShards(

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import java.sql.Timestamp
 
 import graft.streaming.StreamOps
@@ -15,12 +14,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * driven through MemoryStream micro-batches; stream results must agree
   * with the equivalent batch computation (same-code-both-modes contract).
   */
-class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll
+    with TempDirCleanup {
 
   lazy val spark: SparkSession =
     GraftSession.builder("local[4]", 4).getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 
   private def ts(minutes: Long): Timestamp =
     new Timestamp(1700000000000L + minutes * 60000L)
@@ -39,7 +39,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeStream.outputMode("append").format("memory")
       .queryName("win_counts")
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-ckpt").toString)
+        tempDir("graft-ckpt"))
       .start()
     // two batches + a watermark-advancing flush batch
     stream.addData(sampleEvents.take(120))
@@ -75,7 +75,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeStream.outputMode("append").format("memory")
       .queryName("sessions")
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-ckpt").toString)
+        tempDir("graft-ckpt"))
       .start()
     stream.addData(burst1)
     q.processAllAvailable()

@@ -12,10 +12,12 @@ trait TempDirCleanup extends BeforeAndAfterAll { this: Suite =>
   private val tmpDirs =
     scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
 
-  protected def tempDir(prefix: String): String = {
+  protected def tempDir(prefix: String): String = tempPath(prefix).toString
+
+  protected def tempPath(prefix: String): java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     tmpDirs.synchronized { tmpDirs += p }
-    p.toString
+    p
   }
 
   override def afterAll(): Unit = {

@@ -9,14 +9,15 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Behavior checks for the training-data pipeline operators over the
   * sf0.001 corpus: injected duplicates are found, approximate search has
   * sane recall, multimodal plumbing round-trips. */
-class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll
+    with TempDirCleanup {
 
   private val dir = "/root/testdata/sf0.001"
 
   lazy val spark: SparkSession =
     GraftSession.builder("local[4]", 4).getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 
   test("exact dedup groups every injected copy with its source") {
     val dupGroups = DedupOps.exact.fn(spark, dir)
@@ -133,7 +134,7 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("ANN over a persisted sketch index equals the inline query") {
     // the production shape: sketches computed once at ingest, persisted,
     // and read at rest by every later search
-    val p = java.nio.file.Files.createTempDirectory("graft-ann")
+    val p = tempPath("graft-ann")
       .resolve("index").toString
     SimilarityOps.buildSketchIndex(Tables.t(spark, dir, "embeddings"))
       .write.parquet(p)

@@ -16,12 +16,13 @@ import scala.jdk.CollectionConverters._
   * fewer candidate row groups for a two-dimensional box predicate than a
   * single-dimension sort — read straight from the parquet footers, the
   * same min/max stats any engine's scan pruning consults. */
-class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
+class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll
+    with TempDirCleanup {
 
   lazy val spark: SparkSession =
     GraftSession.builder("local[4]", 4).getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 
   /** Reference Morton code: per-bit loop, independent of the closed-form
     * shift/mask chain under test. 31 bits per dimension (the zValue
@@ -109,7 +110,7 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
       (col("id") % 512).as("a"),
       // decorrelate b from a with a deterministic odd-multiplier hash
       ((col("id") * 2654435761L) % 512).as("b"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder")
+    val tmp = tempPath("graft-zorder")
     val oneDim = s"$tmp/bya"
     val zDim = s"$tmp/byz"
     // small row groups so both files get many of them
