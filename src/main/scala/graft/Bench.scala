@@ -89,19 +89,48 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val errors = Seq.newBuilder[String]
-    val results = selected.map { case (name, fn) =>
-      val best =
-        try {
-          val b2 = math.min(timed(fn), timed(fn))
-          // The shared box shows 10-60x wall-clock swings under external
-          // load (BENCH_r02 recorded 107 s for a query that measures
-          // 1.6 s idle — in BOTH of its runs). A slow best-of-2 is the
-          // load-noise signature, so buy one more sample; steady-state
-          // queries never trip this and the run stays cheap.
-          if (b2 > 5.0) math.min(b2, timed(fn)) else b2
-        } catch { case _: Throwable => errors += name; -1.0 }
-      name -> best
-    }
+    def bestOf(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double =
+      try {
+        val b2 = math.min(timed(fn), timed(fn))
+        // The shared box shows 10-60x wall-clock swings under external
+        // load (BENCH_r02 recorded 107 s for a query that measures
+        // 1.6 s idle — in BOTH of its runs). A slow best-of-2 is the
+        // load-noise signature, so buy one more sample; steady-state
+        // queries never trip this and the run stays cheap.
+        if (b2 > 5.0) math.min(b2, timed(fn)) else b2
+      } catch { case _: Throwable => errors += name; -1.0 }
+    val mainResults = selected.map { case (name, fn) => name -> bestOf(name, fn) }
+
+    // IVF build/search split (round 10): `ann_topk_ivf` above re-trains
+    // the 4 Lloyd rounds every run, so its number mostly measures
+    // training a model that a deployment persists once (IndexStore `ivf`
+    // kind) and searches many times. Time the two phases separately —
+    // build writes the index to parquet (cells partitioned BY cell, the
+    // layout the probe join prunes), search reads it back at rest — so
+    // the searchable-latency number is visible on its own. Both entries
+    // land in the total like any other query.
+    import graft.operators.SimilarityOps
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft-bench-ivf").toString
+    val ivfSplit = Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)](
+      "ann_ivf_build" -> { (s, dir) =>
+        val units = SimilarityOps.unitVectors(Tables.t(s, dir, "embeddings"))
+        val (cells, cents) = SimilarityOps.buildIvfIndex(units)
+        cells.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$ivfDir/cells")
+        cents.write.mode("overwrite").parquet(s"$ivfDir/cents")
+        cents
+      },
+      "ann_ivf_search" -> { (s, _) =>
+        SimilarityOps.ivfSearch(s.read.parquet(s"$ivfDir/cells"),
+          s.read.parquet(s"$ivfDir/cents"), SimilarityOps.IvfProbes)
+      })
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) => name -> bestOf(name, fn) }
+    val results = mainResults ++ ivfSplit
     val errList = errors.result()
     val errs =
       if (errList.isEmpty) ""

@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale harness (round 10): runs the flagship composed paths
+  * at multiples of the sf0.1 corpus and records runtime, shuffle volume
+  * and memory per point — the measurement behind SCALE.md's claims. The
+  * plan-asserted scale story (banded joins, bucket caps, manifest-pruned
+  * probes) predicts:
+  *
+  *   - corpus-bound phases (curation_pipeline, dedup_minhash_lsh, index
+  *     builds, pack/shuffle) grow ~linearly in corpus size, in BOTH
+  *     wall-clock and shuffled bytes (a k² step would bend these);
+  *   - probe phases against an at-rest index (band_probe, ivf_search)
+  *     stay ~flat in wall-clock as the INDEX grows, because the probe
+  *     batch is fixed and the manifest prunes unprobed buckets/cells;
+  *   - driver heap stays bounded (no phase collects row data).
+  *
+  * Corpus synthesis: replica i of `documents` shifts doc_id by i·10⁷ and
+  * prefixes every token with `r<i>`, so each replica keeps the base
+  * corpus's internal near-dup structure while sharing NO shingles across
+  * replicas — duplicate pairs grow ~linearly with the corpus, like a
+  * real crawl, instead of quadratically like verbatim replication would.
+  * `embeddings` replicas shift vec_id only (duplicate vectors just add
+  * cluster mass; all timed paths are insensitive to that). Probe batches
+  * are always built from the BASE corpus, so probe work is constant by
+  * construction and any growth measured is the index's fault.
+  *
+  * Usage: `graft.Scale` main; env SPARK_GRAFT_SF_DIR (base corpus,
+  * default sf0.1), SPARK_GRAFT_SCALE_POINTS (default "1,3,10,30"),
+  * SPARK_GRAFT_SCALE_DIR (work dir, default /tmp/graft-scale). Writes
+  * SCALE.json in the cwd; one JSON line per phase on stdout as it runs.
+  * Like Bench, a fixed CPU sentinel runs before every phase so ambient
+  * box load is visible in the output (load_ratio per phase). */
+object Scale {
+
+  private val ReplicaOffset = 10000000L
+
+  /** Per-task metric accumulation across every job of a phase. */
+  private final class Metrics extends SparkListener {
+    val shw = new java.util.concurrent.atomic.AtomicLong
+    val shr = new java.util.concurrent.atomic.AtomicLong
+    val peak = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        peak.accumulateAndGet(m.peakExecutionMemory, (a, b) => math.max(a, b))
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val points = sys.env.getOrElse("SPARK_GRAFT_SCALE_POINTS", "1,3,10,30")
+      .split(',').map(_.trim.toInt).toSeq
+    val workRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      "/tmp/graft-scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new Metrics
+    spark.sparkContext.addSparkListener(metrics)
+
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 4000000L, 1L, 8)
+        .selectExpr("bit_xor(xxhash64(id))").head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinel() // codegen warm
+
+    // ---- corpus synthesis --------------------------------------------
+    def synth(k: Int): String = {
+      val dir = s"$workRoot/x$k"
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/documents.parquet"))) {
+        val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+        val scaledDocs = (0 until k).map { i =>
+          if (i == 0) docs
+          else docs
+            .withColumn("doc_id", col("doc_id") + lit(i * ReplicaOffset))
+            .withColumn("text",
+              regexp_replace(col("text"), "(\\S+)", s"r$i" + "$1"))
+            .withColumn("n_chars", length(col("text")))
+        }.reduce(_ unionAll _)
+        scaledDocs.repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+        (0 until k).map { i =>
+          if (i == 0) emb
+          else emb.withColumn("vec_id", col("vec_id") + lit(i * ReplicaOffset))
+        }.reduce(_ unionAll _)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      dir
+    }
+
+    // ---- measurement -------------------------------------------------
+    val out = Seq.newBuilder[String]
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def heapMb(): Long = {
+      val r = Runtime.getRuntime
+      System.gc()
+      (r.totalMemory() - r.freeMemory()) / (1024 * 1024)
+    }
+
+    /** Time `body` (forced by .count()), with a sentinel before it and
+      * task-metric deltas around it. `reps`: min over this many runs
+      * (cheap probe phases damp load noise; builds run once). */
+    def phase(name: String, k: Int, reps: Int)(body: => DataFrame): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      val s0 = sentinel()
+      val (shw0, shr0) = (metrics.shw.get(), metrics.shr.get())
+      metrics.peak.set(0L)
+      var best = Double.MaxValue
+      var rows = 0L
+      (1 to reps).foreach { _ =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(false))
+        val t0 = System.nanoTime()
+        rows = body.count()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      // metric deltas span every rep — report per-rep so probe phases
+      // (reps=2) stay comparable with single-rep builds
+      val line = s"""{"phase":"$name","k":$k,"sec":${fmt(best)},""" +
+        s""""rows":$rows,"shuffle_write_mb":${
+          (metrics.shw.get() - shw0) / reps / (1024 * 1024)},""" +
+        s""""shuffle_read_mb":${
+          (metrics.shr.get() - shr0) / reps / (1024 * 1024)},""" +
+        s""""peak_task_mem_mb":${metrics.peak.get() / (1024 * 1024)},""" +
+        s""""driver_heap_mb":${heapMb()},"sentinel_ms":${
+          math.round(s0 * 1000)}}"""
+      println(line)
+      out += line
+    }
+
+    // fixed probe batches from the BASE corpus — constant across k
+    val baseDocs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val probeBatch = graft.operators.DedupOps.perturbedCopies(
+      baseDocs.select(col("doc_id"), col("text"))).localCheckpoint()
+    val queryBatch = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .filter(col("vec_id") < 10).localCheckpoint()
+
+    points.foreach { k =>
+      val dir = synth(k)
+      val q = SparkEntry.queries
+
+      // corpus-bound query paths (linear claim)
+      if (k <= 10) phase("curation_pipeline", k, 1)(
+        q("curation_pipeline")(spark, dir))
+      phase("dedup_minhash_lsh", k, 1)(q("dedup_minhash_lsh")(spark, dir))
+      phase("pack_chunks", k, 1)(q("pack_chunks")(spark, dir))
+      phase("sample_shuffle", k, 1)(q("sample_shuffle")(spark, dir))
+
+      // at-rest index lifecycle: build at k× (linear claim), then probe
+      // a FIXED batch (flat claim — manifest prunes unprobed buckets)
+      val storeRoot = s"$dir/store"
+      val sp = java.nio.file.Paths.get(storeRoot)
+      if (java.nio.file.Files.exists(sp)) {
+        val walk = java.nio.file.Files.walk(sp)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally walk.close()
+      }
+      val store = new graft.store.GraftStore(storeRoot)
+      val docsK = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val embK = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      phase("band_build", k, 1) {
+        graft.store.IndexStore.build(store, "band", docsK)
+        graft.store.IndexStore.read(store, spark, "band").limit(0)
+      }
+      phase("band_probe", k, 2)(
+        graft.store.IndexStore.search(store, spark, "band", probeBatch, 0.4))
+      phase("ivf_build", k, 1) {
+        graft.store.IndexStore.build(store, "ivf", embK)
+        graft.store.IndexStore.read(store, spark, "ivf-centroids").limit(0)
+      }
+      phase("ivf_search", k, 2)(
+        graft.store.IndexStore.search(store, spark, "ivf", queryBatch))
+    }
+
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.json"),
+      ("[" + out.result().mkString(",\n") + "]")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

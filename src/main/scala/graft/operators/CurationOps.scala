@@ -90,6 +90,16 @@ object CurationOps {
       changed = next.filter(col("changed")).count()
       labels = next.drop("changed")
     }
+    // Unconverged labels are semantically wrong (a component would be
+    // split) and would silently diverge from the exact transitive-closure
+    // oracles — fail loudly so the divergence is attributable. Near-dup
+    // chains have small diameter; hitting this bound means the edge set
+    // is not dup-shaped and the caller should raise maxIter explicitly.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter for " +
+          "high-diameter edge sets")
     labels
   }
 
@@ -354,21 +364,27 @@ object CurationOps {
     require(counts.nonEmpty,
       "mixtureAlpha: no docs with a non-null lang (empty corpus, or an " +
         "unclassified one — run withPredictedLang first)")
+    // α = 0.5 computes via sqrt directly (not pow(n, 0.5)) so agreement
+    // with the DuckDB oracle's correctly-rounded sqrt is structural, not
+    // an empirical property of the running JVM's 1-ulp pow.
+    def powAlpha(n: Long): Double =
+      if (alphaBp == 5000L) math.sqrt(n.toDouble)
+      else math.pow(n.toDouble, alphaBp / 10000.0)
     val weights = counts.toSeq.sortBy(_._1).map { case (l, n) =>
-      l -> math.max(1L,
-        math.round(math.pow(n.toDouble, alphaBp / 10000.0) * 1000.0))
+      l -> math.max(1L, math.round(powAlpha(n) * 1000.0))
     }
     applyMixtureRates(d, mixtureRates(weights, counts))
   }
 
   /** Hash-oracled since round 9 at the query's α = 0.5: the driver-side
-    * weight is round(pow(n, 0.5)·1000) and pow(n, 0.5) ≡ sqrt(n) on IEEE
-    * doubles (CurationOpsSpec pins the identity over a wide integer
-    * sweep; DuckDB's sqrt/round agree — both are correctly-rounded
-    * operations), so the whole rate table is reproducible in SQL with
-    * HUGEINT arithmetic mirroring the BigInt machinery. Other α values
-    * route through a general driver-side pow and stay spec-gated
-    * (α-endpoint equivalences, monotone tail-share growth). */
+    * weight is round(sqrt(n)·1000) computed with math.sqrt directly
+    * (since round 10 — not pow(n, 0.5), whose sqrt-exactness is only an
+    * empirical property of the JVM's 1-ulp pow), and sqrt/round are
+    * correctly-rounded on both sides, so the whole rate table is
+    * reproducible in SQL with HUGEINT arithmetic mirroring the BigInt
+    * machinery. Other α values route through a general driver-side pow
+    * and stay spec-gated (α-endpoint equivalences, monotone tail-share
+    * growth). */
   val sampleMixtureAlpha: GraftQuery = GraftQuery(
     "sample_mixture_alpha",
     (s, dir) =>

@@ -303,7 +303,17 @@ object DedupOps {
 
   /** DuckDB mirror of [[graft.functions.Vec.portableHash]] over a string
     * expression (must be a plain column/lambda var — it is re-evaluated
-    * per char). */
+    * per char).
+    *
+    * Character-unit assumption: the Scala kernel walks Unicode CODE
+    * POINTS (codePointAt) while DuckDB's `s[j]`/`ascii` index GRAPHEME
+    * CLUSTERS — these agree exactly when every grapheme is a single
+    * BMP code point (all ASCII, and BMP text without combining marks).
+    * The corpus generator guarantees that today; PortableHashSpec's
+    * "character-unit boundary" pin hashes a combining-mark and an
+    * astral-plane string through both sides so any future corpus drift
+    * into that territory fails loudly in one named test rather than as
+    * an opaque dedup hash mismatch. */
   private[operators] def pHashSql(e: String): String =
     // lambda vars are deliberately obscure (pj/pa/px): this fragment is
     // composed INSIDE callers' lambdas (e.g. the Rademacher plane

@@ -91,21 +91,21 @@ object SimilarityOps {
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
     },
     Some(
-      // nzb mirrors the engine's unit() null-filter: a zero-norm vector
-      // has no direction, is dropped as query AND neighbor (DuckDB's
-      // cosine would yield NaN, which sorts as greatest — a zero vector
-      // would otherwise top every neighbor list the engine excludes it
-      // from)
-      s"""WITH nzb AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  WHERE list_sum(list_transform(embedding,
-         |    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0)
+      // u mirrors the engine's unit() (zero-norm filter + fixed-order
+      // norm fold) and the ranking key is the same left-to-right
+      // unit-dot fold the codegen'd kernel computes — NOT DuckDB's
+      // list_cosine_similarity over raw embeddings, whose ~1-ulp
+      // differences from the engine's fold could swap near-tied ranks
+      // (the vec_id tie-break only covers exact ties). Bit-identical
+      // ranking keys make the gate robust under corpus regeneration,
+      // like the lsh/ivf oracles.
+      s"""WITH $unitCteSql
          |SELECT query_id, neighbor_id, rank FROM (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY list_cosine_similarity(q.embedding, n.embedding)
+         |      ORDER BY ${dotSql("q.unit", "n.unit")}
          |        DESC, n.vec_id) AS rank
-         |  FROM nzb q, nzb n
+         |  FROM u q, u n
          |  WHERE q.vec_id < $NumQueries AND n.vec_id <> q.vec_id) sub
          |WHERE rank <= $K""".stripMargin))
 
@@ -592,19 +592,18 @@ object SimilarityOps {
             expr("hits * 10000 div n").as("recall_bp")))
     },
     Some(
+      // brute ranks with the same fixed-order unit-dot fold as the
+      // engine (and as the lsh CTE's rescore) — see ann_topk_brute's
+      // oracle for why list_cosine_similarity over raw embeddings
+      // would be ulp-fragile. sketchCtesSql already defines u.
       s"""WITH $sketchCtesSql,
-         |nzb AS (
-         |  -- mirrors the engine's unit() null-filter; see ann_topk_brute
-         |  SELECT vec_id, embedding FROM embeddings
-         |  WHERE list_sum(list_transform(embedding,
-         |    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0),
          |brute AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY list_cosine_similarity(q.embedding, n.embedding)
+         |        ORDER BY ${dotSql("q.unit", "n.unit")}
          |          DESC, n.vec_id) AS rank
-         |    FROM nzb q, nzb n
+         |    FROM u q, u n
          |    WHERE q.vec_id < $NumQueries AND n.vec_id <> q.vec_id) sub
          |  WHERE rank <= $K),
          |perq AS (

@@ -198,7 +198,18 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
         s"${s.maxH.getOrElse("")}"))
     val body = (metaLines ++ statLines ++
       sorted.map(l => s"${l.table}\t${l.bucket}\t${l.dir}")).mkString("\n")
-    Files.write(rootPath.resolve(name), body.getBytes(StandardCharsets.UTF_8))
+    // The snapshot body goes through its own tmp-then-atomic-move: a
+    // crash mid-write must never leave a TORN file under the snapshot-*
+    // name — readers don't read unreferenced snapshots, but vacuum's
+    // reference-set computation parses every kept snapshot, and a
+    // truncated manifest line would crash it (manual repair). With the
+    // move, a crash at any byte leaves only a `_snaptmp-*` orphan, which
+    // vacuum reclaims like any other tmp debris.
+    val snapTmp =
+      rootPath.resolve(s"_snaptmp-${UUID.randomUUID().toString.take(8)}")
+    Files.write(snapTmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(snapTmp, rootPath.resolve(name),
+      StandardCopyOption.ATOMIC_MOVE)
     val tmp =
       rootPath.resolve(s"_current.tmp-${UUID.randomUUID().toString.take(8)}")
     Files.write(tmp, name.getBytes(StandardCharsets.UTF_8))
@@ -556,6 +567,19 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
         }
       old.filterNot(kept.contains)
         .foreach(s => Files.deleteIfExists(rootPath.resolve(s)))
+      // tmp debris from commits that died between write and atomic move
+      // (`_current.tmp-*` pointer bodies, `_snaptmp-*` snapshot bodies):
+      // never referenced by anything, but they accumulate forever without
+      // this. Grace-windowed like leaves — an in-flight commit's tmp file
+      // lives for microseconds, so anything older than the grace is dead.
+      listDir(rootPath)
+        .filter { p =>
+          val n = p.getFileName.toString
+          !Files.isDirectory(p) &&
+            (n.startsWith("_current.tmp-") || n.startsWith("_snaptmp-")) &&
+            Files.getLastModifiedTime(p).toMillis < cutoff
+        }
+        .foreach(Files.deleteIfExists(_))
       deleted
     }
 

@@ -106,6 +106,55 @@ class PortableHashSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sh == 104152957025L)
   }
 
+  /** DuckDB-semantics re-derivation: `s[j]`/`ascii` walk GRAPHEME
+    * CLUSTERS and take the first code point of each — this models what
+    * the pHashSql oracle fragment would compute, without needing DuckDB
+    * in-process. */
+  private def graphemeRefHash(s: String): Long = {
+    val it = java.text.BreakIterator.getCharacterInstance(
+      java.util.Locale.ROOT)
+    it.setText(s)
+    var h1 = 0L; var h2 = 0L
+    var start = it.first(); var end = it.next()
+    while (end != java.text.BreakIterator.DONE) {
+      val cp = s.codePointAt(start)
+      h1 = (h1 * 131 + cp) % P1
+      h2 = (h2 * 137 + cp) % P2
+      start = end; end = it.next()
+    }
+    (h1 << 30) | h2
+  }
+
+  test("character-unit boundary: where code-point and grapheme walks " +
+      "agree and where they must diverge") {
+    import spark.implicits._
+    // The engine hashes code points; the DuckDB oracle hashes grapheme
+    // clusters (first code point of each). The oracle gate is only sound
+    // where the two walks coincide: every grapheme = one BMP code point.
+    // This pin makes that boundary executable: if a corpus drop ever
+    // carries combining marks, the dedup hash gates are expected to
+    // diverge — fail HERE, with a name, not as an opaque mismatch.
+    val ascii = "plain ascii text"
+    val bmp = "café über règle"              // BMP, no combining marks
+    val combining = "café"             // e + COMBINING ACUTE ACCENT
+    val astral = "math 𝕏 symbol"  // U+1D54F (astral plane)
+    def kernel(s: String): Long =
+      Seq(Tuple1(Seq(s))).toDF("t")
+        .select(Vec.token_hashes(col("t"))).head.getSeq[Long](0).head
+    // kernel contract: always the code-point walk, for every plane
+    for (s <- Seq(ascii, bmp, combining, astral))
+      assert(kernel(s) == refHash(s), s"kernel vs code-point walk: '$s'")
+    // agreement region (oracle sound): ASCII, BMP-without-combining,
+    // and even astral code points (one grapheme = one code point there)
+    for (s <- Seq(ascii, bmp, astral))
+      assert(graphemeRefHash(s) == refHash(s), s"walks must agree: '$s'")
+    // divergence region (oracle unsound — corpus generator must keep
+    // combining sequences out, or the SQL mirror needs a code-point walk)
+    assert(graphemeRefHash(combining) != refHash(combining),
+      "combining-mark text is expected to diverge between the walks; " +
+        "if this ever fails, re-audit pHashSql's character unit")
+  }
+
   // ---- layer 2: randomized kernel sweep ----
 
   test("randomized sweep: kernels equal the plain-Scala re-derivation") {
