@@ -286,19 +286,35 @@ object IndexStore {
   def search(store: GraftStore, spark: SparkSession, kind: String,
       probe: DataFrame, threshold: Double = 0.4): DataFrame = kind match {
     case "band" =>
-      val buckets = probeBuckets(
-        DedupOps.lshBands(DedupOps.minhashSignatures(probe))
-          .select(bucketOf("band").as("b")))
+      // ONE pass over the (small) probe batch yields both prune levels:
+      // leaf buckets for the manifest, and the distinct probe band keys
+      // pushed as a scan filter. Without the key filter the probe join
+      // shuffles the whole surviving index — measured 585 MB of shuffle
+      // for a 25-doc probe against a 30× corpus (SCALE.md round 10),
+      // growing linearly with the INDEX instead of the batch. With it,
+      // the isin predicate reaches the parquet scan, row-group stats on
+      // the sorted (band, band_key) leaves prune IO, and everything
+      // downstream is O(matching keys). Filtering on band_key alone is a
+      // superset of the (band, band_key) match — cross-band key
+      // collisions just ride to the join, which checks both columns.
+      val keyRows = DedupOps.lshBands(DedupOps.minhashSignatures(probe))
+        .select(col("band_key"), bucketOf("band").as("b"))
+        .distinct().collect()
+      val buckets = keyRows.map(_.getLong(1)).toSet
+      val idx = read(store, spark, "band", buckets.contains)
       DedupOps.incrementalNearDup(probe,
-        read(store, spark, "band", buckets), threshold)
+        keyFiltered(idx, "band_key", keyRows.map(_.getLong(0))), threshold)
     case "span" =>
-      val buckets = probeBuckets(
-        probe.select(explode(graft.functions.Vec.winnow_fps(
+      val keyRows = probe
+        .select(explode(graft.functions.Vec.winnow_fps(
             regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
             DedupOps.SpanGram, DedupOps.SpanWindow)).as("fp"))
-          .select(bucketOf("span").as("b")))
+        .select(col("fp"), bucketOf("span").as("b"))
+        .distinct().collect()
+      val buckets = keyRows.map(_.getLong(1)).toSet
+      val idx = read(store, spark, "span", buckets.contains)
       DedupOps.incrementalSharedSpans(probe,
-        read(store, spark, "span", buckets))
+        keyFiltered(idx, "fp", keyRows.map(_.getLong(0))))
     case "ivf" =>
       // the probe list needs only the tiny centroid table; the cell
       // reads that follow are pruned to the probed cells — at rest, an
@@ -316,10 +332,20 @@ object IndexStore {
       SimilarityOps.sketchProbe(read(store, spark, "sketch"), probe)
   }
 
-  /** Distinct leaf buckets a probe batch can touch — at most [[Buckets]]
-    * longs cross to the driver, never row data. */
-  private def probeBuckets(b: DataFrame): Long => Boolean = {
-    val hit = b.distinct().collect().map(_.getLong(0)).toSet
-    hit.contains
-  }
+  /** Probe keys above this count skip the scan-filter pushdown (a
+    * predicate that large costs more to plan/evaluate than the scan it
+    * would save) and fall back to bucket pruning + the probe join alone
+    * — the bulk-reprocessing shape, where reading most of the index is
+    * the honest plan anyway. The interactive probe shape (a batch of
+    * docs × 16 bands, or a batch's winnow fps) sits far below it. */
+  val MaxKeyPushdown = 20000
+
+  /** The probe-key scan filter: an `isin` over the batch's distinct key
+    * values, which Spark pushes into the parquet scan where the sorted
+    * leaves' row-group stats prune IO. The key list crossed to the
+    * driver already (bounded by the probe batch, never index size). */
+  private def keyFiltered(idx: DataFrame, keyCol: String,
+      keys: Array[Long]): DataFrame =
+    if (keys.isEmpty || keys.length > MaxKeyPushdown) idx
+    else idx.filter(col(keyCol).isin(keys.distinct.toSeq: _*))
 }

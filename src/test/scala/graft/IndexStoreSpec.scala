@@ -43,6 +43,47 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(!hits.exists(_._1 == 701L))
   }
 
+  test("band probe key-prune: search equals the unpruned probe, and the " +
+      "probe-key In filter reaches the parquet scan") {
+    import spark.implicits._
+    val root = tempDir("graft-idx-prune")
+    val corpus = (0L until 40L).map(doc(_, "p"))
+    val store = new GraftStore(root)
+    IndexStore.build(store, "band", corpus.toDF("doc_id", "text"))
+    // near-dup probe of doc 7 (every 29th token swapped → ~2 of 60
+    // tokens, est. Jaccard ≈ 0.65 — comfortably over the 0.4 gate and
+    // the 8×2 band recall curve) + one novel doc
+    val probe = Seq(
+      (800L, corpus(7)._2.split(" ").zipWithIndex
+        .map { case (t, i) => if (i % 29 == 0) "xq" else t }.mkString(" ")),
+      doc(801L, "novel")).toDF("doc_id", "text")
+    // 1. correctness of the superset key filter: the pruned at-rest
+    //    search returns exactly what probing the FULL index returns
+    //    (round-10 scale fix — without pruning, the probe join shuffled
+    //    the whole index; the filter must change IO, never results)
+    val pruned = IndexStore.search(store, spark, "band", probe)
+      .select("new_id", "existing_id", "jaccard_bp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = graft.operators.DedupOps.incrementalNearDup(probe,
+      IndexStore.read(store, spark, "band"), 0.4)
+      .select("new_id", "existing_id", "jaccard_bp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pruned == full, s"pruned=$pruned full=$full")
+    assert(pruned.exists(h => h._1 == 800L && h._2 == 7L))
+    // 2. the pushdown mechanics: the exact filter shape search applies
+    //    reaches the scan as a pushed In predicate (row-group pruning on
+    //    the band_key-sorted leaves depends on it)
+    val someKeys = graft.operators.DedupOps.lshBands(
+      graft.operators.DedupOps.minhashSignatures(probe))
+      .select("band_key").distinct().collect().map(_.getLong(0)).toSeq
+    val plan = IndexStore.read(store, spark, "band")
+      .filter(col("band_key").isin(someKeys: _*))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PushedFilters: \\[.*In\\(band_key".r.findAllIn(plan).nonEmpty,
+      plan)
+  }
+
   test("an index written under a different hash family is rejected loudly") {
     import spark.implicits._
     // Simulate a legacy (pre-round-9) index: band rows committed WITHOUT
