@@ -176,6 +176,65 @@ class CrashSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(new GraftStore(root).currentMeta() == Map("tip" -> "2"))
   }
 
+  test("randomized crash/recovery interleavings: readers always see " +
+      "exactly the committed keys, and recovery never needs repair") {
+    // The fixed crash points above are the protocol's corners; this
+    // sweep composes them randomly — crashed writers, successful
+    // commits and vacuums interleaved — and checks the model-based
+    // invariant after EVERY step: the store reads exactly the set of
+    // keys successful commits produced, nothing more, nothing less.
+    val rnd = new scala.util.Random(211)
+    (0 until 3).foreach { trial =>
+      val root = tempDir(s"graft-crash-rand$trial")
+      val store = new GraftStore(root)
+      var committed = Vector.empty[Long]
+      var nextId = 0L
+      def freshIds(n: Int): Seq[Long] = {
+        val ids = (nextId until nextId + n); nextId += n; ids
+      }
+      // seed commit: the reader model needs a table to read
+      commitRows(store, freshIds(2): _*)
+      committed ++= Seq(0L, 1L)
+      (0 until 12).foreach { step =>
+        rnd.nextInt(6) match {
+          case 0 | 1 => // a successful commit
+            val ids = freshIds(1 + rnd.nextInt(3))
+            commitRows(store, ids: _*)
+            committed ++= ids
+          case 2 => // crash A: stage, die
+            stageOnly(store, freshIds(2): _*)
+          case 3 => // crash B: torn snapshot body
+            Files.write(Paths.get(root, f"_snaptmp-t$trial-s$step"),
+              s"t\t1\torphan\nt\t2".getBytes(StandardCharsets.UTF_8))
+          case 4 => // crash C/D: stray high-seq snapshot (+ pointer tmp)
+            val orphans = stageOnly(store, freshIds(2): _*)
+            val stray = f"snapshot-${8000 + step}%020d-t$trial" +
+              f"s$step%02d.txt"
+            Files.write(Paths.get(root, stray),
+              orphans.map(d => s"t\t9\t$d").mkString("\n")
+                .getBytes(StandardCharsets.UTF_8))
+            if (rnd.nextBoolean())
+              Files.write(Paths.get(root, s"_current.tmp-t$trial-s$step"),
+                stray.getBytes(StandardCharsets.UTF_8))
+          case 5 => // maintenance runs whenever
+            store.vacuum(keepSnapshots = 1, graceMs = 0L)
+        }
+        assert(liveKeys(root) == committed.sorted,
+          s"trial $trial step $step: reader sees wrong keys")
+      }
+      // final recovery: one commit + vacuum leaves a clean store
+      commitRows(store, 9999L)
+      committed :+= 9999L
+      store.vacuum(keepSnapshots = 1, graceMs = 0L)
+      assert(liveKeys(root) == committed.sorted)
+      val names = Files.list(Paths.get(root)).iterator()
+      val leftover = new scala.collection.mutable.ArrayBuffer[String]
+      while (names.hasNext) leftover += names.next().getFileName.toString
+      assert(!leftover.exists(n => n.startsWith("_current.tmp-") ||
+        n.startsWith("_snaptmp-")), s"trial $trial debris: $leftover")
+    }
+  }
+
   test("repeated interrupted commits never poison the sequence counter") {
     val (root, store) = seeded("graft-crash-seq")
     // three successive crashed writers, each leaving a higher-seq stray

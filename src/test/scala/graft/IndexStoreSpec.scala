@@ -84,6 +84,25 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
       plan)
   }
 
+  test("span probe key-prune: search equals the unpruned probe") {
+    import spark.implicits._
+    val root = tempDir("graft-idx-prune-span")
+    val corpus = (0L until 40L).map(doc(_, "q"))
+    val store = new GraftStore(root)
+    IndexStore.build(store, "span", corpus.toDF("doc_id", "text"))
+    val probe = Seq(
+      (900L, corpus(13)._2.substring(40, 240) + " fresh tail here"),
+      doc(901L, "novel")).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("new_id", "existing_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = pairs(IndexStore.search(store, spark, "span", probe))
+    val full = pairs(graft.operators.DedupOps.incrementalSharedSpans(probe,
+      IndexStore.read(store, spark, "span")))
+    assert(pruned == full, s"pruned=$pruned full=$full")
+    assert(pruned.contains((900L, 13L)))
+  }
+
   test("an index written under a different hash family is rejected loudly") {
     import spark.implicits._
     // Simulate a legacy (pre-round-9) index: band rows committed WITHOUT
