@@ -30,10 +30,14 @@ import org.apache.spark.sql.functions._
   *
   * Usage: `graft.Scale` main; env SPARK_GRAFT_SF_DIR (base corpus,
   * default sf0.1), SPARK_GRAFT_SCALE_POINTS (default "1,3,10,30"),
-  * SPARK_GRAFT_SCALE_DIR (work dir, default /tmp/graft-scale). Writes
-  * SCALE.json in the cwd; one JSON line per phase on stdout as it runs.
-  * Like Bench, a fixed CPU sentinel runs before every phase so ambient
-  * box load is visible in the output (load_ratio per phase). */
+  * SPARK_GRAFT_SCALE_PHASES (phase filter for focused reruns),
+  * SPARK_GRAFT_SCALE_DIR (work dir, default /tmp/graft-scale). A full
+  * sweep writes SCALE.json in the cwd; a filtered rerun writes
+  * SCALE_partial.json so it can never clobber committed evidence. One
+  * JSON line per phase on stdout as it runs. Like Bench, a fixed CPU
+  * sentinel runs before every phase so ambient box load is visible in
+  * the output (the per-phase `sentinel_ms` sample; compare against the
+  * run's minimum to judge a phase's load environment). */
 object Scale {
 
   private val ReplicaOffset = 10000000L
@@ -78,8 +82,12 @@ object Scale {
     // ---- corpus synthesis --------------------------------------------
     def synth(k: Int): String = {
       val dir = s"$workRoot/x$k"
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$dir/documents.parquet"))) {
+      // resume only when BOTH tables landed with their _SUCCESS markers
+      // — a sweep that died mid-synthesis must re-synthesize, not skip
+      // forever on a half-written point
+      def done(t: String) = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/$t.parquet/_SUCCESS"))
+      if (!(done("documents") && done("embeddings"))) {
         val docs = spark.read.parquet(s"$baseDir/documents.parquet")
         val scaledDocs = (0 until k).map { i =>
           if (i == 0) docs
@@ -216,7 +224,13 @@ object Scale {
         graft.store.IndexStore.search(store, spark, "ivf", queryBatch))
     }
 
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.json"),
+    // a phase/point-filtered rerun writes a scratch file — it must never
+    // clobber the full sweep's committed evidence with a subset
+    val outFile =
+      if (onlyPhases.isEmpty && sys.env.get("SPARK_GRAFT_SCALE_POINTS")
+          .forall(_ == "1,3,10,30")) "SCALE.json"
+      else "SCALE_partial.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       ("[" + out.result().mkString(",\n") + "]")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -70,7 +70,9 @@ object CurationOps {
       .localCheckpoint(eager = false)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    // maxIter productive rounds + 1 confirming round (see the
+    // non-convergence note below the loop)
+    while (changed > 0 && iter < maxIter + 1) {
       iter += 1
       val nbrMin = und
         .join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -92,9 +94,14 @@ object CurationOps {
     }
     // Unconverged labels are semantically wrong (a component would be
     // split) and would silently diverge from the exact transitive-closure
-    // oracles — fail loudly so the divergence is attributable. Near-dup
-    // chains have small diameter; hitting this bound means the edge set
-    // is not dup-shaped and the caller should raise maxIter explicitly.
+    // oracles — fail loudly so the divergence is attributable. But a
+    // final PRODUCTIVE round (changed > 0 at iter == maxIter) does not
+    // itself prove non-convergence — it may have applied the last
+    // improvement, with only the 0-change confirmation outstanding. The
+    // loop above runs up to maxIter productive rounds; this throws only
+    // when the round AFTER them still changes labels. Near-dup chains
+    // have small diameter; reaching here means the edge set is not
+    // dup-shaped and the caller should raise maxIter explicitly.
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +

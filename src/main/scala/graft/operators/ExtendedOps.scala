@@ -288,7 +288,12 @@ object ExtendedOps {
     (String, String, String, Long, Long), java.lang.Long]()
   private[operators] def cachedSpanBucketSize(dir: String, table: String,
       keyCol: String)(df: => DataFrame): Long = {
-    val f = new java.io.File(s"$dir/$table.parquet")
+    // `table` may be a VIRTUAL cache name ("orders:gaps" — same file,
+    // different derived keys); the fingerprint watches the backing file,
+    // so strip the ":variant" suffix or the stat would hit a
+    // never-existing path and pin (0, 0) forever — the exact staleness
+    // this fingerprint exists to prevent.
+    val f = new java.io.File(s"$dir/${table.takeWhile(_ != ':')}.parquet")
     sizingCache.computeIfAbsent(
       (dir, table, keyCol, f.lastModified(), f.length()),
       _ => spanBucketSize(df, keyCol)).longValue()

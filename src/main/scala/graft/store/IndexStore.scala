@@ -297,24 +297,18 @@ object IndexStore {
       // downstream is O(matching keys). Filtering on band_key alone is a
       // superset of the (band, band_key) match — cross-band key
       // collisions just ride to the join, which checks both columns.
-      val keyRows = DedupOps.lshBands(DedupOps.minhashSignatures(probe))
-        .select(col("band_key"), bucketOf("band").as("b"))
-        .distinct().collect()
-      val buckets = keyRows.map(_.getLong(1)).toSet
-      val idx = read(store, spark, "band", buckets.contains)
-      DedupOps.incrementalNearDup(probe,
-        keyFiltered(idx, "band_key", keyRows.map(_.getLong(0))), threshold)
+      val bands = DedupOps.lshBands(DedupOps.minhashSignatures(probe))
+      val idx = prunedIndex(store, spark, "band",
+        bands.select(col("band_key"), bucketOf("band").as("b")), "band_key")
+      DedupOps.incrementalNearDup(probe, idx, threshold)
     case "span" =>
-      val keyRows = probe
+      val fps = probe
         .select(explode(graft.functions.Vec.winnow_fps(
             regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
             DedupOps.SpanGram, DedupOps.SpanWindow)).as("fp"))
-        .select(col("fp"), bucketOf("span").as("b"))
-        .distinct().collect()
-      val buckets = keyRows.map(_.getLong(1)).toSet
-      val idx = read(store, spark, "span", buckets.contains)
-      DedupOps.incrementalSharedSpans(probe,
-        keyFiltered(idx, "fp", keyRows.map(_.getLong(0))))
+      val idx = prunedIndex(store, spark, "span",
+        fps.select(col("fp"), bucketOf("span").as("b")), "fp")
+      DedupOps.incrementalSharedSpans(probe, idx)
     case "ivf" =>
       // the probe list needs only the tiny centroid table; the cell
       // reads that follow are pruned to the probed cells — at rest, an
@@ -340,12 +334,31 @@ object IndexStore {
     * docs × 16 bands, or a batch's winnow fps) sits far below it. */
   val MaxKeyPushdown = 20000
 
-  /** The probe-key scan filter: an `isin` over the batch's distinct key
-    * values, which Spark pushes into the parquet scan where the sorted
-    * leaves' row-group stats prune IO. The key list crossed to the
-    * driver already (bounded by the probe batch, never index size). */
-  private def keyFiltered(idx: DataFrame, keyCol: String,
-      keys: Array[Long]): DataFrame =
-    if (keys.isEmpty || keys.length > MaxKeyPushdown) idx
-    else idx.filter(col(keyCol).isin(keys.distinct.toSeq: _*))
+  /** The band/span index pruned for one probe batch, two levels deep:
+    * manifest leaf buckets, then the batch's distinct probe keys as an
+    * `isin` scan filter (pushed to parquet, where the sorted leaves'
+    * row-group stats prune IO — without it the probe join shuffles the
+    * whole surviving index; SCALE.md round 10 measured 585 MB for a
+    * 25-doc probe at 30×).
+    *
+    * The driver-side key collect is BOUNDED: `limit(MaxKeyPushdown+1)`
+    * caps it before any row crosses, so a bulk probe batch (millions of
+    * keys) collects at most 20 001 rows, drops the key filter, and
+    * falls back to bucket pruning computed from the ≤[[Buckets]]
+    * distinct bucket ids — driver traffic is O(min(batch keys, 20k)),
+    * never O(batch), never O(index). */
+  private def prunedIndex(store: GraftStore, spark: SparkSession,
+      kind: String, keyAndBucket: DataFrame, keyCol: String): DataFrame = {
+    val keyRows = keyAndBucket.distinct().limit(MaxKeyPushdown + 1).collect()
+    if (keyRows.length > MaxKeyPushdown) {
+      val buckets = keyAndBucket.select(col("b")).distinct()
+        .collect().map(_.getLong(0)).toSet // at most Buckets longs
+      read(store, spark, kind, buckets.contains)
+    } else {
+      val buckets = keyRows.map(_.getLong(1)).toSet
+      val keys = keyRows.map(_.getLong(0)).distinct.toSeq
+      val idx = read(store, spark, kind, buckets.contains)
+      if (keys.isEmpty) idx else idx.filter(col(keyCol).isin(keys: _*))
+    }
+  }
 }
