@@ -84,6 +84,32 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
       plan)
   }
 
+  test("bulk probe past MaxKeyPushdown: the fallback path equals the " +
+      "unpruned probe") {
+    import spark.implicits._
+    // > 20 000 distinct probe band keys (1 300 docs × 16 bands) trips
+    // prunedIndex's bounded-collect fallback — bucket pruning only, no
+    // key filter. The result contract is identical to the pushdown
+    // path and to probing the full index; only the plan differs.
+    val root = tempDir("graft-idx-bulk")
+    val corpus = (0L until 50L).map(doc(_, "b"))
+    val store = new GraftStore(root)
+    IndexStore.build(store, "band", corpus.toDF("doc_id", "text"))
+    val bulk = ((0L until 1300L).map(i =>
+      (5000L + i, (0 until 60).map(j => s"bulk${i}w$j").mkString(" "))) :+
+      (800L, corpus(7)._2.split(" ").zipWithIndex
+        .map { case (t, i) => if (i % 29 == 0) "xq" else t }.mkString(" ")))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("new_id", "existing_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaSearch = pairs(IndexStore.search(store, spark, "band", bulk))
+    val viaFull = pairs(graft.operators.DedupOps.incrementalNearDup(bulk,
+      IndexStore.read(store, spark, "band"), 0.4))
+    assert(viaSearch == viaFull, s"search=$viaSearch full=$viaFull")
+    assert(viaSearch.exists(h => h._1 == 800L && h._2 == 7L))
+  }
+
   test("span probe key-prune: search equals the unpruned probe") {
     import spark.implicits._
     val root = tempDir("graft-idx-prune-span")
