@@ -216,6 +216,22 @@ object Scale {
       }
       if (want("band_probe")) phase("band_probe", k, 2)(
         graft.store.IndexStore.search(store, spark, "band", probeBatch, 0.4))
+      // the rest of the index lifecycle: append a FIXED batch (claim:
+      // flat — only the batch is shingled, history untouched), then
+      // compact the union (claim: linear — one scan of the at-rest
+      // rows, no re-shingling)
+      if (want("band_append")) phase("band_append", k, 1) {
+        graft.store.IndexStore.append(store, "band",
+          spark.read.parquet(s"$baseDir/documents.parquet")
+            .filter(col("doc_id") < 25)
+            .select((col("doc_id") + 7000000L).as("doc_id"),
+              regexp_replace(col("text"), "(\\S+)", "ap$1").as("text")))
+        graft.store.IndexStore.read(store, spark, "band").limit(0)
+      }
+      if (want("band_compact")) phase("band_compact", k, 1) {
+        graft.store.IndexStore.compact(store, spark, "band")
+        graft.store.IndexStore.read(store, spark, "band").limit(0)
+      }
       if (want("ivf_build")) phase("ivf_build", k, 1) {
         graft.store.IndexStore.build(store, "ivf", embK)
         graft.store.IndexStore.read(store, spark, "ivf-centroids").limit(0)
