@@ -297,10 +297,8 @@ object IndexStore {
       // downstream is O(matching keys). Filtering on band_key alone is a
       // superset of the (band, band_key) match — cross-band key
       // collisions just ride to the join, which checks both columns.
-      val bands = DedupOps.lshBands(DedupOps.minhashSignatures(probe))
-      val idx = prunedIndex(store, spark, "band",
-        bands.select(col("band_key"), bucketOf("band").as("b")), "band_key")
-      DedupOps.incrementalNearDup(probe, idx, threshold)
+      DedupOps.incrementalNearDup(probe,
+        prunedBandIndex(store, spark, probe), threshold)
     case "span" =>
       val fps = probe
         .select(explode(graft.functions.Vec.winnow_fps(
@@ -347,6 +345,21 @@ object IndexStore {
     * falls back to bucket pruning computed from the ≤[[Buckets]]
     * distinct bucket ids — driver traffic is O(min(batch keys, 20k)),
     * never O(batch), never O(index). */
+  /** The at-rest band index pruned for one probe batch's (doc_id, text)
+    * rows — the frame to hand [[DedupOps.incrementalNearDup]]. Public
+    * because every consumer of the at-rest index must probe through it:
+    * [[search]] AND the streaming curate hot path
+    * ([[graft.streaming.StreamingCuration.processBatch]]), which
+    * previously read the full unpruned index per micro-batch — the
+    * same full-index-shuffle the round-10 scale sweep caught in
+    * search (SCALE.md §4), hiding in a second call site. */
+  def prunedBandIndex(store: GraftStore, spark: SparkSession,
+      probe: DataFrame): DataFrame = {
+    val bands = DedupOps.lshBands(DedupOps.minhashSignatures(probe))
+    prunedIndex(store, spark, "band",
+      bands.select(col("band_key"), bucketOf("band").as("b")), "band_key")
+  }
+
   private def prunedIndex(store: GraftStore, spark: SparkSession,
       kind: String, keyAndBucket: DataFrame, keyCol: String): DataFrame = {
     val keyRows = keyAndBucket.distinct().limit(MaxKeyPushdown + 1).collect()

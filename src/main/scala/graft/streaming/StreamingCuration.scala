@@ -97,8 +97,21 @@ object StreamingCuration {
       qualityFloorBp: Long = 3000L,
       threshold: Double = 0.4): Unit = {
     val spark = batch.sparkSession
+    // The cross-batch probe reads the index PRUNED for this batch's
+    // band keys ([[IndexStore.prunedBandIndex]]: manifest bucket prune
+    // + the In(band_key) scan filter), not the full index — reading it
+    // whole put an index-sized shuffle inside every micro-batch (the
+    // same defect the round-10 scale sweep caught in IndexStore.search;
+    // this was its second call site). Pruning on the RAW batch's keys
+    // is a superset of the post-gate survivors' keys, so results are
+    // identical — candidate pairs require band_key equality either way.
+    val idx =
+      if (store.leavesOf(IndexStore.tableOf("band")).isEmpty)
+        readIndex(store, spark) // empty-schema frame, first batch
+      else IndexStore.prunedBandIndex(store, spark,
+        batch.select(col("doc_id"), col("text")))
     val (survivors, newRows) =
-      curateBatch(batch, readIndex(store, spark), qualityFloorBp, threshold)
+      curateBatch(batch, idx, qualityFloorBp, threshold)
     val adds = store.stageKeyed(AcceptedTable,
       survivors.select(col("doc_id"), col("text"), col("quality_bp")),
       pmod(xxhash64(col("doc_id")), lit(IndexStore.Buckets.toLong)),
