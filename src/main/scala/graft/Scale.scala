@@ -232,6 +232,19 @@ object Scale {
         graft.store.IndexStore.compact(store, spark, "band")
         graft.store.IndexStore.read(store, spark, "band").limit(0)
       }
+      // streaming curate hot path (claim: per-batch cost flat in
+      // history size). The batch is 25 exact duplicates of indexed
+      // history (base docs, shifted ids), so every gate runs — quality,
+      // intra-batch, the cross-batch probe against the k× index — and
+      // every doc drops at the probe: nothing commits, the phase is
+      // idempotent across reps and scale points.
+      if (want("stream_curate")) phase("stream_curate", k, 2) {
+        graft.streaming.StreamingCuration.processBatch(store,
+          spark.read.parquet(s"$baseDir/documents.parquet")
+            .filter(col("doc_id") < 25)
+            .select((col("doc_id") + 8000000L).as("doc_id"), col("text")))
+        graft.store.IndexStore.read(store, spark, "band").limit(0)
+      }
       if (want("ivf_build")) phase("ivf_build", k, 1) {
         graft.store.IndexStore.build(store, "ivf", embK)
         graft.store.IndexStore.read(store, spark, "ivf-centroids").limit(0)
