@@ -67,7 +67,13 @@ object Main {
     args.headOption match {
       case Some("export") =>
         val n = opt(args, "blocks").map(_.toInt).getOrElse(200)
-        val fx = ChainFixture.build(n)
+        // --api-url selects the live JSON-RPC source (reference
+        // main.rs `--api-url`); without it the deterministic fixture
+        // chain drives the same ingest path
+        val source: graft.etl.ChainSource = opt(args, "api-url") match {
+          case Some(u) => new graft.etl.RpcSource(u)
+          case None => new FixtureSource(ChainFixture.build(n))
+        }
         // --watch-tokens: type:addr specs and the ctn preset, resolved
         // against the network id (export.rs:88-114)
         val watchTokens = opt(args, "watch-tokens")
@@ -77,8 +83,9 @@ object Main {
         val modules = opt(args, "modules").map(_.split(",").toSeq)
           .getOrElse(Seq("blocks", "transactions", "token_transfers"))
         val resume = Backfill.maxIngestedHeight(spark, store)
-        val ingested = Backfill.run(spark, new FixtureSource(fx), store,
-          resume + 1, n - 1L, watchTokens,
+        val to = math.min(n - 1L, source.tipHeight(spark))
+        val ingested = Backfill.run(spark, source, store,
+          resume + 1, to, watchTokens,
           opt(args, "address-filter").map(_.split(",").toSeq).getOrElse(Nil),
           modules)
         println(s"[export] ingested $ingested blocks (resumed after $resume," +
