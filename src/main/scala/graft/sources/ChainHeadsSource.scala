@@ -42,13 +42,29 @@ class ChainHeadsProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ChainHeadsSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // properties arrive with the CALLER's key case (unlike inferSchema's
+    // map) — a plain lowercase get would silently miss `.option(
+    // "numBlocks", …)` and fall back to defaults. Wrap to make lookups
+    // case-insensitive like every other DSv2 option read.
+    val opts = new CaseInsensitiveStringMap(properties)
     new ChainHeadsTable(
-      properties.getOrDefault("numblocks", "200").toInt,
-      properties.getOrDefault("blocksperbatch", "10").toInt)
+      opts.getOrDefault("numblocks", "200").toInt,
+      opts.getOrDefault("blocksperbatch", "10").toInt,
+      Option(opts.get("apiurl")))
+  }
 }
 
-class ChainHeadsTable(numBlocks: Int, blocksPerBatch: Int)
+/** `apiUrl` switches the stream to LIVE mode: each poll asks the node's
+  * tip over JSON-RPC (HTTP head-polling — the subscription mode every
+  * HTTP provider uses) and releases newly arrived heights, up to
+  * `blocksPerBatch` per micro-batch; readers fetch the headers in
+  * executor-side batch calls. Without it, the deterministic fixture
+  * drives the identical offset/partition shape. `numBlocks` caps the
+  * released height in both modes (a test bound; size it to the
+  * fixture in dev, leave the default in live mode or raise it). */
+class ChainHeadsTable(numBlocks: Int, blocksPerBatch: Int,
+    apiUrl: Option[String])
     extends Table with SupportsRead {
   override def name(): String = s"chain_heads($numBlocks)"
   override def schema(): StructType = ChainHeadsSource.schema
@@ -59,7 +75,7 @@ class ChainHeadsTable(numBlocks: Int, blocksPerBatch: Int)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = ChainHeadsSource.schema
         override def toMicroBatchStream(loc: String): MicroBatchStream =
-          new ChainHeadsStream(numBlocks, blocksPerBatch)
+          new ChainHeadsStream(numBlocks, blocksPerBatch, apiUrl)
       }
     }
 }
@@ -69,16 +85,31 @@ case class HeightOffset(height: Long) extends Offset {
   override def json(): String = height.toString
 }
 
-class ChainHeadsStream(numBlocks: Int, blocksPerBatch: Int)
-    extends MicroBatchStream {
+class ChainHeadsStream(numBlocks: Int, blocksPerBatch: Int,
+    apiUrl: Option[String]) extends MicroBatchStream {
 
   private var released = 0L
+  // driver-side tip probe for live mode — one tiny JSON-RPC call per poll
+  private lazy val rpc =
+    apiUrl.map(u => new graft.etl.RpcClient(u, 5, 200L))
 
   override def initialOffset(): Offset = HeightOffset(0L)
 
   override def latestOffset(): Offset = {
-    // each poll releases up to blocksPerBatch more heads (simulated arrival)
-    released = math.min(numBlocks.toLong, released + blocksPerBatch)
+    // each poll releases up to blocksPerBatch more heads — in live mode
+    // bounded ALSO by what the node has actually produced (tip+1 is the
+    // next height to serve); in fixture mode by the simulated arrival
+    val available = rpc match {
+      case Some(c) =>
+        val tip = graft.etl.RpcCodec.hexToLong(
+          c.call("xcb_blockNumber", Nil) match {
+            case org.json4s.JString(s) => s
+            case other => sys.error(s"blockNumber: $other")
+          })
+        math.min(numBlocks.toLong, tip + 1)
+      case None => numBlocks.toLong
+    }
+    released = math.min(available, released + blocksPerBatch)
     HeightOffset(released)
   }
 
@@ -89,7 +120,7 @@ class ChainHeadsStream(numBlocks: Int, blocksPerBatch: Int)
     val s = start.asInstanceOf[HeightOffset].height
     val e = end.asInstanceOf[HeightOffset].height
     if (e <= s) Array.empty
-    else Array(HeadsRange(s, e, numBlocks))
+    else Array(HeadsRange(s, e, numBlocks, apiUrl))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -99,25 +130,45 @@ class ChainHeadsStream(numBlocks: Int, blocksPerBatch: Int)
   override def stop(): Unit = ()
 }
 
-case class HeadsRange(from: Long, until: Long, numBlocks: Int)
-    extends InputPartition
+case class HeadsRange(from: Long, until: Long, numBlocks: Int,
+    apiUrl: Option[String]) extends InputPartition
 
 class HeadsReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = p.asInstanceOf[HeadsRange]
-    new PartitionReader[InternalRow] {
-      // the fixture is deterministic: rebuilding per partition keeps the
-      // factory serialization-free (a real source would open an RPC
-      // connection here instead)
-      private val blocks = ChainFixture.build(r.numBlocks).blocks
-      private var i = r.from - 1
-      override def next(): Boolean = { i += 1; i < r.until }
-      override def get(): InternalRow = {
-        val b = blocks(i.toInt)
-        InternalRow(b.number, UTF8String.fromString(b.hash),
-          UTF8String.fromString(b.parent_hash))
+    r.apiUrl match {
+      case Some(u) => new PartitionReader[InternalRow] {
+        // live mode: headers for this range in ONE batched JSON-RPC
+        // round-trip (hash-only block fetch — no tx payload)
+        private val rows = {
+          val c = new graft.etl.RpcClient(u, 5, 200L)
+          c.callBatch((r.from until r.until).map(h =>
+              ("xcb_getBlockByNumber",
+                List(org.json4s.JString(graft.etl.RpcCodec.longToHex(h)),
+                  org.json4s.JBool(false)))))
+            .iterator.map { j =>
+              val b = graft.etl.RpcCodec.decodeBlock(j)
+              InternalRow(b.number, UTF8String.fromString(b.hash),
+                UTF8String.fromString(b.parent_hash))
+            }
+        }
+        override def next(): Boolean = rows.hasNext
+        override def get(): InternalRow = rows.next()
+        override def close(): Unit = ()
       }
-      override def close(): Unit = ()
+      case None => new PartitionReader[InternalRow] {
+        // the fixture is deterministic: rebuilding per partition keeps
+        // the factory serialization-free
+        private val blocks = ChainFixture.build(r.numBlocks).blocks
+        private var i = r.from - 1
+        override def next(): Boolean = { i += 1; i < r.until }
+        override def get(): InternalRow = {
+          val b = blocks(i.toInt)
+          InternalRow(b.number, UTF8String.fromString(b.hash),
+            UTF8String.fromString(b.parent_hash))
+        }
+        override def close(): Unit = ()
+      }
     }
   }
 }

@@ -177,6 +177,24 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(store.read(spark, "token_transfers").count() > 0)
   }
 
+  test("live heads stream: HTTP tip-polling releases every header over " +
+      "the wire with fixture-identical hashes") {
+    val q = spark.readStream
+      .format("graft.sources.ChainHeadsProvider")
+      .option("numBlocks", "60")
+      .option("blocksPerBatch", "25")
+      .option("apiUrl", url)
+      .load()
+      .writeStream.format("memory").queryName("rpc_heads")
+      .option("checkpointLocation", tempDir("graft-rpc-heads-ckpt"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("rpc_heads").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = fx.blocks.map(b => (b.number, b.hash, b.parent_hash)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("full Backfill ingest over HTTP == fixture-sourced store") {
     val viaRpc = new GraftStore(tempDir("graft-rpc-store"))
     val viaFx = new GraftStore(tempDir("graft-fx-store"))
