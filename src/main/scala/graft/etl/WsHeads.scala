@@ -1,0 +1,104 @@
+package graft.etl
+
+import java.util.concurrent.{CompletionStage, LinkedBlockingQueue, TimeUnit}
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The node's `newHeads` PUSH subscription over WebSocket — the
+  * reference provider's native transport (provider.rs:26-47:
+  * `connect_pubsub` + `subscribe_blocks`) on the JDK's own
+  * `java.net.http.WebSocket` client; JSON rides on json4s. No new
+  * dependencies, same as [[RpcClient]].
+  *
+  * Protocol (public Geth/Core pubsub convention):
+  *   → `{"id":1,"method":"<ns>_subscribe","params":["newHeads"]}`
+  *   ← `{"id":1,"result":"0x<subscription id>"}`
+  *   ← `{"method":"<ns>_subscription","params":{"subscription":…,
+  *        "result":{<block header>}}}` per new head, pushed.
+  *
+  * Role in the engine: the DRIVER-side arrival signal for
+  * [[graft.sources.ChainHeadsSource]] — notifications carry headers,
+  * the stream's `latestOffset` drains them to learn how far the chain
+  * has advanced, and the DATA plane stays on the executor-side batched
+  * HTTP fetch (the reference consumes its subscription the same way,
+  * etl.rs:128-173: the notification triggers a fetch, it is not the
+  * record of truth). Connect retries mirror provider.rs:25-38. */
+final class WsHeads(url: String, namespace: String = "xcb",
+    retries: Int = 5, retryBackoffMs: Long = 200L) extends AutoCloseable {
+
+  private val headers = new LinkedBlockingQueue[JValue]()
+  @volatile private var subscriptionId: Option[String] = None
+
+  private def handleMessage(text: String): Unit = {
+    val j = JsonMethods.parse(text)
+    (j \ "id", j \ "method") match {
+      case (JInt(_), _) => j \ "result" match {
+        case JString(sub) => subscriptionId = Some(sub)
+        case _ => ()
+      }
+      case (_, JString(m)) if m == s"${namespace}_subscription" =>
+        headers.put(j \ "params" \ "result")
+      case _ => ()
+    }
+  }
+
+  private val listener = new java.net.http.WebSocket.Listener {
+    private val buf = new StringBuilder
+    override def onText(ws: java.net.http.WebSocket,
+        data: CharSequence, last: Boolean): CompletionStage[_] = {
+      buf.append(data)
+      if (last) { val t = buf.toString(); buf.setLength(0); handleMessage(t) }
+      ws.request(1)
+      null
+    }
+  }
+
+  private val ws: java.net.http.WebSocket = {
+    var attempt = 0
+    var last: Throwable = null
+    var sock: java.net.http.WebSocket = null
+    while (sock == null && attempt < retries) {
+      attempt += 1
+      try sock = java.net.http.HttpClient.newHttpClient()
+        .newWebSocketBuilder()
+        .buildAsync(java.net.URI.create(url), listener)
+        .join()
+      catch {
+        case e: Throwable =>
+          last = e
+          if (attempt < retries) Thread.sleep(retryBackoffMs * attempt)
+      }
+    }
+    if (sock == null) throw new RuntimeException(
+      s"WebSocket connect to $url failed after $retries attempts", last)
+    sock.sendText(JsonMethods.compact(JObject(
+      "jsonrpc" -> JString("2.0"), "id" -> JInt(1),
+      "method" -> JString(s"${namespace}_subscribe"),
+      "params" -> JArray(List(JString("newHeads"))))), true).join()
+    sock
+  }
+
+  /** The confirmed subscription id, once the node acked (None before). */
+  def subscription: Option[String] = subscriptionId
+
+  /** Drain every header notification received so far (non-blocking);
+    * optionally wait up to `waitMs` for the first one. */
+  def pollHeaders(waitMs: Long = 0L): Seq[JValue] = {
+    val out = Seq.newBuilder[JValue]
+    val first =
+      if (waitMs > 0) headers.poll(waitMs, TimeUnit.MILLISECONDS)
+      else headers.poll()
+    if (first != null) {
+      out += first
+      var next = headers.poll()
+      while (next != null) { out += next; next = headers.poll() }
+    }
+    out.result()
+  }
+
+  override def close(): Unit =
+    try ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done")
+      .join()
+    catch { case _: Throwable => () }
+}

@@ -51,7 +51,8 @@ class ChainHeadsProvider extends TableProvider {
     new ChainHeadsTable(
       opts.getOrDefault("numblocks", "200").toInt,
       opts.getOrDefault("blocksperbatch", "10").toInt,
-      Option(opts.get("apiurl")))
+      Option(opts.get("apiurl")),
+      Option(opts.get("wsurl")))
   }
 }
 
@@ -59,12 +60,17 @@ class ChainHeadsProvider extends TableProvider {
   * tip over JSON-RPC (HTTP head-polling — the subscription mode every
   * HTTP provider uses) and releases newly arrived heights, up to
   * `blocksPerBatch` per micro-batch; readers fetch the headers in
-  * executor-side batch calls. Without it, the deterministic fixture
-  * drives the identical offset/partition shape. `numBlocks` caps the
-  * released height in both modes (a test bound; size it to the
-  * fixture in dev, leave the default in live mode or raise it). */
+  * executor-side batch calls. `wsUrl` upgrades the ARRIVAL SIGNAL to
+  * the node's push subscription ([[graft.etl.WsHeads]], the reference's
+  * native transport): `latestOffset` drains pushed `newHeads`
+  * notifications instead of polling — the data plane stays on the
+  * `apiUrl` HTTP fetch either way, exactly how the reference consumes
+  * its subscription (a trigger, not the record of truth; etl.rs:
+  * 128-173). Without either, the deterministic fixture drives the
+  * identical offset/partition shape. `numBlocks` caps the released
+  * height in every mode (a test bound; raise or leave default live). */
 class ChainHeadsTable(numBlocks: Int, blocksPerBatch: Int,
-    apiUrl: Option[String])
+    apiUrl: Option[String], wsUrl: Option[String] = None)
     extends Table with SupportsRead {
   override def name(): String = s"chain_heads($numBlocks)"
   override def schema(): StructType = ChainHeadsSource.schema
@@ -75,7 +81,7 @@ class ChainHeadsTable(numBlocks: Int, blocksPerBatch: Int,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = ChainHeadsSource.schema
         override def toMicroBatchStream(loc: String): MicroBatchStream =
-          new ChainHeadsStream(numBlocks, blocksPerBatch, apiUrl)
+          new ChainHeadsStream(numBlocks, blocksPerBatch, apiUrl, wsUrl)
       }
     }
 }
@@ -86,28 +92,47 @@ case class HeightOffset(height: Long) extends Offset {
 }
 
 class ChainHeadsStream(numBlocks: Int, blocksPerBatch: Int,
-    apiUrl: Option[String]) extends MicroBatchStream {
+    apiUrl: Option[String], wsUrl: Option[String] = None)
+    extends MicroBatchStream {
 
   private var released = 0L
   // driver-side tip probe for live mode — one tiny JSON-RPC call per poll
   private lazy val rpc =
     apiUrl.map(u => new graft.etl.RpcClient(u, 5, 200L))
+  // push-mode arrival signal: the node's newHeads subscription (lazy so
+  // a never-polled stream opens nothing; the flag keeps stop() from
+  // forcing a connection just to close it)
+  @volatile private var wsOpened = false
+  private lazy val wsHeads = wsUrl.map { u =>
+    wsOpened = true; new graft.etl.WsHeads(u)
+  }
+  private var highestPushed = -1L
 
   override def initialOffset(): Offset = HeightOffset(0L)
 
   override def latestOffset(): Offset = {
     // each poll releases up to blocksPerBatch more heads — in live mode
-    // bounded ALSO by what the node has actually produced (tip+1 is the
-    // next height to serve); in fixture mode by the simulated arrival
-    val available = rpc match {
-      case Some(c) =>
+    // bounded ALSO by what the node has actually produced (push mode:
+    // the highest header the subscription delivered; poll mode: tip+1),
+    // in fixture mode by the simulated arrival
+    val available = (wsHeads, rpc) match {
+      case (Some(w), _) =>
+        w.pollHeaders().foreach { h =>
+          highestPushed = math.max(highestPushed,
+            graft.etl.RpcCodec.hexToLong(h \ "number" match {
+              case org.json4s.JString(s) => s
+              case other => sys.error(s"newHeads number: $other")
+            }))
+        }
+        math.min(numBlocks.toLong, highestPushed + 1)
+      case (None, Some(c)) =>
         val tip = graft.etl.RpcCodec.hexToLong(
           c.call("xcb_blockNumber", Nil) match {
             case org.json4s.JString(s) => s
             case other => sys.error(s"blockNumber: $other")
           })
         math.min(numBlocks.toLong, tip + 1)
-      case None => numBlocks.toLong
+      case (None, None) => numBlocks.toLong
     }
     released = math.min(available, released + blocksPerBatch)
     HeightOffset(released)
@@ -127,7 +152,7 @@ class ChainHeadsStream(numBlocks: Int, blocksPerBatch: Int,
     new HeadsReaderFactory
 
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = if (wsOpened) wsHeads.foreach(_.close())
 }
 
 case class HeadsRange(from: Long, until: Long, numBlocks: Int,
