@@ -160,16 +160,7 @@ object Bench {
     spark.stop()
     // the scratch IVF index must not accumulate across runs on the
     // shared box — delete it now that both split entries have timed
-    def rmTree(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try {
-          val it = s.iterator(); while (it.hasNext) rmTree(it.next())
-        } finally s.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rmTree(java.nio.file.Paths.get(ivfDir))
+    graft.store.GraftStore.deleteTree(java.nio.file.Paths.get(ivfDir))
 
     // Load-normalized total: raw total deflated by the run's own sentinel
     // load ratio — "what this run would have clocked on the idle box" —

@@ -195,16 +195,17 @@ object Scale {
       // at-rest index lifecycle: build at k× (linear claim), then probe
       // a FIXED batch (flat claim — manifest prunes unprobed buckets)
       val storeRoot = s"$dir/store"
-      val rebuild = want("band_build") || want("ivf_build")
+      // a lifecycle rerun (append/compact/stream) without band_build
+      // still needs a FRESH index — reusing a previous sweep's store
+      // would re-append the same doc_ids and skew the numbers with
+      // duplicates — so the store is wiped and rebuilt untimed below
+      val lifecycleOnly = !want("band_build") &&
+        (want("band_append") || want("band_compact") ||
+          want("stream_curate"))
+      val rebuild = want("band_build") || want("ivf_build") || lifecycleOnly
       val sp = java.nio.file.Paths.get(storeRoot)
-      if (rebuild && java.nio.file.Files.exists(sp)) {
-        val walk = java.nio.file.Files.walk(sp)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        } finally walk.close()
-      }
+      if (rebuild && java.nio.file.Files.exists(sp))
+        graft.store.GraftStore.deleteTree(sp)
       val store = new graft.store.GraftStore(storeRoot)
       val docsK = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
@@ -214,6 +215,8 @@ object Scale {
         graft.store.IndexStore.build(store, "band", docsK)
         graft.store.IndexStore.read(store, spark, "band").limit(0)
       }
+      else if (lifecycleOnly) // untimed reset for the lifecycle phases
+        graft.store.IndexStore.build(store, "band", docsK)
       if (want("band_probe")) phase("band_probe", k, 2)(
         graft.store.IndexStore.search(store, spark, "band", probeBatch, 0.4))
       // the rest of the index lifecycle: append a FIXED batch (claim:

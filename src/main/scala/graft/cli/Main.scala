@@ -70,20 +70,32 @@ object Main {
         // --api-url selects the live JSON-RPC source (reference
         // main.rs `--api-url`); without it the deterministic fixture
         // chain drives the same ingest path
-        val source: graft.etl.ChainSource = opt(args, "api-url") match {
-          case Some(u) => new graft.etl.RpcSource(u)
-          case None => new FixtureSource(ChainFixture.build(n))
+        val rpcSource = opt(args, "api-url").map(u => new graft.etl.RpcSource(u))
+        val source: graft.etl.ChainSource = rpcSource
+          .getOrElse(new FixtureSource(ChainFixture.build(n)))
+        // --watch-tokens presets resolve against the network id the
+        // NODE reports when one is connected (reference get_network_id
+        // — a --network flag defaulted to mainnet would silently watch
+        // the wrong preset address on a testnet node); the flag only
+        // decides when there is no node to ask or when given explicitly
+        val networkId = (rpcSource, opt(args, "network")) match {
+          case (Some(r), None) => r.networkId()
+          case _ => network.id
         }
-        // --watch-tokens: type:addr specs and the ctn preset, resolved
-        // against the network id (export.rs:88-114)
         val watchTokens = opt(args, "watch-tokens")
-          .map(s => WatchTokens.parse(network.id, s.split(",").toSeq))
+          .map(s => WatchTokens.parse(networkId, s.split(",").toSeq))
           .getOrElse(WatchTokens.Default)
         // --modules gates which tables are written (main.rs:52-54)
         val modules = opt(args, "modules").map(_.split(",").toSeq)
           .getOrElse(Seq("blocks", "transactions", "token_transfers"))
         val resume = Backfill.maxIngestedHeight(spark, store)
-        val to = math.min(n - 1L, source.tipHeight(spark))
+        // live mode ingests to the node's TIP unless --blocks bounds it
+        // explicitly; the 200 default only sizes the fixture chain
+        val tip = source.tipHeight(spark)
+        val to = (rpcSource, opt(args, "blocks")) match {
+          case (Some(_), None) => tip
+          case _ => math.min(n - 1L, tip)
+        }
         val ingested = Backfill.run(spark, source, store,
           resume + 1, to, watchTokens,
           opt(args, "address-filter").map(_.split(",").toSeq).getOrElse(Nil),

@@ -91,7 +91,12 @@ final class RpcSource(
               (s"${ns}_getBlockByNumber",
                 List(org.json4s.JString(longToHex(h)),
                   org.json4s.JBool(full)))))
-            .iterator.flatMap(decode)
+            .iterator
+            // null = the node has no such block (beyond tip after a
+            // reorg, lagging replica) — the reference's get_block
+            // returns None there (provider.rs:49-52); skip, don't crash
+            .filter(j => j != org.json4s.JNull && j != org.json4s.JNothing)
+            .flatMap(decode)
         }
       }(enc).toDF()
   }
@@ -123,13 +128,17 @@ final class RpcSource(
               (s"${ns}_getBlockByNumber",
                 List(org.json4s.JString(longToHex(h)),
                   org.json4s.JBool(false)))))
-            .iterator.flatMap(txHashes)
+            .iterator
+            .filter(j => j != org.json4s.JNull && j != org.json4s.JNothing)
+            .flatMap(txHashes)
         }
         hashes.grouped(bs).flatMap { chunk =>
           c.callBatch(chunk.map(h =>
               (s"${ns}_getTransactionReceipt",
                 List(org.json4s.JString("0x" + h)))))
-            .iterator.map(decodeReceipt)
+            .iterator
+            .filter(j => j != org.json4s.JNull && j != org.json4s.JNothing)
+            .map(decodeReceipt)
         }
       }(enc).toDF()
   }
@@ -160,10 +169,17 @@ final class RpcClient(url: String, retries: Int, backoffMs: Long) {
           .build()
         val resp = http.send(req,
           java.net.http.HttpResponse.BodyHandlers.ofString())
-        if (resp.statusCode() / 100 == 2) return resp.body()
-        last = new RuntimeException(s"HTTP ${resp.statusCode()}: " +
-          resp.body().take(200))
-      } catch { case e: java.io.IOException => last = e }
+        val code = resp.statusCode()
+        if (code / 100 == 2) return resp.body()
+        last = new RuntimeException(s"HTTP $code: ${resp.body().take(200)}")
+        // 4xx is a CONFIG error (bad path, missing auth), not a
+        // transient — retrying multiplies it by attempts × partitions
+        // across the whole fan-out before anyone sees the real cause.
+        // 408/429 are the two retriable exceptions.
+        if (code / 100 == 4 && code != 408 && code != 429) throw last
+      } catch {
+        case e: java.io.IOException => last = e
+      }
       if (attempt < retries) Thread.sleep(backoffMs * attempt)
     }
     throw new RuntimeException(

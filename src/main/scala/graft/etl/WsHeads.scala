@@ -29,12 +29,18 @@ final class WsHeads(url: String, namespace: String = "xcb",
 
   private val headers = new LinkedBlockingQueue[JValue]()
   @volatile private var subscriptionId: Option[String] = None
+  @volatile private var subscribeError: Option[String] = None
 
   private def handleMessage(text: String): Unit = {
     val j = JsonMethods.parse(text)
     (j \ "id", j \ "method") match {
-      case (JInt(_), _) => j \ "result" match {
-        case JString(sub) => subscriptionId = Some(sub)
+      case (JInt(_), _) => (j \ "result", j \ "error") match {
+        case (JString(sub), _) => subscriptionId = Some(sub)
+        case (_, err) if err != JNothing && err != JNull =>
+          // a rejected subscribe (pubsub disabled, wrong namespace)
+          // must not leave the consumer stalled forever in silence —
+          // record it so the next poll throws with the node's reason
+          subscribeError = Some(JsonMethods.compact(err))
         case _ => ()
       }
       case (_, JString(m)) if m == s"${namespace}_subscription" =>
@@ -83,8 +89,12 @@ final class WsHeads(url: String, namespace: String = "xcb",
   def subscription: Option[String] = subscriptionId
 
   /** Drain every header notification received so far (non-blocking);
-    * optionally wait up to `waitMs` for the first one. */
+    * optionally wait up to `waitMs` for the first one. Throws if the
+    * node REJECTED the subscription — a stalled-forever silent stream
+    * is the alternative. */
   def pollHeaders(waitMs: Long = 0L): Seq[JValue] = {
+    subscribeError.foreach(e => throw new RuntimeException(
+      s"${namespace}_subscribe(newHeads) rejected by $url: $e"))
     val out = Seq.newBuilder[JValue]
     val first =
       if (waitMs > 0) headers.poll(waitMs, TimeUnit.MILLISECONDS)

@@ -104,9 +104,9 @@ object CurationOps {
     // dup-shaped and the caller should raise maxIter explicitly.
     if (changed > 0)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          s"($changed labels still changing); raise maxIter for " +
-          "high-diameter edge sets")
+        s"connectedComponents still unconverged after $maxIter productive " +
+          s"rounds plus a confirming round ($changed labels changing); " +
+          "raise maxIter for high-diameter edge sets")
     labels
   }
 

@@ -48,11 +48,18 @@ class ChainHeadsProvider extends TableProvider {
     // "numBlocks", …)` and fall back to defaults. Wrap to make lookups
     // case-insensitive like every other DSv2 option read.
     val opts = new CaseInsensitiveStringMap(properties)
+    val apiUrl = Option(opts.get("apiurl"))
+    val wsUrl = Option(opts.get("wsurl"))
+    // wsUrl is only the ARRIVAL SIGNAL — without an HTTP data plane the
+    // readers would silently serve deterministic fixture blocks labeled
+    // as live chain heads
+    require(wsUrl.isEmpty || apiUrl.isDefined,
+      "wsUrl requires apiUrl: the subscription only signals arrival; " +
+        "headers are fetched over the HTTP data plane")
     new ChainHeadsTable(
       opts.getOrDefault("numblocks", "200").toInt,
       opts.getOrDefault("blocksperbatch", "10").toInt,
-      Option(opts.get("apiurl")),
-      Option(opts.get("wsurl")))
+      apiUrl, wsUrl)
   }
 }
 
@@ -134,12 +141,25 @@ class ChainHeadsStream(numBlocks: Int, blocksPerBatch: Int,
         math.min(numBlocks.toLong, tip + 1)
       case (None, None) => numBlocks.toLong
     }
-    released = math.min(available, released + blocksPerBatch)
+    // NEVER backwards: a lagging load-balanced node (or post-reorg tip)
+    // can report `available` below what this stream already returned —
+    // and a restarted query restores a checkpointed offset while
+    // `released` restarts at 0. An offset that regresses would make
+    // Spark re-plan and re-emit already-committed heights as duplicate
+    // rows; the max-clamp (plus seeding in deserializeOffset) pins
+    // monotonicity in both cases.
+    released = math.max(released,
+      math.min(available, released + blocksPerBatch))
     HeightOffset(released)
   }
 
-  override def deserializeOffset(json: String): Offset =
+  override def deserializeOffset(json: String): Offset = {
+    // restore path: the engine hands back the checkpointed offset —
+    // seed the in-memory cursor so the monotonic clamp above holds
+    // across restarts
+    released = math.max(released, json.toLong)
     HeightOffset(json.toLong)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[HeightOffset].height
@@ -171,7 +191,12 @@ class HeadsReaderFactory extends PartitionReaderFactory {
               ("xcb_getBlockByNumber",
                 List(org.json4s.JString(graft.etl.RpcCodec.longToHex(h)),
                   org.json4s.JBool(false)))))
-            .iterator.map { j =>
+            .iterator
+            // a null block (height reorged away / lagging replica) is
+            // skipped, not crashed on — the height re-resolves in a
+            // later batch if it comes back
+            .filter(j => j != org.json4s.JNull && j != org.json4s.JNothing)
+            .map { j =>
               val b = graft.etl.RpcCodec.decodeBlock(j)
               InternalRow(b.number, UTF8String.fromString(b.hash),
                 UTF8String.fromString(b.parent_hash))

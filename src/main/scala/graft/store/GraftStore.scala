@@ -609,10 +609,7 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
     try s.iterator().asScala.toSeq finally s.close()
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
-    Files.delete(p)
-  }
+  private def deleteRecursively(p: Path): Unit = GraftStore.deleteTree(p)
 
   /** Snapshot-isolated read; `bucketPred` prunes leaves before Spark ever
     * lists a file (the manifest-level analogue of partition pruning). */
@@ -708,4 +705,18 @@ object GraftStore {
   private[store] def rootLock(root: Path): Object =
     rootLocks.computeIfAbsent(
       root.toAbsolutePath.normalize.toString, _ => new Object)
+
+  /** Recursive directory delete — THE shared helper (vacuum, the bench's
+    * scratch IVF index, the scale harness's store resets all use it;
+    * three hand-rolled variants predated it). Streams are closed before
+    * deletion so no directory fd outlives its dir. */
+  private[graft] def deleteTree(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      val children =
+        try s.iterator().asScala.toSeq finally s.close()
+      children.foreach(deleteTree)
+    }
+    Files.deleteIfExists(p)
+  }
 }

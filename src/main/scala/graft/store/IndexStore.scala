@@ -362,9 +362,15 @@ object IndexStore {
 
   private def prunedIndex(store: GraftStore, spark: SparkSession,
       kind: String, keyAndBucket: DataFrame, keyCol: String): DataFrame = {
-    val keyRows = keyAndBucket.distinct().limit(MaxKeyPushdown + 1).collect()
+    // distinct + checkpoint FIRST: both collects below read the
+    // materialized blocks, so the probe batch is shingled exactly once
+    // here — without it, the bulk fallback's bucket collect would
+    // recompute the whole signature lineage a second time, on exactly
+    // the batches large enough for that to hurt
+    val kb = keyAndBucket.distinct().localCheckpoint()
+    val keyRows = kb.limit(MaxKeyPushdown + 1).collect()
     if (keyRows.length > MaxKeyPushdown) {
-      val buckets = keyAndBucket.select(col("b")).distinct()
+      val buckets = kb.select(col("b")).distinct()
         .collect().map(_.getLong(0)).toSet // at most Buckets longs
       read(store, spark, kind, buckets.contains)
     } else {

@@ -42,4 +42,28 @@ class ChainHeadsSourceSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(store.read(spark, "token_transfers").count() ==
       fx.goldenTransfers.size)
   }
+
+  test("latestOffset is monotonic across restarts: a restored checkpoint " +
+      "offset seeds the release cursor") {
+    // a restarted query calls deserializeOffset with the checkpointed
+    // offset BEFORE any latestOffset poll; the stream's in-memory
+    // cursor restarts at 0, and without the seed the next poll would
+    // return a SMALLER offset — Spark would then re-emit committed
+    // heights as duplicates
+    val s = new graft.sources.ChainHeadsStream(200, 40, None, None)
+    s.deserializeOffset("100")
+    val next = s.latestOffset()
+      .asInstanceOf[graft.sources.HeightOffset].height
+    assert(next >= 100, s"offset went backwards after restore: $next")
+  }
+
+  test("wsUrl without apiUrl is rejected (no silent fixture data plane)") {
+    val e = intercept[Exception] {
+      spark.readStream
+        .format("graft.sources.ChainHeadsProvider")
+        .option("wsUrl", "ws://localhost:1/")
+        .load()
+    }
+    assert(e.getMessage.contains("wsUrl requires apiUrl"), e.getMessage)
+  }
 }
