@@ -195,6 +195,32 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("full live pipeline: HTTP heads stream feeding tail ingest over " +
+      "the RPC source builds the complete store") {
+    // the production loop end-to-end, everything over the wire:
+    // backfill half the chain, then the heads stream (HTTP tip-polling)
+    // drives Tail.processHead, which fetches blocks/txs/receipts through
+    // the SAME RpcSource — store converges to the full fixture chain
+    val store = new GraftStore(tempDir("graft-rpc-tail"), bucketSize = 20L)
+    Backfill.run(spark, src, store, 0, 29)
+    val heads = spark.readStream
+      .format("graft.sources.ChainHeadsProvider")
+      .option("numBlocks", "60")
+      .option("blocksPerBatch", "20")
+      .option("apiUrl", url)
+      .load()
+    val q = graft.etl.Tail.attach(spark, store, src, heads)
+      .option("checkpointLocation", tempDir("graft-rpc-tail-ckpt"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val blocks = store.read(spark, "blocks")
+    assert(blocks.count() == 60)
+    assert(graft.chain.ChainOps.continuityGaps(blocks).count() == 0)
+    assert(rows(blocks) == rows(fixtureSrc.blocks(spark, 0, 59)))
+    assert(store.read(spark, "token_transfers").count() ==
+      fx.goldenTransfers.size)
+  }
+
   test("full Backfill ingest over HTTP == fixture-sourced store") {
     val viaRpc = new GraftStore(tempDir("graft-rpc-store"))
     val viaFx = new GraftStore(tempDir("graft-fx-store"))
