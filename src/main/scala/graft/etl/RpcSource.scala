@@ -23,17 +23,19 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   * Wire conventions (public Core/Ethereum JSON-RPC): quantities are
   * 0x-hex; hashes/addresses 0x-prefixed hex; absent `to` is null. The
   * engine schema ([[graft.chain.Schemas]]) strips 0x, keeps U256
-  * magnitudes as decimal strings, and uses sentinels instead of NULLs —
-  * [[RpcCodec]] is that bijection, and RpcSourceSpec pins
-  * wire-round-trip ≡ fixture equality plus the full Export path over a
-  * loopback HTTP server.
+  * magnitudes AND the tx nonce as decimal strings (a tx nonce is a
+  * hex *quantity* on the wire, `transaction.rs:33`; a block nonce is an
+  * 8-byte hash-like field and stays hex, `block.rs:43-46`), and uses
+  * sentinels instead of NULLs — [[RpcCodec]] is that bijection.
+  * RpcSourceSpec pins wire-round-trip ≡ fixture equality plus the full
+  * Export path over a loopback HTTP server, and — because round-trip
+  * equality alone can't tell a convention from its own inverse —
+  * hand-written wire-literal payloads asserted field-by-field against
+  * the expected engine rows.
   *
-  * The WebSocket subscription transport (provider.rs:45-47) remains the
-  * documented seam: the JDK ships a WS *client* but no server to test
-  * against in this sandbox; head-following over HTTP works today by
-  * polling [[tipHeight]] (the standard HTTP-provider mode), which is how
-  * [[graft.sources.ChainHeadsSource]]'s offset probe composes with this
-  * source. */
+  * The push subscription transport (provider.rs:45-47) is
+  * [[graft.etl.WsHeads]]; [[graft.sources.ChainHeadsSource]] composes
+  * it (or [[tipHeight]] polling) with this source's HTTP data plane. */
 final class RpcSource(
     val url: String,
     val namespace: String = "xcb",
@@ -278,7 +280,10 @@ object RpcCodec {
 
   def decodeTx(j: JValue): Transaction = Transaction(
     hash = unhexField(j \ "hash"),
-    nonce = unhexField(j \ "nonce"),
+    // wire 0x-hex QUANTITY → engine decimal string (transaction.rs:33,
+    // `val.nonce.to_string()`) — NOT unhexField, which would store
+    // nonce 26 as "1a"
+    nonce = hexToDec(str(j \ "nonce")),
     block_hash = unhexField(j \ "blockHash"),
     block_number = hexToLong(str(j \ "blockNumber")),
     transaction_index = hexToLong(str(j \ "transactionIndex")),
@@ -334,7 +339,7 @@ object RpcCodec {
 
   def encodeTx(t: Transaction): JValue = JObject(
     "hash" -> hexField(t.hash),
-    "nonce" -> hexField(t.nonce),
+    "nonce" -> JString(decToHex(t.nonce)), // quantity: decimal → 0x-hex
     "blockHash" -> hexField(t.block_hash),
     "blockNumber" -> JString(longToHex(t.block_number)),
     "transactionIndex" -> JString(longToHex(t.transaction_index)),

@@ -113,6 +113,72 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
   private def rows(df: DataFrame): Set[String] =
     df.collect().map(_.mkString("|")).toSet
 
+  test("wire-literal pins: hand-written payloads decode to the expected " +
+      "engine rows (convention check, not inverse-of-encoder)") {
+    // Round-trip equality through encodeTx/decodeTx proves only that the
+    // two are inverses — it passed for a full round while BOTH sides
+    // inverted the tx-nonce convention. These payloads are written by
+    // hand straight from the public wire format, with every quantity
+    // >= 10 so hex and decimal renderings differ.
+    val txJson = JsonMethods.parse("""{
+      "hash": "0xABCDef0123456789abcdef0123456789abcdef0123456789abcdef0123456789",
+      "nonce": "0x1a",
+      "blockHash": "0x00ff00ff00ff00ff00ff00ff00ff00ff00ff00ff00ff00ff00ff00ff00ff00ff",
+      "blockNumber": "0x2b",
+      "transactionIndex": "0xc",
+      "from": "0xCB57dd2aF5b1417cc51F5Ec1d52246712Ac20E8271",
+      "to": null,
+      "value": "0xde0b6b3a7640000",
+      "energy": "0x5208",
+      "energyPrice": "0x3b9aca00",
+      "input": "0xA9059CBB"
+    }""")
+    val t = RpcCodec.decodeTx(txJson)
+    // hashes/addresses/payloads: 0x stripped, lowercased
+    assert(t.hash == "abcdef0123456789abcdef0123456789abcdef0123456789" +
+      "abcdef0123456789")
+    assert(t.nonce == "26", s"tx nonce is a wire hex QUANTITY, engine " +
+      s"stores decimal (transaction.rs:33) — got '${t.nonce}'")
+    assert(t.block_number == 43L && t.transaction_index == 12L)
+    assert(t.from_addr == "cb57dd2af5b1417cc51f5ec1d52246712ac20e8271")
+    assert(t.to_addr == "") // null → contract-creation sentinel
+    assert(t.value == "1000000000000000000") // 1e18, decimal string
+    assert(t.energy == "21000" && t.energy_price == "1000000000")
+    assert(t.input == "a9059cbb")
+    // and the encoder renders the same row back in wire convention
+    val enc = RpcCodec.encodeTx(t)
+    assert(enc \ "nonce" == JString("0x1a"))
+    assert(enc \ "value" == JString("0xde0b6b3a7640000"))
+    assert(enc \ "to" == JNull)
+
+    // block: nonce here is an 8-byte hash-like field — stays HEX
+    // (block.rs:43-46), unlike the tx quantity above
+    val blockJson = JsonMethods.parse("""{
+      "number": "0x1f",
+      "hash": "0x11", "parentHash": "0x22",
+      "nonce": "0x0000000000AB12CD",
+      "sha3Uncles": "0x33", "logsBloom": "0x44",
+      "transactionsRoot": "0x55", "stateRoot": "0x66",
+      "receiptsRoot": "0x77", "miner": "0x88",
+      "difficulty": "0xff", "totalDifficulty": "0x100",
+      "extraData": "0x99",
+      "energyLimit": "0x1388", "energyUsed": "0x4e",
+      "timestamp": "0x5f5e0ff",
+      "transactions": ["0xaa", "0xbb"]
+    }""")
+    val b = RpcCodec.decodeBlock(blockJson)
+    assert(b.number == 31L)
+    assert(b.nonce == "0000000000ab12cd", "block nonce stays hex")
+    assert(b.difficulty == "255" && b.total_difficulty == "256")
+    assert(b.energy_limit == 5000L && b.energy_used == 78L)
+    assert(b.timestamp == 99999999L && b.transaction_count == 2L)
+
+    val receiptJson = JsonMethods.parse(
+      """{"transactionHash": "0xCC", "status": "0x1"}""")
+    val r = RpcCodec.decodeReceipt(receiptJson)
+    assert(r.tx_hash == "cc" && r.status)
+  }
+
   test("driver-side calls: tip height, network id, sync gate") {
     assert(src.tipHeight(spark) == fx.blocks.last.number)
     assert(src.networkId() == 1L)
