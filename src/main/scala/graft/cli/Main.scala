@@ -41,7 +41,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Main {
 
-  private def opt(args: Array[String], name: String): Option[String] =
+  private def flagOpt(args: Array[String], name: String): Option[String] =
     args.sliding(2).collectFirst {
       case Array(k, v) if k == s"--$name" => v
     }
@@ -53,24 +53,33 @@ object Main {
     finally spark.stop()
   }
 
-  private[graft] def run(spark: SparkSession, args: Array[String]): Unit = {
+  /** `env` mirrors the reference CLI, where every global flag also reads
+    * an environment variable (clap `env` + dotenvy, main.rs:27-58):
+    * `--foo-bar X` falls back to `GRAFT_FOO_BAR=X`. Injected as a map so
+    * specs can exercise the fallback without mutating the JVM env. */
+  private[graft] def run(spark: SparkSession, args: Array[String],
+      env: Map[String, String] = sys.env): Unit = {
+    def opt(name: String): Option[String] = flagOpt(args, name)
+      .orElse(env.get("GRAFT_" + name.toUpperCase.replace('-', '_')))
     // --tables-prefix namespaces this instance's leaves (main.rs:46-50);
     // lazy: the corpus verbs (`curate`) take --input/--output instead
     lazy val store = new GraftStore(
-      opt(args, "store").getOrElse(sys.error("--store required")),
-      tablesPrefix = opt(args, "tables-prefix").getOrElse(""),
+      opt("store").getOrElse(sys.error("--store required")),
+      tablesPrefix = opt("tables-prefix").getOrElse(""),
       // full-chain deployments: z-ordered bucket leaves instead of
       // per-address sub-dirs (GraftStore.stage scaladoc)
       zOrderTransfers = args.contains("--zorder-transfers"))
-    val network = opt(args, "network").map(Network.parse)
+    val network = opt("network").map(Network.parse)
       .getOrElse(Network.Mainnet)
     args.headOption match {
       case Some("export") =>
-        val n = opt(args, "blocks").map(_.toInt).getOrElse(200)
-        // --api-url selects the live JSON-RPC source (reference
-        // main.rs `--api-url`); without it the deterministic fixture
-        // chain drives the same ingest path
-        val rpcSource = opt(args, "api-url").map(u => new graft.etl.RpcSource(u))
+        val n = opt("blocks").map(_.toInt).getOrElse(200)
+        // --api-url (or GRAFT_API_URL) selects the live JSON-RPC
+        // source; a bare --network resolves its preset endpoint
+        // (network.rs:11-17) so `export --network devin` needs no other
+        // config; neither → the fixture drives the same ingest path
+        val rpcSource = Network.resolveNodeUrl(opt("api-url"),
+          opt("network")).map(u => new graft.etl.RpcSource(u))
         val source: graft.etl.ChainSource = rpcSource
           .getOrElse(new FixtureSource(ChainFixture.build(n)))
         // --watch-tokens presets resolve against the network id the
@@ -78,27 +87,27 @@ object Main {
         // — a --network flag defaulted to mainnet would silently watch
         // the wrong preset address on a testnet node); the flag only
         // decides when there is no node to ask or when given explicitly
-        val networkId = (rpcSource, opt(args, "network")) match {
+        val networkId = (rpcSource, opt("network")) match {
           case (Some(r), None) => r.networkId()
           case _ => network.id
         }
-        val watchTokens = opt(args, "watch-tokens")
+        val watchTokens = opt("watch-tokens")
           .map(s => WatchTokens.parse(networkId, s.split(",").toSeq))
           .getOrElse(WatchTokens.Default)
         // --modules gates which tables are written (main.rs:52-54)
-        val modules = opt(args, "modules").map(_.split(",").toSeq)
+        val modules = opt("modules").map(_.split(",").toSeq)
           .getOrElse(Seq("blocks", "transactions", "token_transfers"))
         val resume = Backfill.maxIngestedHeight(spark, store)
         // live mode ingests to the node's TIP unless --blocks bounds it
         // explicitly; the 200 default only sizes the fixture chain
         val tip = source.tipHeight(spark)
-        val to = (rpcSource, opt(args, "blocks")) match {
+        val to = (rpcSource, opt("blocks")) match {
           case (Some(_), None) => tip
           case _ => math.min(n - 1L, tip)
         }
         val ingested = Backfill.run(spark, source, store,
           resume + 1, to, watchTokens,
-          opt(args, "address-filter").map(_.split(",").toSeq).getOrElse(Nil),
+          opt("address-filter").map(_.split(",").toSeq).getOrElse(Nil),
           modules)
         println(s"[export] ingested $ingested blocks (resumed after $resume," +
           s" modules=${modules.mkString(",")})")
@@ -112,27 +121,27 @@ object Main {
             // height-keyed lookups go through the stat-pruned read: only
             // leaves whose footer min/max overlap the height are listed
             // (hash lookups have no height bound — full manifest scan)
-            val df = opt(args, "number")
+            val df = opt("number")
               .map(n => ChainOps.blockByNumber(
                 store.readHeightRange(spark, "blocks", n.toLong, n.toLong),
                 n.toLong))
-              .orElse(opt(args, "hash").map(ChainOps.blockByHash(blocks, _)))
+              .orElse(opt("hash").map(ChainOps.blockByHash(blocks, _)))
               .getOrElse(sys.error("--number or --hash required"))
             df.show(20, truncate = false)
           case Some("transaction") =>
-            val df = opt(args, "block-number")
+            val df = opt("block-number")
               .map(n => ChainOps.txsOfBlock(
                 store.readHeightRange(spark, "transactions", n.toLong,
                   n.toLong), n.toLong))
-              .orElse(opt(args, "hash").map(ChainOps.txByHash(txs, _)))
+              .orElse(opt("hash").map(ChainOps.txByHash(txs, _)))
               .getOrElse(sys.error("--block-number or --hash required"))
             df.show(20, truncate = false)
           case Some("token-transfer") =>
-            val df = opt(args, "token-address") match {
+            val df = opt("token-address") match {
               case Some(addr) => ChainOps.tokenTransfersOf(transfers, addr,
-                opt(args, "from"), opt(args, "to"))
+                opt("from"), opt("to"))
               case None =>
-                val (a, tt) = (opt(args, "from"), opt(args, "to")) match {
+                val (a, tt) = (opt("from"), opt("to")) match {
                   case (Some(f), None) => (f, TransferType.From)
                   case (None, Some(t)) => (t, TransferType.To)
                   case (Some(f), _) => (f, TransferType.All)
@@ -147,9 +156,17 @@ object Main {
       case Some("verify") =>
         val blocks = store.read(spark, "blocks")
         // the source's latest block, reported alongside the store state
-        // (verify.rs:35-39 fetches the chain tip before checking)
-        val n = opt(args, "blocks").map(_.toInt).getOrElse(200)
-        val tip = new FixtureSource(ChainFixture.build(n)).tipHeight(spark)
+        // (verify.rs:35-39 fetches the chain tip before checking) — the
+        // REAL chain tip when an endpoint is configured (same resolution
+        // as export: --api-url / GRAFT_API_URL / --network preset), so a
+        // live-ingested store reports true lag, not fixture fiction
+        val tip = Network.resolveNodeUrl(opt("api-url"),
+            opt("network")) match {
+          case Some(u) => new graft.etl.RpcSource(u).tipHeight(spark)
+          case None =>
+            val n = opt("blocks").map(_.toInt).getOrElse(200)
+            new FixtureSource(ChainFixture.build(n)).tipHeight(spark)
+        }
         args.lift(1) match {
           case Some("transactions") =>
             // real check where the reference has a stub (verify.rs:92)
@@ -159,13 +176,13 @@ object Main {
             else sys.error(s"[verify] FAILED: $bad blocks whose stored tx " +
               "count differs from the header transaction_count")
           case _ =>
-            val slice = opt(args, "block") match {
+            val slice = opt("block") match {
               case Some(b) => ChainOps.blocksInRange(blocks, b.toLong, -1L)
               case None => blocks
             }
             // bounded slice → global window is fine; full table → the
             // scalable per-bucket forms (no single-partition sort)
-            val full = opt(args, "block").isEmpty
+            val full = opt("block").isEmpty
             val gaps =
               if (full)
                 ChainOps.continuityGapsScalable(slice, store.bucketSize).count()
@@ -194,13 +211,13 @@ object Main {
         // domain cap → target mixture) → split → shard export — each
         // optional stage wired to its library operator
         import org.apache.spark.sql.functions.col
-        val in = opt(args, "input").getOrElse(sys.error("--input required"))
-        val out = opt(args, "output").getOrElse(sys.error("--output required"))
-        val floor = opt(args, "quality-floor-bp").map(_.toLong)
+        val in = opt("input").getOrElse(sys.error("--input required"))
+        val out = opt("output").getOrElse(sys.error("--output required"))
+        val floor = opt("quality-floor-bp").map(_.toLong)
           .getOrElse(3000L)
-        val threshold = opt(args, "near-dup-threshold").map(_.toDouble)
+        val threshold = opt("near-dup-threshold").map(_.toDouble)
           .getOrElse(0.4)
-        val perShard = opt(args, "docs-per-shard").map(_.toLong)
+        val perShard = opt("docs-per-shard").map(_.toLong)
           .getOrElse(CorpusOps.DocsPerShard)
         val raw = spark.read.parquet(in)
         // carry lang/source through when present — the mixture and
@@ -226,14 +243,14 @@ object Main {
         // scan with the model riding in the expression; only the ~50k
         // model parameters reach the driver. Docs too short to score
         // (null lm_bp) fail the gate, as in CCNet.
-        val d = opt(args, "lm-floor-bp") match {
+        val d = opt("lm-floor-bp") match {
           case Some(bp) =>
             // checkpoint: the gate adds a training scan plus a scoring
             // filter re-evaluated by every downstream job — without this
             // the read->dropDuplicates->scrub lineage would recompute for
             // each of them
             val base = scrubbed.localCheckpoint()
-            val ref = opt(args, "lm-ref")
+            val ref = opt("lm-ref")
               .map(p => spark.read.parquet(p)).getOrElse(base)
             val model = graft.operators.TextOps.trainCharLm(ref)
             base.filter(graft.functions.Lm.lm_score_bp(
@@ -245,13 +262,13 @@ object Main {
         var kept = d.join(curated, "doc_id")
         // --decontaminate-against eval.parquet: drop docs whose 5-gram
         // overlap with the eval set reaches --max-contamination-bp
-        opt(args, "decontaminate-against").foreach { evalPath =>
+        opt("decontaminate-against").foreach { evalPath =>
           kept = CurationOps.decontaminateAgainst(kept,
             spark.read.parquet(evalPath).select("doc_id", "text"),
-            opt(args, "max-contamination-bp").map(_.toLong).getOrElse(1000L))
+            opt("max-contamination-bp").map(_.toLong).getOrElse(1000L))
         }
         // --domain-cap N: at most N docs per source, deterministic
-        opt(args, "domain-cap").foreach { n =>
+        opt("domain-cap").foreach { n =>
           if (!kept.columns.contains("source"))
             sys.error("--domain-cap requires a 'source' column in the input")
           kept = kept.join(
@@ -260,7 +277,7 @@ object Main {
         }
         // --target-mixture lang:w,...: resample to the target language
         // mix; predicts a lang when the input doesn't carry one
-        opt(args, "target-mixture").foreach { spec =>
+        opt("target-mixture").foreach { spec =>
           val weights = spec.split(",").toSeq.map { kv =>
             kv.split(":") match {
               case Array(l, w) => l -> w.toLong
@@ -277,8 +294,8 @@ object Main {
         // --mixture-alpha-bp N: temperature-derived mixture (w_l ∝ n_l^α,
         // α in basis points) — the "smooth the language imbalance" knob
         // when no explicit target mix is declared
-        opt(args, "mixture-alpha-bp").foreach { a =>
-          if (opt(args, "target-mixture").isDefined)
+        opt("mixture-alpha-bp").foreach { a =>
+          if (opt("target-mixture").isDefined)
             sys.error("--mixture-alpha-bp and --target-mixture are " +
               "mutually exclusive (derived vs declared weights)")
           if (!kept.columns.contains("lang"))
@@ -312,10 +329,10 @@ object Main {
         // build/append commit through the same atomic snapshot swap as
         // the chain tables; search probes the at-rest index — history is
         // never re-shingled across process restarts
-        val kind = opt(args, "kind").getOrElse(sys.error("--kind required"))
+        val kind = opt("kind").getOrElse(sys.error("--kind required"))
         // compact works purely on the at-rest index — no --input
         lazy val input = spark.read.parquet(
-          opt(args, "input").getOrElse(sys.error("--input required")))
+          opt("input").getOrElse(sys.error("--input required")))
         args.lift(1) match {
           case Some("compact") =>
             val (dropped, leaves) = IndexStore.compact(store, spark, kind)
@@ -329,8 +346,8 @@ object Main {
             println(s"[index] appended to '$kind' index: $n new leaves")
           case Some("search") =>
             val hits = IndexStore.search(store, spark, kind, input,
-              opt(args, "threshold").map(_.toDouble).getOrElse(0.4))
-            opt(args, "output") match {
+              opt("threshold").map(_.toDouble).getOrElse(0.4))
+            opt("output") match {
               case Some(out) =>
                 hits.write.mode("overwrite").parquet(out)
                 println(s"[index] wrote matches to $out")
@@ -360,15 +377,15 @@ object Main {
             }
           case Some("vacuum") =>
             val deleted = store.vacuum(
-              opt(args, "keep").map(_.toInt).getOrElse(1),
-              opt(args, "grace-ms").map(_.toLong).getOrElse(300000L))
+              opt("keep").map(_.toInt).getOrElse(1),
+              opt("grace-ms").map(_.toLong).getOrElse(300000L))
             println(s"[store] vacuum reclaimed $deleted leaf dir(s)")
           case Some("compact") =>
             // merge the small-leaf tails an incremental ingest accretes
             // (every tail commit = one leaf per touched bucket); retries
             // internally if a concurrent commit moves the snapshot
             val merged = graft.etl.Export.compact(spark, store,
-              opt(args, "max-leaves-per-bucket").map(_.toInt).getOrElse(1))
+              opt("max-leaves-per-bucket").map(_.toInt).getOrElse(1))
             println(s"[store] compacted $merged leaf dir(s)")
           case Some("changes") =>
             // incremental consumption: what landed between two committed
@@ -376,9 +393,9 @@ object Main {
             // output is the manifest-level diff (no file opened); with
             // --table T --keys k1,k2 it counts logically-new rows —
             // rewrite survivors subtracted bucket-locally
-            val from = opt(args, "from").getOrElse(sys.error(
+            val from = opt("from").getOrElse(sys.error(
               "store changes needs --from <snapshot> (see store snapshots)"))
-            val to = opt(args, "to").orElse(store.currentSnapshot())
+            val to = opt("to").orElse(store.currentSnapshot())
               .getOrElse(sys.error("store has no committed snapshot"))
             // a typo'd --table must stay a loud error, not read as an
             // empty increment — but "no leaves at these two snapshots" is
@@ -386,7 +403,7 @@ object Main {
             // at both endpoints), so validate against EVERY snapshot's
             // leaves, and list candidates by the LOGICAL name --table
             // actually takes (tablesPrefix stripped)
-            opt(args, "table").foreach { t =>
+            opt("table").foreach { t =>
               // newest-first with short-circuit: the common case (a real
               // table) usually hits in the latest manifest, so a
               // long-lived store doesn't parse thousands of snapshots
@@ -402,7 +419,7 @@ object Main {
                   s"${logical.mkString(", ")})")
               }
             }
-            (opt(args, "table"), opt(args, "keys")) match {
+            (opt("table"), opt("keys")) match {
               case (Some(t), Some(ks)) =>
                 val n = store.readNewRows(spark, t, from, to,
                   ks.split(",").toSeq).count()

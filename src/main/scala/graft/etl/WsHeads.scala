@@ -30,6 +30,11 @@ final class WsHeads(url: String, namespace: String = "xcb",
   private val headers = new LinkedBlockingQueue[JValue]()
   @volatile private var subscriptionId: Option[String] = None
   @volatile private var subscribeError: Option[String] = None
+  /** Set by onClose/onError: a dropped connection (node restart, idle
+    * timeout) must not leave pollHeaders returning empty forever — the
+    * next poll reconnects and resubscribes, or throws if it can't. */
+  @volatile private var connectionLost: Option[String] = None
+  @volatile private var closedByUs = false
 
   private def handleMessage(text: String): Unit = {
     val j = JsonMethods.parse(text)
@@ -49,7 +54,14 @@ final class WsHeads(url: String, namespace: String = "xcb",
     }
   }
 
-  private val listener = new java.net.http.WebSocket.Listener {
+  /** Bumped per connection attempt: an ABORTED old socket may still
+    * deliver onClose/onError after a reconnect — only the listener of
+    * the CURRENT generation may flag the connection lost, or a stale
+    * callback would trigger a spurious reconnect loop. */
+  private val generation = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def newListener() = new java.net.http.WebSocket.Listener {
+    private val gen = generation.incrementAndGet()
     private val buf = new StringBuilder
     override def onText(ws: java.net.http.WebSocket,
         data: CharSequence, last: Boolean): CompletionStage[_] = {
@@ -58,19 +70,37 @@ final class WsHeads(url: String, namespace: String = "xcb",
       ws.request(1)
       null
     }
+    // a server-initiated close or a transport error would otherwise be
+    // SILENT — onText just stops arriving and the consumer stalls
+    // forever; record it so pollHeaders reconnects (or throws)
+    override def onClose(ws: java.net.http.WebSocket, statusCode: Int,
+        reason: String): CompletionStage[_] = {
+      if (gen == generation.get() && !closedByUs)
+        connectionLost = Some(s"closed by peer ($statusCode: $reason)")
+      null
+    }
+    override def onError(ws: java.net.http.WebSocket,
+        error: Throwable): Unit =
+      if (gen == generation.get())
+        connectionLost = Some(s"transport error: $error")
   }
 
-  private val ws: java.net.http.WebSocket = {
+  /** Connect + subscribe with the bounded retry loop (provider.rs:25-38);
+    * shared by construction and by pollHeaders' reconnect path. */
+  private def connect(): java.net.http.WebSocket = {
     var attempt = 0
     var last: Throwable = null
     var sock: java.net.http.WebSocket = null
     while (sock == null && attempt < retries) {
       attempt += 1
-      try sock = java.net.http.HttpClient.newHttpClient()
-        .newWebSocketBuilder()
-        .buildAsync(java.net.URI.create(url), listener)
-        .join()
-      catch {
+      try {
+        val l = newListener() // bumps generation: stale callbacks muted
+        connectionLost = None // before build: the NEW socket may error
+        sock = java.net.http.HttpClient.newHttpClient()
+          .newWebSocketBuilder()
+          .buildAsync(java.net.URI.create(url), l)
+          .join()
+      } catch {
         case e: Throwable =>
           last = e
           if (attempt < retries) Thread.sleep(retryBackoffMs * attempt)
@@ -85,6 +115,8 @@ final class WsHeads(url: String, namespace: String = "xcb",
     sock
   }
 
+  @volatile private var ws: java.net.http.WebSocket = connect()
+
   /** The confirmed subscription id, once the node acked (None before). */
   def subscription: Option[String] = subscriptionId
 
@@ -95,6 +127,20 @@ final class WsHeads(url: String, namespace: String = "xcb",
   def pollHeaders(waitMs: Long = 0L): Seq[JValue] = {
     subscribeError.foreach(e => throw new RuntimeException(
       s"${namespace}_subscribe(newHeads) rejected by $url: $e"))
+    // dropped connection: reconnect-and-resubscribe (bounded retries;
+    // throws if the node stays unreachable). Heads pushed during the
+    // gap are fine to miss — the consumer treats notifications as an
+    // arrival SIGNAL, and the next head's number covers the gap.
+    connectionLost.foreach { why =>
+      val old = ws
+      try old.abort() catch { case _: Throwable => () }
+      try ws = connect() // resets connectionLost on success
+      catch {
+        case e: Throwable => throw new RuntimeException(
+          s"newHeads connection to $url lost ($why) and reconnect " +
+            "failed", e)
+      }
+    }
     val out = Seq.newBuilder[JValue]
     val first =
       if (waitMs > 0) headers.poll(waitMs, TimeUnit.MILLISECONDS)
@@ -107,8 +153,10 @@ final class WsHeads(url: String, namespace: String = "xcb",
     out.result()
   }
 
-  override def close(): Unit =
+  override def close(): Unit = {
+    closedByUs = true
     try ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done")
       .join()
     catch { case _: Throwable => () }
+  }
 }

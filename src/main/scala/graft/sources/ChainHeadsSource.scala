@@ -59,7 +59,8 @@ class ChainHeadsProvider extends TableProvider {
     new ChainHeadsTable(
       opts.getOrDefault("numblocks", "200").toInt,
       opts.getOrDefault("blocksperbatch", "10").toInt,
-      apiUrl, wsUrl)
+      apiUrl, wsUrl,
+      opts.getOrDefault("namespace", "xcb"))
   }
 }
 
@@ -77,7 +78,8 @@ class ChainHeadsProvider extends TableProvider {
   * identical offset/partition shape. `numBlocks` caps the released
   * height in every mode (a test bound; raise or leave default live). */
 class ChainHeadsTable(numBlocks: Int, blocksPerBatch: Int,
-    apiUrl: Option[String], wsUrl: Option[String] = None)
+    apiUrl: Option[String], wsUrl: Option[String] = None,
+    namespace: String = "xcb")
     extends Table with SupportsRead {
   override def name(): String = s"chain_heads($numBlocks)"
   override def schema(): StructType = ChainHeadsSource.schema
@@ -88,7 +90,8 @@ class ChainHeadsTable(numBlocks: Int, blocksPerBatch: Int,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = ChainHeadsSource.schema
         override def toMicroBatchStream(loc: String): MicroBatchStream =
-          new ChainHeadsStream(numBlocks, blocksPerBatch, apiUrl, wsUrl)
+          new ChainHeadsStream(numBlocks, blocksPerBatch, apiUrl, wsUrl,
+            namespace)
       }
     }
 }
@@ -99,7 +102,8 @@ case class HeightOffset(height: Long) extends Offset {
 }
 
 class ChainHeadsStream(numBlocks: Int, blocksPerBatch: Int,
-    apiUrl: Option[String], wsUrl: Option[String] = None)
+    apiUrl: Option[String], wsUrl: Option[String] = None,
+    namespace: String = "xcb")
     extends MicroBatchStream {
 
   private var released = 0L
@@ -111,7 +115,7 @@ class ChainHeadsStream(numBlocks: Int, blocksPerBatch: Int,
   // forcing a connection just to close it)
   @volatile private var wsOpened = false
   private lazy val wsHeads = wsUrl.map { u =>
-    wsOpened = true; new graft.etl.WsHeads(u)
+    wsOpened = true; new graft.etl.WsHeads(u, namespace)
   }
   private var highestPushed = -1L
 
@@ -134,7 +138,7 @@ class ChainHeadsStream(numBlocks: Int, blocksPerBatch: Int,
         math.min(numBlocks.toLong, highestPushed + 1)
       case (None, Some(c)) =>
         val tip = graft.etl.RpcCodec.hexToLong(
-          c.call("xcb_blockNumber", Nil) match {
+          c.call(s"${namespace}_blockNumber", Nil) match {
             case org.json4s.JString(s) => s
             case other => sys.error(s"blockNumber: $other")
           })
@@ -165,7 +169,7 @@ class ChainHeadsStream(numBlocks: Int, blocksPerBatch: Int,
     val s = start.asInstanceOf[HeightOffset].height
     val e = end.asInstanceOf[HeightOffset].height
     if (e <= s) Array.empty
-    else Array(HeadsRange(s, e, numBlocks, apiUrl))
+    else Array(HeadsRange(s, e, numBlocks, apiUrl, namespace))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -176,7 +180,8 @@ class ChainHeadsStream(numBlocks: Int, blocksPerBatch: Int,
 }
 
 case class HeadsRange(from: Long, until: Long, numBlocks: Int,
-    apiUrl: Option[String]) extends InputPartition
+    apiUrl: Option[String], namespace: String = "xcb")
+    extends InputPartition
 
 class HeadsReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -184,23 +189,42 @@ class HeadsReaderFactory extends PartitionReaderFactory {
     r.apiUrl match {
       case Some(u) => new PartitionReader[InternalRow] {
         // live mode: headers for this range in ONE batched JSON-RPC
-        // round-trip (hash-only block fetch — no tx payload)
+        // round-trip (hash-only block fetch — no tx payload). A null
+        // answer (lagging load-balanced replica, reorg window) CANNOT
+        // be skipped here: the offset range [from,until) is already
+        // committed and Spark never re-plans committed offsets, so a
+        // dropped height would be permanently missing from the stream.
+        // The head was announced, so the block should materialize —
+        // retry the nulls with bounded backoff, then fail the task
+        // (Spark retries the partition) rather than lose data silently.
         private val rows = {
+          import org.json4s.{JBool, JNothing, JNull, JString, JValue}
           val c = new graft.etl.RpcClient(u, 5, 200L)
-          c.callBatch((r.from until r.until).map(h =>
-              ("xcb_getBlockByNumber",
-                List(org.json4s.JString(graft.etl.RpcCodec.longToHex(h)),
-                  org.json4s.JBool(false)))))
-            .iterator
-            // a null block (height reorged away / lagging replica) is
-            // skipped, not crashed on — the height re-resolves in a
-            // later batch if it comes back
-            .filter(j => j != org.json4s.JNull && j != org.json4s.JNothing)
-            .map { j =>
-              val b = graft.etl.RpcCodec.decodeBlock(j)
-              InternalRow(b.number, UTF8String.fromString(b.hash),
-                UTF8String.fromString(b.parent_hash))
-            }
+          def fetch(hs: Seq[Long]): Map[Long, JValue] =
+            hs.zip(c.callBatch(hs.map(h =>
+                (s"${r.namespace}_getBlockByNumber",
+                  List(JString(graft.etl.RpcCodec.longToHex(h)),
+                    JBool(false))))))
+              .collect { case (h, j) if j != JNull && j != JNothing =>
+                h -> j }.toMap
+          val all = r.from until r.until
+          var got = fetch(all)
+          var attempt = 0
+          while (got.size < all.size && attempt < 5) {
+            attempt += 1
+            Thread.sleep(200L * attempt)
+            got ++= fetch(all.filterNot(got.contains))
+          }
+          val missing = all.filterNot(got.contains)
+          if (missing.nonEmpty) throw new RuntimeException(
+            s"committed heads ${missing.mkString(",")} still null after " +
+              s"$attempt retries — failing the task so Spark re-reads " +
+              "the partition instead of dropping announced heights")
+          all.iterator.map { h =>
+            val b = graft.etl.RpcCodec.decodeBlock(got(h))
+            InternalRow(b.number, UTF8String.fromString(b.hash),
+              UTF8String.fromString(b.parent_hash))
+          }
         }
         override def next(): Boolean = rows.hasNext
         override def get(): InternalRow = rows.next()

@@ -96,6 +96,23 @@ class ExportSpec extends AnyFunSuite with BeforeAndAfterAll
     intercept[IllegalArgumentException] { Network.parse("testnet9") }
   }
 
+  test("node endpoint resolution: --api-url wins, --network resolves " +
+      "its public preset (network.rs:11-17), neither means fixture") {
+    assert(Network.resolveNodeUrl(None, None).isEmpty)
+    assert(Network.resolveNodeUrl(None, Some("mainnet"))
+      .contains("wss://xcbws.coreblockchain.net"))
+    assert(Network.resolveNodeUrl(None, Some("devin"))
+      .contains("wss://xcbws-devin.coreblockchain.net"))
+    // the explicit endpoint stays authoritative (documented deviation
+    // from app_config.rs, where the network preset overrides even an
+    // explicit rpc_url)
+    assert(Network.resolveNodeUrl(Some("http://10.0.0.9:8545/"),
+      Some("devin")).contains("http://10.0.0.9:8545/"))
+    intercept[IllegalArgumentException] {
+      Network.resolveNodeUrl(None, Some("testnet9"))
+    }
+  }
+
   test("modules gating: a transfers-only run writes no blocks/txs leaves") {
     val store = newStore()
     Backfill.run(spark, new FixtureSource(fx), store, 0, 99,

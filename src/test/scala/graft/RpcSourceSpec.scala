@@ -44,11 +44,22 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
 
   override def afterAll(): Unit = {
     if (server != null) server.stop(0)
+    if (wsNode != null) wsNode.close()
     spark.stop()
     super.afterAll()
   }
 
   // ---- the loopback node: fixture rows encoded in wire format ----
+
+  /** When set, the node's chain view becomes canonical-below-the-fork ++
+    * the fork branch — a live reorg injected mid-test. Canonical txs are
+    * keyed by (number, hash), so forked heights serve empty tx lists
+    * exactly like [[FixtureSource]]'s fork mode. */
+  @volatile private var fork: Option[Seq[graft.chain.Block]] = None
+  private def viewBlocks: Seq[graft.chain.Block] = fork match {
+    case Some(f) => fx.blocks.takeWhile(_.number < f.head.number) ++ f
+    case None => fx.blocks
+  }
 
   private def handle(req: JValue): JValue = {
     import RpcCodec._
@@ -57,16 +68,17 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
     def params = (req \ "params").asInstanceOf[JArray].arr
     val result: JValue = method match {
       case "xcb_blockNumber" =>
-        JString(longToHex(fx.blocks.last.number))
+        JString(longToHex(viewBlocks.last.number))
       case "net_version" => JString("1")
       case "xcb_syncing" => JBool(false)
       case "xcb_getBlockByNumber" =>
         val n = hexToLong(params.head.asInstanceOf[JString].s)
         val full = params(1).asInstanceOf[JBool].value
-        fx.blocks.find(_.number == n) match {
+        viewBlocks.find(_.number == n) match {
           case None => JNull
           case Some(b) => encodeBlock(b,
-            fx.transactions.filter(_.block_number == n)
+            fx.transactions.filter(t =>
+                t.block_number == n && t.block_hash == b.hash)
               .sortBy(_.transaction_index), full)
         }
       case "xcb_getTransactionReceipt" =>
@@ -109,6 +121,23 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
 
   private lazy val src: RpcSource = { startServer(); new RpcSource(url) }
   private lazy val fixtureSrc = new FixtureSource(fx)
+
+  /** The SAME node behind the WebSocket transport (the reference
+    * provider's native one — its `--network` presets are wss endpoints,
+    * network.rs:11-17): JSON-RPC request/response text frames served by
+    * the shared RFC 6455 loopback server, delegating to the identical
+    * `handle`. */
+  private var wsNode: TinyWsServer = _
+  private def wsNodeUrl: String = {
+    if (wsNode == null) wsNode = new TinyWsServer((_, text, send) => {
+      val resp = JsonMethods.parse(text) match {
+        case JArray(reqs) => JsonMethods.compact(JArray(reqs.map(handle)))
+        case one => JsonMethods.compact(handle(one))
+      }
+      send(resp); true
+    })
+    wsNode.url
+  }
 
   private def rows(df: DataFrame): Set[String] =
     df.collect().map(_.mkString("|")).toSet
@@ -233,6 +262,51 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
     failures.set(0)
   }
 
+  test("the same source over the WebSocket transport equals the " +
+      "fixture row-for-row (driver calls + executor fan-out)") {
+    val wsSrc = new RpcSource(wsNodeUrl)
+    assert(wsSrc.tipHeight(spark) == fx.blocks.last.number)
+    assert(wsSrc.networkId() == 1L)
+    assert(rows(wsSrc.blocks(spark, 0, 59)) ==
+      rows(fixtureSrc.blocks(spark, 0, 59)))
+    assert(rows(wsSrc.transactions(spark, 10, 30)) ==
+      rows(fixtureSrc.transactions(spark, 10, 30)))
+    // receipts: WS and HTTP transports answer identically
+    assert(rows(wsSrc.receipts(spark, 0, 20)) ==
+      rows(src.receipts(spark, 0, 20)))
+  }
+
+  test("WS transport: connect retry survives refused connections and " +
+      "a dead connection is rebuilt") {
+    wsNodeUrl // force the node up
+    val refusing = new TinyWsServer((_, text, send) => {
+      send(JsonMethods.compact(JsonMethods.parse(text) match {
+        case one => handle(one)
+      }))
+      true
+    }, refuseFirst = 2)
+    try {
+      val c = new graft.etl.RpcClient(refusing.url, 5, 20L)
+      assert(RpcCodec.hexToLong(c.call("xcb_blockNumber", Nil) match {
+        case JString(s) => s
+        case other => sys.error(s"$other")
+      }) == fx.blocks.last.number)
+    } finally refusing.close()
+    // a server that drops the connection after the first answer: the
+    // client's next call must rebuild the connection, not hang/fail
+    val dropping = new TinyWsServer((connIdx, text, send) => {
+      send(JsonMethods.compact(JsonMethods.parse(text) match {
+        case one => handle(one)
+      }))
+      connIdx > 0 // drop connection 0 right after its first answer
+    })
+    try {
+      val c = new graft.etl.RpcClient(dropping.url, 5, 20L)
+      assert(c.call("net_version", Nil) == JString("1"))
+      assert(c.call("net_version", Nil) == JString("1")) // post-drop
+    } finally dropping.close()
+  }
+
   test("CLI export --api-url drives the RPC source end-to-end") {
     val storeDir = tempDir("graft-rpc-cli")
     cli.Main.run(spark, Array("export", "--store", storeDir,
@@ -241,6 +315,48 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(rows(store.read(spark, "blocks")) ==
       rows(fixtureSrc.blocks(spark, 0, 59)))
     assert(store.read(spark, "token_transfers").count() > 0)
+  }
+
+  test("CLI verify --api-url reports the REAL chain tip and lag " +
+      "(verify.rs:35-39), not fixture fiction") {
+    val storeDir = tempDir("graft-rpc-verify")
+    cli.Main.run(spark, Array("export", "--store", storeDir,
+      "--blocks", "30", "--api-url", url))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      cli.Main.run(spark, Array("verify", "blocks", "--store", storeDir,
+        "--api-url", url))
+    }
+    val report = out.toString
+    // store holds 0..29; the node's tip is 59 → lag 30. The old code
+    // resolved the tip from a fixture sized by --blocks and would have
+    // reported lag 0 here.
+    assert(report.contains("stored max 29") &&
+      report.contains("chain tip 59") && report.contains("lag 30"), report)
+  }
+
+  test("CLI env mirror: GRAFT_* variables fall back for flags " +
+      "(reference clap env, main.rs:27-58)") {
+    val storeDir = tempDir("graft-rpc-cli-envvar")
+    cli.Main.run(spark,
+      Array("export", "--store", storeDir, "--blocks", "60"),
+      env = Map("GRAFT_API_URL" -> url, "GRAFT_MODULES" -> "blocks"))
+    val store = new GraftStore(storeDir)
+    assert(rows(store.read(spark, "blocks")) ==
+      rows(fixtureSrc.blocks(spark, 0, 59)))
+    // GRAFT_MODULES gated the other tables off, like --modules would
+    assert(store.leavesOf("transactions").isEmpty)
+    assert(store.leavesOf("token_transfers").isEmpty)
+    // an explicit flag still beats the env mirror
+    val storeDir2 = tempDir("graft-rpc-cli-envvar2")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      cli.Main.run(spark,
+        Array("export", "--store", storeDir2, "--blocks", "5",
+          "--modules", "blocks"),
+        env = Map("GRAFT_BLOCKS" -> "60", "GRAFT_MODULES" -> "blocks"))
+    }
+    assert(new GraftStore(storeDir2).read(spark, "blocks").count() == 5)
   }
 
   test("live heads stream: HTTP tip-polling releases every header over " +
@@ -285,6 +401,53 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(rows(blocks) == rows(fixtureSrc.blocks(spark, 0, 59)))
     assert(store.read(spark, "token_transfers").count() ==
       fx.goldenTransfers.size)
+  }
+
+  test("live-mode reorg over the wire: the node forks mid-stream and " +
+      "the store converges through the RPC source (OP-STR-3 live)") {
+    // the one production path round 10 left unexercised through
+    // RpcSource: the reorg seam (parent-hash check, walk-back, bucket
+    // rewrite) driven entirely by wire data. The loopback node first
+    // serves the canonical chain 0..59; once the stream has caught up,
+    // it reorgs — heights >= 50 replaced by a fork extending to 64 —
+    // and the heads stream + tail ingest must splice the store to
+    // canonical<50 ++ fork 50..64.
+    val store = new GraftStore(tempDir("graft-rpc-reorg"), bucketSize = 20L)
+    Backfill.run(spark, src, store, 0, 44)
+    val forkBranch = ChainFixture.forkBlocks(fx, 50, 15) // heights 50..64
+    val heads = spark.readStream
+      .format("graft.sources.ChainHeadsProvider")
+      .option("numBlocks", "65")
+      .option("blocksPerBatch", "20")
+      .option("apiUrl", url)
+      .load()
+    val q = graft.etl.Tail.attach(spark, store, src, heads)
+      .option("checkpointLocation", tempDir("graft-rpc-reorg-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable() // catch up to the canonical tip (59)
+      assert(store.read(spark, "blocks").count() == 60)
+      fork = Some(forkBranch) // the node reorgs
+      val deadline = System.currentTimeMillis() + 30000
+      while (store.read(spark, "blocks").count() < 65 &&
+          System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(50)
+      }
+    } finally { q.stop(); fork = None }
+    val blocks = store.read(spark, "blocks")
+    assert(blocks.count() == 65)
+    val byN = blocks.select("number", "hash", "parent_hash").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byN(50L)._1 == forkBranch.head.hash,
+      "height 50 must carry the fork hash after the splice")
+    assert(byN(49L)._1 == fx.blocks(49).hash, "height 49 stays canonical")
+    (1L to 64L).foreach(n =>
+      assert(byN(n)._2 == byN(n - 1)._1, s"hash linkage broken at $n"))
+    assert(graft.chain.ChainOps.continuityGaps(blocks).count() == 0)
+    // fork blocks carry no txs: transfers stop below the fork point
+    assert(store.read(spark, "token_transfers").count() ==
+      fx.goldenTransfers.count(_._1.block_number < 50))
   }
 
   test("full Backfill ingest over HTTP == fixture-sourced store") {

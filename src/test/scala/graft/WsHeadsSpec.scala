@@ -1,9 +1,6 @@
 package graft
 
-import java.io.{DataInputStream, DataOutputStream}
-import java.net.ServerSocket
 import java.nio.charset.StandardCharsets
-import java.util.concurrent.atomic.AtomicInteger
 
 import graft.chain.ChainFixture
 import graft.etl.{RpcCodec, WsHeads}
@@ -42,104 +39,6 @@ class WsHeadsSpec extends AnyFunSuite with BeforeAndAfterAll
   private val servers =
     scala.collection.mutable.ArrayBuffer.empty[TinyWsServer]
 
-  /** Minimal RFC 6455 server: one handshake per connection, text frames
-    * only. On a `*_subscribe` request it acks with a subscription id and
-    * then pushes `pushOnSubscribe` notifications. `refuseFirst`
-    * connections are dropped before the handshake (retry injection). */
-  private final class TinyWsServer(pushOnSubscribe: Seq[String],
-      refuseFirst: Int = 0) extends AutoCloseable {
-    private val refusals = new AtomicInteger(refuseFirst)
-    private val server = new ServerSocket(0, 4,
-      java.net.InetAddress.getByName("127.0.0.1"))
-    val url = s"ws://127.0.0.1:${server.getLocalPort}/"
-
-    private val acceptor = new Thread(() => {
-      try while (!server.isClosed) {
-        val sock = server.accept()
-        if (refusals.getAndUpdate(n => math.max(n - 1, 0)) > 0) sock.close()
-        else new Thread(() => try serve(sock) finally sock.close()).start()
-      } catch { case _: Throwable => () } // closed
-    })
-    acceptor.setDaemon(true)
-    acceptor.start()
-
-    private def serve(sock: java.net.Socket): Unit = {
-      val in = new DataInputStream(sock.getInputStream)
-      val out = new DataOutputStream(sock.getOutputStream)
-      // --- HTTP Upgrade handshake ---
-      val lines = Iterator.continually {
-        val sb = new StringBuilder
-        var c = in.read()
-        while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
-        sb.toString
-      }.takeWhile(_.nonEmpty).toList
-      val key = lines.collectFirst {
-        case l if l.toLowerCase.startsWith("sec-websocket-key:") =>
-          l.split(":", 2)(1).trim
-      }.getOrElse(sys.error("no Sec-WebSocket-Key"))
-      val accept = java.util.Base64.getEncoder.encodeToString(
-        java.security.MessageDigest.getInstance("SHA-1").digest(
-          (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11")
-            .getBytes(StandardCharsets.US_ASCII)))
-      out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
-        "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
-        s"Sec-WebSocket-Accept: $accept\r\n\r\n")
-        .getBytes(StandardCharsets.US_ASCII))
-      out.flush()
-      // --- frame loop ---
-      var open = true
-      while (open) {
-        val b0 = in.read()
-        if (b0 == -1) open = false
-        else {
-          val opcode = b0 & 0x0f
-          val b1 = in.read()
-          val masked = (b1 & 0x80) != 0
-          var len: Long = b1 & 0x7f
-          if (len == 126) len = in.readUnsignedShort().toLong
-          else if (len == 127) len = in.readLong()
-          val mask = if (masked) {
-            val m = new Array[Byte](4); in.readFully(m); m
-          } else null
-          val payload = new Array[Byte](len.toInt)
-          in.readFully(payload)
-          if (masked)
-            payload.indices.foreach(i =>
-              payload(i) = (payload(i) ^ mask(i % 4)).toByte)
-          opcode match {
-            case 0x1 => // text
-              val text = new String(payload, StandardCharsets.UTF_8)
-              if (text.contains("_subscribe")) {
-                sendText(out, """{"jsonrpc":"2.0","id":1,"result":"0xfeed01"}""")
-                pushOnSubscribe.foreach(sendText(out, _))
-              }
-            case 0x8 => // close: echo and finish
-              out.write(Array(0x88.toByte, 0x00.toByte)); out.flush()
-              open = false
-            case 0x9 => // ping → pong
-              out.write(0x8a); out.write(payload.length)
-              out.write(payload); out.flush()
-            case _ => ()
-          }
-        }
-      }
-    }
-
-    private def sendText(out: DataOutputStream, text: String): Unit =
-      out.synchronized {
-        val bytes = text.getBytes(StandardCharsets.UTF_8)
-        out.write(0x81)
-        if (bytes.length < 126) out.write(bytes.length)
-        else if (bytes.length < 65536) {
-          out.write(126); out.writeShort(bytes.length)
-        } else { out.write(127); out.writeLong(bytes.length.toLong) }
-        out.write(bytes)
-        out.flush()
-      }
-
-    override def close(): Unit = server.close()
-  }
-
   private def headerJson(b: graft.chain.Block): String =
     JsonMethods.compact(JObject(
       "jsonrpc" -> JString("2.0"),
@@ -148,8 +47,24 @@ class WsHeadsSpec extends AnyFunSuite with BeforeAndAfterAll
         "subscription" -> JString("0xfeed01"),
         "result" -> RpcCodec.encodeBlock(b, Nil, full = false))))
 
+  /** A pubsub node on the shared [[TinyWsServer]]: on `*_subscribe` it
+    * acks with a subscription id and pushes that connection's headers
+    * (`pushByConnection` override, else `pushOnSubscribe`); connections
+    * in `dropConnections` are dropped abruptly right after pushing. */
+  private def subscribeServer(pushOnSubscribe: Seq[String],
+      refuseFirst: Int = 0,
+      pushByConnection: Map[Int, Seq[String]] = Map.empty,
+      dropConnections: Set[Int] = Set.empty): TinyWsServer =
+    new TinyWsServer((connIdx, text, send) => {
+      if (text.contains("_subscribe")) {
+        send("""{"jsonrpc":"2.0","id":1,"result":"0xfeed01"}""")
+        pushByConnection.getOrElse(connIdx, pushOnSubscribe).foreach(send)
+        !dropConnections(connIdx)
+      } else true
+    }, refuseFirst)
+
   test("subscribe, ack, and pushed newHeads arrive in order") {
-    val srv = new TinyWsServer(fx.blocks.take(5).map(headerJson))
+    val srv = subscribeServer(fx.blocks.take(5).map(headerJson))
     servers += srv
     val ws = new WsHeads(srv.url)
     try {
@@ -166,18 +81,45 @@ class WsHeadsSpec extends AnyFunSuite with BeforeAndAfterAll
   }
 
   test("connect retry survives refused connections") {
-    val srv = new TinyWsServer(Nil, refuseFirst = 2)
+    val srv = subscribeServer(Nil, refuseFirst = 2)
     servers += srv
     val ws = new WsHeads(srv.url, retryBackoffMs = 50L)
     try assert(ws.pollHeaders(waitMs = 10) == Nil) // connected, no pushes
     finally ws.close()
   }
 
+  test("dropped connection: pollHeaders reconnects and resubscribes " +
+      "instead of returning empty forever") {
+    val headers = fx.blocks.take(5).map(headerJson)
+    val srv = subscribeServer(Nil,
+      pushByConnection = Map(0 -> headers.take(3), 1 -> headers.drop(3)),
+      dropConnections = Set(0))
+    servers += srv
+    val ws = new WsHeads(srv.url, retryBackoffMs = 50L)
+    try {
+      // connection 0 pushes heads 0-2 then drops the socket abruptly
+      val first = Iterator.continually(ws.pollHeaders(waitMs = 2000))
+        .take(10).flatten.take(3).toSeq
+      assert(first.size == 3, s"expected 3 heads before the drop")
+      // subsequent polls must notice the dead connection, reconnect and
+      // resubscribe (connection 1 pushes heads 3-4 on subscribe)
+      val deadline = System.currentTimeMillis() + 10000
+      var rest = Seq.empty[JValue]
+      while (rest.size < 2 && System.currentTimeMillis() < deadline)
+        rest = rest ++ ws.pollHeaders(waitMs = 500)
+      assert(rest.size == 2,
+        s"reconnect did not resubscribe: got ${rest.size} post-drop heads")
+      assert((first ++ rest).map(h => RpcCodec.hexToLong(
+        h \ "number" match { case JString(s) => s; case _ => "" })) ==
+        (0L until 5L))
+    } finally ws.close()
+  }
+
   test("heads stream in push mode: WS arrival signal + HTTP data plane " +
       "deliver every fixture head") {
     // WS server pushes all 40 headers on subscribe; the HTTP server
     // (same wire codec as RpcSourceSpec's) serves the header fetches
-    val wsSrv = new TinyWsServer(fx.blocks.map(headerJson))
+    val wsSrv = subscribeServer(fx.blocks.map(headerJson))
     servers += wsSrv
     val http = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
