@@ -285,7 +285,7 @@ object ExtendedOps {
     * directly — the fingerprint only watches the single-file driver
     * layout. */
   private val sizingCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, String, Long, Long), java.lang.Long]()
+    (String, String, String), (Long, Long, Long)]() // fp mtime/len, size
   private[operators] def cachedSpanBucketSize(dir: String, table: String,
       keyCol: String)(df: => DataFrame): Long = {
     // `table` may be a VIRTUAL cache name ("orders:gaps" — same file,
@@ -293,10 +293,14 @@ object ExtendedOps {
     // so strip the ":variant" suffix or the stat would hit a
     // never-existing path and pin (0, 0) forever — the exact staleness
     // this fingerprint exists to prevent.
+    // The fingerprint lives in the VALUE, not the key: a stale-keyed
+    // map would grow by one dead entry per corpus regeneration in a
+    // long-lived session; compute() replaces in place instead.
     val f = new java.io.File(s"$dir/${table.takeWhile(_ != ':')}.parquet")
-    sizingCache.computeIfAbsent(
-      (dir, table, keyCol, f.lastModified(), f.length()),
-      _ => spanBucketSize(df, keyCol)).longValue()
+    val (mtime, len) = (f.lastModified(), f.length())
+    sizingCache.compute((dir, table, keyCol), (_, old) =>
+      if (old != null && old._1 == mtime && old._2 == len) old
+      else (mtime, len, spanBucketSize(df, keyCol)))._3
   }
 
   /** NB: the first invocation per (process, dir) pays the sizing

@@ -321,7 +321,20 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
           override def call(): LeafStats =
             footerStats(rootPath.resolve(l.dir), hc)
         }))
-        .foreach { case (l, f) => pendingStats.put(l.dir, f.get()) }
+        .foreach { case (l, f) =>
+          pendingStats.put(l.dir,
+            try f.get()
+            catch {
+              // keep commit's exception surface identical to the old
+              // sequential path (throw the cause, not the pool's
+              // ExecutionException wrapper) and cancel the outstanding
+              // footer reads instead of letting them run on in the
+              // background after the first failure
+              case e: java.util.concurrent.ExecutionException =>
+                pool.shutdownNow()
+                throw Option(e.getCause).getOrElse(e)
+            })
+        }
     } finally pool.shutdown()
     leaves
   }
