@@ -46,7 +46,12 @@ final class RpcSource(
 
   import RpcCodec._
 
-  private def client = new RpcClient(url, retries, retryBackoffMs)
+  // one driver-side client for the tiny calls (tip/id/sync) — a `def`
+  // would open a fresh WS connection per call on the ws(s) transport;
+  // transient: executors never use it (they build their own per
+  // partition inside mapPartitions)
+  @transient private lazy val client =
+    new RpcClient(url, retries, retryBackoffMs)
 
   override def tipHeight(spark: SparkSession): Long =
     hexToLong(client.call(s"${namespace}_blockNumber", Nil) match {
@@ -79,6 +84,20 @@ final class RpcSource(
       .repartition(math.min(fetchPartitions.toLong, to - from + 1).toInt)
       .as(Encoders.scalaLong)
 
+  /** Release the per-partition client when its height iterator is
+    * exhausted: over the WS transport each client holds a live socket,
+    * and a long-lived executor runs many tasks — without this the
+    * connections would linger until GC. No-op for HTTP. */
+  private def closeOnExhaust[T](it: Iterator[T], c: RpcClient)
+      : Iterator[T] = new Iterator[T] {
+    override def hasNext: Boolean = {
+      val h = it.hasNext
+      if (!h) c.close()
+      h
+    }
+    override def next(): T = it.next()
+  }
+
   private def perHeight[T](spark: SparkSession, from: Long, to: Long,
       full: Boolean, enc: org.apache.spark.sql.Encoder[T])(
       decode: org.json4s.JValue => Iterator[T]): DataFrame = {
@@ -88,7 +107,7 @@ final class RpcSource(
     heightsDs(spark, from, to)
       .mapPartitions { heights: Iterator[Long] =>
         val c = new RpcClient(u, rt, bo)
-        heights.grouped(bs).flatMap { chunk =>
+        closeOnExhaust(heights.grouped(bs).flatMap { chunk =>
           c.callBatch(chunk.map(h =>
               (s"${ns}_getBlockByNumber",
                 List(org.json4s.JString(longToHex(h)),
@@ -99,7 +118,7 @@ final class RpcSource(
             // returns None there (provider.rs:49-52); skip, don't crash
             .filter(j => j != org.json4s.JNull && j != org.json4s.JNothing)
             .flatMap(decode)
-        }
+        }, c)
       }(enc).toDF()
   }
 
@@ -134,14 +153,14 @@ final class RpcSource(
             .filter(j => j != org.json4s.JNull && j != org.json4s.JNothing)
             .flatMap(txHashes)
         }
-        hashes.grouped(bs).flatMap { chunk =>
+        closeOnExhaust(hashes.grouped(bs).flatMap { chunk =>
           c.callBatch(chunk.map(h =>
               (s"${ns}_getTransactionReceipt",
                 List(org.json4s.JString("0x" + h)))))
             .iterator
             .filter(j => j != org.json4s.JNull && j != org.json4s.JNothing)
             .map(decodeReceipt)
-        }
+        }, c)
       }(enc).toDF()
   }
 }
@@ -218,7 +237,15 @@ final class RpcClient(url: String, retries: Int, backoffMs: Long,
       if (attempt < retries) Thread.sleep(backoffMs * attempt)
     }
     throw new RuntimeException(
-      s"JSON-RPC POST to $url failed after $retries attempts", last)
+      s"JSON-RPC request to $url failed after $retries attempts", last)
+  }
+
+  /** Release the transport — the live WS connection, if one is open
+    * (HTTP keeps no per-client connection state). Idempotent; the
+    * client remains usable (the next call reconnects). */
+  def close(): Unit = if (wsConn != null) {
+    try wsConn.close() catch { case _: Throwable => () }
+    wsConn = null
   }
 
   private def reqJson(id: Long, method: String,

@@ -108,8 +108,10 @@ class ChainHeadsStream(numBlocks: Int, blocksPerBatch: Int,
 
   private var released = 0L
   // driver-side tip probe for live mode — one tiny JSON-RPC call per poll
-  private lazy val rpc =
-    apiUrl.map(u => new graft.etl.RpcClient(u, 5, 200L))
+  @volatile private var rpcOpened = false
+  private lazy val rpc = apiUrl.map { u =>
+    rpcOpened = true; new graft.etl.RpcClient(u, 5, 200L)
+  }
   // push-mode arrival signal: the node's newHeads subscription (lazy so
   // a never-polled stream opens nothing; the flag keeps stop() from
   // forcing a connection just to close it)
@@ -176,7 +178,10 @@ class ChainHeadsStream(numBlocks: Int, blocksPerBatch: Int,
     new HeadsReaderFactory
 
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = if (wsOpened) wsHeads.foreach(_.close())
+  override def stop(): Unit = {
+    if (wsOpened) wsHeads.foreach(_.close())
+    if (rpcOpened) rpc.foreach(_.close())
+  }
 }
 
 case class HeadsRange(from: Long, until: Long, numBlocks: Int,
@@ -220,6 +225,7 @@ class HeadsReaderFactory extends PartitionReaderFactory {
             s"committed heads ${missing.mkString(",")} still null after " +
               s"$attempt retries — failing the task so Spark re-reads " +
               "the partition instead of dropping announced heights")
+          c.close() // all fetching above is eager; release the transport
           all.iterator.map { h =>
             val b = graft.etl.RpcCodec.decodeBlock(got(h))
             InternalRow(b.number, UTF8String.fromString(b.hash),
