@@ -43,6 +43,12 @@ object ScaleIngest {
     spark.sparkContext.setLogLevel("WARN")
 
     val fx = ChainFixture.build(nBlocks)
+    // pre-grouped lookups: a per-request linear scan of 12k txs would
+    // put O(blocks × txs) of HARNESS service time inside the measured
+    // wall and dilute the RTT signal the sweep exists to isolate
+    val txByBlock = fx.transactions.groupBy(_.block_number)
+      .map { case (n, ts) => n -> ts.sortBy(_.transaction_index) }
+    val receiptByHash = fx.receipts.map(r => r.tx_hash -> r).toMap
     val posts = new AtomicInteger(0)
 
     // ---- the loopback node (same wire protocol as RpcSourceSpec's) ----
@@ -58,13 +64,11 @@ object ScaleIngest {
           fx.blocks.lift(n.toInt) match {
             case None => JNull
             case Some(b) => encodeBlock(b,
-              fx.transactions.filter(_.block_number == n)
-                .sortBy(_.transaction_index), full)
+              txByBlock.getOrElse(n, Nil), full)
           }
         case "xcb_getTransactionReceipt" =>
           val h = params.head.asInstanceOf[JString].s.stripPrefix("0x")
-          fx.receipts.find(_.tx_hash == h)
-            .map(encodeReceipt).getOrElse(JNull)
+          receiptByHash.get(h).map(encodeReceipt).getOrElse(JNull)
         case other => sys.error(s"unexpected method $other")
       }
       JObject("jsonrpc" -> JString("2.0"), "id" -> (req \ "id"),

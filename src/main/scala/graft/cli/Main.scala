@@ -77,9 +77,13 @@ object Main {
         // --api-url (or GRAFT_API_URL) selects the live JSON-RPC
         // source; a bare --network resolves its preset endpoint
         // (network.rs:11-17) so `export --network devin` needs no other
-        // config; neither → the fixture drives the same ingest path
+        // config; neither → the fixture drives the same ingest path.
+        // --threads sizes the fetch fan-out (reference main.rs:56-58,
+        // the initial-sync worker count; here: executor partitions,
+        // each owning one connection)
         val rpcSource = Network.resolveNodeUrl(opt("api-url"),
-          opt("network")).map(u => new graft.etl.RpcSource(u))
+          opt("network")).map(u => new graft.etl.RpcSource(u,
+            fetchPartitions = opt("threads").map(_.toInt).getOrElse(8)))
         val source: graft.etl.ChainSource = rpcSource
           .getOrElse(new FixtureSource(ChainFixture.build(n)))
         // --watch-tokens presets resolve against the network id the

@@ -310,7 +310,8 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
   test("CLI export --api-url drives the RPC source end-to-end") {
     val storeDir = tempDir("graft-rpc-cli")
     cli.Main.run(spark, Array("export", "--store", storeDir,
-      "--blocks", "60", "--api-url", url, "--network", "mainnet"))
+      "--blocks", "60", "--api-url", url, "--network", "mainnet",
+      "--threads", "2")) // reference --threads: fetch fan-out width
     val store = new GraftStore(storeDir)
     assert(rows(store.read(spark, "blocks")) ==
       rows(fixtureSrc.blocks(spark, 0, 59)))
