@@ -3,12 +3,15 @@ package graft.etl
 import graft.chain.{Block, Receipt, Transaction}
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 
-/** JSON-RPC 2.0 over HTTP against a chain node — the production
-  * [[ChainSource]] the fixture source stands in for. Mirrors the
-  * reference provider's surface (`crates/provider/src/provider.rs:23-101`:
-  * connect-with-retries, get_block(number, full), receipt by hash,
-  * network id, syncing gate) on the JDK's own HTTP client — no new
-  * dependencies; JSON rides on json4s, which Spark already ships.
+/** JSON-RPC 2.0 against a chain node, over HTTP(S) or WebSocket by URL
+  * scheme ([[RpcClient]]) — the production [[ChainSource]] the fixture
+  * source stands in for. Mirrors the reference provider's surface
+  * (`crates/provider/src/provider.rs:23-101`: connect-with-retries,
+  * get_block(number, full), receipt by hash, network id, syncing gate;
+  * its native transport is pubsub-over-wss, which is why the
+  * [[Network]] presets are wss endpoints) on the JDK's own HTTP and
+  * WebSocket clients — no new dependencies; JSON rides on json4s,
+  * which Spark already ships.
   *
   * Distribution (the `mapPartitions` fan-out the [[ChainSource]] doc
   * promises, replacing the reference's tokio::spawn pool, etl.rs:286-303):
@@ -348,7 +351,9 @@ private[etl] final class WsJsonRpcConn(url: String, timeoutMs: Long)
       val waitMs = (deadline - System.nanoTime()) / 1000000L
       if (waitMs <= 0) throw new java.io.IOException(
         s"WebSocket response from $url timed out after ${timeoutMs}ms")
-      val frame = frames.poll(waitMs,
+      // poll in short slices so a connection that dies MID-exchange is
+      // noticed in ~250ms, not after the full response timeout
+      val frame = frames.poll(math.min(waitMs, 250L),
         java.util.concurrent.TimeUnit.MILLISECONDS)
       if (frame == null) {
         dead.foreach(why => throw new java.io.IOException(

@@ -462,4 +462,17 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
     }
     assert(viaRpc.currentMeta() == viaFx.currentMeta(), "tip meta differs")
   }
+
+  test("full Backfill ingest over the WebSocket transport == " +
+      "fixture-sourced store") {
+    val viaWs = new GraftStore(tempDir("graft-ws-store"))
+    val viaFx = new GraftStore(tempDir("graft-fx-store2"))
+    Backfill.run(spark, new RpcSource(wsNodeUrl), viaWs, 0, 59)
+    Backfill.run(spark, fixtureSrc, viaFx, 0, 59)
+    Seq("blocks", "transactions", "token_transfers").foreach { t =>
+      assert(rows(viaWs.read(spark, t)) == rows(viaFx.read(spark, t)),
+        s"table $t differs between WS and fixture ingest")
+    }
+    assert(viaWs.currentMeta() == viaFx.currentMeta(), "tip meta differs")
+  }
 }
