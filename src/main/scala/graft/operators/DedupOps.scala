@@ -529,6 +529,73 @@ object DedupOps {
         .stripMargin
     })
 
+  /** LSH detection quality against planted ground truth — the
+    * quantitative gate the HLL estimator already carries
+    * (ApproxDistinctSpec), for near-dup dedup: one row per planted
+    * (source, perturbed-copy) pair with its EXACT shingle-Jaccard in
+    * basis points and whether the production banded pipeline (bucket
+    * join → skew cap → estimate prefilter → exact verify) surfaced it.
+    * Banding theory puts per-pair detection probability at
+    * 1−(1−s^r)^b (r = [[RowsPerBand]] = 2, b = [[Bands]] = 8: a pair
+    * at s = 0.9 is missed with p ≈ 2·10⁻⁶, at s = 0.5 with p ≈ 0.1);
+    * with the portable hash family the outcome is deterministic per
+    * corpus, so the report is hash-oracle-able and regressions in the
+    * banding/prefilter path show as flipped `detected` bits, not noise.
+    * At scale the ground-truth side touches only the 2×25 planted
+    * docs; the detection side is the unchanged production kernel. */
+  def lshRecallReport(d: DataFrame, threshold: Double): DataFrame = {
+    val sig = signatures(withNearDups(d))
+    val detected = minhashPairsFromSignatures(sig, threshold)
+      .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    val src = sig.filter(col("doc_id") < 25)
+      .select(col("doc_id").as("id_a"), col("sh_hashes").as("sh_a"))
+    val cpy = sig.filter(col("doc_id") >= 1000000)
+      .select((col("doc_id") - 1000000).as("id_a"),
+        col("doc_id").as("id_b"), col("sh_hashes").as("sh_b"))
+    src.join(cpy, "id_a")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .select(col("id_a"), col("id_b"),
+        expr("inter * 10000 div uni").as("jaccard_bp"))
+      .join(detected, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("jaccard_bp"),
+        coalesce(col("hit"), lit(0L)).as("detected"))
+  }
+
+  val lshRecall: GraftQuery = GraftQuery(
+    "dedup_lsh_recall",
+    (s, dir) => lshRecallReport(docs(s, dir), 0.4),
+    Some {
+      val floor = java.lang.Double.toString(0.4 * 0.6)
+      s"""WITH src AS ($NearDupsSrcSql),
+         |${sigCtesSql("src", "")},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id),
+         |det AS (
+         |  SELECT p.id_a, p.id_b
+         |  FROM pairs p
+         |  JOIN mh sa ON sa.doc_id = p.id_a
+         |  JOIN mh sb ON sb.doc_id = p.id_b
+         |  WHERE ${estSql("sa.mh_arr", "sb.mh_arr")} >= $floor
+         |    AND ${jaccardGateSql("sa.sh_hashes", "sb.sh_hashes", 0.4)}),
+         |planted AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    ${jaccardBpSql("a.sh_hashes", "b.sh_hashes")}
+         |  FROM mh a JOIN mh b ON b.doc_id = a.doc_id + 1000000
+         |  WHERE a.doc_id < 25)
+         |SELECT pl.id_a, pl.id_b, pl.jaccard_bp,
+         |  CAST(CASE WHEN d.id_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS detected
+         |FROM planted pl
+         |LEFT JOIN det d ON d.id_a = pl.id_a AND d.id_b = pl.id_b"""
+        .stripMargin
+    })
+
   /** Incremental (streaming-shaped) near-dup: new documents probed
     * against the persistent band index of the existing corpus — history
     * is never re-shingled ([[incrementalNearDup]]; exercised in streaming
@@ -1109,7 +1176,7 @@ object DedupOps {
         .stripMargin))
 
   val all: Seq[GraftQuery] =
-    Seq(exact, lineDedup, intraDocDedup, minhashLsh, incrementalDedup,
-      simhashDedup, ngramJaccard, sharedSpans, spansIncremental,
-      embeddingNearDup)
+    Seq(exact, lineDedup, intraDocDedup, minhashLsh, lshRecall,
+      incrementalDedup, simhashDedup, ngramJaccard, sharedSpans,
+      spansIncremental, embeddingNearDup)
 }
