@@ -193,8 +193,8 @@ class HeadsReaderFactory extends PartitionReaderFactory {
     val r = p.asInstanceOf[HeadsRange]
     r.apiUrl match {
       case Some(u) => new PartitionReader[InternalRow] {
-        // live mode: headers for this range in ONE batched JSON-RPC
-        // round-trip (hash-only block fetch — no tx payload). A null
+        // live mode: headers for this range in batched JSON-RPC
+        // round-trips (hash-only block fetch — no tx payload). A null
         // answer (lagging load-balanced replica, reorg window) CANNOT
         // be skipped here: the offset range [from,until) is already
         // committed and Spark never re-plans committed offsets, so a
@@ -205,13 +205,16 @@ class HeadsReaderFactory extends PartitionReaderFactory {
         private val rows = {
           import org.json4s.{JBool, JNothing, JNull, JString, JValue}
           val c = new graft.etl.RpcClient(u, 5, 200L)
+          // chunked batch calls: a large blocksPerBatch must not become
+          // one unbounded JSON-RPC batch a node may reject
           def fetch(hs: Seq[Long]): Map[Long, JValue] =
-            hs.zip(c.callBatch(hs.map(h =>
-                (s"${r.namespace}_getBlockByNumber",
-                  List(JString(graft.etl.RpcCodec.longToHex(h)),
-                    JBool(false))))))
-              .collect { case (h, j) if j != JNull && j != JNothing =>
-                h -> j }.toMap
+            hs.grouped(64).flatMap { chunk =>
+              chunk.zip(c.callBatch(chunk.map(h =>
+                  (s"${r.namespace}_getBlockByNumber",
+                    List(JString(graft.etl.RpcCodec.longToHex(h)),
+                      JBool(false))))))
+            }.collect { case (h, j) if j != JNull && j != JNothing =>
+              h -> j }.toMap
           val all = r.from until r.until
           var got = fetch(all)
           var attempt = 0
