@@ -163,10 +163,14 @@ object Main {
         // (verify.rs:35-39 fetches the chain tip before checking) — the
         // REAL chain tip when an endpoint is configured (same resolution
         // as export: --api-url / GRAFT_API_URL / --network preset), so a
-        // live-ingested store reports true lag, not fixture fiction
-        val tip = Network.resolveNodeUrl(opt("api-url"),
+        // live-ingested store reports true lag, not fixture fiction.
+        // def, not val: only the blocks branch reports a tip — `verify
+        // transactions` must not dial the node for a value it never uses
+        def tip: Long = Network.resolveNodeUrl(opt("api-url"),
             opt("network")) match {
-          case Some(u) => new graft.etl.RpcSource(u).tipHeight(spark)
+          case Some(u) =>
+            val src = new graft.etl.RpcSource(u)
+            try src.tipHeight(spark) finally src.close()
           case None =>
             val n = opt("blocks").map(_.toInt).getOrElse(200)
             new FixtureSource(ChainFixture.build(n)).tipHeight(spark)

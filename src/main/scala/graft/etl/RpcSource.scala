@@ -45,16 +45,21 @@ final class RpcSource(
     val fetchPartitions: Int = 8,
     val batchSize: Int = 64,
     val retries: Int = 5,
-    val retryBackoffMs: Long = 200L) extends ChainSource with Serializable {
+    val retryBackoffMs: Long = 200L)
+    extends ChainSource with Serializable with AutoCloseable {
 
   import RpcCodec._
 
   // one driver-side client for the tiny calls (tip/id/sync) — a `def`
   // would open a fresh WS connection per call on the ws(s) transport;
   // transient: executors never use it (they build their own per
-  // partition inside mapPartitions)
-  @transient private lazy val client =
+  // partition inside mapPartitions). The flag keeps close() from
+  // forcing a connection just to close it.
+  @transient @volatile private var clientOpened = false
+  @transient private lazy val client = {
+    clientOpened = true
     new RpcClient(url, retries, retryBackoffMs)
+  }
 
   override def tipHeight(spark: SparkSession): Long =
     hexToLong(client.call(s"${namespace}_blockNumber", Nil) match {
@@ -87,19 +92,7 @@ final class RpcSource(
       .repartition(math.min(fetchPartitions.toLong, to - from + 1).toInt)
       .as(Encoders.scalaLong)
 
-  /** Release the per-partition client when its height iterator is
-    * exhausted: over the WS transport each client holds a live socket,
-    * and a long-lived executor runs many tasks — without this the
-    * connections would linger until GC. No-op for HTTP. */
-  private def closeOnExhaust[T](it: Iterator[T], c: RpcClient)
-      : Iterator[T] = new Iterator[T] {
-    override def hasNext: Boolean = {
-      val h = it.hasNext
-      if (!h) c.close()
-      h
-    }
-    override def next(): T = it.next()
-  }
+  import RpcSource.closeOnTaskEnd
 
   private def perHeight[T](spark: SparkSession, from: Long, to: Long,
       full: Boolean, enc: org.apache.spark.sql.Encoder[T])(
@@ -110,7 +103,8 @@ final class RpcSource(
     heightsDs(spark, from, to)
       .mapPartitions { heights: Iterator[Long] =>
         val c = new RpcClient(u, rt, bo)
-        closeOnExhaust(heights.grouped(bs).flatMap { chunk =>
+        closeOnTaskEnd(c)
+        heights.grouped(bs).flatMap { chunk =>
           c.callBatch(chunk.map(h =>
               (s"${ns}_getBlockByNumber",
                 List(org.json4s.JString(longToHex(h)),
@@ -121,7 +115,7 @@ final class RpcSource(
             // returns None there (provider.rs:49-52); skip, don't crash
             .filter(j => j != org.json4s.JNull && j != org.json4s.JNothing)
             .flatMap(decode)
-        }, c)
+        }
       }(enc).toDF()
   }
 
@@ -147,6 +141,7 @@ final class RpcSource(
     heightsDs(spark, from, to)
       .mapPartitions { heights: Iterator[Long] =>
         val c = new RpcClient(u, rt, bo)
+        closeOnTaskEnd(c)
         val hashes = heights.grouped(bs).flatMap { chunk =>
           c.callBatch(chunk.map(h =>
               (s"${ns}_getBlockByNumber",
@@ -156,16 +151,32 @@ final class RpcSource(
             .filter(j => j != org.json4s.JNull && j != org.json4s.JNothing)
             .flatMap(txHashes)
         }
-        closeOnExhaust(hashes.grouped(bs).flatMap { chunk =>
+        hashes.grouped(bs).flatMap { chunk =>
           c.callBatch(chunk.map(h =>
               (s"${ns}_getTransactionReceipt",
                 List(org.json4s.JString("0x" + h)))))
             .iterator
             .filter(j => j != org.json4s.JNull && j != org.json4s.JNothing)
             .map(decodeReceipt)
-        }, c)
+        }
       }(enc).toDF()
   }
+
+  /** Release the driver-side client's transport (the live WS
+    * connection, if the lazy client was ever forced). Executor-side
+    * partition clients release themselves via [[RpcSource.closeOnTaskEnd]]. */
+  override def close(): Unit = if (clientOpened) client.close()
+}
+
+object RpcSource {
+  /** Release a per-partition client when its TASK completes — success
+    * or failure: over the WS transport each client holds a live socket,
+    * and a long-lived executor runs many tasks; an iterator-exhaustion
+    * hook would leak the socket whenever the task throws mid-fetch or a
+    * limit stops consumption early. No-op for HTTP and outside tasks. */
+  private[etl] def closeOnTaskEnd(c: RpcClient): Unit =
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => c.close()))
 }
 
 /** Minimal JSON-RPC 2.0 client: single and batch calls, bounded retries
@@ -214,7 +225,7 @@ final class RpcClient(url: String, retries: Int, backoffMs: Long,
     throw new java.io.IOException(e.getMessage, e) // retriable
   }
 
-  private def exchangeWs(body: String): String = {
+  private def exchangeWs(body: String): JValue = {
     if (wsConn == null || wsConn.isDead)
       wsConn = new WsJsonRpcConn(url, wsTimeoutMs)
     try wsConn.exchange(body)
@@ -228,12 +239,17 @@ final class RpcClient(url: String, retries: Int, backoffMs: Long,
     }
   }
 
-  private def post(body: String): String = {
+  /** One request/response exchange, retried; returns PARSED JSON — the
+    * WS transport already parses every frame to tell responses from
+    * notifications, so handing the text back out would force a second
+    * parse of multi-megabyte batch responses on the ingest hot path. */
+  private def post(body: String): JValue = {
     var attempt = 0
     var last: Throwable = null
     while (attempt < retries) {
       attempt += 1
-      try return if (isWs) exchangeWs(body) else exchangeHttp(body)
+      try return if (isWs) exchangeWs(body)
+        else JsonMethods.parse(exchangeHttp(body))
       catch {
         case e: java.io.IOException => last = e
       }
@@ -263,8 +279,7 @@ final class RpcClient(url: String, retries: Int, backoffMs: Long,
 
   def call(method: String, params: List[JValue]): JValue = {
     nextId += 1
-    resultOf(JsonMethods.parse(
-      post(JsonMethods.compact(reqJson(nextId, method, params)))))
+    resultOf(post(JsonMethods.compact(reqJson(nextId, method, params))))
   }
 
   /** One HTTP round-trip for many requests (the JSON-RPC batch form);
@@ -276,7 +291,7 @@ final class RpcClient(url: String, retries: Int, backoffMs: Long,
     val body = JArray(reqs.zipWithIndex.map { case ((m, p), i) =>
       reqJson(base + i, m, p)
     }.toList)
-    JsonMethods.parse(post(JsonMethods.compact(body))) match {
+    post(JsonMethods.compact(body)) match {
       case JArray(items) =>
         val byId = items.map(j => (j \ "id" match {
           case JInt(i) => i.toLong
@@ -337,8 +352,10 @@ private[etl] final class WsJsonRpcConn(url: String, timeoutMs: Long)
     }
 
   /** Send one JSON-RPC request (object or batch array) and return the
-    * matching response frame's text. */
-  def exchange(body: String): String = {
+    * matching response frame, PARSED — frames must be parsed here anyway
+    * to tell responses from notifications, and returning text would
+    * force the caller to re-parse multi-megabyte batch responses. */
+  def exchange(body: String): JValue = {
     dead.foreach(why => throw new java.io.IOException(
       s"WebSocket to $url is dead: $why"))
     try ws.sendText(body, true).join()
@@ -360,11 +377,12 @@ private[etl] final class WsJsonRpcConn(url: String, timeoutMs: Long)
           s"WebSocket to $url died mid-exchange: $why"))
       } else {
         // a notification frame (carries `method`) is not our response
-        val isNotification = JsonMethods.parse(frame) match {
+        val parsed = JsonMethods.parse(frame)
+        val isNotification = parsed match {
           case o: JObject => (o \ "method") != JNothing
           case _ => false
         }
-        if (!isNotification) return frame
+        if (!isNotification) return parsed
       }
     }
     throw new IllegalStateException("unreachable")

@@ -96,22 +96,37 @@ final class WsHeads(url: String, namespace: String = "xcb",
       try {
         val l = newListener() // bumps generation: stale callbacks muted
         connectionLost = None // before build: the NEW socket may error
-        sock = java.net.http.HttpClient.newHttpClient()
+        val s = java.net.http.HttpClient.newHttpClient()
           .newWebSocketBuilder()
           .buildAsync(java.net.URI.create(url), l)
           .join()
+        // subscribe INSIDE the retry loop: a socket that drops between
+        // handshake and subscribe consumes one attempt, not the whole
+        // budget
+        try s.sendText(JsonMethods.compact(JObject(
+          "jsonrpc" -> JString("2.0"), "id" -> JInt(1),
+          "method" -> JString(s"${namespace}_subscribe"),
+          "params" -> JArray(List(JString("newHeads"))))), true).join()
+        catch {
+          case e: Throwable =>
+            try s.abort() catch { case _: Throwable => () }
+            throw e
+        }
+        sock = s
       } catch {
         case e: Throwable =>
           last = e
           if (attempt < retries) Thread.sleep(retryBackoffMs * attempt)
       }
     }
-    if (sock == null) throw new RuntimeException(
-      s"WebSocket connect to $url failed after $retries attempts", last)
-    sock.sendText(JsonMethods.compact(JObject(
-      "jsonrpc" -> JString("2.0"), "id" -> JInt(1),
-      "method" -> JString(s"${namespace}_subscribe"),
-      "params" -> JArray(List(JString("newHeads"))))), true).join()
+    if (sock == null) {
+      // leave the loss flag SET: a caller that catches this and keeps
+      // polling must keep hitting the reconnect path, not silently
+      // read an empty queue off the aborted old socket forever
+      connectionLost = connectionLost.orElse(Some("reconnect exhausted"))
+      throw new RuntimeException(
+        s"WebSocket connect to $url failed after $retries attempts", last)
+    }
     sock
   }
 

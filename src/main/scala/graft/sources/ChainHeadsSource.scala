@@ -200,8 +200,11 @@ class HeadsReaderFactory extends PartitionReaderFactory {
         // committed and Spark never re-plans committed offsets, so a
         // dropped height would be permanently missing from the stream.
         // The head was announced, so the block should materialize —
-        // retry the nulls with bounded backoff, then fail the task
-        // (Spark retries the partition) rather than lose data silently.
+        // retry the nulls with capped backoff long enough to ride out a
+        // normal reorg window or replica lag (~30 s, about a block
+        // interval: a reorged-away height only re-fills when the chain
+        // re-extends past it), then fail the task (Spark retries the
+        // partition) rather than lose data silently.
         private val rows = {
           import org.json4s.{JBool, JNothing, JNull, JString, JValue}
           val c = new graft.etl.RpcClient(u, 5, 200L)
@@ -218,16 +221,21 @@ class HeadsReaderFactory extends PartitionReaderFactory {
           val all = r.from until r.until
           var got = fetch(all)
           var attempt = 0
-          while (got.size < all.size && attempt < 5) {
+          // 200,400,...,capped at 5s: ~31s total before giving up
+          while (got.size < all.size && attempt < 10) {
             attempt += 1
-            Thread.sleep(200L * attempt)
+            Thread.sleep(math.min(200L << (attempt - 1), 5000L))
             got ++= fetch(all.filterNot(got.contains))
           }
           val missing = all.filterNot(got.contains)
-          if (missing.nonEmpty) throw new RuntimeException(
-            s"committed heads ${missing.mkString(",")} still null after " +
-              s"$attempt retries — failing the task so Spark re-reads " +
-              "the partition instead of dropping announced heights")
+          if (missing.nonEmpty) {
+            c.close()
+            throw new RuntimeException(
+              s"committed heads ${missing.mkString(",")} still null after " +
+                s"$attempt retries (~31s) — failing the task so Spark " +
+                "re-reads the partition instead of dropping announced " +
+                "heights")
+          }
           c.close() // all fetching above is eager; release the transport
           all.iterator.map { h =>
             val b = graft.etl.RpcCodec.decodeBlock(got(h))
