@@ -140,10 +140,31 @@ object ScaleIngest {
     Seq(8, 64, 256).foreach { b =>
       run(s"blocks_b$b", 16, b)(_.blocks(spark, 0, nBlocks - 1).count())
     }
-    // the full table set an ingest actually fetches (blocks once for
-    // bodies, once hash-only for the receipt pass, then receipts)
+    // per-table methods in isolation (kept for the sweep history; the
+    // old Backfill composition fetched ALL of these — three passes)
     run("txs_p16", 16, 64)(_.transactions(spark, 0, nBlocks - 1).count())
     run("receipts_p16", 16, 64)(_.receipts(spark, 0, nBlocks - 1).count())
+
+    // round 12: the single-pass Backfill composition — ONE
+    // getBlockByNumber(full) pass materializes blocks AND transactions
+    // (fetchRange), and receipts are fetched per SELECTOR-MATCHING tx
+    // only (receiptsFor), reference semantics etl.rs:186-207/353-360.
+    // Round-trips here vs the blocks_p16+txs_p16+receipts_p16 sum above
+    // is the over-fetch fix, observed server-side.
+    run("ingest_single_pass_p16", 16, 64) { src =>
+      val f = src.fetchRange(spark, 0, nBlocks - 1)
+      try {
+        import org.apache.spark.sql.functions.col
+        val b = f.blocks.count()
+        val t = f.transactions.count()
+        val matching = f.transactions.filter(
+          col("to_addr") === ChainFixture.Watched &&
+            graft.chain.ContractRegistry("cbc20").isCall(col("input")))
+          .select("hash")
+        val r = src.receiptsFor(spark, 0, nBlocks - 1, matching).count()
+        b + t + r
+      } finally f.release()
+    }
 
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_ingest.json"),
       ("[" + out.result().mkString(",\n") + "]")

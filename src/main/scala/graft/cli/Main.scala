@@ -46,6 +46,33 @@ object Main {
       case Array(k, v) if k == s"--$name" => v
     }
 
+  /** Flags with a `GRAFT_*` environment fallback — exactly the set the
+    * reference marks with clap `env`: the global flags (main.rs:27-58)
+    * and the export args (export.rs:13-43). Verb-LOCAL selectors
+    * (`view --number/--hash`, `store changes --from/--to/--table`, ...)
+    * are flag-only: an exported GRAFT_FROM aimed at token-transfer
+    * views must not silently redirect a store-changes diff, and a
+    * GRAFT_NUMBER must not make `view block --hash X` ignore its own
+    * selector. */
+  private[graft] val EnvBackedFlags: Set[String] = Set(
+    // globals (main.rs:27-58); --store is our sqlite3-path/dsn analogue
+    "api-url", "network", "storage", "tables-prefix", "modules",
+    "threads", "store",
+    // export args (export.rs:13-43); --blocks is our fixture-size bound
+    "block", "blocks", "watch-tokens", "address-filter",
+    "retention-duration", "cleanup-interval", "lazy")
+
+  /** Reference `retention_duration`/`cleanup_interval` are plain seconds
+    * (export.rs:30-38); humantime-style suffixes accepted for operator
+    * convenience. */
+  private[graft] def parseDurationSeconds(s: String): Long = s match {
+    case d if d.endsWith("d") => d.dropRight(1).trim.toLong * 86400L
+    case h if h.endsWith("h") => h.dropRight(1).trim.toLong * 3600L
+    case m if m.endsWith("m") => m.dropRight(1).trim.toLong * 60L
+    case sec if sec.endsWith("s") => sec.dropRight(1).trim.toLong
+    case plain => plain.trim.toLong
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -60,11 +87,23 @@ object Main {
   private[graft] def run(spark: SparkSession, args: Array[String],
       env: Map[String, String] = sys.env): Unit = {
     def opt(name: String): Option[String] = flagOpt(args, name)
-      .orElse(env.get("GRAFT_" + name.toUpperCase.replace('-', '_')))
+      .orElse(if (EnvBackedFlags(name))
+        env.get("GRAFT_" + name.toUpperCase.replace('-', '_'))
+      else None)
+    // boolean presence flags (clap `env` bools accept truthy values)
+    def boolFlag(name: String): Boolean = args.contains(s"--$name") ||
+      (EnvBackedFlags(name) &&
+        env.get("GRAFT_" + name.toUpperCase.replace('-', '_'))
+          .exists(v => v == "1" || v.equalsIgnoreCase("true")))
     // --tables-prefix namespaces this instance's leaves (main.rs:46-50);
     // lazy: the corpus verbs (`curate`) take --input/--output instead
     lazy val store = new GraftStore(
       opt("store").getOrElse(sys.error("--store required")),
+      // height-bucket width of the leaf layout (GraftStore scaladoc);
+      // sized so whole-bucket operations (retention drops, reorg
+      // rewrites) touch bounded data — a deployment tunes it per chain
+      bucketSize = flagOpt(args, "bucket-size").map(_.toLong)
+        .getOrElse(10000L),
       tablesPrefix = opt("tables-prefix").getOrElse(""),
       // full-chain deployments: z-ordered bucket leaves instead of
       // per-address sub-dirs (GraftStore.stage scaladoc)
@@ -81,9 +120,14 @@ object Main {
         // --threads sizes the fetch fan-out (reference main.rs:56-58,
         // the initial-sync worker count; here: executor partitions,
         // each owning one connection)
+        // --rpc-batch-size caps JSON-RPC requests per round-trip (the
+        // same knob the heads source takes as batchSize) — rate-limited
+        // nodes get accommodated in one place
         val rpcSource = Network.resolveNodeUrl(opt("api-url"),
           opt("network")).map(u => new graft.etl.RpcSource(u,
-            fetchPartitions = opt("threads").map(_.toInt).getOrElse(8)))
+            fetchPartitions = opt("threads").map(_.toInt).getOrElse(8),
+            batchSize = flagOpt(args, "rpc-batch-size").map(_.toInt)
+              .getOrElse(64)))
         val source: graft.etl.ChainSource = rpcSource
           .getOrElse(new FixtureSource(ChainFixture.build(n)))
         // --watch-tokens presets resolve against the network id the
@@ -101,6 +145,21 @@ object Main {
         // --modules gates which tables are written (main.rs:52-54)
         val modules = opt("modules").map(_.split(",").toSeq)
           .getOrElse(Seq("blocks", "transactions", "token_transfers"))
+        // --lazy (export.rs:40-43 / OP-STR-5): don't ingest while the
+        // node itself is still syncing — poll the REAL xcb_syncing gate
+        // when an endpoint is connected (a fixture is always "synced")
+        if (boolFlag("lazy")) {
+          val gate: () => Boolean =
+            rpcSource.map(r => () => r.syncedGate()).getOrElse(() => true)
+          val pollMs = flagOpt(args, "gate-poll-ms").map(_.toLong)
+            .getOrElse(60000L)
+          var polls = 0
+          while (!gate() && polls < 10) {
+            polls += 1
+            println(s"[export] node still syncing (poll $polls), waiting")
+            Thread.sleep(pollMs)
+          }
+        }
         val resume = Backfill.maxIngestedHeight(spark, store)
         // live mode ingests to the node's TIP unless --blocks bounds it
         // explicitly; the 200 default only sizes the fixture chain
@@ -109,12 +168,33 @@ object Main {
           case (Some(_), None) => tip
           case _ => math.min(n - 1L, tip)
         }
+        // --block N (export.rs:15-17, etl.rs:84-89): where an EMPTY
+        // store starts backfilling; a store with data resumes from its
+        // own tip (the later of the two wins, Export.Config.startBlock
+        // semantics)
+        val from = math.max(resume + 1,
+          opt("block").map(_.toLong).getOrElse(0L))
         val ingested = Backfill.run(spark, source, store,
-          resume + 1, to, watchTokens,
+          from, to, watchTokens,
           opt("address-filter").map(_.split(",").toSeq).getOrElse(Nil),
           modules)
         println(s"[export] ingested $ingested blocks (resumed after $resume," +
           s" modules=${modules.mkString(",")})")
+        // --retention-duration + --cleanup-interval (export.rs:30-38):
+        // the reference daemon re-runs its cleanup every
+        // cleanup_interval seconds; a Spark deployment schedules
+        // re-invocations externally (OP-STR-7), so each run performs ONE
+        // idempotent whole-bucket sweep when retention is configured
+        opt("retention-duration").map(parseDurationSeconds)
+          .filter(_ > 0).foreach { secs =>
+            val cadence = opt("cleanup-interval")
+              .map(parseDurationSeconds).getOrElse(3600L)
+            val tipTs = graft.etl.Export.latestTimestamp(spark, store)
+            val dropped = graft.etl.Export.retentionSweep(
+              spark, store, tipTs, secs)
+            println(s"[export] retention sweep (ttl ${secs}s, cadence " +
+              s"${cadence}s): dropped $dropped expired leaf dir(s)")
+          }
 
       case Some("view") =>
         val blocks = store.read(spark, "blocks")
@@ -494,9 +574,27 @@ object Main {
                     s", -${r.size} dropped" + rowsNote(r, "-", sFrom))
                 }
             }
+          case Some("export-jdbc") =>
+            // mirror the parquet store into a SQL database (the
+            // reference's --storage sqlite3/--postgres-db-dsn backends,
+            // main.rs:36-45, app_storage.rs:20-67):
+            //   store export-jdbc --store S --dsn jdbc:... [--jdbc-prefix p]
+            // one snapshot drives all tables (JdbcSink doc) — the SQL
+            // copy is a consistent parity export, not the source of truth
+            val dsn = flagOpt(args, "dsn")
+              .getOrElse(sys.error("store export-jdbc needs --dsn " +
+                "<jdbc url> (e.g. jdbc:derby:/path;create=true)"))
+            val prefix = flagOpt(args, "jdbc-prefix")
+              .orElse(opt("tables-prefix").filter(_.nonEmpty))
+              .getOrElse("etl")
+            val counts = graft.store.JdbcSink.export(spark, store, dsn,
+              prefix)
+            counts.toSeq.sortBy(_._1).foreach { case (t, c) =>
+              println(s"[store] exported $c row(s) to ${prefix}_$t")
+            }
           case other =>
-            sys.error(s"usage: store snapshots|vacuum|compact|changes ... " +
-              s"(got $other)")
+            sys.error(s"usage: store snapshots|vacuum|compact|changes|" +
+              s"export-jdbc ... (got $other)")
         }
 
       case other =>

@@ -15,6 +15,37 @@ trait ChainSource {
   def blocks(spark: SparkSession, from: Long, to: Long): DataFrame
   def transactions(spark: SparkSession, from: Long, to: Long): DataFrame
   def receipts(spark: SparkSession, from: Long, to: Long): DataFrame
+
+  /** Blocks AND transactions of a range from ONE fetch. The default
+    * simply pairs the two single-table methods — free for local sources
+    * (fixture, parquet replay). Wire-backed sources override it to
+    * decode both tables from a single `getBlockByNumber(full)` pass
+    * (the reference fetches each block exactly once and reads headers
+    * and bodies from the same response, etl.rs:186-207). Callers must
+    * invoke `release()` once every consuming action has run. */
+  def fetchRange(spark: SparkSession, from: Long, to: Long)
+      : ChainSource.RangeFetch =
+    ChainSource.RangeFetch(blocks(spark, from, to),
+      transactions(spark, from, to), () => ())
+
+  /** Receipts for exactly the given transaction hashes (a one-column
+    * DataFrame). The default ignores the hash set — a local source's
+    * receipts cost nothing to over-deliver, and the consuming join
+    * selects by hash anyway. Wire-backed sources override it to fetch
+    * per listed hash only: the reference looks up receipts per MATCHING
+    * tx (etl.rs:353-360), so receipt round-trips must scale with the
+    * selector hit count, not the chain's tx count. */
+  def receiptsFor(spark: SparkSession, from: Long, to: Long,
+      txHashes: DataFrame): DataFrame =
+    receipts(spark, from, to)
+}
+
+object ChainSource {
+  /** One materialized range fetch; `release` frees any backing cache. */
+  final case class RangeFetch(
+      blocks: DataFrame,
+      transactions: DataFrame,
+      release: () => Unit)
 }
 
 /** Fixture-backed source; `forkAt` switches heights >= fork to the fork
@@ -104,32 +135,50 @@ object Backfill {
     val wantTxs = modules.contains("transactions")
     val wantTransfers =
       modules.contains("token_transfers") && watchTokens.nonEmpty
-    val blocks = source.blocks(spark, from, to)
-    val txsRaw =
-      if (wantTxs || wantTransfers) source.transactions(spark, from, to)
-      else null
-    val txLeaves =
-      if (wantTxs)
-        store.stage("transactions", ChainOps.addressFilter(
-          ChainOps.normalizeTxs(txsRaw), addressFilter))
-      else Nil
-    // transfers are extracted from UNFILTERED txs (etl.rs:193-204: the
-    // address filter applies to the transactions table only)
-    val transferLeaves =
-      if (wantTransfers) {
-        val norm = ChainOps.normalizeTxs(txsRaw)
-        val receipts = source.receipts(spark, from, to)
-        val transfers = watchTokens.toSeq.sortBy(_._1)
-          .map { case (ctype, addrs) =>
-            ChainOps.tokenTransfers(norm, blocks, receipts, addrs, ctype)
-          }
-          .reduce(_.unionByName(_))
-        store.stage("token_transfers", transfers)
-      } else Nil
-    val blockLeaves =
-      if (modules.contains("blocks")) store.stage("blocks", blocks) else Nil
-    store.commit(blockLeaves ++ txLeaves ++ transferLeaves,
-      meta = Map("tip" -> to.toString))
+    // One wire pass serves every staged table (each `stage` is its own
+    // Spark job — the source materializes the range once behind
+    // fetchRange). A blocks-only run skips tx bodies entirely.
+    val fetch =
+      if (wantTxs || wantTransfers) source.fetchRange(spark, from, to)
+      else ChainSource.RangeFetch(source.blocks(spark, from, to), null,
+        () => ())
+    try {
+      val blocks = fetch.blocks
+      val txsRaw = fetch.transactions
+      val txLeaves =
+        if (wantTxs)
+          store.stage("transactions", ChainOps.addressFilter(
+            ChainOps.normalizeTxs(txsRaw), addressFilter))
+        else Nil
+      // transfers are extracted from UNFILTERED txs (etl.rs:193-204: the
+      // address filter applies to the transactions table only)
+      val transferLeaves =
+        if (wantTransfers) {
+          val norm = ChainOps.normalizeTxs(txsRaw)
+          // receipts per MATCHING tx only (etl.rs:353-360): the OP-FIL-8
+          // selector runs engine-side over the already-fetched txs and
+          // only the hits' hashes reach the receipt lookup
+          val matching = watchTokens.toSeq.sortBy(_._1)
+            .map { case (ctype, addrs) =>
+              val d = graft.chain.ContractRegistry(ctype)
+              norm.filter(col("to_addr").isin(addrs: _*) &&
+                  d.isCall(col("input")))
+                .select(col("hash"))
+            }
+            .reduce(_.unionByName(_)).distinct()
+          val receipts = source.receiptsFor(spark, from, to, matching)
+          val transfers = watchTokens.toSeq.sortBy(_._1)
+            .map { case (ctype, addrs) =>
+              ChainOps.tokenTransfers(norm, blocks, receipts, addrs, ctype)
+            }
+            .reduce(_.unionByName(_))
+          store.stage("token_transfers", transfers)
+        } else Nil
+      val blockLeaves =
+        if (modules.contains("blocks")) store.stage("blocks", blocks) else Nil
+      store.commit(blockLeaves ++ txLeaves ++ transferLeaves,
+        meta = Map("tip" -> to.toString))
+    } finally fetch.release()
     to - from + 1
   }
 }

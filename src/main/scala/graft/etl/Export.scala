@@ -74,7 +74,8 @@ object Export {
     Summary(attempt, ingested, Backfill.maxIngestedHeight(spark, store))
   }
 
-  private def latestTimestamp(spark: SparkSession, store: GraftStore): Long = {
+  private[graft] def latestTimestamp(spark: SparkSession,
+      store: GraftStore): Long = {
     import org.apache.spark.sql.functions._
     store.read(spark, "blocks").agg(max("timestamp")).head().get(0) match {
       case t: Long => t

@@ -119,9 +119,66 @@ final class RpcSource(
       }(enc).toDF()
   }
 
+  // full=false: the block row needs only the header plus the tx COUNT,
+  // which the hash-only `transactions` array provides — full bodies here
+  // would ship every tx payload just to take the array's length
   override def blocks(spark: SparkSession, from: Long, to: Long): DataFrame =
-    perHeight(spark, from, to, full = true, Encoders.product[Block])(j =>
+    perHeight(spark, from, to, full = false, Encoders.product[Block])(j =>
       Iterator.single(decodeBlock(j)))
+
+  /** ONE `getBlockByNumber(full)` pass decoding BOTH tables from the same
+    * responses (reference parity: each block is fetched once and headers +
+    * bodies read from that response, etl.rs:186-207 — the separate
+    * blocks()/transactions() calls would cross the wire twice). The
+    * decoded bundle is persisted (memory, spilling to local disk) because
+    * each downstream table stage is its own Spark action: a range's rows
+    * on executor-local disk cost orders of magnitude less than a second
+    * pass over the node fleet. `release()` drops the cache. */
+  override def fetchRange(spark: SparkSession, from: Long, to: Long)
+      : ChainSource.RangeFetch = {
+    import org.apache.spark.sql.functions.{col, explode}
+    if (to < from)
+      return ChainSource.RangeFetch(
+        spark.emptyDataset(Encoders.product[Block]).toDF(),
+        spark.emptyDataset(Encoders.product[Transaction]).toDF(), () => ())
+    val bundles = perHeight(spark, from, to, full = true,
+      Encoders.product[BlockWithTxs])(j =>
+        Iterator.single(BlockWithTxs(decodeBlock(j), decodeTxs(j).toList)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ChainSource.RangeFetch(
+      bundles.select(col("block.*")),
+      bundles.select(explode(col("txs")).as("t")).select(col("t.*")),
+      () => { bundles.unpersist(); () })
+  }
+
+  /** Receipts for exactly the given tx hashes — one batched
+    * `getTransactionReceipt` round per [[batchSize]] hashes per
+    * partition. The reference fetches receipts per MATCHING tx only
+    * (etl.rs:353-360); feeding this from the selector-filtered tx set
+    * makes receipt round-trips scale with the hit count, not the
+    * chain's tx count (and no block is re-fetched at all). */
+  override def receiptsFor(spark: SparkSession, from: Long, to: Long,
+      txHashes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (u, ns, bs, rt, bo) = (url, namespace, batchSize, retries,
+      retryBackoffMs)
+    val enc = Encoders.product[Receipt]
+    txHashes.select(col(txHashes.columns.head).cast("string"))
+      .as(Encoders.STRING)
+      .repartition(fetchPartitions)
+      .mapPartitions { hs: Iterator[String] =>
+        val c = new RpcClient(u, rt, bo)
+        closeOnTaskEnd(c)
+        hs.grouped(bs).flatMap { chunk =>
+          c.callBatch(chunk.map(h =>
+              (s"${ns}_getTransactionReceipt",
+                List(org.json4s.JString("0x" + h)))))
+            .iterator
+            .filter(j => j != org.json4s.JNull && j != org.json4s.JNothing)
+            .map(decodeReceipt)
+        }
+      }(enc).toDF()
+  }
 
   override def transactions(spark: SparkSession, from: Long,
       to: Long): DataFrame =
@@ -168,6 +225,11 @@ final class RpcSource(
   override def close(): Unit = if (clientOpened) client.close()
 }
 
+/** One height's block header row plus its full tx rows, decoded from a
+  * single `getBlockByNumber(full)` response — the unit [[RpcSource.fetchRange]]
+  * persists so both tables derive from one wire pass. */
+final case class BlockWithTxs(block: Block, txs: Seq[Transaction])
+
 object RpcSource {
   /** Release a per-partition client when its TASK completes — success
     * or failure: over the WS transport each client holds a live socket,
@@ -202,7 +264,7 @@ final class RpcClient(url: String, retries: Int, backoffMs: Long,
   import org.json4s.jackson.JsonMethods
 
   private val isWs = url.startsWith("ws://") || url.startsWith("wss://")
-  private lazy val http = java.net.http.HttpClient.newHttpClient()
+  private def http = RpcClient.sharedHttp
   private var wsConn: WsJsonRpcConn = null
   private var nextId = 0L
 
@@ -225,14 +287,17 @@ final class RpcClient(url: String, retries: Int, backoffMs: Long,
     throw new java.io.IOException(e.getMessage, e) // retriable
   }
 
-  private def exchangeWs(body: String): JValue = {
+  private def exchangeWs(body: String, ids: Set[Long]): JValue = {
     if (wsConn == null || wsConn.isDead)
       wsConn = new WsJsonRpcConn(url, wsTimeoutMs)
-    try wsConn.exchange(body)
+    try wsConn.exchange(body, ids)
     catch {
-      case e: java.io.IOException =>
-        // dead or wedged connection: tear down so the retry loop
-        // rebuilds a fresh one (no stale frames can then arrive)
+      // ANY failed exchange may leave our response still in flight —
+      // tear the connection down so no later call on this client can
+      // receive it as its own. IOException is then retried by `post`'s
+      // loop on a fresh connection; anything else (parse failure,
+      // interrupt) propagates, with the connection already closed.
+      case e: Throwable =>
         try wsConn.close() catch { case _: Throwable => () }
         wsConn = null
         throw e
@@ -242,13 +307,16 @@ final class RpcClient(url: String, retries: Int, backoffMs: Long,
   /** One request/response exchange, retried; returns PARSED JSON — the
     * WS transport already parses every frame to tell responses from
     * notifications, so handing the text back out would force a second
-    * parse of multi-megabyte batch responses on the ingest hot path. */
-  private def post(body: String): JValue = {
+    * parse of multi-megabyte batch responses on the ingest hot path.
+    * `ids` are the request ids of this exchange: the WS transport only
+    * accepts a frame answering one of them (a frame with foreign ids is
+    * a leftover of an earlier failed exchange and is dropped). */
+  private def post(body: String, ids: Set[Long]): JValue = {
     var attempt = 0
     var last: Throwable = null
     while (attempt < retries) {
       attempt += 1
-      try return if (isWs) exchangeWs(body)
+      try return if (isWs) exchangeWs(body, ids)
         else JsonMethods.parse(exchangeHttp(body))
       catch {
         case e: java.io.IOException => last = e
@@ -279,7 +347,8 @@ final class RpcClient(url: String, retries: Int, backoffMs: Long,
 
   def call(method: String, params: List[JValue]): JValue = {
     nextId += 1
-    resultOf(post(JsonMethods.compact(reqJson(nextId, method, params))))
+    resultOf(post(JsonMethods.compact(reqJson(nextId, method, params)),
+      Set(nextId)))
   }
 
   /** One HTTP round-trip for many requests (the JSON-RPC batch form);
@@ -291,7 +360,8 @@ final class RpcClient(url: String, retries: Int, backoffMs: Long,
     val body = JArray(reqs.zipWithIndex.map { case ((m, p), i) =>
       reqJson(base + i, m, p)
     }.toList)
-    post(JsonMethods.compact(body)) match {
+    post(JsonMethods.compact(body),
+      reqs.indices.map(i => base + i).toSet) match {
       case JArray(items) =>
         val byId = items.map(j => (j \ "id" match {
           case JInt(i) => i.toLong
@@ -303,15 +373,27 @@ final class RpcClient(url: String, retries: Int, backoffMs: Long,
   }
 }
 
+object RpcClient {
+  /** Process-wide JDK HttpClient for the HTTP transport's POSTs — same
+    * thread/FD-accumulation rationale as [[WsJsonRpcConn.sharedHttp]]
+    * (one RpcClient is built per partition task; `send` is thread-safe
+    * and connections pool internally). */
+  private[etl] def sharedHttp: java.net.http.HttpClient =
+    WsJsonRpcConn.sharedHttp
+}
+
 /** One persistent WebSocket connection carrying JSON-RPC
   * request/response text frames for [[RpcClient]]'s ws(s) transport.
   * The client is strictly one-exchange-at-a-time (one RpcClient per
   * executor partition), so matching is simple: after sending, take
-  * incoming frames until the response to OUR request arrives —
-  * subscription notifications (frames carrying a `method`) are skipped,
-  * and there can be no stale responses because a timed-out exchange
-  * kills the whole connection. Failures surface as `IOException` so
-  * [[RpcClient]]'s bounded retry loop rebuilds the connection. */
+  * incoming frames until the response carrying one of OUR request ids
+  * arrives — subscription notifications (frames carrying a `method`)
+  * and frames with foreign ids (leftovers of an earlier exchange that
+  * failed without killing the connection) are skipped. A failed
+  * exchange of any kind tears the connection down ([[RpcClient]] side),
+  * so the id check is belt-and-braces against a long-lived connection
+  * ever answering request N with response N-1. IOException failures are
+  * rebuilt by [[RpcClient]]'s bounded retry loop. */
 private[etl] final class WsJsonRpcConn(url: String, timeoutMs: Long)
     extends AutoCloseable {
   import org.json4s._
@@ -342,7 +424,7 @@ private[etl] final class WsJsonRpcConn(url: String, timeoutMs: Long)
   }
 
   private val ws: java.net.http.WebSocket =
-    try java.net.http.HttpClient.newHttpClient()
+    try WsJsonRpcConn.sharedHttp
       .newWebSocketBuilder()
       .buildAsync(java.net.URI.create(url), listener)
       .join()
@@ -352,10 +434,11 @@ private[etl] final class WsJsonRpcConn(url: String, timeoutMs: Long)
     }
 
   /** Send one JSON-RPC request (object or batch array) and return the
-    * matching response frame, PARSED — frames must be parsed here anyway
-    * to tell responses from notifications, and returning text would
-    * force the caller to re-parse multi-megabyte batch responses. */
-  def exchange(body: String): JValue = {
+    * response frame carrying one of `ids`, PARSED — frames must be
+    * parsed here anyway to tell responses from notifications, and
+    * returning text would force the caller to re-parse multi-megabyte
+    * batch responses. */
+  def exchange(body: String, ids: Set[Long]): JValue = {
     dead.foreach(why => throw new java.io.IOException(
       s"WebSocket to $url is dead: $why"))
     try ws.sendText(body, true).join()
@@ -376,13 +459,15 @@ private[etl] final class WsJsonRpcConn(url: String, timeoutMs: Long)
         dead.foreach(why => throw new java.io.IOException(
           s"WebSocket to $url died mid-exchange: $why"))
       } else {
-        // a notification frame (carries `method`) is not our response
+        // a notification frame (carries `method`) is not our response;
+        // neither is a response frame with foreign ids — drop both
         val parsed = JsonMethods.parse(frame)
         val isNotification = parsed match {
           case o: JObject => (o \ "method") != JNothing
           case _ => false
         }
-        if (!isNotification) return parsed
+        if (!isNotification && WsJsonRpcConn.respondsTo(parsed, ids))
+          return parsed
       }
     }
     throw new IllegalStateException("unreachable")
@@ -391,6 +476,33 @@ private[etl] final class WsJsonRpcConn(url: String, timeoutMs: Long)
   override def close(): Unit = {
     dead = dead.orElse(Some("closed locally"))
     try ws.abort() catch { case _: Throwable => () }
+  }
+}
+
+private[etl] object WsJsonRpcConn {
+  import org.json4s._
+
+  /** One process-wide client for BUILDING WebSockets: pre-JDK-21
+    * HttpClient has no close() and every instance pins a
+    * selector-manager thread until GC — per-connection instances on
+    * executors running many short WS tasks (plus one per reconnect in
+    * the retry loop) accumulate threads and FDs. The WebSocket itself
+    * stays per-connection and is aborted by [[WsJsonRpcConn.close]]. */
+  private[etl] lazy val sharedHttp: java.net.http.HttpClient =
+    java.net.http.HttpClient.newHttpClient()
+
+  /** Does this frame (response object or batch array) answer any of the
+    * given request ids? */
+  private[etl] def respondsTo(j: JValue, ids: Set[Long]): Boolean = {
+    def idOf(o: JValue): Option[Long] = o \ "id" match {
+      case JInt(i) => Some(i.toLong)
+      case _ => None
+    }
+    j match {
+      case JArray(items) => items.exists(idOf(_).exists(ids))
+      case o: JObject => idOf(o).exists(ids)
+      case _ => false
+    }
   }
 }
 
@@ -422,6 +534,15 @@ object RpcCodec {
     case other => sys.error(s"expected string, got $other")
   }
 
+  /** Difficulty-style quantity: real nodes omit `totalDifficulty` (and
+    * some `difficulty`) on pending blocks and post-merge-style endpoints;
+    * the reference maps the absent field to `"0"`
+    * (`crates/types/src/block.rs:54-58`). */
+  private def hexToDecOrZero(j: JValue): String = j match {
+    case JNull | JNothing => "0"
+    case other => hexToDec(str(other))
+  }
+
   def decodeBlock(j: JValue): Block = Block(
     number = hexToLong(str(j \ "number")),
     hash = unhexField(j \ "hash"),
@@ -433,8 +554,8 @@ object RpcCodec {
     state_root = unhexField(j \ "stateRoot"),
     receipts_root = unhexField(j \ "receiptsRoot"),
     miner = unhexField(j \ "miner"),
-    difficulty = hexToDec(str(j \ "difficulty")),
-    total_difficulty = hexToDec(str(j \ "totalDifficulty")),
+    difficulty = hexToDecOrZero(j \ "difficulty"),
+    total_difficulty = hexToDecOrZero(j \ "totalDifficulty"),
     extra_data = unhexField(j \ "extraData"),
     energy_limit = hexToLong(str(j \ "energyLimit")),
     energy_used = hexToLong(str(j \ "energyUsed")),

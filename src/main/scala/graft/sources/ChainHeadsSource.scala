@@ -60,7 +60,15 @@ class ChainHeadsProvider extends TableProvider {
       opts.getOrDefault("numblocks", "200").toInt,
       opts.getOrDefault("blocksperbatch", "10").toInt,
       apiUrl, wsUrl,
-      opts.getOrDefault("namespace", "xcb"))
+      opts.getOrDefault("namespace", "xcb"),
+      // batchSize: JSON-RPC requests per wire round-trip in the live
+      // reader (same knob RpcSource takes — one place to accommodate a
+      // rate-limited node); headsNullRetryMs: how long a committed
+      // height may answer null (replica lag / reorg window) before the
+      // task fails — deployments with slow block times or deep reorgs
+      // raise it instead of dying (default ~31s, a block interval)
+      opts.getOrDefault("batchsize", "64").toInt,
+      opts.getOrDefault("headsnullretryms", "31000").toLong)
   }
 }
 
@@ -79,7 +87,8 @@ class ChainHeadsProvider extends TableProvider {
   * height in every mode (a test bound; raise or leave default live). */
 class ChainHeadsTable(numBlocks: Int, blocksPerBatch: Int,
     apiUrl: Option[String], wsUrl: Option[String] = None,
-    namespace: String = "xcb")
+    namespace: String = "xcb", batchSize: Int = 64,
+    headsNullRetryMs: Long = 31000L)
     extends Table with SupportsRead {
   override def name(): String = s"chain_heads($numBlocks)"
   override def schema(): StructType = ChainHeadsSource.schema
@@ -91,7 +100,7 @@ class ChainHeadsTable(numBlocks: Int, blocksPerBatch: Int,
         override def readSchema(): StructType = ChainHeadsSource.schema
         override def toMicroBatchStream(loc: String): MicroBatchStream =
           new ChainHeadsStream(numBlocks, blocksPerBatch, apiUrl, wsUrl,
-            namespace)
+            namespace, batchSize, headsNullRetryMs)
       }
     }
 }
@@ -103,7 +112,8 @@ case class HeightOffset(height: Long) extends Offset {
 
 class ChainHeadsStream(numBlocks: Int, blocksPerBatch: Int,
     apiUrl: Option[String], wsUrl: Option[String] = None,
-    namespace: String = "xcb")
+    namespace: String = "xcb", batchSize: Int = 64,
+    headsNullRetryMs: Long = 31000L)
     extends MicroBatchStream {
 
   private var released = 0L
@@ -171,7 +181,8 @@ class ChainHeadsStream(numBlocks: Int, blocksPerBatch: Int,
     val s = start.asInstanceOf[HeightOffset].height
     val e = end.asInstanceOf[HeightOffset].height
     if (e <= s) Array.empty
-    else Array(HeadsRange(s, e, numBlocks, apiUrl, namespace))
+    else Array(HeadsRange(s, e, numBlocks, apiUrl, namespace, batchSize,
+      headsNullRetryMs))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -185,7 +196,8 @@ class ChainHeadsStream(numBlocks: Int, blocksPerBatch: Int,
 }
 
 case class HeadsRange(from: Long, until: Long, numBlocks: Int,
-    apiUrl: Option[String], namespace: String = "xcb")
+    apiUrl: Option[String], namespace: String = "xcb",
+    batchSize: Int = 64, nullRetryMs: Long = 31000L)
     extends InputPartition
 
 class HeadsReaderFactory extends PartitionReaderFactory {
@@ -200,18 +212,20 @@ class HeadsReaderFactory extends PartitionReaderFactory {
         // committed and Spark never re-plans committed offsets, so a
         // dropped height would be permanently missing from the stream.
         // The head was announced, so the block should materialize —
-        // retry the nulls with capped backoff long enough to ride out a
-        // normal reorg window or replica lag (~30 s, about a block
-        // interval: a reorged-away height only re-fills when the chain
-        // re-extends past it), then fail the task (Spark retries the
-        // partition) rather than lose data silently.
+        // retry the nulls with capped backoff for `nullRetryMs` (default
+        // ~31 s, about a block interval: a reorged-away height only
+        // re-fills when the chain re-extends past it; deployments with
+        // slower blocks or deeper reorgs raise the option), then fail
+        // the task (Spark retries the partition) rather than lose data
+        // silently.
         private val rows = {
           import org.json4s.{JBool, JNothing, JNull, JString, JValue}
           val c = new graft.etl.RpcClient(u, 5, 200L)
-          // chunked batch calls: a large blocksPerBatch must not become
-          // one unbounded JSON-RPC batch a node may reject
+          // chunked batch calls (`batchSize` requests per round-trip): a
+          // large blocksPerBatch must not become one unbounded JSON-RPC
+          // batch a node may reject
           def fetch(hs: Seq[Long]): Map[Long, JValue] =
-            hs.grouped(64).flatMap { chunk =>
+            hs.grouped(r.batchSize).flatMap { chunk =>
               chunk.zip(c.callBatch(chunk.map(h =>
                   (s"${r.namespace}_getBlockByNumber",
                     List(JString(graft.etl.RpcCodec.longToHex(h)),
@@ -221,10 +235,14 @@ class HeadsReaderFactory extends PartitionReaderFactory {
           val all = r.from until r.until
           var got = fetch(all)
           var attempt = 0
-          // 200,400,...,capped at 5s: ~31s total before giving up
-          while (got.size < all.size && attempt < 10) {
+          val deadline = System.currentTimeMillis() + r.nullRetryMs
+          // 200,400,...ms capped at 5s per sleep, bounded by the budget
+          while (got.size < all.size &&
+              System.currentTimeMillis() < deadline) {
             attempt += 1
-            Thread.sleep(math.min(200L << (attempt - 1), 5000L))
+            Thread.sleep(math.max(0L, math.min(
+              math.min(200L << math.min(attempt - 1, 24), 5000L),
+              deadline - System.currentTimeMillis())))
             got ++= fetch(all.filterNot(got.contains))
           }
           val missing = all.filterNot(got.contains)
@@ -232,9 +250,9 @@ class HeadsReaderFactory extends PartitionReaderFactory {
             c.close()
             throw new RuntimeException(
               s"committed heads ${missing.mkString(",")} still null after " +
-                s"$attempt retries (~31s) — failing the task so Spark " +
-                "re-reads the partition instead of dropping announced " +
-                "heights")
+                s"$attempt retries (headsNullRetryMs=${r.nullRetryMs}) — " +
+                "failing the task so Spark re-reads the partition instead " +
+                "of dropping announced heights")
           }
           c.close() // all fetching above is eager; release the transport
           all.iterator.map { h =>

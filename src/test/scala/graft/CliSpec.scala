@@ -289,6 +289,113 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(shards.forall(_ <= 25))
   }
 
+  test("export --block picks the backfill start for an EMPTY store " +
+      "(export.rs:15-17, etl.rs:84-89); a populated store resumes") {
+    val storeDir = newRoot()
+    cli.Main.run(spark, Array("export", "--store", storeDir,
+      "--blocks", "60", "--block", "40"))
+    val store = new GraftStore(storeDir)
+    import org.apache.spark.sql.functions.{max, min}
+    val (mn, mx) = {
+      val r = store.read(spark, "blocks")
+        .agg(min("number"), max("number")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(mn == 40L && mx == 59L,
+      s"expected blocks 40..59 from --block 40, got $mn..$mx")
+    // a populated store resumes from ITS tip — --block below it is inert
+    cli.Main.run(spark, Array("export", "--store", storeDir,
+      "--blocks", "60", "--block", "10"))
+    assert(new GraftStore(storeDir).read(spark, "blocks")
+      .agg(min("number")).head().getLong(0) == 40L,
+      "--block must not re-ingest below an existing store's range")
+  }
+
+  test("export --retention-duration drops exactly the expired buckets " +
+      "via the CLI (export.rs:30-38, OP-DEL-3)") {
+    val storeDir = newRoot()
+    // fixture timestamps are 1700000000 + 10*n; 60 blocks span 590s.
+    // bucketSize is the store default (GraftStore), so compute the
+    // expectation from the actual bucket layout after the sweep.
+    val out = captured {
+      cli.Main.run(spark, Array("export", "--store", storeDir,
+        "--blocks", "60", "--bucket-size", "20",
+        "--retention-duration", "300", "--cleanup-interval", "1h"))
+    }
+    assert(out.contains("retention sweep"), out)
+    val store = new GraftStore(storeDir)
+    import org.apache.spark.sql.functions.{max, min}
+    val kept = store.read(spark, "blocks")
+    // cutoff = ts(59) - 300 = 1700000290 → every surviving bucket must
+    // contain at least one block with ts >= cutoff, and the blocks below
+    // must be gone in whole-bucket units (retention is a floor)
+    val mn = kept.agg(min("number")).head().getLong(0)
+    // bucket 0 = heights 0..19 (max ts 1700000190 < cutoff 1700000290)
+    // is dropped whole; bucket 1 (max ts 1700000390) straddles and stays
+    assert(mn == 20L, s"expected whole-bucket drop of 0..19, min now $mn")
+    assert(kept.agg(max("number")).head().getLong(0) == 59L)
+    assert(kept.count() == 40L)
+    // and a second sweep is idempotent
+    val out2 = captured {
+      cli.Main.run(spark, Array("export", "--store", storeDir,
+        "--blocks", "60", "--bucket-size", "20",
+        "--retention-duration", "300"))
+    }
+    assert(new GraftStore(storeDir).read(spark, "blocks")
+      .agg(min("number")).head().getLong(0) == mn, out2)
+  }
+
+  test("store export-jdbc mirrors the snapshot into a SQL database " +
+      "through the CLI (app_storage.rs:20-67 parity)") {
+    val storeDir = newRoot()
+    cli.Main.run(spark, Array("export", "--store", storeDir,
+      "--blocks", "30"))
+    val db = tempPath("graft-cli-derby").resolve("db")
+    val dsn = s"jdbc:derby:$db;create=true"
+    val out = captured {
+      cli.Main.run(spark, Array("store", "export-jdbc",
+        "--store", storeDir, "--dsn", dsn, "--jdbc-prefix", "cli"))
+    }
+    assert(out.contains("exported 30 row(s) to cli_blocks"), out)
+    val back = spark.read.format("jdbc")
+      .option("url", dsn).option("dbtable", "cli_blocks").load()
+    assert(back.count() == 30)
+    assert(back.columns.contains("number"))
+    // verb-local flag: --dsn must NOT pick up a GRAFT_DSN env leak
+    val e = intercept[RuntimeException] {
+      cli.Main.run(spark, Array("store", "export-jdbc",
+        "--store", storeDir), env = Map("GRAFT_DSN" -> dsn))
+    }
+    assert(e.getMessage.contains("--dsn"), e.getMessage)
+  }
+
+  test("env fallback is restricted to the reference's env-backed flags: " +
+      "verb-local selectors ignore GRAFT_* (main.rs:27-58 vs view/store)") {
+    val storeDir = newRoot()
+    cli.Main.run(spark, Array("export", "--store", storeDir,
+      "--blocks", "20"))
+    // GRAFT_NUMBER must not satisfy `view block` — the verb-local
+    // selector is flag-only, so this errors instead of silently
+    // resolving height 5
+    val e = intercept[RuntimeException] {
+      cli.Main.run(spark, Array("view", "block", "--store", storeDir),
+        env = Map("GRAFT_NUMBER" -> "5"))
+    }
+    assert(e.getMessage.contains("--number or --hash"), e.getMessage)
+    // GRAFT_FROM must not redirect `store changes` either
+    val e2 = intercept[RuntimeException] {
+      cli.Main.run(spark, Array("store", "changes", "--store", storeDir),
+        env = Map("GRAFT_FROM" -> "v-bogus"))
+    }
+    assert(e2.getMessage.contains("--from"), e2.getMessage)
+    // while a global stays env-backed: GRAFT_STORE alone locates the store
+    val out = captured {
+      cli.Main.run(spark, Array("view", "block", "--number", "5"),
+        env = Map("GRAFT_STORE" -> storeDir))
+    }
+    assert(out.contains("5"), out)
+  }
+
   test("store snapshots lists versions with the current marked; vacuum " +
       "reclaims history and live reads survive") {
     val root = newRoot()

@@ -39,8 +39,17 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
   private var url: String = _
   private val posts = new AtomicInteger(0)
   private val batchPosts = new AtomicInteger(0)
+  /** Per-method request counters (individual JSON-RPC requests, batch
+    * members included) — the wire-cost gate for the single-pass fetch. */
+  private val blockReqs = new AtomicInteger(0)
+  private val receiptReqs = new AtomicInteger(0)
   /** POSTs to answer 503 before recovering — retry injection. */
   private val failures = new AtomicInteger(0)
+  /** xcb_syncing calls to answer "still syncing" before reporting
+    * synced — the --lazy gate's poll target. */
+  private val syncingAnswers = new AtomicInteger(0)
+  /** Largest JSON-RPC batch the server has seen — the chunk-size gate. */
+  private val maxBatchLen = new AtomicInteger(0)
 
   override def afterAll(): Unit = {
     if (server != null) server.stop(0)
@@ -70,8 +79,14 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
       case "xcb_blockNumber" =>
         JString(longToHex(viewBlocks.last.number))
       case "net_version" => JString("1")
-      case "xcb_syncing" => JBool(false)
+      case "xcb_syncing" =>
+        // a syncing node answers a status OBJECT; a synced one `false`
+        if (syncingAnswers.getAndUpdate(n => math.max(n - 1, 0)) > 0)
+          JObject("startingBlock" -> JString("0x0"),
+            "currentBlock" -> JString("0x10"))
+        else JBool(false)
       case "xcb_getBlockByNumber" =>
+        blockReqs.incrementAndGet()
         val n = hexToLong(params.head.asInstanceOf[JString].s)
         val full = params(1).asInstanceOf[JBool].value
         viewBlocks.find(_.number == n) match {
@@ -82,6 +97,7 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
               .sortBy(_.transaction_index), full)
         }
       case "xcb_getTransactionReceipt" =>
+        receiptReqs.incrementAndGet()
         val h = params.head.asInstanceOf[JString].s.stripPrefix("0x")
         fx.receipts.find(_.tx_hash == h)
           .map(encodeReceipt).getOrElse(JNull)
@@ -104,6 +120,7 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
         val resp = JsonMethods.parse(body) match {
           case JArray(reqs) =>
             batchPosts.incrementAndGet()
+            maxBatchLen.getAndUpdate(n => math.max(n, reqs.size))
             JsonMethods.compact(JArray(reqs.map(handle)))
           case one => JsonMethods.compact(handle(one))
         }
@@ -307,15 +324,33 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
     } finally dropping.close()
   }
 
-  test("CLI export --api-url drives the RPC source end-to-end") {
+  test("CLI export --api-url drives the RPC source end-to-end " +
+      "(--rpc-batch-size caps the wire batches)") {
     val storeDir = tempDir("graft-rpc-cli")
+    maxBatchLen.set(0)
     cli.Main.run(spark, Array("export", "--store", storeDir,
       "--blocks", "60", "--api-url", url, "--network", "mainnet",
-      "--threads", "2")) // reference --threads: fetch fan-out width
+      "--threads", "2", // reference --threads: fetch fan-out width
+      "--rpc-batch-size", "13"))
     val store = new GraftStore(storeDir)
     assert(rows(store.read(spark, "blocks")) ==
       rows(fixtureSrc.blocks(spark, 0, 59)))
     assert(store.read(spark, "token_transfers").count() > 0)
+    assert(maxBatchLen.get() <= 13,
+      s"--rpc-batch-size 13 must cap batches, saw ${maxBatchLen.get()}")
+  }
+
+  test("CLI export --lazy polls the node's REAL syncing gate before " +
+      "ingesting (export.rs:40-43 / OP-STR-5)") {
+    syncingAnswers.set(2) // node reports syncing twice, then synced
+    val storeDir = tempDir("graft-rpc-lazy")
+    cli.Main.run(spark, Array("export", "--store", storeDir,
+      "--blocks", "20", "--api-url", url, "--lazy",
+      "--gate-poll-ms", "5"))
+    assert(syncingAnswers.get() == 0,
+      "the lazy gate must have consumed the node's syncing answers")
+    assert(new GraftStore(storeDir).read(spark, "blocks").count() == 20,
+      "ingest must proceed once the node reports synced")
   }
 
   test("CLI verify --api-url reports the REAL chain tip and lag " +
@@ -361,11 +396,13 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
   }
 
   test("live heads stream: HTTP tip-polling releases every header over " +
-      "the wire with fixture-identical hashes") {
+      "the wire with fixture-identical hashes (batchSize option honored)") {
+    maxBatchLen.set(0)
     val q = spark.readStream
       .format("graft.sources.ChainHeadsProvider")
       .option("numBlocks", "60")
       .option("blocksPerBatch", "25")
+      .option("batchSize", "9")
       .option("apiUrl", url)
       .load()
       .writeStream.format("memory").queryName("rpc_heads")
@@ -376,6 +413,9 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     val want = fx.blocks.map(b => (b.number, b.hash, b.parent_hash)).toSet
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(maxBatchLen.get() <= 9,
+      s".option(batchSize, 9) must cap the stream's wire batches, " +
+        s"saw ${maxBatchLen.get()}")
   }
 
   test("full live pipeline: HTTP heads stream feeding tail ingest over " +
@@ -449,6 +489,123 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
     // fork blocks carry no txs: transfers stop below the fork point
     assert(store.read(spark, "token_transfers").count() ==
       fx.goldenTransfers.count(_._1.block_number < 50))
+  }
+
+  test("wire pin: absent/null totalDifficulty and difficulty decode to " +
+      "\"0\" (block.rs:54-58) — real nodes omit them on pending blocks") {
+    val omitted = JsonMethods.parse("""{
+      "number": "0x1f",
+      "hash": "0x11", "parentHash": "0x22",
+      "nonce": "0x0000000000ab12cd",
+      "sha3Uncles": "0x33", "logsBloom": "0x44",
+      "transactionsRoot": "0x55", "stateRoot": "0x66",
+      "receiptsRoot": "0x77", "miner": "0x88",
+      "difficulty": "0xff",
+      "extraData": "0x99",
+      "energyLimit": "0x1388", "energyUsed": "0x4e",
+      "timestamp": "0x5f5e0ff",
+      "transactions": []
+    }""")
+    val b = RpcCodec.decodeBlock(omitted)
+    assert(b.total_difficulty == "0", "absent totalDifficulty -> \"0\"")
+    assert(b.difficulty == "255")
+    val nulled = omitted.merge(JsonMethods.parse(
+      """{"totalDifficulty": null, "difficulty": null}"""))
+    val b2 = RpcCodec.decodeBlock(nulled)
+    assert(b2.total_difficulty == "0" && b2.difficulty == "0",
+      "explicit null difficulty fields -> \"0\"")
+  }
+
+  test("backfill wire cost: ONE block pass for the whole range, receipt " +
+      "lookups only for selector-matching txs (etl.rs:186-207, 353-360)") {
+    import org.apache.spark.sql.functions.col
+    failures.set(0)
+    blockReqs.set(0); receiptReqs.set(0)
+    val store = new GraftStore(tempDir("graft-rpc-wirecost"))
+    Backfill.run(spark, src, store, 0, 59)
+    // every height crosses the wire exactly once — the old path fetched
+    // full bodies twice (blocks, transactions) plus a third hash-only
+    // pass for the receipt stage: 180 block requests for 60 heights
+    assert(blockReqs.get() == 60,
+      s"expected 60 block fetches for 60 heights, saw ${blockReqs.get()}")
+    // receipts: one request per tx passing the OP-FIL-8 selector, not
+    // one per tx on the chain
+    val matching = fixtureSrc.transactions(spark, 0, 59)
+      .filter(col("to_addr") === ChainFixture.Watched &&
+        graft.chain.ContractRegistry("cbc20").isCall(col("input")))
+      .select("hash").distinct().count()
+    val allTxs = fixtureSrc.transactions(spark, 0, 59).count()
+    assert(matching < allTxs, "fixture must have non-matching txs for " +
+      "this gate to prove anything")
+    assert(receiptReqs.get() == matching,
+      s"expected $matching receipt lookups (selector hits), " +
+        s"saw ${receiptReqs.get()} (chain has $allTxs txs)")
+    // and the store it builds is still the fixture store (redundant with
+    // the dedicated equality test, cheap to keep local to this gate)
+    assert(rows(store.read(spark, "token_transfers")) ==
+      rows({
+        val viaFx = new GraftStore(tempDir("graft-rpc-wirecost-fx"))
+        Backfill.run(spark, fixtureSrc, viaFx, 0, 59)
+        viaFx.read(spark, "token_transfers")
+      }))
+    // the fetch bundle's cache is RELEASED after the commit — a leak
+    // here would accrete one pinned RDD per streaming micro-batch
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"fetchRange cache leaked: ${spark.sparkContext.getPersistentRDDs}")
+  }
+
+  test("WS transport: a response frame with a foreign id (stale leftover " +
+      "of a failed exchange) is skipped, never returned as ours") {
+    // Without the id check, the first non-notification frame wins — a
+    // long-lived client would silently take a stale blockNumber answer
+    // as its own (e.g. 0xdead = 57005 as the tip height).
+    val stale = new TinyWsServer((_, text, send) => {
+      send("""{"jsonrpc":"2.0","id":999999,"result":"0xdead"}""")
+      send(JsonMethods.compact(JsonMethods.parse(text) match {
+        case JArray(reqs) => JArray(reqs.map(handle))
+        case one => handle(one)
+      }))
+      true
+    })
+    try {
+      val c = new graft.etl.RpcClient(stale.url, 3, 10L)
+      // single-call form
+      assert(c.call("xcb_blockNumber", Nil) ==
+        JString(RpcCodec.longToHex(fx.blocks.last.number)))
+      // batch form: every id foreign to the batch is also skipped
+      val batch = c.callBatch(Seq(
+        ("net_version", Nil), ("xcb_blockNumber", Nil)))
+      assert(batch == Seq(JString("1"),
+        JString(RpcCodec.longToHex(fx.blocks.last.number))))
+    } finally stale.close()
+  }
+
+  test("live heads reader knobs: batchSize chunks the wire calls and " +
+      "headsNullRetryMs bounds the null-retry budget (both options)") {
+    import graft.sources.{HeadsRange, HeadsReaderFactory}
+    // batchSize: 20 committed heights with batchSize=7 → batches of <=7
+    maxBatchLen.set(0)
+    val ok = new HeadsReaderFactory().createReader(
+      HeadsRange(0, 20, 60, Some(url), "xcb", batchSize = 7,
+        nullRetryMs = 500L))
+    var n = 0
+    while (ok.next()) { ok.get(); n += 1 }
+    assert(n == 20)
+    assert(maxBatchLen.get() <= 7,
+      s"batchSize=7 must cap wire batches, saw ${maxBatchLen.get()}")
+    // headsNullRetryMs: heights past the chain tip answer null — the
+    // reader must fail within the configured budget, not a hardcoded 31s
+    val t0 = System.nanoTime()
+    val e = intercept[RuntimeException] {
+      new HeadsReaderFactory().createReader(
+        HeadsRange(58, 62, 65, Some(url), "xcb", batchSize = 7,
+          nullRetryMs = 400L))
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(e.getMessage.contains("60,61") &&
+      e.getMessage.contains("headsNullRetryMs=400"), e.getMessage)
+    assert(elapsedMs < 10000L,
+      s"a 400ms budget must not take ${elapsedMs}ms")
   }
 
   test("full Backfill ingest over HTTP == fixture-sourced store") {
