@@ -50,6 +50,9 @@ object ScaleIngest {
       .map { case (n, ts) => n -> ts.sortBy(_.transaction_index) }
     val receiptByHash = fx.receipts.map(r => r.tx_hash -> r).toMap
     val posts = new AtomicInteger(0)
+    // response payload actually served — the "block bodies cross the
+    // wire N times" claim, observed rather than asserted
+    val bytesServed = new java.util.concurrent.atomic.AtomicLong(0L)
 
     // ---- the loopback node (same wire protocol as RpcSourceSpec's) ----
     def handle(req: JValue): JValue = {
@@ -86,6 +89,7 @@ object ScaleIngest {
         case one => JsonMethods.compact(handle(one))
       }
       val bytes = resp.getBytes(StandardCharsets.UTF_8)
+      bytesServed.addAndGet(bytes.length.toLong)
       exchange.getResponseHeaders.set("Content-Type", "application/json")
       exchange.sendResponseHeaders(200, bytes.length.toLong)
       exchange.getResponseBody.write(bytes)
@@ -113,13 +117,16 @@ object ScaleIngest {
       val src = new RpcSource(url, fetchPartitions = partitions,
         batchSize = batchSize)
       val p0 = posts.get()
+      val by0 = bytesServed.get()
       val t0 = System.nanoTime()
       val rows = body(src)
       val sec = (System.nanoTime() - t0) / 1e9
       val trips = posts.get() - p0
+      val mb = (bytesServed.get() - by0) / 1e6
       val line = s"""{"run":"$name","partitions":$partitions,""" +
         s""""batch_size":$batchSize,"blocks":$nBlocks,"rtt_ms":$rttMs,""" +
         s""""sec":${fmt(sec)},"rows":$rows,"round_trips":$trips,""" +
+        s""""wire_mb":${fmt(mb)},""" +
         s""""blocks_per_sec":${fmt(nBlocks / sec)},""" +
         s""""driver_heap_mb":${heapMb()}}"""
       println(line)
