@@ -50,6 +50,36 @@ object Vec {
     s
   }
 
+  /** Left-to-right squared-L2 distance over the common prefix — the
+    * product-quantization assignment/table metric. Same fold discipline
+    * as [[dot]]: one `d = aᵢ-bᵢ; s += d*d` per element, so the DuckDB
+    * oracle's `list_reduce` over `(a[j]-b[j])*(a[j]-b[j])` reproduces
+    * every intermediate bit-for-bit. */
+  def l2sq(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Asymmetric-distance (ADC) lookup: Σ_s tbl[s·ks + codes[s]] over a
+    * row's M PQ codes and one query's flattened (M×ks) quantized
+    * distance table. Plain integer adds — exact at any order, but the
+    * loop is left-to-right anyway. The scan-side cost of a PQ search:
+    * M array reads + adds per row, no float math at all. */
+  def adc(codes: ArrayData, tbl: ArrayData, ks: Int): Long = {
+    val m = codes.numElements()
+    var s = 0L
+    var i = 0
+    while (i < m) { s += tbl.getLong(i * ks + codes.getInt(i)); i += 1 }
+    s
+  }
+
   /** Σ popcount(aᵢ xor bᵢ) over two long-array sketches. */
   def hamming(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
@@ -359,6 +389,15 @@ object Vec {
   def vec_dot(a: Column, b: Column): Column =
     columnOf(VecDot(exprOf(a), exprOf(b)))
 
+  /** Squared L2 distance of two array<double> columns. */
+  def vec_l2sq(a: Column, b: Column): Column =
+    columnOf(VecL2Sq(exprOf(a), exprOf(b)))
+
+  /** ADC distance (bigint): PQ codes (array<int>) looked up in a
+    * query's flattened M×ks quantized table (array<bigint>). */
+  def pq_adc(codes: Column, tbl: Column, ks: Int): Column =
+    columnOf(PqAdc(exprOf(codes), exprOf(tbl), ks))
+
   /** Packed sign sketch (array<bigint>) of a unit vector column. */
   def sign_sketch(c: Column, seed: Long, bits: Int): Column =
     columnOf(SignSketchExpr(exprOf(c), seed, bits))
@@ -421,6 +460,30 @@ case class VecDot(left: Expression, right: Expression)
       s"${ev.value} = graft.functions.Vec.dot($a, $b);")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): VecDot = copy(l, r)
+}
+
+case class VecL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Vec.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Vec.l2sq($a, $b);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): VecL2Sq = copy(l, r)
+}
+
+case class PqAdc(left: Expression, right: Expression, ks: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Vec.adc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Vec.adc($a, $b, $ks);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAdc = copy(l, r)
 }
 
 case class SignSketchExpr(child: Expression, seed: Long, bits: Int)

@@ -674,6 +674,370 @@ object SimilarityOps {
          |  FROM cells)
          |WHERE rnk <= $DiversePerCell""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ) — the memory-bound scale path
+  // ---------------------------------------------------------------------
+
+  /** PQ subspace count M: the unit vector splits into M contiguous
+    * subvectors, each quantized independently. With [[PqCodes]] = 16 a
+    * code is 4 bits — a 64-dim double corpus compresses 512 bytes →
+    * M bytes of codes (plus one shared M·ks·dsub codebook), the
+    * Jégou/Douze/Schmid IVF-ADC design: at 100 TB the code table is
+    * the only per-row ANN state resident in memory, ~1% of the
+    * embedding bytes, and the ADC scan does M integer lookups per row
+    * instead of a dim-wide float dot. */
+  val PqSubs = 8
+
+  /** Codes per subspace (codebook rows per sub). 16 keeps the oracle's
+    * unrolled trainer tractable and the driver corpus's cells populated;
+    * production uses 256 (1 byte/sub) — nothing below depends on the
+    * value. */
+  val PqCodes = 16
+
+  /** Fixed Lloyd rounds per subspace — deterministic, replay-identical,
+    * and unrollable in the oracle (the [[IvfIters]] discipline). */
+  val PqIters = 3
+
+  /** Quantization grid for BOTH the centroid sums and the ADC distance
+    * tables: 2^32 (not [[IvfQuant]]'s 2^40) so count·grid stays exactly
+    * representable in a double up to ~2M rows per (sub, code) — the
+    * centroid mean is S/(c·Q) with S, c, c·Q all exact, making the
+    * codebook bit-identical at ANY partitioning and in any engine.
+    * Table entries floor(d2·Q + 0.5) are BIGINT, so the ADC distance is
+    * an integer SUM — order-free, and the oracle can recompute it with
+    * a plain join-aggregate while the engine uses an array lookup. */
+  val PqQuant: Double = (1L << 32).toDouble
+
+  /** Train per-subspace codebooks over (vec_id, unit) rows: M·ks
+    * centroids of dimension dim/M. Returns (subs, codebook):
+    * `subs` = (vec_id, sub, subvec) — the one-scan subvector explode,
+    * checkpointed for reuse by [[pqEncode]]/[[pqDistanceTables]];
+    * `codebook` = (sub, code, centroid), O(M·ks·dsub) — the model.
+    *
+    * Distribution: assignment is a broadcast join on `sub` (M·ks rows)
+    * + codegen'd [[graft.functions.Vec.l2sq]]; the Lloyd update
+    * collects only the M·ks·dsub quantized sums (model parameters,
+    * ~1024 rows here — the corpus never leaves the executors). Init =
+    * the ks corpus vectors with the smallest portable hash of
+    * 'pq:vec_id', each sliced into its M subvectors, so every engine
+    * reproduces the draw. Requires one shared dimension divisible by M
+    * (checked loudly — a ragged corpus would silently skew subspace
+    * boundaries). */
+  def buildPqCodebooks(units: DataFrame, m: Int = PqSubs,
+      ks: Int = PqCodes, iters: Int = PqIters): (DataFrame, DataFrame) = {
+    val spark = units.sparkSession
+    val initRows = units
+      .orderBy(graft.functions.Vec.portable_hash64(
+        concat(lit("pq:"), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(ks)
+      .select(col("unit")).collect()
+      .map(_.getSeq[Double](0))
+    require(initRows.nonEmpty, "buildPqCodebooks: empty corpus")
+    val dim = initRows.head.length
+    require(dim % m == 0,
+      s"buildPqCodebooks: dim $dim not divisible by $m subspaces")
+    val dsub = dim / m
+    var cents: Map[(Int, Int), Seq[Double]] = (for {
+      (v, code) <- initRows.zipWithIndex
+      sub <- 0 until m
+    } yield (sub, code) -> v.slice(sub * dsub, (sub + 1) * dsub)).toMap
+
+    def centDf: DataFrame = {
+      import spark.implicits._
+      cents.toSeq.map { case ((sub, code), c) => (sub, code, c) }
+        .toDF("sub", "code", "centroid")
+    }
+    // Ragged rows would slice short (training a WRONG low-d codebook
+    // for tail subs) or slice LONG rows cleanly while ignoring their
+    // excess dimensions — both silent. The init only checks ks rows, so
+    // pin the whole corpus's dimension before slicing (one array-length
+    // agg; subvector sizes after the explode could not catch the
+    // longer-row case, since slices cap at dsub).
+    val dims = units.agg(min(size(col("unit"))).as("mn"),
+      max(size(col("unit"))).as("mx")).head()
+    require(dims.getInt(0) == dim && dims.getInt(1) == dim,
+      s"buildPqCodebooks: embeddings must share dimension " +
+        s"(saw ${dims.getInt(0)}..${dims.getInt(1)}, init expects $dim)")
+    val subs = units
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(unit, s*$dsub+1, $dsub))"))
+        .as(Seq("sub", "subvec")))
+      .localCheckpoint()
+
+    def assign(c: DataFrame): DataFrame = pqAssign(subs, c)
+
+    for (_ <- 1 to iters) {
+      val sums = assign(centDf)
+        .select(col("sub"), col("code"), posexplode(col("subvec"))
+          .as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(floor(col("x") * lit(PqQuant) + lit(0.5))
+          .cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("c"))
+        .collect()
+      val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cents = cents.map { case (key, old) =>
+        byCell.get(key) match {
+          case None => key -> old // empty cell keeps its centroid
+          case Some(rows) =>
+            val sv = new Array[Double](dsub)
+            rows.foreach { r =>
+              // S/(c·Q): S exact (decimal over BIGINT-range values), c·Q
+              // exact in double below 2^53 — one division, same on every
+              // engine
+              sv(r.getInt(2)) =
+                r.getDecimal(3).doubleValue / (r.getLong(4).toDouble * PqQuant)
+            }
+            key -> sv.toSeq
+        }
+      }
+    }
+    (subs, centDf.localCheckpoint())
+  }
+
+  /** Nearest-code assignment of subvectors under a fixed codebook —
+    * broadcast join on `sub`, argmin by (squared L2, code): the
+    * trainer's inner step and the PQ INGEST path for new batches.
+    * Keeps the subvector in the aggregate so callers need no re-join. */
+  def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame =
+    subs.join(broadcast(codebook), "sub")
+      .withColumn("d2", graft.functions.Vec
+        .vec_l2sq(col("subvec"), col("centroid")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("code"))).as("m"),
+        first(col("subvec")).as("subvec"))
+      .select(col("vec_id"), col("sub"), col("m.code").as("code"),
+        col("m.d2").as("d2"), col("subvec"))
+
+  /** Encode a corpus: (vec_id, codes) with codes = array of M code ids
+    * ordered by sub — the at-rest PQ index row (M·4 bits of payload). */
+  def pqEncode(subs: DataFrame, codebook: DataFrame): DataFrame =
+    pqAssign(subs, codebook)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("code"))))
+        .as("sc"))
+      .select(col("vec_id"), expr("transform(sc, p -> p.code)").as("codes"))
+
+  /** Per-query quantized ADC tables: (query_id, tblq) with tblq =
+    * flattened M·ks BIGINT array, entry s·ks+c = floor(Q·‖q_sub −
+    * centroid(s,c)‖² + ½). O(queries·M·ks) work against the broadcast
+    * codebook — no corpus access. */
+  def pqDistanceTables(querySubs: DataFrame, codebook: DataFrame,
+      ks: Int = PqCodes): DataFrame =
+    querySubs.join(broadcast(codebook), "sub")
+      .withColumn("d2q", floor(graft.functions.Vec
+        .vec_l2sq(col("subvec"), col("centroid")) * lit(PqQuant) + lit(0.5))
+        .cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("code"),
+        col("d2q")))).as("tc"))
+      .select(col("vec_id").as("query_id"),
+        expr("transform(tc, p -> p.d2q)").as("tblq"))
+
+  /** ADC top-k search over an encoded corpus: the candidate scan reads
+    * CODES only (M ints/row — with ks=16, M·4 bits of entropy; ~1% of
+    * the embedding bytes), ranks by the integer ADC distance, and exact
+    * cosine rescores just the top [[RescoreBudget]] — the sketch-search
+    * shape with the byte footprint of the index divided by ~64. */
+  def pqSearch(codes: DataFrame, units: DataFrame, tables: DataFrame,
+      ks: Int = PqCodes): DataFrame = {
+    val byAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    val byCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val survivors = codes
+      .crossJoin(broadcast(tables))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", graft.functions.Vec
+        .pq_adc(col("codes"), col("tblq"), ks))
+      .withColumn("cand_rank", row_number().over(byAdc))
+      .filter(col("cand_rank") <= RescoreBudget)
+      .select(col("query_id"), col("vec_id"))
+    units.join(broadcast(survivors), "vec_id")
+      .join(broadcast(units
+        .filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("unit").as("q_unit"))),
+        "query_id")
+      .withColumn("cos", cosine)
+      .withColumn("rank", row_number().over(byCos))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), floor(col("cos") * 10000).cast("long").as("cos_bp"))
+  }
+
+  // ---- PQ oracle SQL (the IVF unroll pattern, per-subspace) ----
+
+  /** dsub as an inline scalar (the oracle cannot know dim statically —
+    * it derives it from the corpus exactly like the engine's init). */
+  private def pqDsubSql: String =
+    s"(SELECT CAST(max(len(unit)) / $PqSubs AS INTEGER) FROM u)"
+
+  /** DuckDB mirror of [[graft.functions.Vec.l2sq]] — same left-to-right
+    * fold, same (a-b)*(a-b) per element. */
+  private def l2sqSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, least(len($a), len($b))), " +
+      s"qj -> (($a)[qj] - ($b)[qj]) * (($a)[qj] - ($b)[qj]))), " +
+      "(qa, qb) -> qa + qb)"
+
+  /** CTE chain: subs (subvector explode) / pq0 (init codebook) / rounds
+    * (pasg{r}: argmin assignment, pcs{r}: quantized sums, pq{r}: mean
+    * update) / pasgF (final assignment) / pcodes / ptbl / padist. The
+    * ADC distance is a JOIN-aggregate of the same BIGINTs the engine
+    * looks up in its flattened table — integer sum, order-free, so the
+    * two formulations cannot drift. */
+  private def pqCtesSql(m: Int, ks: Int, iters: Int): String = {
+    val qLit = java.lang.Double.toString(PqQuant)
+    val subIdx = s"(SELECT unnest(generate_series(0, ${m - 1})) AS sub)"
+    val dposIdx =
+      s"(SELECT unnest(generate_series(1, $pqDsubSql)) AS dpos)"
+    val header =
+      s"""subs AS MATERIALIZED (
+         |  SELECT vec_id, s.sub,
+         |    list_slice(unit, s.sub * $pqDsubSql + 1,
+         |      (s.sub + 1) * $pqDsubSql) AS subvec
+         |  FROM u, $subIdx s),
+         |pq0 AS MATERIALIZED (
+         |  SELECT s.sub, i.code,
+         |    list_slice(i.unit, s.sub * $pqDsubSql + 1,
+         |      (s.sub + 1) * $pqDsubSql) AS centroid
+         |  FROM (
+         |    SELECT CAST(irn - 1 AS INTEGER) AS code, unit FROM (
+         |      SELECT unit, row_number() OVER (ORDER BY
+         |        ${DedupOps.pHashSql("('pq:' || CAST(vec_id AS VARCHAR))")},
+         |        vec_id) AS irn FROM u) z
+         |    WHERE irn <= $ks) i, $subIdx s)""".stripMargin
+    def asgSql(cb: String): String =
+      s"""SELECT vec_id, sub, code, d2, subvec FROM (
+         |    SELECT t.vec_id, t.sub, c.code,
+         |      ${l2sqSql("t.subvec", "c.centroid")} AS d2, t.subvec,
+         |      row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+         |        ${l2sqSql("t.subvec", "c.centroid")} ASC, c.code ASC)
+         |        AS ark
+         |    FROM subs t JOIN $cb c ON c.sub = t.sub) z
+         |  WHERE ark = 1""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""pasg$r AS MATERIALIZED (
+         |  ${asgSql(s"pq${r - 1}")}),
+         |pcs$r AS MATERIALIZED (
+         |  SELECT sub, code, dpos,
+         |    sum(CAST(floor(subvec[dpos] * $qLit + 0.5) AS BIGINT)) AS s,
+         |    count(*) AS c
+         |  FROM pasg$r, $dposIdx d
+         |  GROUP BY 1, 2, 3),
+         |pq$r AS MATERIALIZED (
+         |  SELECT p.sub, p.code,
+         |    CASE WHEN n.cd IS NULL THEN p.centroid
+         |         ELSE list_transform(n.sv, sx -> sx / (n.cd * $qLit))
+         |    END AS centroid
+         |  FROM pq${r - 1} p LEFT JOIN (
+         |    SELECT sub, code,
+         |      list(CAST(s AS DOUBLE) ORDER BY dpos) AS sv,
+         |      CAST(max(c) AS DOUBLE) AS cd
+         |    FROM pcs$r GROUP BY 1, 2) n
+         |  ON n.sub = p.sub AND n.code = p.code)""".stripMargin
+    }
+    val tail =
+      s"""pasgF AS MATERIALIZED (
+         |  ${asgSql(s"pq$iters")}),
+         |ptbl AS MATERIALIZED (
+         |  SELECT q.vec_id AS query_id, c.sub, c.code,
+         |    CAST(floor(${l2sqSql("q.subvec", "c.centroid")} * $qLit + 0.5)
+         |      AS BIGINT) AS d2q
+         |  FROM subs q JOIN pq$iters c ON c.sub = q.sub
+         |  WHERE q.vec_id < $NumQueries),
+         |padist AS MATERIALIZED (
+         |  SELECT t.query_id, a.vec_id, sum(t.d2q) AS adist
+         |  FROM pasgF a JOIN ptbl t
+         |    ON t.sub = a.sub AND t.code = a.code
+         |    AND a.vec_id <> t.query_id
+         |  GROUP BY 1, 2)""".stripMargin
+    (header +: rounds :+ tail).mkString(",\n")
+  }
+
+  private def pqOracleSql: String =
+    s"""WITH $unitCteSql,
+       |${pqCtesSql(PqSubs, PqCodes, PqIters)},
+       |surv AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adist ASC, vec_id) AS crk
+       |    FROM padist) z
+       |  WHERE crk <= $RescoreBudget)
+       |SELECT query_id, neighbor_id, rank, cos_bp FROM (
+       |  SELECT s.query_id, s.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY s.cos DESC, s.vec_id) AS rank,
+       |    CAST(floor(s.cos * 10000) AS BIGINT) AS cos_bp
+       |  FROM (
+       |    SELECT v.query_id, v.vec_id,
+       |      ${dotSql("uq.unit", "un.unit")} AS cos
+       |    FROM surv v
+       |    JOIN u uq ON uq.vec_id = v.query_id
+       |    JOIN u un ON un.vec_id = v.vec_id) s) r
+       |WHERE rank <= $K""".stripMargin
+
+  /** PQ-ADC approximate top-k over the driver corpus, hash-oracled end
+    * to end: codebook training (integer-quantized Lloyd means), corpus
+    * encoding, quantized distance tables, integer ADC candidate
+    * ranking, exact-cosine rescore. On this isotropic corpus the PQ
+    * candidate ranking behaves like any coarse metric approximation
+    * (the rescore recovers exact-rank output); the recall/compression
+    * CONTRACT is spec-gated on a clustered corpus in TrainingOpsSpec,
+    * where quantization cells align with real structure. */
+  val pqTopK: GraftQuery = GraftQuery(
+    "ann_topk_pq",
+    (s, dir) => {
+      val units = unit(emb(s, dir))
+        .select(col("vec_id"), col("unit")).localCheckpoint()
+      val (subs, codebook) = buildPqCodebooks(units)
+      pqSearch(pqEncode(subs, codebook), units,
+        pqDistanceTables(subs.filter(col("vec_id") < NumQueries), codebook))
+    },
+    Some(pqOracleSql))
+
+  /** Per-subspace quantization telemetry: rows quantized and total
+    * quantized distortion Σ floor(Q·d2+½) under the FINAL codebook —
+    * the number a deployment watches to size M/ks (distortion up ⇒
+    * codes too coarse for the corpus), plus an 'all' total row. Pure
+    * integer output, so the oracle recomputes it exactly from the same
+    * CTE chain. */
+  val pqDistortion: GraftQuery = GraftQuery(
+    "ann_pq_distortion",
+    (s, dir) => {
+      val units = unit(emb(s, dir))
+        .select(col("vec_id"), col("unit")).localCheckpoint()
+      val (subs, codebook) = buildPqCodebooks(units)
+      val perSub = pqAssign(subs, codebook)
+        .withColumn("d2q",
+          floor(col("d2") * lit(PqQuant) + lit(0.5)).cast("long"))
+        .groupBy(col("sub"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("d2q")).as("distortion_q"))
+        .localCheckpoint()
+      perSub
+        .select(col("sub").cast("string").as("scope"), col("n_vecs"),
+          col("distortion_q"))
+        .unionAll(perSub
+          .agg(sum(col("n_vecs")).as("n_vecs"),
+            sum(col("distortion_q")).as("distortion_q"))
+          .select(lit("all").as("scope"), col("n_vecs"),
+            col("distortion_q")))
+    },
+    Some(
+      s"""WITH $unitCteSql,
+         |${pqCtesSql(PqSubs, PqCodes, PqIters)},
+         |persub AS (
+         |  SELECT sub, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    sum(CAST(floor(d2 * ${java.lang.Double.toString(PqQuant)}
+         |      + 0.5) AS BIGINT)) AS distortion_q
+         |  FROM pasgF GROUP BY 1)
+         |SELECT CAST(sub AS VARCHAR) AS scope, n_vecs, distortion_q
+         |FROM persub
+         |UNION ALL
+         |SELECT 'all', CAST(sum(n_vecs) AS BIGINT),
+         |  CAST(sum(distortion_q) AS BIGINT) FROM persub""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(bruteForce, lshTopK, ivfTopK, recallReport, diverse)
+    Seq(bruteForce, lshTopK, ivfTopK, recallReport, diverse, pqTopK,
+      pqDistortion)
 }

@@ -553,4 +553,171 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll
     }
     assert(e.getMessage.contains("share one dimension"))
   }
+
+  test("distributed PQ trainer equals a sequential re-derivation on " +
+      "random corpora (portable arithmetic is partitioning-proof)") {
+    import spark.implicits._
+    // The PQ analogue of the IVF sweep: per-subspace Lloyd with
+    // integer-quantized MEAN updates (S/(c·Q), all three exact) must be
+    // bit-identical to a single-threaded reference at any partitioning.
+    // Random trials exercise assignment ties (duplicate vectors), empty
+    // codes (ks near n), and non-trivial subspace splits.
+    val rnd = new scala.util.Random(314159)
+    var emptyCodeSeen = false
+    for (trial <- 1 to 8) {
+      val m = 2 + rnd.nextInt(3) // subspaces
+      val dsub = 1 + rnd.nextInt(3)
+      val dim = m * dsub
+      val n = if (trial > 5) 5 + rnd.nextInt(6) else 20 + rnd.nextInt(60)
+      val ks = if (trial > 5) math.max(2, n - rnd.nextInt(3))
+               else 2 + rnd.nextInt(6)
+      val units = (0 until n).map { i =>
+        val v =
+          if (i > 0 && rnd.nextInt(10) == 0) null
+          else Array.fill(dim)(rnd.nextGaussian())
+        (i.toLong, v)
+      }.foldLeft(Vector.empty[(Long, Seq[Double])]) { case (acc, (id, v)) =>
+        val raw = if (v == null) acc.last._2 else {
+          val nn = math.sqrt(v.map(x => x * x).sum)
+          v.map(_ / nn).toSeq
+        }
+        acc :+ (id -> raw)
+      }
+      val df = units.toDF("vec_id", "unit").repartition(1 + rnd.nextInt(7))
+      val (_, cbDf) = SimilarityOps.buildPqCodebooks(df, m = m, ks = ks)
+      val got = cbDf.collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+
+      // sequential reference — same init, same quantized sums, BigInt
+      // accumulation, same (d2, code) tie-break; no Spark involved
+      def pHash(id: Long): Long = graft.functions.Vec.portableHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"pq:$id"))
+      val initIds = units.sortBy { case (id, _) => (pHash(id), id) }.take(ks)
+      var cents: Map[(Int, Int), Seq[Double]] = (for {
+        ((_, u), code) <- initIds.zipWithIndex
+        sub <- 0 until m
+      } yield (sub, code) -> u.slice(sub * dsub, (sub + 1) * dsub)).toMap
+      def l2sq(a: Seq[Double], b: Seq[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+      def assignAll(cs: Map[(Int, Int), Seq[Double]])
+          : Map[(Long, Int), Int] =
+        (for ((id, u) <- units; sub <- 0 until m) yield {
+          val sv = u.slice(sub * dsub, (sub + 1) * dsub)
+          (id, sub) -> (0 until ks).map(c => (l2sq(sv, cs((sub, c))), c))
+            .min._2 // (d2, code) min = struct-min tie-break
+        }).toMap
+      for (_ <- 1 to SimilarityOps.PqIters) {
+        val asg = assignAll(cents)
+        cents = cents.map { case (key @ (sub, code), old) =>
+          val members = units.filter(p => asg((p._1, sub)) == code)
+          if (members.isEmpty) { emptyCodeSeen = true; key -> old }
+          else {
+            val sums = Array.fill(dsub)(BigInt(0))
+            members.foreach { case (_, u) =>
+              val sv = u.slice(sub * dsub, (sub + 1) * dsub)
+              var j = 0
+              while (j < dsub) {
+                sums(j) += BigInt(math.floor(
+                  sv(j) * SimilarityOps.PqQuant + 0.5).toLong)
+                j += 1
+              }
+            }
+            key -> sums.map(_.doubleValue /
+              (members.size.toDouble * SimilarityOps.PqQuant)).toSeq
+          }
+        }
+      }
+      assert(cents == got,
+        s"trial $trial codebooks diverged (n=$n m=$m ks=$ks dsub=$dsub)")
+    }
+    assert(emptyCodeSeen, "sweep never exercised the empty-code branch")
+  }
+
+  test("PQ-ADC recall >= 0.9 on a clustered corpus, codes well-formed") {
+    // Same clustered construction as the IVF gate: PQ's contract is
+    // that the 64x-compressed code scan plus exact rescore recovers the
+    // true neighbors when the corpus has structure. dim=16 with M=8
+    // gives 2-dim subspaces — the harshest split.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val points = (0 until 400).map { i =>
+      val c = centers(i % 10)
+      val v = c.map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+      (i.toLong, v.toSeq)
+    }
+    import spark.implicits._
+    val units = points.toDF("vec_id", "embedding")
+      .withColumn("unit", graft.functions.Vec.vec_unit(col("embedding")))
+      .select(col("vec_id"), col("unit")).localCheckpoint()
+    val vecs = points.map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      id -> v.map(_ / n).toArray
+    }.toMap
+    val brute = (0L until 10L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (-vecs(q).zip(vecs(n)).map { case (a, b) => a * b }.sum, n))
+        .take(SimilarityOps.K).map(q -> _)
+    }.toSet
+    val (subs, codebook) = SimilarityOps.buildPqCodebooks(units)
+    val codes = SimilarityOps.pqEncode(subs, codebook).localCheckpoint()
+    // codes are well-formed: M per vector, every value a valid code id
+    val shapes = codes.select(
+      size(col("codes")).as("m"),
+      array_min(col("codes")).as("lo"), array_max(col("codes")).as("hi"))
+      .agg(min("m"), max("m"), min("lo"), max("hi")).head()
+    assert(shapes.getInt(0) == SimilarityOps.PqSubs &&
+      shapes.getInt(1) == SimilarityOps.PqSubs)
+    assert(shapes.getInt(2) >= 0 && shapes.getInt(3) < SimilarityOps.PqCodes)
+    val tables = SimilarityOps.pqDistanceTables(
+      subs.filter(col("vec_id") < 10), codebook)
+    val approx = SimilarityOps.pqSearch(codes, units, tables).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val recall = (approx & brute).size.toDouble / brute.size
+    info(f"PQ-ADC recall (m=8, ks=16, rescore=150/400): $recall%.2f")
+    assert(recall >= 0.9, f"recall $recall%.2f below 0.9")
+  }
+
+  test("PQ training strictly reduces quantized distortion on structure") {
+    // Lloyd is non-increasing in exact arithmetic; the integer-quantized
+    // update preserves that at corpus scale. Gate: total distortion
+    // under the trained codebook is at most the init codebook's.
+    val d001 = "/root/testdata/sf0.001"
+    val units = SimilarityOps.unitVectors(
+      Tables.t(spark, d001, "embeddings")).localCheckpoint()
+    def distortion(iters: Int): Long = {
+      val (subs, cb) = SimilarityOps.buildPqCodebooks(units, iters = iters)
+      SimilarityOps.pqAssign(subs, cb)
+        .agg(sum(floor(col("d2") * lit(SimilarityOps.PqQuant) + lit(0.5))
+          .cast("long"))).head().getLong(0)
+    }
+    val d1 = distortion(1)
+    val d3 = distortion(SimilarityOps.PqIters)
+    info(s"PQ distortion_q: iters=1 $d1 -> iters=3 $d3")
+    assert(d3 <= d1, s"distortion rose: $d1 -> $d3")
+  }
+
+  test("buildPqCodebooks rejects indivisible or ragged dimensions " +
+      "loudly") {
+    import spark.implicits._
+    val bad = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0))).toDF("vec_id", "unit")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.buildPqCodebooks(bad, m = 2)
+    }
+    assert(e.getMessage.contains("not divisible"))
+    val ragged = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("vec_id", "unit")
+    val e2 = intercept[IllegalArgumentException] {
+      SimilarityOps.buildPqCodebooks(ragged, m = 2)
+    }
+    assert(e2.getMessage.contains("share dimension"))
+  }
 }
