@@ -834,6 +834,20 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"),
         expr("transform(tc, p -> p.d2q)").as("tblq"))
 
+  /** Distance tables for EXTERNAL query units against an at-rest
+    * codebook (the [[pqDistanceTables]] entry point when the queries
+    * did not come from the trainer's subvector explode): slices the
+    * query vectors with the codebook's own subspace geometry —
+    * O(queries) work, no corpus access. */
+  def pqQueryTables(queryUnits: DataFrame, codebook: DataFrame,
+      m: Int = PqSubs, ks: Int = PqCodes): DataFrame = {
+    val dsub = codebook.select(size(col("centroid"))).head().getInt(0)
+    pqDistanceTables(queryUnits
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(unit, s*$dsub+1, $dsub))"))
+        .as(Seq("sub", "subvec"))), codebook, ks)
+  }
+
   /** ADC top-k search over an encoded corpus: the candidate scan reads
     * CODES only (M ints/row — with ks=16, M·4 bits of entropy; ~1% of
     * the embedding bytes), ranks by the integer ADC distance, and exact
