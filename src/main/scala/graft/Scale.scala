@@ -254,6 +254,17 @@ object Scale {
       }
       if (want("ivf_search")) phase("ivf_search", k, 2)(
         graft.store.IndexStore.search(store, spark, "ivf", queryBatch))
+      // PQ lifecycle: build trains codebooks + encodes at k× (linear
+      // claim); search probes a FIXED query batch — the code scan is
+      // O(corpus) by design (like sketch) but reads only the codes
+      // COLUMN, so the claim is linear bytes at ~1/60 the sketch
+      // index's per-row footprint (watch shuffle/scan bytes, not wall)
+      if (want("pq_build")) phase("pq_build", k, 1) {
+        graft.store.IndexStore.build(store, "pq", embK)
+        graft.store.IndexStore.read(store, spark, "pq-codebook").limit(0)
+      }
+      if (want("pq_search")) phase("pq_search", k, 2)(
+        graft.store.IndexStore.search(store, spark, "pq", queryBatch))
     }
 
     // a phase/point-filtered rerun writes a scratch file — it must never

@@ -758,11 +758,7 @@ object SimilarityOps {
     require(dims.getInt(0) == dim && dims.getInt(1) == dim,
       s"buildPqCodebooks: embeddings must share dimension " +
         s"(saw ${dims.getInt(0)}..${dims.getInt(1)}, init expects $dim)")
-    val subs = units
-      .select(col("vec_id"), posexplode(expr(
-        s"transform(sequence(0, ${m - 1}), s -> slice(unit, s*$dsub+1, $dsub))"))
-        .as(Seq("sub", "subvec")))
-      .localCheckpoint()
+    val subs = pqSubvectors(units, dsub, m).localCheckpoint()
 
     def assign(c: DataFrame): DataFrame = pqAssign(subs, c)
 
@@ -834,19 +830,28 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"),
         expr("transform(tc, p -> p.d2q)").as("tblq"))
 
+  /** The one-scan subvector explode: (vec_id, unit) → (vec_id, sub,
+    * subvec) under the M×dsub subspace geometry. */
+  def pqSubvectors(units: DataFrame, dsub: Int,
+      m: Int = PqSubs): DataFrame =
+    units.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> slice(unit, s*$dsub+1, $dsub))"))
+      .as(Seq("sub", "subvec")))
+
   /** Distance tables for EXTERNAL query units against an at-rest
     * codebook (the [[pqDistanceTables]] entry point when the queries
     * did not come from the trainer's subvector explode): slices the
     * query vectors with the codebook's own subspace geometry —
     * O(queries) work, no corpus access. */
   def pqQueryTables(queryUnits: DataFrame, codebook: DataFrame,
-      m: Int = PqSubs, ks: Int = PqCodes): DataFrame = {
-    val dsub = codebook.select(size(col("centroid"))).head().getInt(0)
-    pqDistanceTables(queryUnits
-      .select(col("vec_id"), posexplode(expr(
-        s"transform(sequence(0, ${m - 1}), s -> slice(unit, s*$dsub+1, $dsub))"))
-        .as(Seq("sub", "subvec"))), codebook, ks)
-  }
+      m: Int = PqSubs, ks: Int = PqCodes): DataFrame =
+    pqDistanceTables(
+      pqSubvectors(queryUnits, pqDsubOf(codebook), m), codebook, ks)
+
+  /** Subspace width recorded in an at-rest codebook (every centroid has
+    * it — one row read). */
+  def pqDsubOf(codebook: DataFrame): Int =
+    codebook.select(size(col("centroid"))).head().getInt(0)
 
   /** ADC top-k search over an encoded corpus: the candidate scan reads
     * CODES only (M ints/row — with ks=16, M·4 bits of entropy; ~1% of
@@ -854,7 +859,13 @@ object SimilarityOps {
     * cosine rescores just the top [[RescoreBudget]] — the sketch-search
     * shape with the byte footprint of the index divided by ~64. */
   def pqSearch(codes: DataFrame, units: DataFrame, tables: DataFrame,
-      ks: Int = PqCodes): DataFrame = {
+      ks: Int = PqCodes): DataFrame =
+    pqSearchWith(codes, units, tables,
+      units.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("unit").as("q_unit")), ks)
+
+  private def pqSearchWith(codes: DataFrame, units: DataFrame,
+      tables: DataFrame, queries: DataFrame, ks: Int): DataFrame = {
     val byAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("vec_id"))
     val byCos = Window.partitionBy(col("query_id"))
@@ -867,16 +878,42 @@ object SimilarityOps {
       .withColumn("cand_rank", row_number().over(byAdc))
       .filter(col("cand_rank") <= RescoreBudget)
       .select(col("query_id"), col("vec_id"))
-    units.join(broadcast(survivors), "vec_id")
-      .join(broadcast(units
-        .filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("unit").as("q_unit"))),
-        "query_id")
+    units.select(col("vec_id"), col("unit"))
+      .join(broadcast(survivors), "vec_id")
+      .join(broadcast(queries), "query_id")
       .withColumn("cos", cosine)
       .withColumn("rank", row_number().over(byCos))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank"), floor(col("cos") * 10000).cast("long").as("cos_bp"))
+  }
+
+  /** Encode a batch against an at-rest codebook (model fixed — the PQ
+    * ingest path for new vectors, [[graft.store.IndexStore]] append):
+    * (vec_id, codes, unit) rows, unit kept alongside so the columnar
+    * index leaf serves both the code scan (codes column only — ~1% of
+    * the bytes) and the deferred rescore fetch (unit column, survivors
+    * only). */
+  def pqEncodeWith(unitsDf: DataFrame, codebook: DataFrame): DataFrame =
+    pqEncode(pqSubvectors(unitsDf, pqDsubOf(codebook)), codebook)
+      .join(unitsDf, "vec_id")
+
+  /** Search an at-rest PQ index (`vec_id`, `codes`, `unit` columns)
+    * with EXTERNAL query embeddings (`vec_id`, `embedding`): queries
+    * are sliced/tabled against the codebook on the fly — O(queries)
+    * work — while the candidate scan reads only the index's codes
+    * column and the rescore fetches only survivor units (column
+    * pruning does both under one relation). A query whose vec_id
+    * collides with an index id is excluded from its own neighbors,
+    * like the sketch/ivf probes. */
+  def pqProbe(index: DataFrame, codebook: DataFrame,
+      queryEmb: DataFrame): DataFrame = {
+    val qUnits = unit(queryEmb).select(col("vec_id"), col("unit"))
+    pqSearchWith(index.select(col("vec_id"), col("codes")),
+      index.select(col("vec_id"), col("unit")),
+      pqQueryTables(qUnits, codebook),
+      qUnits.select(col("vec_id").as("query_id"),
+        col("unit").as("q_unit")), PqCodes)
   }
 
   // ---- PQ oracle SQL (the IVF unroll pattern, per-subspace) ----

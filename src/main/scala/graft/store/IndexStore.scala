@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
   *  - `ivf`    — ANN inverted-file index
   *    ([[SimilarityOps.buildIvfIndex]]; cells + a centroid model table
   *    committed in one snapshot), probed by
-  *    [[SimilarityOps.ivfSearchWithProbes]] over manifest-pruned cells.
+  *    [[SimilarityOps.ivfSearchWithProbes]] over manifest-pruned cells;
+  *  - `pq`     — ANN product-quantization index
+  *    ([[SimilarityOps.buildPqCodebooks]]; (vec_id, codes, unit) rows +
+  *    the M×ks codebook model table in one snapshot), probed by
+  *    [[SimilarityOps.pqProbe]] — the code scan reads only the codes
+  *    COLUMN of the leaves, the rescore only survivor units.
   *
   * Index rows are plain parquet leaves committed through the SAME
   * manifest swap as everything else in the store: a probe always sees a
@@ -50,7 +55,7 @@ object IndexStore {
     * most leaves; size it ~sqrt(index rows / target leaf rows) at scale. */
   val Buckets = 64
 
-  val Kinds = Seq("band", "span", "sketch", "ivf")
+  val Kinds = Seq("band", "span", "sketch", "ivf", "pq")
 
   /** Hash/projection family version stamped into the store manifest by
     * every index commit. The round-9 migration changed the signature
@@ -100,11 +105,17 @@ object IndexStore {
     * partitioned can never drift apart. */
   val IvfCentroidsTable = "ivf_centroids"
 
+  /** Companion model table for the `pq` kind: the M×ks subspace
+    * codebook — same one-snapshot contract as the ivf centroids (codes
+    * are meaningless under any other codebook). */
+  val PqCodebookTable = "pq_codebook"
+
   def tableOf(kind: String): String = kind match {
     case "band" => "band_index"
     case "span" => "span_index"
     case "sketch" => "sketch_index"
     case "ivf" => "ivf_cells"
+    case "pq" => "pq_codes"
     case other => sys.error(s"unknown index kind '$other' " +
       s"(expected one of ${Kinds.mkString("|")})")
   }
@@ -159,12 +170,21 @@ object IndexStore {
         store.stageKeyed(tableOf(kind), cells, bucketOf(kind),
           sortOf(kind)) ++
           store.stageKeyed(IvfCentroidsTable, cents, lit(0L), Seq(col("cell")))
+      } else if (kind == "pq") {
+        val units = SimilarityOps.unitVectors(input).localCheckpoint()
+        val (subs, cb) = SimilarityOps.buildPqCodebooks(units)
+        store.stageKeyed(tableOf(kind),
+          SimilarityOps.pqEncode(subs, cb).join(units, "vec_id"),
+          bucketOf(kind), sortOf(kind)) ++
+          store.stageKeyed(PqCodebookTable, cb, lit(0L),
+            Seq(col("sub"), col("code")))
       } else
         store.stageKeyed(tableOf(kind), rowsFor(kind, input), bucketOf(kind),
           sortOf(kind))
     store.commit(adds, drops =
-      store.leavesOf(tableOf(kind)) ++ store.leavesOf(IvfCentroidsTable)
-        .filter(_ => kind == "ivf"),
+      store.leavesOf(tableOf(kind)) ++
+        store.leavesOf(IvfCentroidsTable).filter(_ => kind == "ivf") ++
+        store.leavesOf(PqCodebookTable).filter(_ => kind == "pq"),
       meta = formatMeta(kind))
     adds.size.toLong
   }
@@ -183,10 +203,10 @@ object IndexStore {
     *    boilerplate policy, now global);
     *  - `span`: duplicate (doc_id, fp) postings collapse, then
     *    fingerprints whose union df exceeds [[DedupOps.MaxSpanDf]] drop;
-    *  - `sketch`/`ivf`: no cap policy — compact collapses re-delivered
-    *    vec_ids and, like the keyed kinds, merges the N-appends × 64
-    *    leaf dirs back to one leaf set per bucket (the ivf MODEL stays
-    *    fixed; re-[[build]] to re-train).
+    *  - `sketch`/`ivf`/`pq`: no cap policy — compact collapses
+    *    re-delivered vec_ids and, like the keyed kinds, merges the
+    *    N-appends × 64 leaf dirs back to one leaf set per bucket (the
+    *    ivf/pq MODEL stays fixed; re-[[build]] to re-train).
     *
     * One scan of the index, narrow keyed exchanges only, and the swap is
     * a single atomic commit: a concurrent probe sees the old index or
@@ -246,6 +266,9 @@ object IndexStore {
         SimilarityOps.ivfAssign(SimilarityOps.unitVectors(input),
           read(store, input.sparkSession, "ivf-centroids"))
           .select(col("vec_id"), col("unit"), col("cell"))
+      else if (kind == "pq")
+        SimilarityOps.pqEncodeWith(SimilarityOps.unitVectors(input),
+          read(store, input.sparkSession, "pq-codebook"))
       else rowsFor(kind, input)
     val adds = store.stageKeyed(tableOf(kind), rows, bucketOf(kind),
       sortOf(kind))
@@ -259,6 +282,8 @@ object IndexStore {
     if (kind == "ivf-centroids")
       // the model rides the `ivf` kind's stamp (committed together)
       readTable(store, spark, "ivf", IvfCentroidsTable, bucketPred)
+    else if (kind == "pq-codebook")
+      readTable(store, spark, "pq", PqCodebookTable, bucketPred)
     else readTable(store, spark, kind, tableOf(kind), bucketPred)
 
   private def readTable(store: GraftStore, spark: SparkSession,
@@ -320,6 +345,12 @@ object IndexStore {
         .collect().map(_.getInt(0).toLong).toSet
       SimilarityOps.ivfSearchWithProbes(
         read(store, spark, "ivf", cellSet.contains), probes)
+    case "pq" =>
+      // candidate scan reads the codes COLUMN of the at-rest leaves
+      // (columnar pruning — ~1% of the index bytes); only survivor
+      // units are fetched for the rescore
+      SimilarityOps.pqProbe(read(store, spark, "pq"),
+        read(store, spark, "pq-codebook"), probe)
     case _ =>
       SimilarityOps.sketchProbe(read(store, spark, "sketch"), probe)
   }

@@ -263,6 +263,69 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(top.head.getAs[Long]("neighbor_id") == 5000L)
   }
 
+  test("pq index: at-rest probe finds the neighbor; append encodes new " +
+      "vectors under the FIXED committed codebook") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(3)
+    val centers = (0 until 8).map(_ =>
+      Array.fill(dim)(rnd.nextGaussian()))
+    def point(c: Int): Seq[Float] =
+      centers(c).map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq
+    val base = (0L until 400L).map(i => (i, point((i % 8).toInt)))
+    val root = tempDir("graft-idx-pq")
+    IndexStore.build(new GraftStore(root), "pq",
+      base.toDF("vec_id", "embedding"))
+    // codes + codebook committed in ONE snapshot; the codebook is the
+    // model table (M*ks rows, one leaf)
+    val s = new GraftStore(root)
+    assert(s.leavesOf("pq_codes").nonEmpty)
+    assert(s.leavesOf("pq_codebook").size == 1)
+    val cbBefore = IndexStore.read(s, spark, "pq-codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    assert(cbBefore.size ==
+      graft.operators.SimilarityOps.PqSubs *
+        graft.operators.SimilarityOps.PqCodes)
+    // append: the codebook must NOT move (codes are meaningless under a
+    // retrained model); new vectors are encoded under the existing one
+    val extra = (5000L until 5040L).map(i => (i, point((i % 8).toInt)))
+    IndexStore.append(new GraftStore(root), "pq",
+      extra.toDF("vec_id", "embedding"))
+    val s2 = new GraftStore(root)
+    val cbAfter = IndexStore.read(s2, spark, "pq-codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    assert(cbAfter == cbBefore, "append retrained the codebook")
+    // probe a nudged copy of an APPENDED vector — rank-1 neighbor
+    val q = Seq((9000L, extra.head._2.map(_ * 1.001f)))
+    val top = IndexStore.search(new GraftStore(root), spark, "pq",
+      q.toDF("vec_id", "embedding"))
+      .filter(col("rank") === 1).collect()
+    assert(top.length == 1)
+    assert(top.head.getAs[Long]("neighbor_id") == 5000L)
+    // at-rest probe over base-corpus queries equals the inline pipeline
+    // (index rows at rest, queries sliced/tabled against the at-rest
+    // codebook)
+    val baseDf = base.toDF("vec_id", "embedding")
+    val units = graft.operators.SimilarityOps.unitVectors(baseDf)
+      .localCheckpoint()
+    val (subs, cb) = graft.operators.SimilarityOps.buildPqCodebooks(units)
+    val inline = graft.operators.SimilarityOps.pqSearch(
+      graft.operators.SimilarityOps.pqEncode(subs, cb), units,
+      graft.operators.SimilarityOps.pqDistanceTables(
+        subs.filter(col("vec_id") <
+          graft.operators.SimilarityOps.NumQueries), cb))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // rebuild from base only so the at-rest index matches the inline
+    // corpus exactly
+    IndexStore.build(new GraftStore(root), "pq", baseDf)
+    val atRest = IndexStore.search(new GraftStore(root), spark, "pq",
+      baseDf.filter(col("vec_id") <
+        graft.operators.SimilarityOps.NumQueries))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(atRest == inline)
+    assert(atRest.nonEmpty)
+  }
+
   test("bucket predicates prune index reads to fewer files; an " +
       "all-miss probe keeps the schema") {
     import spark.implicits._
