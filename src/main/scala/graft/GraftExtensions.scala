@@ -72,6 +72,10 @@ object GraftExtensions {
       intLit("graft_sign_sketch", "seed")(a(1)).toLong,
       intLit("graft_sign_sketch", "bits")(a(2)))),
     fn("graft_hamming64", 2)(a => Hamming64(a(0), a(1))),
+    fn("graft_vec_l2sq", 2)(a =>
+      VecL2Sq(asDoubles(a(0)), asDoubles(a(1)))),
+    fn("graft_pq_adc", 3)(a => PqAdc(a(0), a(1),
+      intLit("graft_pq_adc", "ks")(a(2)))),
     // text/dedup kernels
     fn("graft_minhash_sig", 2)(a =>
       MinHashSig(a(0), intLit("graft_minhash_sig", "k")(a(1)))),

@@ -24,7 +24,9 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |    AS u_add,
         |  graft_u256_cmp('10', '9') AS u_cmp,
         |  graft_hamming64(array(0L), array(7L)) AS ham,
-        |  graft_zvalue(3L, 5L) AS z
+        |  graft_zvalue(3L, 5L) AS z,
+        |  graft_vec_l2sq(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS l2,
+        |  graft_pq_adc(array(1, 0), array(10L, 20L, 30L, 40L), 2) AS adc
         |""".stripMargin).head()
     assert(row.getAs[Double]("dot") == 11.0)
     assert(math.abs(row.getAs[Double]("ux") - 0.6) < 1e-12)
@@ -34,6 +36,9 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Int]("ham") == 3)
     // interleave(a=11b, b=101b) = b1 a1 b0 a0 ... = 100111b = 39
     assert(row.getAs[Long]("z") == 39L)
+    assert(row.getAs[Double]("l2") == 8.0) // (1-3)^2 + (2-4)^2
+    // codes [1,0] over a 2x2 table: tbl[0*2+1] + tbl[1*2+0] = 20 + 30
+    assert(row.getAs[Long]("adc") == 50L)
   }
 
   test("SQL kernels agree with the Column API on real text") {
