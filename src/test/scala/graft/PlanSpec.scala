@@ -140,6 +140,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(specs.nonEmpty && specs.forall(_.contains("query_id")), p)
   }
 
+  test("PQ at-rest probe: the candidate scan reads codes WITHOUT the " +
+      "unit column (the 50x-bytes claim is a plan property)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-plan-pq").toString
+    val rnd = new scala.util.Random(5)
+    val base = (0L until 200L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    graft.store.IndexStore.build(new graft.store.GraftStore(root), "pq",
+      base.toDF("vec_id", "embedding"))
+    val df = graft.store.IndexStore.search(new graft.store.GraftStore(root),
+      spark, "pq", Seq((9000L, base(7)._2.map(_ * 1.001f)))
+        .toDF("vec_id", "embedding"))
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema"))
+      .filter(_.contains("codes")).toSeq
+    // the candidate-stage scan projects (vec_id, codes) only — unit
+    // bytes stay on disk until the survivor fetch (its own scan)
+    assert(schemas.nonEmpty, s"no codes scan in:\n$p")
+    assert(schemas.exists(!_.contains("unit")),
+      s"every codes scan also reads unit:\n${schemas.mkString("\n")}")
+    graft.store.GraftStore.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("ngram verify stage is bounded by candidates (semi-join prune)") {
     val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
     df.collect()
