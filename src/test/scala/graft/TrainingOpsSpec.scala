@@ -697,6 +697,49 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll
     report.values.foreach(bp => assert(bp >= 0L && bp <= 10000L))
   }
 
+  test("PQ 100TB pattern: codebooks train on a hash-sample, the full " +
+      "corpus encodes under them — recall holds") {
+    // at scale the trainer must not make 3 full-corpus passes; the API
+    // composes sample-train with full-encode: buildPqCodebooks(sample)
+    // for the model, pqEncodeWith(full, cb) for the data. The sample is
+    // the deterministic portable-hash rank (any engine reproduces it).
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val points = (0 until 400).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => x + 0.15f * rnd.nextGaussian().toFloat).toSeq)
+    }
+    import spark.implicits._
+    val units = points.toDF("vec_id", "embedding")
+      .withColumn("unit", graft.functions.Vec.vec_unit(col("embedding")))
+      .select(col("vec_id"), col("unit")).localCheckpoint()
+    // 25% deterministic sample by portable hash of the id
+    val sample = units.filter(
+      pmod(graft.functions.Vec.portable_hash64(
+        concat(lit("pqsample:"), col("vec_id").cast("string"))), lit(4)) === 0)
+    info(s"training on ${sample.count()} of ${units.count()} vectors")
+    val (_, cb) = SimilarityOps.buildPqCodebooks(sample)
+    val codes = SimilarityOps.pqEncodeWith(units, cb)
+      .select(col("vec_id"), col("codes"), col("unit"))
+    val vecs = points.map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      id -> v.map(_ / n).toArray
+    }.toMap
+    val brute = (0L until 10L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (-vecs(q).zip(vecs(n)).map { case (a, b) => a * b }.sum, n))
+        .take(SimilarityOps.K).map(q -> _)
+    }.toSet
+    val approx = SimilarityOps.pqProbe(codes, cb,
+      points.filter(_._1 < 10L).toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val recall = (approx & brute).size.toDouble / brute.size
+    info(f"sample-trained PQ recall: $recall%.2f")
+    assert(recall >= 0.9, f"recall $recall%.2f below 0.9")
+  }
+
   test("PQ training strictly reduces quantized distortion on structure") {
     // Lloyd is non-increasing in exact arithmetic; the integer-quantized
     // update preserves that at corpus scale. Gate: total distortion
