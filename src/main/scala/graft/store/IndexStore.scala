@@ -24,7 +24,16 @@ import org.apache.spark.sql.functions._
   *    ([[SimilarityOps.buildPqCodebooks]]; (vec_id, codes, unit) rows +
   *    the M×ks codebook model table in one snapshot), probed by
   *    [[SimilarityOps.pqProbe]] — the code scan reads only the codes
-  *    COLUMN of the leaves, the rescore only survivor units.
+  *    COLUMN of the leaves, the rescore only survivor units;
+  *  - `vec`    — near-identical-vector dedup index: unit vectors leaf-
+  *    bucketed by their FIXED 16-bit sign bucket
+  *    ([[DedupOps.normalizedWithBucket]] — content-keyed, stable across
+  *    appends, unlike the batch operator's adaptive split), so a probe
+  *    batch manifest-prunes to its own buckets and pushes its distinct
+  *    bucket ids as a scan filter (the band-index two-level prune).
+  *    Same documented recall caveat as the batch operator: a true pair
+  *    split by a sign-boundary flip is missed; exact-direction dups
+  *    always share every sign bit.
   *
   * Index rows are plain parquet leaves committed through the SAME
   * manifest swap as everything else in the store: a probe always sees a
@@ -55,7 +64,7 @@ object IndexStore {
     * most leaves; size it ~sqrt(index rows / target leaf rows) at scale. */
   val Buckets = 64
 
-  val Kinds = Seq("band", "span", "sketch", "ivf", "pq")
+  val Kinds = Seq("band", "span", "sketch", "ivf", "pq", "vec")
 
   /** Hash/projection family version stamped into the store manifest by
     * every index commit. The round-9 migration changed the signature
@@ -116,6 +125,7 @@ object IndexStore {
     case "sketch" => "sketch_index"
     case "ivf" => "ivf_cells"
     case "pq" => "pq_codes"
+    case "vec" => "vec_index"
     case other => sys.error(s"unknown index kind '$other' " +
       s"(expected one of ${Kinds.mkString("|")})")
   }
@@ -128,6 +138,13 @@ object IndexStore {
     case "band" => pmod(xxhash64(col("band"), col("band_key")), lit(Buckets))
     case "span" => pmod(col("fp"), lit(Buckets))
     case "ivf" => col("cell")
+    // content-keyed: a probe computes its own sign buckets, so untouched
+    // leaves are never listed (band/span discipline for vectors). The
+    // bucket id is HASHED first: its low bits are the signs of the last
+    // tested dimensions, which are constant zero-padding whenever
+    // dim < 16 — a plain pmod would collapse every row into a handful
+    // of leaves there.
+    case "vec" => pmod(xxhash64(col("bucket")), lit(Buckets))
     // sketch search is a full hamming scan by design — spread evenly
     case _ => pmod(col("vec_id"), lit(Buckets))
   }
@@ -135,6 +152,8 @@ object IndexStore {
   private def sortOf(kind: String): Seq[Column] = kind match {
     case "band" => Seq(col("band"), col("band_key"))
     case "span" => Seq(col("fp"))
+    // sorted by the probe key so row-group stats prune the In() filter
+    case "vec" => Seq(col("bucket"), col("vec_id"))
     case _ => Seq(col("vec_id"))
   }
 
@@ -145,6 +164,8 @@ object IndexStore {
     kind match {
       case "band" => DedupOps.buildBandIndex(input)
       case "span" => DedupOps.buildSpanIndex(input)
+      case "vec" => DedupOps.normalizedWithBucket(input)
+        .select(col("vec_id"), col("unit"), col("bucket"))
       case _ => SimilarityOps.buildSketchIndex(input)
     }
 
@@ -351,6 +372,28 @@ object IndexStore {
       // units are fetched for the rescore
       SimilarityOps.pqProbe(read(store, spark, "pq"),
         read(store, spark, "pq-codebook"), probe)
+    case "vec" =>
+      // near-identical detection: in-bucket pairwise cosine >= threshold
+      // against ONLY the probe's own sign buckets (manifest prune + the
+      // distinct bucket ids as a pushed scan filter — the band prune
+      // levels, keyed on `bucket`)
+      val probeRows = DedupOps.normalizedWithBucket(probe)
+        .select(col("vec_id").as("new_id"), col("unit").as("u_new"),
+          col("bucket"))
+      val idx = prunedIndex(store, spark, "vec",
+        probeRows.select(col("bucket"), bucketOf("vec").as("b")), "bucket")
+      // NO equal-id exclusion, matching the band/span probes: a probe
+      // id that already exists in the index is a RE-DELIVERY, and the
+      // self-match (cosine 1) is what makes streaming replays
+      // exactly-once ([[graft.streaming.StreamingVectors]])
+      probeRows
+        .join(idx.select(col("vec_id").as("existing_id"),
+          col("unit").as("u_ex"), col("bucket")), Seq("bucket"))
+        .withColumn("cos", graft.functions.Vec
+          .vec_dot(col("u_new"), col("u_ex")))
+        .filter(col("cos") >= threshold)
+        .select(col("new_id"), col("existing_id"),
+          floor(col("cos") * 10000).cast("long").as("cos_bp"))
     case _ =>
       SimilarityOps.sketchProbe(read(store, spark, "sketch"), probe)
   }

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.operators.DedupOps
+import graft.store.{GraftStore, IndexStore}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming vector ingest with near-identical dedup — the
+  * [[StreamingCuration]] shape applied to embeddings: a readStream of
+  * (vec_id, embedding) rows passes per-micro-batch gates and the
+  * survivors land in the store atomically with their dedup-index rows.
+  *
+  * Gates per batch:
+  *  1. unit-normalize, drop zero-norm vectors (nothing to compare);
+  *  2. intra-batch dedup — in-sign-bucket pairwise cosine ≥ `threshold`
+  *     ([[DedupOps.normalizedWithBucket]]'s fixed 16-bit bucket, the
+  *     same key the at-rest index uses); every detected pair loses its
+  *     LARGER vec_id — the streaming-curation greedy drop: one pass, no
+  *     iterative closure in the hot path, conservative for dedup;
+  *  3. cross-batch dedup — probe the at-rest `vec` index
+  *     ([[IndexStore.search]]): the batch's sign buckets manifest-prune
+  *     untouched leaves and push the distinct bucket ids as a scan
+  *     filter, so history is never rescanned whole.
+  *
+  * Exactly-once under foreachBatch replay, by the same argument as
+  * streaming curate: survivors and their index rows commit in ONE
+  * snapshot swap, and a replayed batch self-matches its first run's
+  * index rows at cosine 1 (identical vectors), so the replay commits
+  * nothing.
+  *
+  * Scale shape per batch: one scan of the BATCH (unit + bucket), an
+  * in-bucket pair join bounded by the sphere-packing density the gate
+  * itself maintains (a direction region only accumulates index vectors
+  * that are pairwise BELOW the threshold — near-dups of them are
+  * dropped before they are ever indexed), and one commit. The recall
+  * caveat is the batch operator's own: a true pair split by a sign
+  * boundary is missed; exact-direction copies always share the bucket.
+  */
+object StreamingVectors {
+
+  /** Manifest table holding the accepted (vec_id, unit) vectors. */
+  val AcceptedTable = "accepted_vectors"
+
+  /** Near-identical threshold: cosine at or above this is a duplicate.
+    * 0.99 matches the batch `dedup_embedding_cosine` operator. */
+  val DupCos = 0.99
+
+  /** One micro-batch: gate, then commit survivors + their `vec` index
+    * rows in one atomic snapshot. */
+  def processBatch(
+      store: GraftStore,
+      batch: DataFrame,
+      threshold: Double = DupCos): Unit = {
+    val spark = batch.sparkSession
+    val rows = DedupOps.normalizedWithBucket(
+      batch.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("unit"), col("bucket"))
+      .localCheckpoint()
+    // intra-batch: larger id of any in-bucket pair at/above threshold
+    val a = rows.select(col("vec_id").as("id_a"), col("bucket"),
+      col("unit").as("u_a"))
+    val b = rows.select(col("vec_id").as("id_b"), col("bucket"),
+      col("unit").as("u_b"))
+    val intraLosers = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.Vec.vec_dot(col("u_a"), col("u_b"))
+        >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    val intra = rows.join(intraLosers, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    // cross-batch: any survivor with an at-rest neighbor at/above
+    // threshold drops (first batch of a fresh store has no index yet)
+    val crossLosers =
+      if (store.leavesOf(IndexStore.tableOf("vec")).isEmpty)
+        intra.select(col("vec_id")).limit(0)
+      else IndexStore.search(store, spark, "vec",
+        intra.select(col("vec_id"),
+          col("unit").as("embedding")), threshold)
+        .select(col("new_id").as("vec_id")).distinct()
+    val survivors = intra.join(crossLosers, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val adds = store.stageKeyed(AcceptedTable,
+      survivors.select(col("vec_id"), col("unit")),
+      pmod(xxhash64(col("vec_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("vec_id"))) ++
+      IndexStore.stageRows(store, "vec", survivors)
+    if (adds.nonEmpty)
+      store.commit(adds, meta = IndexStore.formatMeta("vec"))
+  }
+
+  /** The full pipeline: a streaming (vec_id, embedding) frame driven
+    * through [[processBatch]] per micro-batch. The `vec` index is the
+    * only dedup state, committed atomically with the vectors it
+    * indexes, so the pipeline resumes across restarts without
+    * rescanning history. */
+  def runToAccepted(
+      stream: DataFrame,
+      store: GraftStore,
+      checkpointDir: String,
+      threshold: Double = DupCos): StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(store, batch, threshold)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** The accepted set at rest. */
+  def accepted(spark: SparkSession, store: GraftStore): DataFrame =
+    store.read(spark, AcceptedTable)
+}

@@ -1,0 +1,115 @@
+package graft
+
+import graft.store.{GraftStore, IndexStore}
+import graft.streaming.StreamingVectors
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming vector ingest over the `vec` index: per-batch gates
+  * (intra-batch + cross-batch near-identical dedup), atomic
+  * vectors+index commits, exactly-once replay, restart resumption —
+  * the [[StreamingVectors]] analogue of StreamingCurationSpec. */
+class StreamingVectorsSpec extends AnyFunSuite with BeforeAndAfterAll
+    with TempDirCleanup {
+
+  lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
+
+  private val dim = 12
+  private val rnd = new scala.util.Random(17)
+
+  /** Distinct-direction vectors: pairwise cosine far below 0.99. */
+  private def fresh(id: Long): (Long, Seq[Float]) =
+    (id, Seq.fill(dim)(rnd.nextGaussian().toFloat))
+
+  private def scaled(v: Seq[Float], f: Float): Seq[Float] = v.map(_ * f)
+
+  private def acceptedIds(store: GraftStore): Set[Long] =
+    StreamingVectors.accepted(spark, store)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+  test("gates compose: intra-batch and cross-batch near-dups drop, " +
+      "accepted set and index stay in lockstep") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-svec"))
+    val base = (0L until 40L).map(fresh)
+    StreamingVectors.processBatch(store, base.toDF("vec_id", "embedding"))
+    assert(acceptedIds(store) == (0L until 40L).toSet)
+
+    // batch 2: two fresh, one intra-batch dup pair (200, 201 — the
+    // larger id loses), three cross-batch dups of already-accepted
+    // vectors
+    val shared = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    val batch2 = Seq(fresh(100L), fresh(101L),
+      (200L, shared), (201L, scaled(shared, 1.001f))) ++
+      Seq(5L, 6L, 7L).map(i => (1000L + i, scaled(base(i.toInt)._2, 1.002f)))
+    StreamingVectors.processBatch(store,
+      batch2.toDF("vec_id", "embedding"))
+    val after = acceptedIds(store)
+    assert(after == (0L until 40L).toSet ++ Set(100L, 101L, 200L),
+      s"got $after")
+    // index rows track the accepted set exactly
+    val idxIds = IndexStore.read(store, spark, "vec")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(idxIds == after)
+  }
+
+  test("a replayed micro-batch commits nothing (exactly-once)") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-svec-replay"))
+    val batch = (0L until 20L).map(fresh)
+    StreamingVectors.processBatch(store, batch.toDF("vec_id", "embedding"))
+    val snap1 = store.currentSnapshot()
+    assert(acceptedIds(store) == (0L until 20L).toSet)
+    // foreachBatch replay: identical batch, fresh store instance (the
+    // process-restart story) — every vector self-matches at cosine 1
+    StreamingVectors.processBatch(new GraftStore(store.root),
+      batch.toDF("vec_id", "embedding"))
+    val s2 = new GraftStore(store.root)
+    assert(acceptedIds(s2) == (0L until 20L).toSet)
+    assert(s2.currentSnapshot() == snap1, "replay committed a snapshot")
+  }
+
+  test("probe prunes: a one-vector batch against a grown index LISTS " +
+      "few leaves (content-keyed buckets)") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-svec-prune"))
+    val base = (0L until 300L).map(fresh)
+    StreamingVectors.processBatch(store, base.toDF("vec_id", "embedding"))
+    val all = store.leavesOf("vec_index").size
+    // the probe path: IndexStore.search reads through prunedIndex — a
+    // single-vector batch touches exactly its own sign bucket's leaf
+    val probe = Seq((9000L, scaled(base(3)._2, 1.001f)))
+      .toDF("vec_id", "embedding")
+    val hits = IndexStore.search(store, spark, "vec", probe,
+      StreamingVectors.DupCos).collect()
+    assert(hits.length == 1 && hits.head.getLong(1) == 3L)
+    assert(hits.head.getLong(2) >= 9900L) // cos_bp of a 1.001x copy
+    assert(all > 4, s"index too small to demonstrate pruning ($all leaves)")
+  }
+
+  test("end-to-end stream: accepted set equals the batch-dedup result") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = new GraftStore(tempDir("graft-svec-e2e"))
+    val a = (0L until 25L).map(fresh)
+    val b = (100L until 110L).map(fresh) ++
+      Seq(2L, 4L).map(i => (2000L + i, scaled(a(i.toInt)._2, 1.003f)))
+    val incoming = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingVectors.runToAccepted(
+      incoming.toDF().toDF("vec_id", "embedding"), store,
+      tempDir("graft-svec-ckpt"))
+    incoming.addData(a)
+    q.processAllAvailable()
+    incoming.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    assert(acceptedIds(store) ==
+      (0L until 25L).toSet ++ (100L until 110L).toSet)
+  }
+}
