@@ -265,6 +265,17 @@ object Scale {
       }
       if (want("pq_search")) phase("pq_search", k, 2)(
         graft.store.IndexStore.search(store, spark, "pq", queryBatch))
+      // vec (near-identical dedup) lifecycle: build at k× (linear),
+      // probe a FIXED batch (claim: FLAT — content-keyed sign buckets
+      // manifest-prune every leaf the probe's own buckets don't touch,
+      // the band-probe discipline for vectors)
+      if (want("vec_build")) phase("vec_build", k, 1) {
+        graft.store.IndexStore.build(store, "vec", embK)
+        graft.store.IndexStore.read(store, spark, "vec").limit(0)
+      }
+      if (want("vec_probe")) phase("vec_probe", k, 2)(
+        graft.store.IndexStore.search(store, spark, "vec", queryBatch,
+          graft.streaming.StreamingVectors.DupCos))
     }
 
     // a phase/point-filtered rerun writes a scratch file — it must never
