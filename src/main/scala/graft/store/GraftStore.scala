@@ -563,6 +563,16 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
         currentLeaves().map(_.dir) // belt-and-braces for odd pointers
       val cutoff = System.currentTimeMillis() - graceMs
       var deleted = 0L
+      // STAGING runs outside the commit lock (only the manifest swap
+      // takes it), so this walk races live writers for real: parquet's
+      // _temporary dirs appear and vanish under seg dirs mid-listing.
+      // A path that disappears between list and stat is treated as
+      // FRESH (skip — there is nothing to reclaim, and the writer that
+      // removed it owns the dir right now); the grace window already
+      // protects everything a live stage is about to populate.
+      def agedPast(p: Path): Boolean =
+        try Files.getLastModifiedTime(p).toMillis < cutoff
+        catch { case _: java.io.IOException => false }
       listDir(rootPath)
         .filter(Files.isDirectory(_))
         .foreach { tableDir =>
@@ -573,12 +583,11 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
               // seg dir younger than the grace may be an in-flight
               // stage's target (parquet mkdirs the shell first, then
               // populates it) — the shell gets the same grace leaves do
-              val segFresh =
-                Files.getLastModifiedTime(segDir).toMillis >= cutoff
+              val segFresh = !agedPast(segDir)
               listDir(segDir).foreach { leafDir =>
                 val rel = rootPath.relativize(leafDir).toString
                 if (Files.isDirectory(leafDir) && !referenced.contains(rel) &&
-                    Files.getLastModifiedTime(leafDir).toMillis < cutoff) {
+                    agedPast(leafDir)) {
                   deleteRecursively(leafDir)
                   deleted += 1
                 }
@@ -588,11 +597,17 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
               // unless it is inside the grace window (deleting a fresh
               // empty shell races the writer about to populate it; a
               // truly orphaned shell ages past the grace and the next
-              // vacuum removes it)
+              // vacuum removes it). deleteIfExists + the not-empty catch
+              // tolerate a writer touching the shell mid-removal — the
+              // next vacuum retries.
               val rest = listDir(segDir)
               if (!segFresh && rest.forall(p => !Files.isDirectory(p))) {
-                rest.foreach(Files.delete)
-                Files.delete(segDir)
+                try {
+                  rest.foreach(Files.deleteIfExists(_))
+                  Files.deleteIfExists(segDir)
+                } catch {
+                  case _: java.nio.file.DirectoryNotEmptyException => ()
+                }
               }
             }
         }
@@ -725,9 +740,13 @@ object GraftStore {
     * deletion so no directory fd outlives its dir. */
   private[graft] def deleteTree(p: Path): Unit = {
     if (Files.isDirectory(p)) {
-      val s = Files.list(p)
+      // a concurrently-vanished dir (a racing writer reclaimed its own
+      // _temporary between our isDirectory and list) has no children
       val children =
-        try s.iterator().asScala.toSeq finally s.close()
+        try {
+          val s = Files.list(p)
+          try s.iterator().asScala.toSeq finally s.close()
+        } catch { case _: java.nio.file.NoSuchFileException => Nil }
       children.foreach(deleteTree)
     }
     Files.deleteIfExists(p)

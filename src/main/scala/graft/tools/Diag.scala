@@ -54,7 +54,8 @@ object Diag {
       if (args.nonEmpty) args.toSeq
       else Seq("curation_pipeline", "dedup_ngram_jaccard",
         "dedup_incremental", "dedup_minhash_lsh", "dedup_clusters",
-        "dedup_shared_spans", "ann_topk_ivf", "text_decontaminate")
+        "dedup_shared_spans", "ann_topk_ivf", "ann_topk_pq",
+        "text_decontaminate")
     queries.foreach(q => println(f"[diag] cold $q: ${time(q)}%.2f s"))
     queries.foreach(q => println(f"[diag] warm $q: ${time(q)}%.2f s"))
     spark.stop()

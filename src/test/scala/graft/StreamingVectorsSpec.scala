@@ -93,6 +93,30 @@ class StreamingVectorsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(all > 4, s"index too small to demonstrate pruning ($all leaves)")
   }
 
+  test("at-least-once delivery converges: stale replays and partially " +
+      "overlapping batches never double-accept or double-commit") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-svec-ooo"))
+    val a = (1L to 3L).map(fresh)
+    val b = (11L to 12L).map(fresh)
+    StreamingVectors.processBatch(store, a.toDF("vec_id", "embedding"))
+    StreamingVectors.processBatch(store, b.toDF("vec_id", "embedding"))
+    // STALE replay of a after b landed: each vector self-matches its
+    // ORIGINAL run's index rows (the index keeps all history)
+    StreamingVectors.processBatch(store, a.toDF("vec_id", "embedding"))
+    // partial overlap: one replayed b vector, one near-copy of an a
+    // vector under a NEW id, one genuinely new vector — only the new
+    // one may land
+    val mixed = Seq(b.head, (21L, scaled(a.head._2, 1.004f)), fresh(31L))
+    StreamingVectors.processBatch(store, mixed.toDF("vec_id", "embedding"))
+    val rows = StreamingVectors.accepted(spark, store)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(rows.size == rows.distinct.size,
+      s"double-committed vec_ids: ${rows.diff(rows.distinct)}")
+    assert(rows.sorted == Seq(1L, 2L, 3L, 11L, 12L, 31L),
+      s"unexpected accepted set: ${rows.sorted}")
+  }
+
   test("end-to-end stream: accepted set equals the batch-dedup result") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
