@@ -67,6 +67,18 @@ object Vec {
     s
   }
 
+  /** Element-wise difference a − b over the common prefix — the IVF-PQ
+    * residual (vector minus its cell centroid). A kernel, not a
+    * zip_with lambda: the residual is computed once per corpus row in
+    * the encode scan. */
+  def sub(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = a.getDouble(i) - b.getDouble(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Asymmetric-distance (ADC) lookup: Σ_s tbl[s·ks + codes[s]] over a
     * row's M PQ codes and one query's flattened (M×ks) quantized
     * distance table. Plain integer adds — exact at any order, but the
@@ -393,6 +405,11 @@ object Vec {
   def vec_l2sq(a: Column, b: Column): Column =
     columnOf(VecL2Sq(exprOf(a), exprOf(b)))
 
+  /** Element-wise difference (array<double>) of two array<double>
+    * columns. */
+  def vec_sub(a: Column, b: Column): Column =
+    columnOf(VecSub(exprOf(a), exprOf(b)))
+
   /** ADC distance (bigint): PQ codes (array<int>) looked up in a
     * query's flattened M×ks quantized table (array<bigint>). */
   def pq_adc(codes: Column, tbl: Column, ks: Int): Column =
@@ -472,6 +489,18 @@ case class VecL2Sq(left: Expression, right: Expression)
       s"${ev.value} = graft.functions.Vec.l2sq($a, $b);")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): VecL2Sq = copy(l, r)
+}
+
+case class VecSub(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Vec.sub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Vec.sub($a, $b);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): VecSub = copy(l, r)
 }
 
 case class PqAdc(left: Expression, right: Expression, ks: Int)

@@ -919,9 +919,11 @@ object SimilarityOps {
   // ---- PQ oracle SQL (the IVF unroll pattern, per-subspace) ----
 
   /** dsub as an inline scalar (the oracle cannot know dim statically —
-    * it derives it from the corpus exactly like the engine's init). */
-  private def pqDsubSql: String =
-    s"(SELECT CAST(max(len(unit)) / $PqSubs AS INTEGER) FROM u)"
+    * it derives it from the corpus exactly like the engine's init).
+    * `src` is the (vec_id, unit) CTE the trainer reads — `u` for plain
+    * PQ, the residual CTE for IVF-PQ. */
+  private def pqDsubSql(src: String): String =
+    s"(SELECT CAST(max(len(unit)) / $PqSubs AS INTEGER) FROM $src)"
 
   /** DuckDB mirror of [[graft.functions.Vec.l2sq]] — same left-to-right
     * fold, same (a-b)*(a-b) per element. */
@@ -931,32 +933,33 @@ object SimilarityOps {
       s"qj -> (($a)[qj] - ($b)[qj]) * (($a)[qj] - ($b)[qj]))), " +
       "(qa, qb) -> qa + qb)"
 
-  /** CTE chain: subs (subvector explode) / pq0 (init codebook) / rounds
-    * (pasg{r}: argmin assignment, pcs{r}: quantized sums, pq{r}: mean
-    * update) / pasgF (final assignment) / pcodes / ptbl / padist. The
-    * ADC distance is a JOIN-aggregate of the same BIGINTs the engine
-    * looks up in its flattened table — integer sum, order-free, so the
-    * two formulations cannot drift. */
-  private def pqCtesSql(m: Int, ks: Int, iters: Int): String = {
+  /** Trainer CTE chain over `src` (vec_id, unit): subs (subvector
+    * explode) / pq0 (init codebook) / rounds (pasg{r}: argmin
+    * assignment, pcs{r}: quantized sums, pq{r}: mean update) / pasgF
+    * (final assignment). Shared by plain PQ (src = u) and IVF-PQ
+    * (src = the residual CTE) so the two trainers cannot drift. */
+  private def pqTrainCtesSql(m: Int, ks: Int, iters: Int,
+      src: String): String = {
     val qLit = java.lang.Double.toString(PqQuant)
+    val dsub = pqDsubSql(src)
     val subIdx = s"(SELECT unnest(generate_series(0, ${m - 1})) AS sub)"
     val dposIdx =
-      s"(SELECT unnest(generate_series(1, $pqDsubSql)) AS dpos)"
+      s"(SELECT unnest(generate_series(1, $dsub)) AS dpos)"
     val header =
       s"""subs AS MATERIALIZED (
          |  SELECT vec_id, s.sub,
-         |    list_slice(unit, s.sub * $pqDsubSql + 1,
-         |      (s.sub + 1) * $pqDsubSql) AS subvec
-         |  FROM u, $subIdx s),
+         |    list_slice(unit, s.sub * $dsub + 1,
+         |      (s.sub + 1) * $dsub) AS subvec
+         |  FROM $src, $subIdx s),
          |pq0 AS MATERIALIZED (
          |  SELECT s.sub, i.code,
-         |    list_slice(i.unit, s.sub * $pqDsubSql + 1,
-         |      (s.sub + 1) * $pqDsubSql) AS centroid
+         |    list_slice(i.unit, s.sub * $dsub + 1,
+         |      (s.sub + 1) * $dsub) AS centroid
          |  FROM (
          |    SELECT CAST(irn - 1 AS INTEGER) AS code, unit FROM (
          |      SELECT unit, row_number() OVER (ORDER BY
          |        ${DedupOps.pHashSql("('pq:' || CAST(vec_id AS VARCHAR))")},
-         |        vec_id) AS irn FROM u) z
+         |        vec_id) AS irn FROM $src) z
          |    WHERE irn <= $ks) i, $subIdx s)""".stripMargin
     def asgSql(cb: String): String =
       s"""SELECT vec_id, sub, code, d2, subvec FROM (
@@ -990,20 +993,28 @@ object SimilarityOps {
     }
     val tail =
       s"""pasgF AS MATERIALIZED (
-         |  ${asgSql(s"pq$iters")}),
-         |ptbl AS MATERIALIZED (
-         |  SELECT q.vec_id AS query_id, c.sub, c.code,
-         |    CAST(floor(${l2sqSql("q.subvec", "c.centroid")} * $qLit + 0.5)
-         |      AS BIGINT) AS d2q
-         |  FROM subs q JOIN pq$iters c ON c.sub = q.sub
-         |  WHERE q.vec_id < $NumQueries),
-         |padist AS MATERIALIZED (
-         |  SELECT t.query_id, a.vec_id, sum(t.d2q) AS adist
-         |  FROM pasgF a JOIN ptbl t
-         |    ON t.sub = a.sub AND t.code = a.code
-         |    AND a.vec_id <> t.query_id
-         |  GROUP BY 1, 2)""".stripMargin
+         |  ${asgSql(s"pq$iters")})""".stripMargin
     (header +: rounds :+ tail).mkString(",\n")
+  }
+
+  /** Plain-PQ chain: the trainer over `u` plus the per-query tables
+    * (ptbl) and the integer ADC distances (padist) — the CTE set the
+    * `ann_topk_pq`/`ann_pq_distortion`/`ann_pq_recall` oracles share. */
+  private def pqCtesSql(m: Int, ks: Int, iters: Int): String = {
+    val qLit = java.lang.Double.toString(PqQuant)
+    s"""${pqTrainCtesSql(m, ks, iters, "u")},
+       |ptbl AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, c.sub, c.code,
+       |    CAST(floor(${l2sqSql("q.subvec", "c.centroid")} * $qLit + 0.5)
+       |      AS BIGINT) AS d2q
+       |  FROM subs q JOIN pq$iters c ON c.sub = q.sub
+       |  WHERE q.vec_id < $NumQueries),
+       |padist AS MATERIALIZED (
+       |  SELECT t.query_id, a.vec_id, sum(t.d2q) AS adist
+       |  FROM pasgF a JOIN ptbl t
+       |    ON t.sub = a.sub AND t.code = a.code
+       |    AND a.vec_id <> t.query_id
+       |  GROUP BY 1, 2)""".stripMargin
   }
 
   /** Candidate truncation + exact rescore as CTEs over `padist`/`u` —
@@ -1157,7 +1168,136 @@ object SimilarityOps {
          |SELECT 'all',
          |  CAST(sum(hits) * 10000 // sum(n) AS BIGINT) FROM perq""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // IVF-PQ — the full Jégou et al. composition: coarse cells prune the
+  // scan, product-quantized RESIDUALS (vector − cell centroid) shrink
+  // its bytes
+  // ---------------------------------------------------------------------
+
+  /** IVF-PQ search over (vec_id, unit) rows: train the coarse
+    * quantizer, PQ the residuals under ONE shared codebook (the classic
+    * single-codebook residual design), then per query probe `nprobe`
+    * cells with per-(query, cell) quantized ADC tables — a candidate is
+    * scanned only if its cell is probed, and the scan reads M codes per
+    * row. Exact-cosine rescore of the top [[RescoreBudget]] on the
+    * ORIGINAL units. Returns the ANN output shape (query_id,
+    * neighbor_id, rank, cos_bp). */
+  def ivfPqSearch(units: DataFrame, nprobe: Int = IvfProbes,
+      numQueries: Int = NumQueries): DataFrame = {
+    val (cells, cents) = buildIvfIndex(units)
+    val residuals = cells.join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"), graft.functions.Vec
+        .vec_sub(col("unit"), col("centroid")).as("unit"))
+      .localCheckpoint()
+    val (rsubs, cb) = buildPqCodebooks(
+      residuals.select(col("vec_id"), col("unit")))
+    val codes = pqEncode(rsubs, cb)
+      .join(residuals.select(col("vec_id"), col("cell")), "vec_id")
+    val queries = units.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("unit").as("q_unit"))
+    val probes = ivfProbes(queries, cents, nprobe)
+    // per-(query, cell) tables over the QUERY residual for that cell
+    val dsub = pqDsubOf(cb)
+    val qsubs = probes.join(broadcast(cents), "cell")
+      .select(col("query_id"), col("cell"), graft.functions.Vec
+        .vec_sub(col("q_unit"), col("centroid")).as("unit"))
+      .select(col("query_id"), col("cell"), posexplode(expr(
+        s"transform(sequence(0, ${PqSubs - 1}), " +
+          s"s -> slice(unit, s*$dsub+1, $dsub))"))
+        .as(Seq("sub", "subvec")))
+    val tables = qsubs.join(broadcast(cb), "sub")
+      .withColumn("d2q", floor(graft.functions.Vec
+        .vec_l2sq(col("subvec"), col("centroid")) * lit(PqQuant) + lit(0.5))
+        .cast("long"))
+      .groupBy(col("query_id"), col("cell"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("code"),
+        col("d2q")))).as("tc"))
+      .select(col("query_id"), col("cell"),
+        expr("transform(tc, p -> p.d2q)").as("tblq"))
+    val byAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    val byCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    // joining on cell IS the probe prune: unprobed cells never match
+    val survivors = codes.join(broadcast(tables), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", graft.functions.Vec
+        .pq_adc(col("codes"), col("tblq"), PqCodes))
+      .withColumn("crk", row_number().over(byAdc))
+      .filter(col("crk") <= RescoreBudget)
+      .select(col("query_id"), col("vec_id"))
+    units.join(broadcast(survivors), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cos", cosine)
+      .withColumn("rank", row_number().over(byCos))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), floor(col("cos") * 10000).cast("long").as("cos_bp"))
+  }
+
+  private def ivfPqOracleSql: String = {
+    val qLit = java.lang.Double.toString(PqQuant)
+    val resOf = (u: String, c: String) =>
+      s"list_transform(generate_series(1, len($u)), rj -> " +
+        s"($u)[rj] - ($c)[rj])"
+    val dsub = pqDsubSql("ur")
+    s"""WITH $unitCteSql,
+       |${ivfTrainCtesSql(IvfCells, IvfIters)},
+       |cells AS MATERIALIZED (
+       |  ${ivfAssignSql(s"ivf$IvfIters")}),
+       |ur AS MATERIALIZED (
+       |  SELECT t.vec_id, ${resOf("t.unit", "c.centroid")} AS unit, t.cell
+       |  FROM cells t JOIN ivf$IvfIters c ON c.cell = t.cell),
+       |${pqTrainCtesSql(PqSubs, PqCodes, PqIters, "ur")},
+       |probes AS MATERIALIZED (
+       |  SELECT query_id, q_unit, cell FROM (
+       |    SELECT a.vec_id AS query_id, a.unit AS q_unit, c.cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        ${dotSql("a.unit", "c.centroid")} DESC, c.cell ASC) AS prk
+       |    FROM cells a CROSS JOIN ivf$IvfIters c
+       |    WHERE a.vec_id < $NumQueries) s
+       |  WHERE prk <= $IvfProbes),
+       |qsubs AS MATERIALIZED (
+       |  SELECT query_id, cell, s.sub,
+       |    list_slice(unit, s.sub * $dsub + 1,
+       |      (s.sub + 1) * $dsub) AS subvec
+       |  FROM (
+       |    SELECT p.query_id, p.cell,
+       |      ${resOf("p.q_unit", "c.centroid")} AS unit
+       |    FROM probes p JOIN ivf$IvfIters c ON c.cell = p.cell) qr,
+       |    (SELECT unnest(generate_series(0, ${PqSubs - 1})) AS sub) s),
+       |itbl AS MATERIALIZED (
+       |  SELECT q.query_id, q.cell, c.sub, c.code,
+       |    CAST(floor(${l2sqSql("q.subvec", "c.centroid")} * $qLit + 0.5)
+       |      AS BIGINT) AS d2q
+       |  FROM qsubs q JOIN pq$PqIters c ON c.sub = q.sub),
+       |padist AS MATERIALIZED (
+       |  SELECT t.query_id, a.vec_id, sum(t.d2q) AS adist
+       |  FROM pasgF a
+       |  JOIN ur r ON r.vec_id = a.vec_id
+       |  JOIN itbl t ON t.sub = a.sub AND t.code = a.code
+       |    AND t.cell = r.cell AND a.vec_id <> t.query_id
+       |  GROUP BY 1, 2),
+       |$pqTopCtesSql
+       |SELECT query_id, neighbor_id, rank, cos_bp FROM pqk""".stripMargin
+  }
+
+  /** IVF-PQ approximate top-k, hash-oracled end to end: both trainers
+    * unrolled (the ivf CTEs feeding residuals into the pq CTEs), the
+    * per-(query, cell) quantized tables as a join-aggregate of the same
+    * BIGINTs the engine's ADC kernel looks up, and the shared `pqk`
+    * rescore tail. On this isotropic corpus the cell prune costs recall
+    * exactly like plain IVF (see [[IvfProbes]]) — the composition's
+    * recall contract is spec-gated on a clustered corpus, where both
+    * stages belong. */
+  val ivfPqTopK: GraftQuery = GraftQuery(
+    "ann_topk_ivfpq",
+    (s, dir) => ivfPqSearch(
+      unit(emb(s, dir)).select(col("vec_id"), col("unit"))
+        .localCheckpoint()),
+    Some(ivfPqOracleSql))
+
   val all: Seq[GraftQuery] =
     Seq(bruteForce, lshTopK, ivfTopK, recallReport, diverse, pqTopK,
-      pqDistortion, pqRecallReport)
+      pqDistortion, pqRecallReport, ivfPqTopK)
 }

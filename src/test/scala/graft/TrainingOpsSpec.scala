@@ -740,6 +740,39 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(recall >= 0.9, f"recall $recall%.2f below 0.9")
   }
 
+  test("IVF-PQ recall >= 0.9 on a clustered corpus (cell prune + " +
+      "residual codes + rescore)") {
+    // the full composition where both stages belong: coarse cells prune
+    // the scan, residual codes shrink its bytes, the rescore recovers
+    // exact ranks — same corpus construction as the IVF/PQ gates
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val points = (0 until 400).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => x + 0.15f * rnd.nextGaussian().toFloat).toSeq)
+    }
+    import spark.implicits._
+    val units = points.toDF("vec_id", "embedding")
+      .withColumn("unit", graft.functions.Vec.vec_unit(col("embedding")))
+      .select(col("vec_id"), col("unit")).localCheckpoint()
+    val vecs = points.map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      id -> v.map(_ / n).toArray
+    }.toMap
+    val brute = (0L until 10L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (-vecs(q).zip(vecs(n)).map { case (a, b) => a * b }.sum, n))
+        .take(SimilarityOps.K).map(q -> _)
+    }.toSet
+    val approx = SimilarityOps.ivfPqSearch(units).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val recall = (approx & brute).size.toDouble / brute.size
+    info(f"IVF-PQ recall (nprobe=4/16 cells, rescore=150/400): $recall%.2f")
+    assert(recall >= 0.9, f"recall $recall%.2f below 0.9")
+  }
+
   test("PQ training strictly reduces quantized distortion on structure") {
     // Lloyd is non-increasing in exact arithmetic; the integer-quantized
     // update preserves that at corpus scale. Gate: total distortion
