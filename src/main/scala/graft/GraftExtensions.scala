@@ -74,6 +74,8 @@ object GraftExtensions {
     fn("graft_hamming64", 2)(a => Hamming64(a(0), a(1))),
     fn("graft_vec_l2sq", 2)(a =>
       VecL2Sq(asDoubles(a(0)), asDoubles(a(1)))),
+    fn("graft_vec_sub", 2)(a =>
+      VecSub(asDoubles(a(0)), asDoubles(a(1)))),
     fn("graft_pq_adc", 3)(a => PqAdc(a(0), a(1),
       intLit("graft_pq_adc", "ks")(a(2)))),
     // text/dedup kernels

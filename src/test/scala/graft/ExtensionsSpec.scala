@@ -26,7 +26,8 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  graft_hamming64(array(0L), array(7L)) AS ham,
         |  graft_zvalue(3L, 5L) AS z,
         |  graft_vec_l2sq(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS l2,
-        |  graft_pq_adc(array(1, 0), array(10L, 20L, 30L, 40L), 2) AS adc
+        |  graft_pq_adc(array(1, 0), array(10L, 20L, 30L, 40L), 2) AS adc,
+        |  graft_vec_sub(array(1.0D, 2.0D), array(3.0D, 1.0D)) AS vsub
         |""".stripMargin).head()
     assert(row.getAs[Double]("dot") == 11.0)
     assert(math.abs(row.getAs[Double]("ux") - 0.6) < 1e-12)
@@ -39,6 +40,7 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Double]("l2") == 8.0) // (1-3)^2 + (2-4)^2
     // codes [1,0] over a 2x2 table: tbl[0*2+1] + tbl[1*2+0] = 20 + 30
     assert(row.getAs[Long]("adc") == 50L)
+    assert(row.getSeq[Double](row.fieldIndex("vsub")) == Seq(-2.0, 1.0))
   }
 
   test("SQL kernels agree with the Column API on real text") {
