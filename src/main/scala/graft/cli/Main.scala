@@ -409,7 +409,7 @@ object Main {
 
       case Some("index") =>
         // persisted-index lifecycle over the store manifest (IndexStore):
-        //   index build  --store S --kind band|span|sketch|ivf|pq|vec --input in.parquet
+        //   index build  --store S --kind band|span|sketch|ivf|pq|ivfpq|vec --input in.parquet
         //   index append --store S --kind band --input new.parquet
         //   index search --store S --kind band --input probe.parquet \
         //       [--threshold 0.4] [--output pairs.parquet]

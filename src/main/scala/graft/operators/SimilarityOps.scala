@@ -1195,7 +1195,34 @@ object SimilarityOps {
       .join(residuals.select(col("vec_id"), col("cell")), "vec_id")
     val queries = units.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("unit").as("q_unit"))
-    val probes = ivfProbes(queries, cents, nprobe)
+    ivfPqSearchWithProbes(codes, units, cents, cb,
+      ivfProbes(queries, cents, nprobe), queries)
+  }
+
+  /** Encode a batch against FIXED at-rest IVF-PQ models (centroids +
+    * codebook): cell assignment, residual, PQ codes — the ingest path
+    * for new vectors ([[graft.store.IndexStore]] append). Returns
+    * (vec_id, codes, cell, unit). */
+  def ivfPqEncodeWith(unitsDf: DataFrame, cents: DataFrame,
+      cb: DataFrame): DataFrame = {
+    val cells = ivfAssign(unitsDf, cents)
+    val residuals = cells.join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"), graft.functions.Vec
+        .vec_sub(col("unit"), col("centroid")).as("unit"))
+    pqEncode(pqSubvectors(residuals.select(col("vec_id"), col("unit")),
+        pqDsubOf(cb)), cb)
+      .join(residuals.select(col("vec_id"), col("cell")), "vec_id")
+      .join(unitsDf, "vec_id")
+  }
+
+  /** Scan + rescore stage of the IVF-PQ search, over explicit probes
+    * (from [[ivfProbes]]) and queries — the entry point for at-rest
+    * searches that compute WHICH cells they need before reading any
+    * cell data. `codes`: (vec_id, cell, codes); `units`: (vec_id, unit)
+    * for the rescore fetch. */
+  def ivfPqSearchWithProbes(codes: DataFrame, units: DataFrame,
+      cents: DataFrame, cb: DataFrame, probes: DataFrame,
+      queries: DataFrame): DataFrame = {
     // per-(query, cell) tables over the QUERY residual for that cell
     val dsub = pqDsubOf(cb)
     val qsubs = probes.join(broadcast(cents), "cell")
@@ -1226,7 +1253,8 @@ object SimilarityOps {
       .withColumn("crk", row_number().over(byAdc))
       .filter(col("crk") <= RescoreBudget)
       .select(col("query_id"), col("vec_id"))
-    units.join(broadcast(survivors), "vec_id")
+    units.select(col("vec_id"), col("unit"))
+      .join(broadcast(survivors), "vec_id")
       .join(broadcast(queries), "query_id")
       .withColumn("cos", cosine)
       .withColumn("rank", row_number().over(byCos))

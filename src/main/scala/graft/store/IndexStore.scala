@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   *    the M×ks codebook model table in one snapshot), probed by
   *    [[SimilarityOps.pqProbe]] — the code scan reads only the codes
   *    COLUMN of the leaves, the rescore only survivor units;
+  *  - `ivfpq`  — the full IVF-ADC composition at rest: residual PQ
+  *    codes leaf-bucketed BY CELL with both model tables (coarse
+  *    centroids + residual codebook) in the same snapshot, probed by
+  *    [[SimilarityOps.ivfPqSearchWithProbes]] — manifest prune to the
+  *    probed cells AND codes-column-only scanning compose;
   *  - `vec`    — near-identical-vector dedup index: unit vectors leaf-
   *    bucketed by their FIXED 16-bit sign bucket
   *    ([[DedupOps.normalizedWithBucket]] — content-keyed, stable across
@@ -64,7 +69,7 @@ object IndexStore {
     * most leaves; size it ~sqrt(index rows / target leaf rows) at scale. */
   val Buckets = 64
 
-  val Kinds = Seq("band", "span", "sketch", "ivf", "pq", "vec")
+  val Kinds = Seq("band", "span", "sketch", "ivf", "pq", "ivfpq", "vec")
 
   /** Hash/projection family version stamped into the store manifest by
     * every index commit. The round-9 migration changed the signature
@@ -119,12 +124,20 @@ object IndexStore {
     * are meaningless under any other codebook). */
   val PqCodebookTable = "pq_codebook"
 
+  /** Companion model tables for the `ivfpq` kind: its OWN coarse
+    * centroids and residual codebook (independent of any plain ivf/pq
+    * index in the same store), committed with the codes in one
+    * snapshot. */
+  val IvfPqCentroidsTable = "ivfpq_centroids"
+  val IvfPqCodebookTable = "ivfpq_codebook"
+
   def tableOf(kind: String): String = kind match {
     case "band" => "band_index"
     case "span" => "span_index"
     case "sketch" => "sketch_index"
     case "ivf" => "ivf_cells"
     case "pq" => "pq_codes"
+    case "ivfpq" => "ivfpq_codes"
     case "vec" => "vec_index"
     case other => sys.error(s"unknown index kind '$other' " +
       s"(expected one of ${Kinds.mkString("|")})")
@@ -137,7 +150,7 @@ object IndexStore {
   private def bucketOf(kind: String): Column = kind match {
     case "band" => pmod(xxhash64(col("band"), col("band_key")), lit(Buckets))
     case "span" => pmod(col("fp"), lit(Buckets))
-    case "ivf" => col("cell")
+    case "ivf" | "ivfpq" => col("cell")
     // content-keyed: a probe computes its own sign buckets, so untouched
     // leaves are never listed (band/span discipline for vectors). The
     // bucket id is HASHED first: its low bits are the signs of the last
@@ -199,13 +212,33 @@ object IndexStore {
           bucketOf(kind), sortOf(kind)) ++
           store.stageKeyed(PqCodebookTable, cb, lit(0L),
             Seq(col("sub"), col("code")))
+      } else if (kind == "ivfpq") {
+        val units = SimilarityOps.unitVectors(input).localCheckpoint()
+        val (cells, cents) = SimilarityOps.buildIvfIndex(units)
+        val residuals = cells.join(broadcast(cents), "cell")
+          .select(col("vec_id"), col("cell"), graft.functions.Vec
+            .vec_sub(col("unit"), col("centroid")).as("unit"))
+          .localCheckpoint()
+        val (rsubs, cb) = SimilarityOps.buildPqCodebooks(
+          residuals.select(col("vec_id"), col("unit")))
+        val rows = SimilarityOps.pqEncode(rsubs, cb)
+          .join(residuals.select(col("vec_id"), col("cell")), "vec_id")
+          .join(units, "vec_id")
+        store.stageKeyed(tableOf(kind), rows, bucketOf(kind),
+          sortOf(kind)) ++
+          store.stageKeyed(IvfPqCentroidsTable, cents, lit(0L),
+            Seq(col("cell"))) ++
+          store.stageKeyed(IvfPqCodebookTable, cb, lit(0L),
+            Seq(col("sub"), col("code")))
       } else
         store.stageKeyed(tableOf(kind), rowsFor(kind, input), bucketOf(kind),
           sortOf(kind))
     store.commit(adds, drops =
       store.leavesOf(tableOf(kind)) ++
         store.leavesOf(IvfCentroidsTable).filter(_ => kind == "ivf") ++
-        store.leavesOf(PqCodebookTable).filter(_ => kind == "pq"),
+        store.leavesOf(PqCodebookTable).filter(_ => kind == "pq") ++
+        (store.leavesOf(IvfPqCentroidsTable) ++
+          store.leavesOf(IvfPqCodebookTable)).filter(_ => kind == "ivfpq"),
       meta = formatMeta(kind))
     adds.size.toLong
   }
@@ -290,6 +323,10 @@ object IndexStore {
       else if (kind == "pq")
         SimilarityOps.pqEncodeWith(SimilarityOps.unitVectors(input),
           read(store, input.sparkSession, "pq-codebook"))
+      else if (kind == "ivfpq")
+        SimilarityOps.ivfPqEncodeWith(SimilarityOps.unitVectors(input),
+          read(store, input.sparkSession, "ivfpq-centroids"),
+          read(store, input.sparkSession, "ivfpq-codebook"))
       else rowsFor(kind, input)
     val adds = store.stageKeyed(tableOf(kind), rows, bucketOf(kind),
       sortOf(kind))
@@ -305,6 +342,10 @@ object IndexStore {
       readTable(store, spark, "ivf", IvfCentroidsTable, bucketPred)
     else if (kind == "pq-codebook")
       readTable(store, spark, "pq", PqCodebookTable, bucketPred)
+    else if (kind == "ivfpq-centroids")
+      readTable(store, spark, "ivfpq", IvfPqCentroidsTable, bucketPred)
+    else if (kind == "ivfpq-codebook")
+      readTable(store, spark, "ivfpq", IvfPqCodebookTable, bucketPred)
     else readTable(store, spark, kind, tableOf(kind), bucketPred)
 
   private def readTable(store: GraftStore, spark: SparkSession,
@@ -372,6 +413,23 @@ object IndexStore {
       // units are fetched for the rescore
       SimilarityOps.pqProbe(read(store, spark, "pq"),
         read(store, spark, "pq-codebook"), probe)
+    case "ivfpq" =>
+      // two-phase like ivf: the probe list needs only the tiny model
+      // tables; the codes read that follows is manifest-pruned to the
+      // probed cells, and the scan reads (vec_id, cell, codes) — unit
+      // bytes stay on disk until the survivor rescore
+      val queries = SimilarityOps.unitVectors(probe)
+        .select(col("vec_id").as("query_id"), col("unit").as("q_unit"))
+      val cents = read(store, spark, "ivfpq-centroids")
+      val probes = SimilarityOps.ivfProbes(queries, cents,
+        SimilarityOps.IvfProbes).localCheckpoint()
+      val cellSet = probes.select(col("cell")).distinct()
+        .collect().map(_.getInt(0).toLong).toSet
+      val idx = read(store, spark, "ivfpq", cellSet.contains)
+      SimilarityOps.ivfPqSearchWithProbes(
+        idx.select(col("vec_id"), col("cell"), col("codes")),
+        idx.select(col("vec_id"), col("unit")),
+        cents, read(store, spark, "ivfpq-codebook"), probes, queries)
     case "vec" =>
       // near-identical detection: in-bucket pairwise cosine >= threshold
       // against ONLY the probe's own sign buckets (manifest prune + the

@@ -326,6 +326,48 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(atRest.nonEmpty)
   }
 
+  test("ivfpq index: cell-pruned at-rest probe finds appended " +
+      "neighbors; models stay fixed across appends") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(3)
+    val centers = (0 until 8).map(_ =>
+      Array.fill(dim)(rnd.nextGaussian()))
+    def point(c: Int): Seq[Float] =
+      centers(c).map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq
+    val base = (0L until 400L).map(i => (i, point((i % 8).toInt)))
+    val root = tempDir("graft-idx-ivfpq")
+    IndexStore.build(new GraftStore(root), "ivfpq",
+      base.toDF("vec_id", "embedding"))
+    val s = new GraftStore(root)
+    // codes leaf-bucketed BY CELL; both model tables in the snapshot
+    val codeLeaves = s.leavesOf("ivfpq_codes")
+    assert(codeLeaves.size > 1)
+    assert(codeLeaves.map(_.bucket).distinct.size == codeLeaves.size)
+    assert(s.leavesOf("ivfpq_centroids").size == 1)
+    assert(s.leavesOf("ivfpq_codebook").size == 1)
+    def models(st: GraftStore) = (
+      IndexStore.read(st, spark, "ivfpq-centroids").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap,
+      IndexStore.read(st, spark, "ivfpq-codebook").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap)
+    val before = models(s)
+    // append under FIXED models: new vectors land as cell+codes
+    val extra = (5000L until 5040L).map(i => (i, point((i % 8).toInt)))
+    IndexStore.append(new GraftStore(root), "ivfpq",
+      extra.toDF("vec_id", "embedding"))
+    val s2 = new GraftStore(root)
+    assert(models(s2) == before, "append retrained a model table")
+    // probe a nudged copy of an APPENDED vector — rank-1 neighbor,
+    // found through the cell-pruned codes scan + rescore
+    val q = Seq((9000L, extra.head._2.map(_ * 1.001f)))
+    val top = IndexStore.search(new GraftStore(root), spark, "ivfpq",
+      q.toDF("vec_id", "embedding"))
+      .filter(col("rank") === 1).collect()
+    assert(top.length == 1)
+    assert(top.head.getAs[Long]("neighbor_id") == 5000L)
+  }
+
   test("bucket predicates prune index reads to fewer files; an " +
       "all-miss probe keeps the schema") {
     import spark.implicits._
