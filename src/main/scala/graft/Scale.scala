@@ -265,6 +265,16 @@ object Scale {
       }
       if (want("pq_search")) phase("pq_search", k, 2)(
         graft.store.IndexStore.search(store, spark, "pq", queryBatch))
+      // ivfpq lifecycle: build trains both models + encodes at k×
+      // (linear); search probes a FIXED query batch — cell pruning AND
+      // codes-column scanning compose, so the probe's bytes are
+      // nprobe/k of the corpus at ~1/60 weight
+      if (want("ivfpq_build")) phase("ivfpq_build", k, 1) {
+        graft.store.IndexStore.build(store, "ivfpq", embK)
+        graft.store.IndexStore.read(store, spark, "ivfpq-codebook").limit(0)
+      }
+      if (want("ivfpq_search")) phase("ivfpq_search", k, 2)(
+        graft.store.IndexStore.search(store, spark, "ivfpq", queryBatch))
       // vec (near-identical dedup) lifecycle: build at k× (linear),
       // probe a FIXED batch (claim: FLAT — content-keyed sign buckets
       // manifest-prune every leaf the probe's own buckets don't touch,
