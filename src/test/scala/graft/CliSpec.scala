@@ -93,6 +93,45 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(hitsAfter == hits, s"compaction changed results: $hitsAfter")
   }
 
+  test("index CLI drives the ANN kinds: pq build/append/search across " +
+      "invocations") {
+    import spark.implicits._
+    val root = tempDir("graft-index-cli-pq")
+    val storeDir = s"$root/store"
+    val rnd = new scala.util.Random(9)
+    val dim = 16
+    def vecs(ids: Range): Seq[(Long, Seq[Float])] =
+      ids.map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val a = vecs(0 until 300)
+    val b = vecs(5000 until 5040)
+    val aPath = s"$root/a.parquet"; val bPath = s"$root/b.parquet"
+    val probePath = s"$root/q.parquet"
+    a.toDF("vec_id", "embedding").write.parquet(aPath)
+    b.toDF("vec_id", "embedding").write.parquet(bPath)
+    // probe: a scaled copy of an APPENDED vector — exact direction,
+    // must come back as the rank-1 neighbor through the at-rest index
+    Seq((9000L, b.head._2.map(_ * 1.001f)))
+      .toDF("vec_id", "embedding").write.parquet(probePath)
+    captured {
+      cli.Main.run(spark, Array("index", "build", "--store", storeDir,
+        "--kind", "pq", "--input", aPath))
+    }
+    captured {
+      cli.Main.run(spark, Array("index", "append", "--store", storeDir,
+        "--kind", "pq", "--input", bPath))
+    }
+    val outPath = s"$root/hits.parquet"
+    captured {
+      cli.Main.run(spark, Array("index", "search", "--store", storeDir,
+        "--kind", "pq", "--input", probePath, "--output", outPath))
+    }
+    val top = spark.read.parquet(outPath)
+      .filter(org.apache.spark.sql.functions.col("rank") === 1).collect()
+    assert(top.length == 1)
+    assert(top.head.getAs[Long]("query_id") == 9000L)
+    assert(top.head.getAs[Long]("neighbor_id") == 5000L)
+  }
+
   test("curate --pii-scrub and --decontaminate-against filter content") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -117,6 +117,60 @@ class StreamingVectorsSpec extends AnyFunSuite with BeforeAndAfterAll
       s"unexpected accepted set: ${rows.sorted}")
   }
 
+  test("randomized delivery sweep: accepted sets are in-bucket dup-free, " +
+      "exact groups keep a witness, and batching is deterministic") {
+    import spark.implicits._
+    val sweep = new scala.util.Random(2718)
+    for (trial <- 1 to 4) {
+      val nGroups = 3 + sweep.nextInt(3)
+      // exact-direction dup groups (positive scaling preserves both the
+      // sign bucket and cosine 1) + isolated distinct vectors
+      val groups = (0 until nGroups).map { g =>
+        val v = Seq.fill(dim)(sweep.nextGaussian().toFloat)
+        (0 until 2 + sweep.nextInt(3)).map(j =>
+          (g * 100L + j, scaled(v, 1.0f + 0.001f * j)))
+      }
+      val singles = (1000L until 1000L + 5 + sweep.nextInt(10)).map(fresh)
+      val corpus = sweep.shuffle(groups.flatten ++ singles)
+      // random batching: 1-4 cuts
+      val nBatches = 1 + sweep.nextInt(4)
+      val batches = corpus.grouped(
+        math.max(1, corpus.size / nBatches)).toSeq
+      def runThrough(): Set[Long] = {
+        val store = new GraftStore(tempDir(s"graft-svec-sweep$trial"))
+        batches.foreach(b =>
+          StreamingVectors.processBatch(store, b.toDF("vec_id", "embedding")))
+        acceptedIds(store)
+      }
+      val acc = runThrough()
+      assert(runThrough() == acc, s"trial $trial: batching nondeterministic")
+      // 1. accepted set is in-bucket pairwise below the dup threshold
+      val unitOf = corpus.map { case (id, v) =>
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        id -> v.map(_ / n)
+      }.toMap
+      def cos(a: Long, b: Long): Double =
+        unitOf(a).zip(unitOf(b)).map { case (x, y) => x * y }.sum
+      def bucket(id: Long): Long = unitOf(id).take(16)
+        .foldLeft(0L)((acc2, x) => acc2 * 2 + (if (x >= 0) 1 else 0))
+      val accSeq = acc.toSeq
+      for {
+        i <- accSeq.indices; j <- i + 1 until accSeq.size
+        if bucket(accSeq(i)) == bucket(accSeq(j))
+      } assert(cos(accSeq(i), accSeq(j)) < StreamingVectors.DupCos,
+        s"trial $trial: accepted in-bucket dup pair " +
+          s"(${accSeq(i)}, ${accSeq(j)})")
+      // 2. every exact-direction group has a within-threshold witness
+      // among the accepted (its members share every sign bit, so the
+      // witness argument survives the greedy chain)
+      groups.foreach { g =>
+        val rep = g.head._1
+        assert(acc.exists(a => cos(a, rep) >= StreamingVectors.DupCos),
+          s"trial $trial: group of ${g.map(_._1)} lost every witness")
+      }
+    }
+  }
+
   test("end-to-end stream: accepted set equals the batch-dedup result") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
