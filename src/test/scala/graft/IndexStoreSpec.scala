@@ -451,6 +451,20 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     val after = IndexStore.read(new GraftStore(root), spark, "sketch")
     assert(after.count() == 50L)
     assert(after.select("vec_id").distinct().count() == 50L)
+    // same at-least-once story for the code-carrying kinds: compact
+    // collapses the re-delivery and leaves the model tables untouched
+    for (kind <- Seq("pq", "ivfpq", "vec")) {
+      val kroot = tempDir(s"graft-idx-compact-$kind")
+      val ks = new GraftStore(kroot)
+      IndexStore.build(ks, kind, vecs.toDF("vec_id", "embedding"))
+      IndexStore.append(ks, kind, vecs.toDF("vec_id", "embedding"))
+      assert(IndexStore.read(ks, spark, kind).count() == 100L, kind)
+      val (kdropped, _) = IndexStore.compact(ks, spark, kind)
+      assert(kdropped == 50L, kind)
+      val kafter = IndexStore.read(new GraftStore(kroot), spark, kind)
+      assert(kafter.count() == 50L, kind)
+      assert(kafter.select("vec_id").distinct().count() == 50L, kind)
+    }
   }
 
   test("ivf compact collapses re-deliveries and merges append debris " +
