@@ -174,7 +174,40 @@ object Bench {
         Seq("ann_pq_search" -> bestOf("ann_pq_search", (s, _) =>
           pqSearchAtRest(s)))
       else Nil)
-    val results = mainResults ++ ivfSplit ++ pqSplit
+    // IVF-PQ build/search split (same rationale): build commits the
+    // at-rest index through IndexStore (codes + both model tables, the
+    // production shape); search probes it cell-pruned at rest.
+    val ivfpqRoot = java.nio.file.Files
+      .createTempDirectory("graft-bench-ivfpq").toString + "/store"
+    def ivfpqStore = new graft.store.GraftStore(ivfpqRoot)
+    def ivfpqBuild(s: SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame = {
+      graft.store.IndexStore.build(ivfpqStore,
+        "ivfpq", Tables.t(s, dir, "embeddings")
+          .select(org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("embedding")))
+      graft.store.IndexStore.read(ivfpqStore, s, "ivfpq-codebook")
+    }
+    def ivfpqSearchAtRest(s: SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame =
+      graft.store.IndexStore.search(ivfpqStore, s, "ivfpq",
+        Tables.t(s, dir, "embeddings")
+          .filter(org.apache.spark.sql.functions.col("vec_id") <
+            SimilarityOps.NumQueries)
+          .select(org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("embedding")))
+    val wantIpqBuild = only.forall(_.contains("ann_ivfpq_build"))
+    val wantIpqSearch = only.forall(_.contains("ann_ivfpq_search"))
+    if (wantIpqSearch && !wantIpqBuild) ivfpqBuild(spark, sfDir).count()
+    val ivfpqSplit =
+      (if (wantIpqBuild)
+        Seq("ann_ivfpq_build" -> bestOf("ann_ivfpq_build", ivfpqBuild _))
+      else Nil) ++
+      (if (wantIpqSearch)
+        Seq("ann_ivfpq_search" -> bestOf("ann_ivfpq_search",
+          ivfpqSearchAtRest _))
+      else Nil)
+    val results = mainResults ++ ivfSplit ++ pqSplit ++ ivfpqSplit
     val errList = errors.result()
     val errs =
       if (errList.isEmpty) ""
