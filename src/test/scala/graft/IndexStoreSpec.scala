@@ -605,6 +605,64 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(after.forall(_ >= 100L), s"stale rows survived: $after")
   }
 
+  test("four-kind append race on ONE store: band/ivf/pq/vec all land " +
+      "and every stamp survives") {
+    import spark.implicits._
+    // the round-12 kinds join the cross-kind regime: four concurrent
+    // adds-only appends interleave their read-modify-write meta under
+    // the commit lock; a lost update would brick another kind's probes
+    val root = tempDir("graft-idx-4kind")
+    val corpus = (0L until 20L).map(doc(_, "x"))
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    val centers = (0 until 8).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    def point(c: Int): Seq[Float] =
+      centers(c).map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq
+    val vecs = (0L until 200L).map(i => (i, point((i % 8).toInt)))
+    IndexStore.build(new GraftStore(root), "band",
+      corpus.toDF("doc_id", "text"))
+    IndexStore.build(new GraftStore(root), "ivf",
+      vecs.toDF("vec_id", "embedding"))
+    IndexStore.build(new GraftStore(root), "pq",
+      vecs.toDF("vec_id", "embedding"))
+    IndexStore.build(new GraftStore(root), "vec",
+      vecs.toDF("vec_id", "embedding"))
+    val ap = point(3)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = Seq(
+      "band" -> (() => IndexStore.append(new GraftStore(root), "band",
+        Seq(doc(500L, "y")).toDF("doc_id", "text"))),
+      "ivf" -> (() => IndexStore.append(new GraftStore(root), "ivf",
+        Seq((900L, ap)).toDF("vec_id", "embedding"))),
+      "pq" -> (() => IndexStore.append(new GraftStore(root), "pq",
+        Seq((910L, ap)).toDF("vec_id", "embedding"))),
+      "vec" -> (() => IndexStore.append(new GraftStore(root), "vec",
+        Seq((920L, ap)).toDF("vec_id", "embedding")))
+    ).map { case (_, body) =>
+      new Thread(() =>
+        try { body(); () } catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"four-kind append crashed: ${errs.peek()}")
+    val meta = new GraftStore(root).currentMeta()
+    for (kind <- Seq("band", "ivf", "pq", "vec"))
+      assert(meta.get(s"index_hash_format.$kind")
+        .contains(IndexStore.HashFormat), s"$kind stamp lost: $meta")
+    // each kind's search sees its appended row
+    val probeV = Seq((1000L, ap.map(_ * 1.001f)))
+      .toDF("vec_id", "embedding")
+    val pqTop = IndexStore.search(new GraftStore(root), spark, "pq",
+      probeV).filter(col("rank") === 1).collect()
+    assert(pqTop.length == 1 &&
+      Set(900L, 910L, 920L)(pqTop.head.getAs[Long]("neighbor_id")),
+      s"pq append lost: ${pqTop.mkString(",")}")
+    val vecHits = IndexStore.search(new GraftStore(root), spark, "vec",
+      probeV, 0.99).select("existing_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(vecHits.contains(920L), s"vec append lost: $vecHits")
+  }
+
   test("cross-kind commits race safely: band and ivf appends to ONE " +
       "store both land, keeping both format stamps") {
     import spark.implicits._
