@@ -117,6 +117,18 @@ class StreamingVectorsSpec extends AnyFunSuite with BeforeAndAfterAll
       s"unexpected accepted set: ${rows.sorted}")
   }
 
+  test("an empty micro-batch commits nothing") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-svec-empty"))
+    StreamingVectors.processBatch(store,
+      (0L until 5L).map(fresh).toDF("vec_id", "embedding"))
+    val snap = store.currentSnapshot()
+    StreamingVectors.processBatch(store,
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"))
+    assert(store.currentSnapshot() == snap,
+      "empty batch committed a snapshot")
+  }
+
   test("randomized delivery sweep: accepted sets are in-bucket dup-free, " +
       "exact groups keep a witness, and batching is deterministic") {
     import spark.implicits._
