@@ -433,8 +433,14 @@ object Main {
             val n = IndexStore.append(store, kind, input)
             println(s"[index] appended to '$kind' index: $n new leaves")
           case Some("search") =>
+            // kind-aware default: 0.4 is the band/span JACCARD dial;
+            // the vec kind thresholds COSINE near-identity, where 0.4
+            // would call most of the corpus a duplicate
+            val defaultThreshold =
+              if (kind == "vec") graft.streaming.StreamingVectors.DupCos
+              else 0.4
             val hits = IndexStore.search(store, spark, kind, input,
-              opt("threshold").map(_.toDouble).getOrElse(0.4))
+              opt("threshold").map(_.toDouble).getOrElse(defaultThreshold))
             opt("output") match {
               case Some(out) =>
                 hits.write.mode("overwrite").parquet(out)
