@@ -426,6 +426,15 @@ object Main {
             val (dropped, leaves) = IndexStore.compact(store, spark, kind)
             println(s"[index] compacted '$kind' index: dropped $dropped " +
               s"rows over global caps, $leaves leaves now")
+          case Some("report") =>
+            // drift telemetry: distortion of the stored codes under the
+            // committed models — alert + `index build` when it climbs
+            val rep = IndexStore.driftReport(store, spark, kind)
+            rep.orderBy(org.apache.spark.sql.functions.col("scope"))
+              .collect().foreach { r =>
+                println(s"[index] $kind scope=${r.getString(0)} " +
+                  s"n=${r.getLong(1)} distortion_q=${r.getLong(2)}")
+              }
           case Some("build") =>
             val n = IndexStore.build(store, kind, input)
             println(s"[index] built fresh '$kind' index: $n leaves")
@@ -450,8 +459,8 @@ object Main {
                   .functions.col): _*).show(50, truncate = false)
             }
           case other =>
-            sys.error(s"usage: index build|append|search|compact ... " +
-              s"(got $other)")
+            sys.error(s"usage: index build|append|search|compact|report " +
+              s"... (got $other)")
         }
 
       case Some("store") =>

@@ -1263,6 +1263,37 @@ object SimilarityOps {
         col("rank"), floor(col("cos") * 10000).cast("long").as("cos_bp"))
   }
 
+  /** Quantized distortion of STORED codes under a codebook: for every
+    * (vec_id, codes, unit) row — `unit` in the codebook's own space
+    * (raw unit for plain PQ, residual for IVF-PQ) — Σ floor(Q·‖subvec −
+    * centroid[stored code]‖² + ½) per sub plus an 'all' row. NOT a
+    * re-assignment: this measures the codes as committed, so the number
+    * drifts UP as the corpus distribution moves away from the trained
+    * model — the re-build trigger a deployment watches
+    * ([[graft.store.IndexStore.driftReport]]). */
+  def pqStoredDistortion(rows: DataFrame, codebook: DataFrame): DataFrame = {
+    val dsub = pqDsubOf(codebook)
+    val subs = pqSubvectors(rows.select(col("vec_id"), col("unit")), dsub)
+    val codesBySub = rows.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    val perSub = subs.join(codesBySub, Seq("vec_id", "sub"))
+      .join(broadcast(codebook), Seq("sub", "code"))
+      .withColumn("d2q", floor(graft.functions.Vec
+        .vec_l2sq(col("subvec"), col("centroid")) * lit(PqQuant) + lit(0.5))
+        .cast("long"))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2q")).as("distortion_q"))
+      .localCheckpoint()
+    perSub
+      .select(col("sub").cast("string").as("scope"), col("n_vecs"),
+        col("distortion_q"))
+      .unionAll(perSub
+        .agg(sum(col("n_vecs")).as("n_vecs"),
+          sum(col("distortion_q")).as("distortion_q"))
+        .select(lit("all").as("scope"), col("n_vecs"),
+          col("distortion_q")))
+  }
+
   private def ivfPqOracleSql: String = {
     val qLit = java.lang.Double.toString(PqQuant)
     val resOf = (u: String, c: String) =>

@@ -361,6 +361,51 @@ object IndexStore {
     else store.readLeaves(spark, table, hit)
   }
 
+  /** Drift telemetry for the model-carrying ANN kinds: quantized
+    * distortion of the STORED codes/cells under the COMMITTED models —
+    * per scope (subspace or cell) plus an 'all' row, integer output.
+    * Appends encode under fixed models, so as the ingested distribution
+    * moves away from what the models were trained on this number
+    * drifts UP; a deployment alerts on it and schedules `index build`
+    * (the re-train) when it crosses its budget. One scan of the index
+    * against broadcast model tables — no re-assignment, no re-train. */
+  def driftReport(store: GraftStore, spark: SparkSession,
+      kind: String): DataFrame = kind match {
+    case "pq" =>
+      SimilarityOps.pqStoredDistortion(read(store, spark, "pq"),
+        read(store, spark, "pq-codebook"))
+    case "ivfpq" =>
+      val cents = read(store, spark, "ivfpq-centroids")
+      val residualRows = read(store, spark, "ivfpq")
+        .join(broadcast(cents), "cell")
+        .select(col("vec_id"), col("codes"), graft.functions.Vec
+          .vec_sub(col("unit"), col("centroid")).as("unit"))
+      SimilarityOps.pqStoredDistortion(residualRows,
+        read(store, spark, "ivfpq-codebook"))
+    case "ivf" =>
+      // per-cell quantized residual energy ‖unit − centroid‖² — same
+      // grid and shape as the pq reports
+      val q = SimilarityOps.PqQuant
+      val perCell = read(store, spark, "ivf")
+        .join(broadcast(read(store, spark, "ivf-centroids")), "cell")
+        .withColumn("d2q", floor(graft.functions.Vec
+          .vec_l2sq(col("unit"), col("centroid")) * lit(q) + lit(0.5))
+          .cast("long"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("d2q")).as("distortion_q"))
+        .localCheckpoint()
+      perCell
+        .select(col("cell").cast("string").as("scope"), col("n_vecs"),
+          col("distortion_q"))
+        .unionAll(perCell
+          .agg(sum(col("n_vecs")).as("n_vecs"),
+            sum(col("distortion_q")).as("distortion_q"))
+          .select(lit("all").as("scope"), col("n_vecs"),
+            col("distortion_q")))
+    case other => sys.error(s"drift report supports the model-carrying " +
+      s"kinds (pq|ivfpq|ivf), not '$other'")
+  }
+
   /** Probe a batch against the at-rest index. For the keyed indexes
     * (band/span) the probe batch's own keys determine which leaf buckets
     * can match, so the manifest read is pruned to those — a small batch

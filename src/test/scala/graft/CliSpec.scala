@@ -130,6 +130,14 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(top.length == 1)
     assert(top.head.getAs[Long]("query_id") == 9000L)
     assert(top.head.getAs[Long]("neighbor_id") == 5000L)
+    // drift telemetry through the CLI: per-sub rows + the 'all' total
+    val report = captured {
+      cli.Main.run(spark, Array("index", "report", "--store", storeDir,
+        "--kind", "pq"))
+    }
+    assert(report.contains("scope=all"), report)
+    assert(report.linesIterator.count(_.contains("distortion_q=")) ==
+      graft.operators.SimilarityOps.PqSubs + 1, report)
   }
 
   test("curate --pii-scrub and --decontaminate-against filter content") {

@@ -605,6 +605,56 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(after.forall(_ >= 100L), s"stale rows survived: $after")
   }
 
+  test("drift report climbs when appends drift from the trained models " +
+      "and falls after a re-build") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(23)
+    // corpus A: tight clusters the models train on; corpus B: DIFFERENT
+    // cluster centers — appended under the fixed models, so its stored
+    // codes are a poor fit until `index build` re-trains
+    def corpusAround(centers: Seq[Array[Double]], ids: Range) =
+      ids.map { i =>
+        val c = centers(i % centers.size)
+        (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+      }
+    val centersA = (0 until 6).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val centersB = (0 until 6).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val a = corpusAround(centersA, 0 until 300)
+    val b = corpusAround(centersB, 5000 until 5300)
+    for (kind <- Seq("pq", "ivfpq")) {
+      val root = tempDir(s"graft-idx-drift-$kind")
+      IndexStore.build(new GraftStore(root), kind,
+        a.toDF("vec_id", "embedding"))
+      def allDistortion(): (Long, Long) = {
+        val r = IndexStore.driftReport(new GraftStore(root), spark, kind)
+          .filter(col("scope") === "all").head()
+        (r.getLong(1), r.getLong(2))
+      }
+      val (n0, d0) = allDistortion()
+      // the 'all' row counts SUBVECTORS (vectors x M) — the
+      // ann_pq_distortion convention
+      assert(n0 == 300L * graft.operators.SimilarityOps.PqSubs,
+        s"$kind: report covers $n0 subvectors")
+      IndexStore.append(new GraftStore(root), kind,
+        b.toDF("vec_id", "embedding"))
+      val (n1, d1) = allDistortion()
+      assert(n1 == 600L * graft.operators.SimilarityOps.PqSubs, kind)
+      // per-vector distortion at least doubles once half the corpus is
+      // off-model (measured ~5-10x; 2x is the loose gate)
+      assert(d1.toDouble / n1 > 2.0 * d0 / n0,
+        s"$kind: drift not visible (${d0 / n0} -> ${d1 / n1} per vector)")
+      // re-build = re-train on the union: per-vector distortion drops
+      // back toward the trained level
+      IndexStore.build(new GraftStore(root),
+        kind, (a ++ b).toDF("vec_id", "embedding"))
+      val (n2, d2) = allDistortion()
+      assert(n2 == 600L * graft.operators.SimilarityOps.PqSubs, kind)
+      assert(d2 < d1, s"$kind: re-build did not reduce distortion " +
+        s"($d1 -> $d2)")
+    }
+  }
+
   test("four-kind append race on ONE store: band/ivf/pq/vec all land " +
       "and every stamp survives") {
     import spark.implicits._
