@@ -166,6 +166,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.store.GraftStore.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("IVF-PQ at-rest probe: the ADC scan reads (cell, codes) WITHOUT " +
+      "the unit column") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-plan-ivfpq").toString
+    val rnd = new scala.util.Random(5)
+    val base = (0L until 200L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    graft.store.IndexStore.build(new graft.store.GraftStore(root), "ivfpq",
+      base.toDF("vec_id", "embedding"))
+    val df = graft.store.IndexStore.search(new graft.store.GraftStore(root),
+      spark, "ivfpq", Seq((9000L, base(7)._2.map(_ * 1.001f)))
+        .toDF("vec_id", "embedding"))
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema"))
+      .filter(_.contains("codes")).toSeq
+    assert(schemas.nonEmpty, s"no codes scan in:\n$p")
+    assert(schemas.exists(!_.contains("unit")),
+      s"every codes scan also reads unit:\n${schemas.mkString("\n")}")
+    graft.store.GraftStore.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("ngram verify stage is bounded by candidates (semi-join prune)") {
     val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
     df.collect()
