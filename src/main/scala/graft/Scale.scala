@@ -257,8 +257,8 @@ object Scale {
       // PQ lifecycle: build trains codebooks + encodes at k× (linear
       // claim); search probes a FIXED query batch — the code scan is
       // O(corpus) by design (like sketch) but reads only the codes
-      // COLUMN, so the claim is linear bytes at ~1/60 the sketch
-      // index's per-row footprint (watch shuffle/scan bytes, not wall)
+      // COLUMN, so the claim is linear bytes at ~1/50 the embedding
+      // column's per-row footprint (watch shuffle/scan bytes, not wall)
       if (want("pq_build")) phase("pq_build", k, 1) {
         graft.store.IndexStore.build(store, "pq", embK)
         graft.store.IndexStore.read(store, spark, "pq-codebook").limit(0)
