@@ -846,9 +846,26 @@ object SimilarityOps {
     * query vectors with the codebook's own subspace geometry —
     * O(queries) work, no corpus access. */
   def pqQueryTables(queryUnits: DataFrame, codebook: DataFrame,
-      m: Int = PqSubs, ks: Int = PqCodes): DataFrame =
-    pqDistanceTables(
-      pqSubvectors(queryUnits, pqDsubOf(codebook), m), codebook, ks)
+      m: Int = PqSubs, ks: Int = PqCodes): DataFrame = {
+    val dsub = pqDsubOf(codebook)
+    requireQueryDim(queryUnits, "unit", m * dsub, "codebook")
+    pqDistanceTables(pqSubvectors(queryUnits, dsub, m), codebook, ks)
+  }
+
+  /** Loud probe-side dimension check: slicing and the common-prefix
+    * distance folds would silently score a wrong-dimension query
+    * against truncated centroids — a probe that cannot match the model
+    * must fail, not return plausible garbage. One tiny agg over the
+    * (small by construction) query side; empty query sets pass. */
+  private def requireQueryDim(queries: DataFrame, dimCol: String,
+      expected: Int, model: String): Unit = {
+    val r = queries.agg(min(size(col(dimCol))).as("mn"),
+      max(size(col(dimCol))).as("mx")).head()
+    if (!r.isNullAt(0))
+      require(r.getInt(0) == expected && r.getInt(1) == expected,
+        s"query dimension ${r.getInt(0)}..${r.getInt(1)} does not match " +
+          s"the $model's $expected")
+  }
 
   /** Subspace width recorded in an at-rest codebook (every centroid has
     * it — one row read). */
@@ -1227,6 +1244,8 @@ object SimilarityOps {
       queries: DataFrame): DataFrame = {
     // per-(query, cell) tables over the QUERY residual for that cell
     val dsub = pqDsubOf(cb)
+    requireQueryDim(queries, "q_unit",
+      cents.select(size(col("centroid"))).head().getInt(0), "coarse model")
     val qsubs = probes.join(broadcast(cents), "cell")
       .select(col("query_id"), col("cell"), graft.functions.Vec
         .vec_sub(col("q_unit"), col("centroid")).as("unit"))

@@ -605,6 +605,27 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(after.forall(_ >= 100L), s"stale rows survived: $after")
   }
 
+  test("wrong-dimension probes against pq/ivfpq indexes fail loudly") {
+    import spark.implicits._
+    // slice + common-prefix folds would otherwise score the query
+    // against truncated centroids and return plausible garbage
+    val rnd = new scala.util.Random(6)
+    val base = (0L until 200L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    for (kind <- Seq("pq", "ivfpq")) {
+      val root = tempDir(s"graft-idx-dim-$kind")
+      IndexStore.build(new GraftStore(root), kind,
+        base.toDF("vec_id", "embedding"))
+      val shortProbe = Seq((9000L, Seq.fill(8)(
+        rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+      val e = intercept[IllegalArgumentException] {
+        IndexStore.search(new GraftStore(root), spark, kind, shortProbe)
+          .collect()
+      }
+      assert(e.getMessage.contains("does not match"), s"$kind: $e")
+    }
+  }
+
   test("drift report climbs when appends drift from the trained models " +
       "and falls after a re-build") {
     import spark.implicits._
