@@ -443,6 +443,8 @@ object IndexStore {
       // the probe list needs only the tiny centroid table; the cell
       // reads that follow are pruned to the probed cells — at rest, an
       // nprobe/k search really does LIST nprobe/k of the data
+      requireProbeDim(probe, read(store, spark, "ivf-centroids")
+        .select(size(col("centroid"))).head().getInt(0), "ivf centroids")
       val queries = SimilarityOps.unitVectors(probe)
         .select(col("vec_id").as("query_id"), col("unit").as("q_unit"))
       val probes = SimilarityOps.ivfProbes(queries,
@@ -480,6 +482,8 @@ object IndexStore {
       // against ONLY the probe's own sign buckets (manifest prune + the
       // distinct bucket ids as a pushed scan filter — the band prune
       // levels, keyed on `bucket`)
+      requireProbeDim(probe, read(store, spark, "vec")
+        .select(size(col("unit"))).head().getInt(0), "vec index")
       val probeRows = DedupOps.normalizedWithBucket(probe)
         .select(col("vec_id").as("new_id"), col("unit").as("u_new"),
           col("bucket"))
@@ -498,7 +502,27 @@ object IndexStore {
         .select(col("new_id"), col("existing_id"),
           floor(col("cos") * 10000).cast("long").as("cos_bp"))
     case _ =>
-      SimilarityOps.sketchProbe(read(store, spark, "sketch"), probe)
+      val idx = read(store, spark, "sketch")
+      requireProbeDim(probe,
+        idx.select(size(col("unit"))).head().getInt(0), "sketch index")
+      SimilarityOps.sketchProbe(idx, probe)
+  }
+
+  /** Loud probe-side dimension check for the vector kinds: the
+    * common-prefix distance/sketch folds would silently score a
+    * wrong-dimension probe against truncated vectors — plausible
+    * garbage instead of an error. One tiny agg over the (small by
+    * construction) probe side; empty probes pass. The pq/ivfpq kinds
+    * apply the same check inside [[SimilarityOps]] against their
+    * codebook geometry. */
+  private def requireProbeDim(probe: DataFrame, expected: Int,
+      what: String): Unit = {
+    val r = probe.agg(min(size(col("embedding"))).as("mn"),
+      max(size(col("embedding"))).as("mx")).head()
+    if (!r.isNullAt(0))
+      require(r.getInt(0) == expected && r.getInt(1) == expected,
+        s"probe dimension ${r.getInt(0)}..${r.getInt(1)} does not match " +
+          s"the $what's $expected")
   }
 
   /** Probe keys above this count skip the scan-filter pushdown (a

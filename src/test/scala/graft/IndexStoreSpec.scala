@@ -605,14 +605,14 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(after.forall(_ >= 100L), s"stale rows survived: $after")
   }
 
-  test("wrong-dimension probes against pq/ivfpq indexes fail loudly") {
+  test("wrong-dimension probes against every vector kind fail loudly") {
     import spark.implicits._
     // slice + common-prefix folds would otherwise score the query
     // against truncated centroids and return plausible garbage
     val rnd = new scala.util.Random(6)
     val base = (0L until 200L).map(i =>
       (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
-    for (kind <- Seq("pq", "ivfpq")) {
+    for (kind <- Seq("pq", "ivfpq", "sketch", "ivf", "vec")) {
       val root = tempDir(s"graft-idx-dim-$kind")
       IndexStore.build(new GraftStore(root), kind,
         base.toDF("vec_id", "embedding"))
