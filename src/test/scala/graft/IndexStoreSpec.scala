@@ -9,9 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Persisted-index lifecycle over the store manifest: build/append
   * commit index leaves atomically, search probes them AT REST — a fresh
   * [[GraftStore]] instance per step is the process-restart story (the
-  * only state is the manifest on disk). The band kind is exercised
-  * end-to-end through the CLI in CliSpec; here the span and sketch kinds
-  * and the replace-on-rebuild contract. */
+  * only state is the manifest on disk). The band and pq kinds are also
+  * exercised end-to-end through the CLI in CliSpec; here the
+  * span/sketch/ivf/pq/ivfpq/vec kinds, the probe prunes, lifecycle
+  * races, drift telemetry, dimension guards, and the
+  * replace-on-rebuild contract. */
 class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     with TempDirCleanup {
 
