@@ -161,7 +161,8 @@ object Bench {
       SimilarityOps.pqSearch(s.read.parquet(s"$pqDir/codes"), units,
         SimilarityOps.pqQueryTables(units
           .filter(org.apache.spark.sql.functions.col("vec_id") <
-            SimilarityOps.NumQueries), cb))
+            SimilarityOps.NumQueries), cb),
+        SimilarityOps.pqKsOf(cb))
     }
     val wantPqBuild = only.forall(_.contains("ann_pq_build"))
     val wantPqSearch = only.forall(_.contains("ann_pq_search"))

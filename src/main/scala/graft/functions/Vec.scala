@@ -86,6 +86,15 @@ object Vec {
     * M array reads + adds per row, no float math at all. */
   def adc(codes: ArrayData, tbl: ArrayData, ks: Int): Long = {
     val m = codes.numElements()
+    // Stride guard: an UnsafeArrayData read past numElements returns
+    // unchecked memory, not an exception — a wrong ks (nominal PqCodes
+    // against a small-corpus codebook with fewer codes; see
+    // SimilarityOps.pqKsOf) would produce plausible-garbage distances.
+    // One well-predicted compare per row vs M lookups.
+    if (tbl.numElements() < m.toLong * ks)
+      throw new IllegalArgumentException(
+        s"pq_adc: table has ${tbl.numElements()} entries, need m*ks = " +
+          s"$m*$ks — ks must be the codebook's actual code count")
     var s = 0L
     var i = 0
     while (i < m) { s += tbl.getLong(i * ks + codes.getInt(i)); i += 1 }

@@ -820,8 +820,7 @@ object SimilarityOps {
     * flattened M·ks BIGINT array, entry s·ks+c = floor(Q·‖q_sub −
     * centroid(s,c)‖² + ½). O(queries·M·ks) work against the broadcast
     * codebook — no corpus access. */
-  def pqDistanceTables(querySubs: DataFrame, codebook: DataFrame,
-      ks: Int = PqCodes): DataFrame =
+  def pqDistanceTables(querySubs: DataFrame, codebook: DataFrame): DataFrame =
     querySubs.join(broadcast(codebook), "sub")
       .withColumn("d2q", floor(graft.functions.Vec
         .vec_l2sq(col("subvec"), col("centroid")) * lit(PqQuant) + lit(0.5))
@@ -846,24 +845,27 @@ object SimilarityOps {
     * query vectors with the codebook's own subspace geometry —
     * O(queries) work, no corpus access. */
   def pqQueryTables(queryUnits: DataFrame, codebook: DataFrame,
-      m: Int = PqSubs, ks: Int = PqCodes): DataFrame = {
+      m: Int = PqSubs): DataFrame = {
     val dsub = pqDsubOf(codebook)
-    requireQueryDim(queryUnits, "unit", m * dsub, "codebook")
-    pqDistanceTables(pqSubvectors(queryUnits, dsub, m), codebook, ks)
+    requireDim(queryUnits, "unit", m * dsub, "codebook")
+    pqDistanceTables(pqSubvectors(queryUnits, dsub, m), codebook)
   }
 
-  /** Loud probe-side dimension check: slicing and the common-prefix
-    * distance folds would silently score a wrong-dimension query
-    * against truncated centroids — a probe that cannot match the model
-    * must fail, not return plausible garbage. One tiny agg over the
-    * (small by construction) query side; empty query sets pass. */
-  private def requireQueryDim(queries: DataFrame, dimCol: String,
+  /** Loud dimension check for a query/probe/ingest batch: slicing and
+    * the common-prefix distance folds would silently score a
+    * wrong-dimension vector against truncated centroids — a batch that
+    * cannot match the model must fail, not return (or COMMIT) plausible
+    * garbage. One tiny agg over the (small by construction) batch;
+    * empty batches pass. Shared by every vector-kind guard
+    * ([[graft.store.IndexStore]] probe AND append sides) so a fix here
+    * reaches all of them. */
+  private[graft] def requireDim(batch: DataFrame, dimCol: String,
       expected: Int, model: String): Unit = {
-    val r = queries.agg(min(size(col(dimCol))).as("mn"),
+    val r = batch.agg(min(size(col(dimCol))).as("mn"),
       max(size(col(dimCol))).as("mx")).head()
     if (!r.isNullAt(0))
       require(r.getInt(0) == expected && r.getInt(1) == expected,
-        s"query dimension ${r.getInt(0)}..${r.getInt(1)} does not match " +
+        s"batch dimension ${r.getInt(0)}..${r.getInt(1)} does not match " +
           s"the $model's $expected")
   }
 
@@ -872,11 +874,28 @@ object SimilarityOps {
   def pqDsubOf(codebook: DataFrame): Int =
     codebook.select(size(col("centroid"))).head().getInt(0)
 
+  /** Codes per subspace recorded in a codebook — max code + 1 (codes
+    * are dense 0..c−1 for every sub by construction: the trainer seeds
+    * all subs from the same ≤[[PqCodes]] row sample and empty cells
+    * keep their centroid). A codebook trained over a corpus SMALLER
+    * than ks has fewer codes, and the flattened ADC table layout and
+    * the [[graft.functions.Vec]].pq_adc stride must both use this
+    * actual count — striding a short table by the nominal [[PqCodes]]
+    * would read the wrong subspace's entries for low subs and past the
+    * array's end for high ones: silent garbage neighbors, the failure
+    * mode the probe-side dimension guards exist to prevent. One tiny
+    * agg over the broadcast-sized model table. */
+  def pqKsOf(codebook: DataFrame): Int =
+    codebook.agg(max(col("code"))).head().getInt(0) + 1
+
   /** ADC top-k search over an encoded corpus: the candidate scan reads
     * CODES only (M ints/row — with ks=16, M·4 bits of entropy; ~1% of
     * the embedding bytes), ranks by the integer ADC distance, and exact
     * cosine rescores just the top [[RescoreBudget]] — the sketch-search
-    * shape with the byte footprint of the index divided by ~64. */
+    * shape with the byte footprint of the index divided by ~64.
+    * `ks` must be the codebook's ACTUAL code count ([[pqKsOf]]) — the
+    * ADC stride over the flattened tables; the default is only correct
+    * for codebooks trained over ≥ [[PqCodes]] vectors. */
   def pqSearch(codes: DataFrame, units: DataFrame, tables: DataFrame,
       ks: Int = PqCodes): DataFrame =
     pqSearchWith(codes, units, tables,
@@ -913,9 +932,15 @@ object SimilarityOps {
     * index leaf serves both the code scan (codes column only — ~1% of
     * the bytes) and the deferred rescore fetch (unit column, survivors
     * only). */
-  def pqEncodeWith(unitsDf: DataFrame, codebook: DataFrame): DataFrame =
-    pqEncode(pqSubvectors(unitsDf, pqDsubOf(codebook)), codebook)
+  def pqEncodeWith(unitsDf: DataFrame, codebook: DataFrame): DataFrame = {
+    val dsub = pqDsubOf(codebook)
+    // ingest-side guard: a wrong-dimension batch would slice tail
+    // subspaces empty (their l2sq over the empty prefix is 0 to every
+    // centroid → code 0) and COMMIT meaningless codes permanently
+    requireDim(unitsDf, "unit", PqSubs * dsub, "codebook")
+    pqEncode(pqSubvectors(unitsDf, dsub), codebook)
       .join(unitsDf, "vec_id")
+  }
 
   /** Search an at-rest PQ index (`vec_id`, `codes`, `unit` columns)
     * with EXTERNAL query embeddings (`vec_id`, `embedding`): queries
@@ -932,7 +957,7 @@ object SimilarityOps {
       index.select(col("vec_id"), col("unit")),
       pqQueryTables(qUnits, codebook),
       qUnits.select(col("vec_id").as("query_id"),
-        col("unit").as("q_unit")), PqCodes)
+        col("unit").as("q_unit")), pqKsOf(codebook))
   }
 
   // ---- PQ oracle SQL (the IVF unroll pattern, per-subspace) ----
@@ -1082,7 +1107,8 @@ object SimilarityOps {
         .select(col("vec_id"), col("unit")).localCheckpoint()
       val (subs, codebook) = buildPqCodebooks(units)
       pqSearch(pqEncode(subs, codebook), units,
-        pqDistanceTables(subs.filter(col("vec_id") < NumQueries), codebook))
+        pqDistanceTables(subs.filter(col("vec_id") < NumQueries), codebook),
+        pqKsOf(codebook))
     },
     Some(pqOracleSql))
 
@@ -1144,7 +1170,8 @@ object SimilarityOps {
         .select(col("vec_id"), col("unit")).localCheckpoint()
       val (subs, codebook) = buildPqCodebooks(units)
       val pq = pqSearch(pqEncode(subs, codebook), units,
-        pqDistanceTables(subs.filter(col("vec_id") < NumQueries), codebook))
+        pqDistanceTables(subs.filter(col("vec_id") < NumQueries), codebook),
+        pqKsOf(codebook))
         .select(col("query_id"), col("neighbor_id"))
       val perQuery = exact
         .join(pq.withColumn("hit", lit(1L)),
@@ -1224,6 +1251,10 @@ object SimilarityOps {
     * (vec_id, codes, cell, unit). */
   def ivfPqEncodeWith(unitsDf: DataFrame, cents: DataFrame,
       cb: DataFrame): DataFrame = {
+    // ingest-side guard (same rationale as [[pqEncodeWith]]): cells and
+    // residuals from truncated-prefix distances would commit silently
+    requireDim(unitsDf, "unit",
+      cents.select(size(col("centroid"))).head().getInt(0), "coarse model")
     val cells = ivfAssign(unitsDf, cents)
     val residuals = cells.join(broadcast(cents), "cell")
       .select(col("vec_id"), col("cell"), graft.functions.Vec
@@ -1244,7 +1275,7 @@ object SimilarityOps {
       queries: DataFrame): DataFrame = {
     // per-(query, cell) tables over the QUERY residual for that cell
     val dsub = pqDsubOf(cb)
-    requireQueryDim(queries, "q_unit",
+    requireDim(queries, "q_unit",
       cents.select(size(col("centroid"))).head().getInt(0), "coarse model")
     val qsubs = probes.join(broadcast(cents), "cell")
       .select(col("query_id"), col("cell"), graft.functions.Vec
@@ -1270,7 +1301,7 @@ object SimilarityOps {
     val survivors = codes.join(broadcast(tables), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adist", graft.functions.Vec
-        .pq_adc(col("codes"), col("tblq"), PqCodes))
+        .pq_adc(col("codes"), col("tblq"), pqKsOf(cb)))
       .withColumn("crk", row_number().over(byAdc))
       .filter(col("crk") <= RescoreBudget)
       .select(col("query_id"), col("vec_id"))

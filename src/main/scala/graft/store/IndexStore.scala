@@ -314,13 +314,28 @@ object IndexStore {
   def append(store: GraftStore, kind: String, input: DataFrame): Long = {
     // appending to EXISTING leaves must not mix hash families; an
     // append into an empty table acts as the first build and stamps
-    if (store.leavesOf(tableOf(kind)).nonEmpty) checkFormat(store, kind)
+    val existing = store.leavesOf(tableOf(kind)).nonEmpty
+    if (existing) checkFormat(store, kind)
+    // ingest-side dimension guards (the probe-side guards' twin): a
+    // wrong-dimension append would assign cells / sketch bits from
+    // truncated-prefix folds and COMMIT the garbage permanently. The
+    // pq/ivfpq encode paths guard against their model geometry inside
+    // SimilarityOps; ivf guards against its centroids here; the
+    // model-less vector kinds (vec, sketch) guard against the dimension
+    // already at rest (one-leaf read — nothing to check on first write).
+    if ((kind == "vec" || kind == "sketch") && existing)
+      SimilarityOps.requireDim(input, "embedding",
+        indexDim(store, input.sparkSession, kind), s"'$kind' index")
     val rows =
-      if (kind == "ivf")
-        SimilarityOps.ivfAssign(SimilarityOps.unitVectors(input),
-          read(store, input.sparkSession, "ivf-centroids"))
+      if (kind == "ivf") {
+        val cents = read(store, input.sparkSession, "ivf-centroids")
+        val units = SimilarityOps.unitVectors(input)
+        SimilarityOps.requireDim(units, "unit",
+          cents.select(size(col("centroid"))).head().getInt(0),
+          "ivf centroids")
+        SimilarityOps.ivfAssign(units, cents)
           .select(col("vec_id"), col("unit"), col("cell"))
-      else if (kind == "pq")
+      } else if (kind == "pq")
         SimilarityOps.pqEncodeWith(SimilarityOps.unitVectors(input),
           read(store, input.sparkSession, "pq-codebook"))
       else if (kind == "ivfpq")
@@ -347,6 +362,26 @@ object IndexStore {
     else if (kind == "ivfpq-codebook")
       readTable(store, spark, "ivfpq", IvfPqCodebookTable, bucketPred)
     else readTable(store, spark, kind, tableOf(kind), bucketPred)
+
+  /** Dimension of the vectors at rest in a `unit`-carrying index, read
+    * from ONE leaf. The obvious `read(store, spark, kind).select(size(
+    * col("unit"))).head()` would resolve a DataFrame over EVERY leaf
+    * dir (the file listing alone grows with append count) on the probe
+    * hot path — this lists a single leaf and falls through to the next
+    * only if that leaf is empty. */
+  private def indexDim(store: GraftStore, spark: SparkSession,
+      kind: String): Int = {
+    val table = tableOf(kind)
+    val leaves = store.leavesOf(table)
+    require(leaves.nonEmpty,
+      s"no '$table' leaves in store ${store.root} — run `index build` first")
+    checkFormat(store, kind)
+    leaves.iterator
+      .map(l => store.readLeaves(spark, table, Seq(l))
+        .select(size(col("unit"))).head(1).headOption)
+      .collectFirst { case Some(r) => r.getInt(0) }
+      .getOrElse(sys.error(s"'$table' index at ${store.root} has no rows"))
+  }
 
   private def readTable(store: GraftStore, spark: SparkSession,
       kind: String, table: String, bucketPred: Long => Boolean): DataFrame = {
@@ -443,12 +478,13 @@ object IndexStore {
       // the probe list needs only the tiny centroid table; the cell
       // reads that follow are pruned to the probed cells — at rest, an
       // nprobe/k search really does LIST nprobe/k of the data
-      requireProbeDim(probe, read(store, spark, "ivf-centroids")
+      val ivfCents = read(store, spark, "ivf-centroids")
+      requireProbeDim(probe, ivfCents
         .select(size(col("centroid"))).head().getInt(0), "ivf centroids")
       val queries = SimilarityOps.unitVectors(probe)
         .select(col("vec_id").as("query_id"), col("unit").as("q_unit"))
       val probes = SimilarityOps.ivfProbes(queries,
-        read(store, spark, "ivf-centroids"), SimilarityOps.IvfProbes)
+        ivfCents, SimilarityOps.IvfProbes)
         .localCheckpoint() // probed twice: cell set + search join
       val cellSet = probes.select(col("cell")).distinct()
         .collect().map(_.getInt(0).toLong).toSet
@@ -482,8 +518,7 @@ object IndexStore {
       // against ONLY the probe's own sign buckets (manifest prune + the
       // distinct bucket ids as a pushed scan filter — the band prune
       // levels, keyed on `bucket`)
-      requireProbeDim(probe, read(store, spark, "vec")
-        .select(size(col("unit"))).head().getInt(0), "vec index")
+      requireProbeDim(probe, indexDim(store, spark, "vec"), "vec index")
       val probeRows = DedupOps.normalizedWithBucket(probe)
         .select(col("vec_id").as("new_id"), col("unit").as("u_new"),
           col("bucket"))
@@ -508,22 +543,13 @@ object IndexStore {
       SimilarityOps.sketchProbe(idx, probe)
   }
 
-  /** Loud probe-side dimension check for the vector kinds: the
-    * common-prefix distance/sketch folds would silently score a
-    * wrong-dimension probe against truncated vectors — plausible
-    * garbage instead of an error. One tiny agg over the (small by
-    * construction) probe side; empty probes pass. The pq/ivfpq kinds
-    * apply the same check inside [[SimilarityOps]] against their
-    * codebook geometry. */
+  /** Loud probe-side dimension check for the vector kinds — the shared
+    * [[SimilarityOps.requireDim]] guard over the probe's `embedding`
+    * column. The pq/ivfpq kinds apply the same check inside
+    * [[SimilarityOps]] against their codebook geometry. */
   private def requireProbeDim(probe: DataFrame, expected: Int,
-      what: String): Unit = {
-    val r = probe.agg(min(size(col("embedding"))).as("mn"),
-      max(size(col("embedding"))).as("mx")).head()
-    if (!r.isNullAt(0))
-      require(r.getInt(0) == expected && r.getInt(1) == expected,
-        s"probe dimension ${r.getInt(0)}..${r.getInt(1)} does not match " +
-          s"the $what's $expected")
-  }
+      what: String): Unit =
+    SimilarityOps.requireDim(probe, "embedding", expected, what)
 
   /** Probe keys above this count skip the scan-filter pushdown (a
     * predicate that large costs more to plan/evaluate than the scan it

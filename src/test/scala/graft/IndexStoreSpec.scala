@@ -787,4 +787,109 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(top.length == 1 && top.head.getAs[Long]("neighbor_id") == 900L,
       s"ivf append lost: ${top.mkString(",")}")
   }
+
+  /** Exact cosine ranking replicated with the engine's own fold
+    * discipline (cast to double, left-to-right Σx², per-element divide,
+    * left-to-right dot) — bit-identical to the rescore's vec_dot over
+    * vec_unit, so cos_bp can be compared as integers. */
+  private def exactCos(corpus: Seq[(Long, Seq[Float])],
+      probe: Seq[Float]): Seq[(Long, Double)] = {
+    def unit(v: Seq[Float]): Array[Double] = {
+      val d = v.map(_.toDouble).toArray
+      var s = 0.0
+      var i = 0
+      while (i < d.length) { s += d(i) * d(i); i += 1 }
+      val n = math.sqrt(s)
+      d.map(_ / n)
+    }
+    val pu = unit(probe)
+    corpus.map { case (id, v) =>
+      val u = unit(v)
+      var s = 0.0
+      var i = 0
+      while (i < u.length) { s += pu(i) * u(i); i += 1 }
+      (id, s)
+    }
+  }
+
+  test("pq index over a corpus SMALLER than PqCodes probes exactly: " +
+      "the ADC stride is the codebook's actual code count") {
+    import spark.implicits._
+    // 10 vectors < PqCodes=16: the trainer seeds only 10 codes/sub, so
+    // the flattened tables have 8x10 entries — striding them by the
+    // nominal 16 would read the wrong subspace's entries (low subs) or
+    // past the array (high subs): silent garbage neighbors
+    val dim = 16
+    val rnd = new scala.util.Random(41)
+    val corpus = (0L until 10L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val root = tempDir("graft-idx-pq-small")
+    IndexStore.build(new GraftStore(root), "pq",
+      corpus.toDF("vec_id", "embedding"))
+    val probeVec = corpus(3)._2.map(x => x * 1.01f)
+    val got = IndexStore.search(new GraftStore(root), spark, "pq",
+      Seq((9000L, probeVec)).toDF("vec_id", "embedding"))
+      .orderBy("rank").collect()
+      .map(r => r.getAs[Long]("neighbor_id"))
+    // RescoreBudget (150) covers all 10 candidates, so the exact-cosine
+    // rescore must return the true top-K — rank 1 is the scaled source
+    val want = exactCos(corpus, probeVec)
+      .sortBy { case (id, c) => (-c, id) }
+      .take(graft.operators.SimilarityOps.K).map(_._1)
+    assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
+    assert(got.head == 3L)
+  }
+
+  test("ivfpq index over a corpus smaller than PqCodes searches " +
+      "consistently: rescored cosines are exact for every hit") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(43)
+    val corpus = (0L until 10L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val root = tempDir("graft-idx-ivfpq-small")
+    IndexStore.build(new GraftStore(root), "ivfpq",
+      corpus.toDF("vec_id", "embedding"))
+    val probeVec = corpus(5)._2.map(x => x * 0.99f)
+    val rows = IndexStore.search(new GraftStore(root), spark, "ivfpq",
+      Seq((9000L, probeVec)).toDF("vec_id", "embedding")).collect()
+    // cell pruning may hide far neighbors on a 10-vector corpus (each
+    // vector lands alone in a cell; nprobe=4 of them are scanned) — the
+    // CONTRACT here is self-consistency: hits exist, come from the
+    // corpus, and every reported cos_bp is the exact rescored cosine
+    assert(rows.nonEmpty)
+    val exact = exactCos(corpus, probeVec).toMap
+    rows.foreach { r =>
+      val nb = r.getAs[Long]("neighbor_id")
+      assert(corpus.exists(_._1 == nb))
+      assert(r.getAs[Long]("cos_bp") ==
+        math.floor(exact(nb) * 10000).toLong, s"cos mismatch for $nb")
+    }
+    // the probe is a scaled copy of vec 5 — same direction, cosine 1 —
+    // and its own cell is always the top probe, so it must be rank 1
+    assert(rows.find(_.getAs[Int]("rank") == 1)
+      .map(_.getAs[Long]("neighbor_id")).contains(5L))
+  }
+
+  test("wrong-dimension appends against every vector kind fail loudly " +
+      "instead of committing garbage codes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val base = (0L until 60L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    for (kind <- Seq("pq", "ivfpq", "ivf", "vec", "sketch")) {
+      val root = tempDir(s"graft-idx-appdim-$kind")
+      IndexStore.build(new GraftStore(root), kind,
+        base.toDF("vec_id", "embedding"))
+      val shortBatch = Seq((9000L, Seq.fill(8)(
+        rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+      val e = intercept[IllegalArgumentException] {
+        IndexStore.append(new GraftStore(root), kind, shortBatch)
+      }
+      assert(e.getMessage.contains("does not match"), s"$kind: $e")
+      // the guard fired BEFORE any commit: the index is intact
+      assert(IndexStore.read(new GraftStore(root), spark, kind)
+        .count() == 60L, s"$kind: wrong-dim append mutated the index")
+    }
+  }
 }
