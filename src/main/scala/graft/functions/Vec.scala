@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
@@ -98,6 +98,46 @@ object Vec {
     var s = 0L
     var i = 0
     while (i < m) { s += tbl.getLong(i * ks + codes.getInt(i)); i += 1 }
+    s
+  }
+
+  /** Integer-domain quantized distortion between a (double) subvector
+    * and a centroid held as its EXACT pair (sq = per-position quantized
+    * sums S on the 2³² grid, c = member count, so the centroid value is
+    * S/(c·2³²)): Σⱼ qⱼ² with qⱼ = round(|c·xqⱼ − Sⱼ| / (c·2¹⁶)) and
+    * xqⱼ = floor(xⱼ·2³² + ½). qⱼ is the residual on the 2⁻¹⁶ grid, so
+    * qⱼ² sits on the 2⁻³² grid — the statistic has the same magnitude
+    * as floor(2³²·‖x − centroid‖²), but NO double ever feeds a floor
+    * whose argument an engine could perturb: xⱼ·2³² is a pure exponent
+    * shift (2³² is a power of two — exact), +½ is ONE IEEE add, and
+    * everything after is BIGINT arithmetic with a nonnegative
+    * truncating division (= floor), reproducible term-for-term by the
+    * DuckDB oracle's list arithmetic. This is the hash-gated distortion
+    * statistic ([[graft.operators.SimilarityOps.pqDistortion]]) —
+    * the floor(2³²·d2 + ½) form it replaces summed 60k×8 IEEE folds and
+    * flipped on one-ulp `list_reduce` divergence in the driver's DuckDB.
+    *
+    * Bounds: |c·xq − S| ≤ c·2³³ (unit-sphere data), so 2·|N| + c·2¹⁶
+    * needs c < 2²⁹ (~500M members per (sub, code) cell) to stay in
+    * int64 — guarded loudly, not silently wrapped. qⱼ ≤ 2¹⁷ ⇒ qⱼ² ≤
+    * 2³⁴; the per-row sum over dsub ≤ 64 stays far under 2⁶³. */
+  def distq(x: ArrayData, sq: ArrayData, c: Long): Long = {
+    if (c <= 0L || c >= (1L << 29))
+      throw new IllegalArgumentException(
+        s"pq_dist_q: centroid member count $c outside (0, 2^29) — " +
+          "the integer numerator would overflow int64")
+    val n = math.min(x.numElements(), sq.numElements())
+    val dn = c * 65536L
+    val dn2 = dn * 2L
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val xq = math.floor(x.getDouble(i) * 4294967296.0 + 0.5).toLong
+      val a = math.abs(c * xq - sq.getLong(i))
+      val q = (a * 2L + dn) / dn2
+      s += q * q
+      i += 1
+    }
     s
   }
 
@@ -424,6 +464,13 @@ object Vec {
   def pq_adc(codes: Column, tbl: Column, ks: Int): Column =
     columnOf(PqAdc(exprOf(codes), exprOf(tbl), ks))
 
+  /** Integer-domain quantized distortion (bigint) of a subvector
+    * (array<double>) against a centroid's exact pair: sq =
+    * array<bigint> of per-position quantized sums, cq = bigint member
+    * count. See [[distq]]. */
+  def pq_dist_q(x: Column, sq: Column, cq: Column): Column =
+    columnOf(PqDistQ(exprOf(x), exprOf(sq), exprOf(cq)))
+
   /** Packed sign sketch (array<bigint>) of a unit vector column. */
   def sign_sketch(c: Column, seed: Long, bits: Int): Column =
     columnOf(SignSketchExpr(exprOf(c), seed, bits))
@@ -522,6 +569,19 @@ case class PqAdc(left: Expression, right: Expression, ks: Int)
       s"${ev.value} = graft.functions.Vec.adc($a, $b, $ks);")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): PqAdc = copy(l, r)
+}
+
+case class PqDistQ(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(x: Any, s: Any, c: Any): Any =
+    Vec.distq(x.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData],
+      c.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, s, c) =>
+      s"${ev.value} = graft.functions.Vec.distq($x, $s, $c);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PqDistQ = copy(f, s, t)
 }
 
 case class SignSketchExpr(child: Expression, seed: Long, bits: Int)

@@ -743,11 +743,26 @@ object SimilarityOps {
       (v, code) <- initRows.zipWithIndex
       sub <- 0 until m
     } yield (sub, code) -> v.slice(sub * dsub, (sub + 1) * dsub)).toMap
+    // Exact integer twin of every centroid: (sq, cq) with value
+    // sq/(cq·Q) — the pair the hash-gated distortion statistic is
+    // defined against ([[graft.functions.Vec.distq]]: no double feeds a
+    // floor). Updated cells carry the round's (S, c) verbatim; an init
+    // cell that never wins a member is represented as its Q-quantized
+    // slice with cq = 1 (≈ the double centroid to within ½ grid step —
+    // the oracle mirrors the same convention, so both sides agree
+    // bit-for-bit by construction rather than by IEEE luck).
+    var exacts: Map[(Int, Int), (Seq[Long], Long)] = (for {
+      (v, code) <- initRows.zipWithIndex
+      sub <- 0 until m
+    } yield (sub, code) -> ((v.slice(sub * dsub, (sub + 1) * dsub)
+      .map(x => math.floor(x * PqQuant + 0.5).toLong), 1L))).toMap
 
     def centDf: DataFrame = {
       import spark.implicits._
-      cents.toSeq.map { case ((sub, code), c) => (sub, code, c) }
-        .toDF("sub", "code", "centroid")
+      cents.toSeq.map { case ((sub, code), c) =>
+        val (sq, cq) = exacts((sub, code))
+        (sub, code, c, sq, cq)
+      }.toDF("sub", "code", "centroid", "sq", "cq")
     }
     // Ragged rows would slice short (training a WRONG low-d codebook
     // for tail subs) or slice LONG rows cleanly while ignoring their
@@ -787,6 +802,22 @@ object SimilarityOps {
                 r.getDecimal(3).doubleValue / (r.getLong(4).toDouble * PqQuant)
             }
             key -> sv.toSeq
+        }
+      }
+      exacts = exacts.map { case (key, old) =>
+        byCell.get(key) match {
+          case None => key -> old // empty cell keeps its exact pair too
+          case Some(rows) =>
+            val sv = new Array[Long](dsub)
+            var cq = 1L
+            rows.foreach { r =>
+              // longValueExact: |S| ≤ c·2³², so this only throws past
+              // ~2²⁰ members per cell × full-scale components — loud,
+              // not a silently rounded statistic
+              sv(r.getInt(2)) = r.getDecimal(3).longValueExact()
+              cq = r.getLong(4)
+            }
+            key -> ((sv.toSeq, cq))
         }
       }
     }
@@ -995,16 +1026,17 @@ object SimilarityOps {
          |    list_slice(unit, s.sub * $dsub + 1,
          |      (s.sub + 1) * $dsub) AS subvec
          |  FROM $src, $subIdx s),
+         |pinit AS MATERIALIZED (
+         |  SELECT CAST(irn - 1 AS INTEGER) AS code, unit FROM (
+         |    SELECT unit, row_number() OVER (ORDER BY
+         |      ${DedupOps.pHashSql("('pq:' || CAST(vec_id AS VARCHAR))")},
+         |      vec_id) AS irn FROM $src) z
+         |  WHERE irn <= $ks),
          |pq0 AS MATERIALIZED (
          |  SELECT s.sub, i.code,
          |    list_slice(i.unit, s.sub * $dsub + 1,
          |      (s.sub + 1) * $dsub) AS centroid
-         |  FROM (
-         |    SELECT CAST(irn - 1 AS INTEGER) AS code, unit FROM (
-         |      SELECT unit, row_number() OVER (ORDER BY
-         |        ${DedupOps.pHashSql("('pq:' || CAST(vec_id AS VARCHAR))")},
-         |        vec_id) AS irn FROM $src) z
-         |    WHERE irn <= $ks) i, $subIdx s)""".stripMargin
+         |  FROM pinit i, $subIdx s)""".stripMargin
     def asgSql(cb: String): String =
       s"""SELECT vec_id, sub, code, d2, subvec FROM (
          |    SELECT t.vec_id, t.sub, c.code,
@@ -1039,6 +1071,59 @@ object SimilarityOps {
       s"""pasgF AS MATERIALIZED (
          |  ${asgSql(s"pq$iters")})""".stripMargin
     (header +: rounds :+ tail).mkString(",\n")
+  }
+
+  /** Exact-pair codebook chain pqx0..pqx{iters} — the INTEGER twin of
+    * pq0..pq{iters}: (sub, code, sq = per-position quantized sums on
+    * the 2³² grid, cq = member count), tracked through the rounds with
+    * the same keep-on-empty rule, init cells as (quantized slice, 1).
+    * Mirrors [[buildPqCodebooks]]'s `exacts` map term-for-term; the
+    * chain reads the trainer's `pinit`/`pcs{r}` CTEs, so append it
+    * AFTER [[pqTrainCtesSql]] in the same WITH list. Only the
+    * distortion oracles reference it (unreferenced CTEs cost nothing
+    * in the other oracles sharing the trainer chain). */
+  private def pqExactCtesSql(m: Int, ks: Int, iters: Int,
+      src: String): String = {
+    val qLit = java.lang.Double.toString(PqQuant)
+    val dsub = pqDsubSql(src)
+    val subIdx = s"(SELECT unnest(generate_series(0, ${m - 1})) AS sub)"
+    val header =
+      s"""pqx0 AS (
+         |  SELECT s.sub, i.code,
+         |    list_transform(list_slice(i.unit, s.sub * $dsub + 1,
+         |      (s.sub + 1) * $dsub),
+         |      qx -> CAST(floor(qx * $qLit + 0.5) AS BIGINT)) AS sq,
+         |    CAST(1 AS BIGINT) AS cq
+         |  FROM pinit i, $subIdx s)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""pqx$r AS (
+         |  SELECT p.sub, p.code,
+         |    CASE WHEN n.cd IS NULL THEN p.sq ELSE n.sv END AS sq,
+         |    CASE WHEN n.cd IS NULL THEN p.cq ELSE n.cd END AS cq
+         |  FROM pqx${r - 1} p LEFT JOIN (
+         |    SELECT sub, code,
+         |      list(CAST(s AS BIGINT) ORDER BY dpos) AS sv,
+         |      CAST(max(c) AS BIGINT) AS cd
+         |    FROM pcs$r GROUP BY 1, 2) n
+         |  ON n.sub = p.sub AND n.code = p.code)""".stripMargin
+    }
+    (header +: rounds).mkString(",\n")
+  }
+
+  /** DuckDB mirror of [[graft.functions.Vec.distq]]: Σⱼ qⱼ² with qⱼ =
+    * round-half-up(|cq·floor(subvecⱼ·2³²+½) − sqⱼ| / (cq·2¹⁶)) — every
+    * operand BIGINT, the division nonnegative (truncation = floor in
+    * any dialect); the only double op is the one exponent-shift
+    * multiply + single add feeding the xq floor, exact by IEEE
+    * construction on both engines. */
+  private def distqSql(subvec: String, sq: String, cq: String): String = {
+    val qLit = java.lang.Double.toString(PqQuant)
+    s"CAST(list_sum(list_transform(" +
+      s"list_transform(generate_series(1, len($subvec)), " +
+      s"dj -> abs($cq * CAST(floor(($subvec)[dj] * $qLit + 0.5) AS BIGINT)" +
+      s" - ($sq)[dj])), " +
+      s"da -> ((2 * da + $cq * 65536) // (2 * $cq * 65536)) * " +
+      s"((2 * da + $cq * 65536) // (2 * $cq * 65536)))) AS BIGINT)"
   }
 
   /** Plain-PQ chain: the trainer over `u` plus the per-query tables
@@ -1113,11 +1198,15 @@ object SimilarityOps {
     Some(pqOracleSql))
 
   /** Per-subspace quantization telemetry: rows quantized and total
-    * quantized distortion Σ floor(Q·d2+½) under the FINAL codebook —
-    * the number a deployment watches to size M/ks (distortion up ⇒
-    * codes too coarse for the corpus), plus an 'all' total row. Pure
-    * integer output, so the oracle recomputes it exactly from the same
-    * CTE chain. */
+    * quantized distortion under the FINAL codebook — the number a
+    * deployment watches to size M/ks (distortion up ⇒ codes too coarse
+    * for the corpus), plus an 'all' total row. The statistic is
+    * INTEGER END TO END ([[graft.functions.Vec.distq]] against the
+    * codebook's exact (sq, cq) pairs — same 2³²·d2 magnitude as the
+    * floor(Q·d2+½) form it replaces, but no double ever feeds a floor:
+    * summing 60k×8 IEEE folds through floor() flipped a BIGINT on
+    * one-ulp DuckDB `list_reduce` divergence in the round-12 driver
+    * run; rank outputs tolerate an ulp, a total sum amplifies it). */
   val pqDistortion: GraftQuery = GraftQuery(
     "ann_pq_distortion",
     (s, dir) => {
@@ -1125,8 +1214,10 @@ object SimilarityOps {
         .select(col("vec_id"), col("unit")).localCheckpoint()
       val (subs, codebook) = buildPqCodebooks(units)
       val perSub = pqAssign(subs, codebook)
-        .withColumn("d2q",
-          floor(col("d2") * lit(PqQuant) + lit(0.5)).cast("long"))
+        .join(broadcast(codebook.select(col("sub"), col("code"),
+          col("sq"), col("cq"))), Seq("sub", "code"))
+        .withColumn("d2q", graft.functions.Vec
+          .pq_dist_q(col("subvec"), col("sq"), col("cq")))
         .groupBy(col("sub"))
         .agg(count(lit(1)).as("n_vecs"), sum(col("d2q")).as("distortion_q"))
         .localCheckpoint()
@@ -1142,11 +1233,14 @@ object SimilarityOps {
     Some(
       s"""WITH $unitCteSql,
          |${pqCtesSql(PqSubs, PqCodes, PqIters)},
+         |${pqExactCtesSql(PqSubs, PqCodes, PqIters, "u")},
          |persub AS (
-         |  SELECT sub, CAST(count(*) AS BIGINT) AS n_vecs,
-         |    sum(CAST(floor(d2 * ${java.lang.Double.toString(PqQuant)}
-         |      + 0.5) AS BIGINT)) AS distortion_q
-         |  FROM pasgF GROUP BY 1)
+         |  SELECT a.sub, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(sum(${distqSql("a.subvec", "x.sq", "x.cq")})
+         |      AS BIGINT) AS distortion_q
+         |  FROM pasgF a JOIN pqx$PqIters x
+         |    ON x.sub = a.sub AND x.code = a.code
+         |  GROUP BY 1)
          |SELECT CAST(sub AS VARCHAR) AS scope, n_vecs, distortion_q
          |FROM persub
          |UNION ALL
@@ -1317,8 +1411,10 @@ object SimilarityOps {
 
   /** Quantized distortion of STORED codes under a codebook: for every
     * (vec_id, codes, unit) row — `unit` in the codebook's own space
-    * (raw unit for plain PQ, residual for IVF-PQ) — Σ floor(Q·‖subvec −
-    * centroid[stored code]‖² + ½) per sub plus an 'all' row. NOT a
+    * (raw unit for plain PQ, residual for IVF-PQ) — the integer-domain
+    * [[graft.functions.Vec.distq]] statistic against centroid[stored
+    * code]'s exact (sq, cq) pair, per sub plus an 'all' row (same
+    * no-double-feeds-a-floor discipline as [[pqDistortion]]). NOT a
     * re-assignment: this measures the codes as committed, so the number
     * drifts UP as the corpus distribution moves away from the trained
     * model — the re-build trigger a deployment watches
@@ -1330,9 +1426,8 @@ object SimilarityOps {
       posexplode(col("codes")).as(Seq("sub", "code")))
     val perSub = subs.join(codesBySub, Seq("vec_id", "sub"))
       .join(broadcast(codebook), Seq("sub", "code"))
-      .withColumn("d2q", floor(graft.functions.Vec
-        .vec_l2sq(col("subvec"), col("centroid")) * lit(PqQuant) + lit(0.5))
-        .cast("long"))
+      .withColumn("d2q", graft.functions.Vec
+        .pq_dist_q(col("subvec"), col("sq"), col("cq")))
       .groupBy(col("sub"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("d2q")).as("distortion_q"))
       .localCheckpoint()

@@ -151,4 +151,70 @@ class VecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(winnowKernel("abc") == Seq.empty) // < k chars
     assert(winnowKernel("abcdefg").size == 1) // exactly one gram
   }
+
+  // ---- distq: the integer-domain distortion statistic ----
+  //
+  // PIN (round-13, VERDICT r12 #1): no double feeds a floor in any
+  // hash-gated statistic. distq's only double op is xq = floor(x·2³²+½)
+  // — ·2³² is a pure exponent shift (exact, so even FMA contraction
+  // cannot change it) and +½ is ONE IEEE round-to-nearest add,
+  // identical in every engine; everything downstream is BIGINT. The
+  // BigInt reference below re-derives the statistic with arbitrary-
+  // precision integers from the same xq, so any silent int64 overflow
+  // or rounding-division drift in the kernel fails loudly here.
+
+  private def distqRef(x: Seq[Double], sq: Seq[Long], c: Long): BigInt = {
+    val dn = BigInt(c) * 65536
+    x.zip(sq).map { case (xi, si) =>
+      val xq = BigInt(math.floor(xi * 4294967296.0 + 0.5).toLong)
+      val n = (BigInt(c) * xq - si).abs
+      val q = (2 * n + dn) / (2 * dn) // floor div, nonneg operands
+      q * q
+    }.sum
+  }
+
+  test("distq matches a BigInt-rational reference across random " +
+      "subvectors, counts, and sum magnitudes") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 500) {
+      val dsub = 1 + rnd.nextInt(16)
+      val c = 1L + rnd.nextInt(100000)
+      val x = Seq.fill(dsub)(rnd.nextDouble() * 2 - 1)
+      // sums consistent with a plausible centroid in [-1, 1]
+      val sq = Seq.fill(dsub)((rnd.nextDouble() * 2 - 1) *
+        c * 4294967296.0).map(_.toLong)
+      val got = Vec.distq(new GenericArrayData(x.toArray),
+        new GenericArrayData(sq.toArray), c)
+      val want = distqRef(x, sq, c)
+      assert(BigInt(got) == want, s"trial $trial: $got vs $want")
+    }
+  }
+
+  test("distq magnitude agrees with floor(2^32·d2) within grid error " +
+      "and rejects overflow-risk counts loudly") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 100) {
+      val dsub = 8
+      val c = 1L + rnd.nextInt(1000)
+      val cent = Seq.fill(dsub)(rnd.nextDouble() * 2 - 1)
+      val x = cent.map(_ + rnd.nextGaussian() * 0.1)
+      val sq = cent.map(v => math.round(v * c * 4294967296.0))
+      val got = Vec.distq(new GenericArrayData(x.toArray),
+        new GenericArrayData(sq.toArray), c).toDouble
+      val d2 = x.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum
+      // each |residual| quantizes to the 2⁻¹⁶ grid: per-term error ≤
+      // (r+g)²−r² ≤ 2rg+g², summed — loose bound 2·√d2·√dsub·g + dsub·g²
+      val g = 1.0 / 65536
+      val tol = (2 * math.sqrt(d2 * dsub) * g + dsub * g * g +
+        1e-9) * 4294967296.0
+      assert(math.abs(got - d2 * 4294967296.0) <= tol,
+        s"got $got, want ~${d2 * 4294967296.0} ± $tol")
+    }
+    val a = new GenericArrayData(Array(0.5))
+    val s = new GenericArrayData(Array(1L))
+    intercept[IllegalArgumentException](Vec.distq(a, s, 0L))
+    intercept[IllegalArgumentException](Vec.distq(a, s, 1L << 29))
+  }
 }
