@@ -112,8 +112,18 @@ object Bench {
     // the searchable-latency number is visible on its own. Both entries
     // land in the total like any other query.
     import graft.operators.SimilarityOps
-    val ivfDir = java.nio.file.Files
-      .createTempDirectory("graft-bench-ivf").toString
+    // Scratch dirs are LAZY (a SPARK_GRAFT_ONLY selection that filters a
+    // family out must not create its dir at all) and tracked, so every
+    // one that was created is deleted after results render — the encoded
+    // corpus (codes + units + models) must not accumulate in /tmp across
+    // runs on the shared box.
+    val scratchDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def scratch(prefix: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(prefix).toString
+      scratchDirs.synchronized { scratchDirs += d }
+      d
+    }
+    lazy val ivfDir = scratch("graft-bench-ivf")
     def ivfBuild(s: SparkSession, dir: String)
         : org.apache.spark.sql.DataFrame = {
       val units = SimilarityOps.unitVectors(Tables.t(s, dir, "embeddings"))
@@ -142,8 +152,7 @@ object Bench {
     // trains once, persists codes + codebook, and searches many times.
     // Build writes codes/codebook/units to parquet; search reads all
     // three at rest — the searchable-latency number on its own clock.
-    val pqDir = java.nio.file.Files
-      .createTempDirectory("graft-bench-pq").toString
+    lazy val pqDir = scratch("graft-bench-pq")
     def pqBuild(s: SparkSession, dir: String)
         : org.apache.spark.sql.DataFrame = {
       val units = SimilarityOps.unitVectors(Tables.t(s, dir, "embeddings"))
@@ -178,8 +187,7 @@ object Bench {
     // IVF-PQ build/search split (same rationale): build commits the
     // at-rest index through IndexStore (codes + both model tables, the
     // production shape); search probes it cell-pruned at rest.
-    val ivfpqRoot = java.nio.file.Files
-      .createTempDirectory("graft-bench-ivfpq").toString + "/store"
+    lazy val ivfpqRoot = scratch("graft-bench-ivfpq") + "/store"
     def ivfpqStore = new graft.store.GraftStore(ivfpqRoot)
     def ivfpqBuild(s: SparkSession, dir: String)
         : org.apache.spark.sql.DataFrame = {
@@ -229,9 +237,12 @@ object Bench {
     val sentinelJson =
       s""","load_ratio":$loadRatio,"sentinel_ms":[${ms(sMin)},${ms(sMed)},${ms(sMax)}]"""
     spark.stop()
-    // the scratch IVF index must not accumulate across runs on the
-    // shared box — delete it now that both split entries have timed
-    graft.store.GraftStore.deleteTree(java.nio.file.Paths.get(ivfDir))
+    // every scratch index that this run created must not accumulate
+    // across runs on the shared box — delete them now that all split
+    // entries have timed (a filtered run that never touched a family
+    // never created its dir)
+    scratchDirs.foreach(d =>
+      graft.store.GraftStore.deleteTree(java.nio.file.Paths.get(d)))
 
     // Load-normalized total: raw total deflated by the run's own sentinel
     // load ratio — "what this run would have clocked on the idle box" —

@@ -153,12 +153,25 @@ object Main {
             rpcSource.map(r => () => r.syncedGate()).getOrElse(() => true)
           val pollMs = flagOpt(args, "gate-poll-ms").map(_.toLong)
             .getOrElse(60000L)
+          // --gate-max-polls N (default 10; N <= 0 = wait forever, the
+          // reference's loop-until-SyncStatus::None behavior,
+          // etl.rs:99-116). A bounded budget must say which way the
+          // gate resolved — 'gate abandoned' is an operational signal,
+          // not a silent fall-through to ingesting from a syncing node.
+          val maxPolls = flagOpt(args, "gate-max-polls").map(_.toInt)
+            .getOrElse(10)
           var polls = 0
-          while (!gate() && polls < 10) {
+          var synced = gate()
+          while (!synced && (maxPolls <= 0 || polls < maxPolls)) {
             polls += 1
             println(s"[export] node still syncing (poll $polls), waiting")
             Thread.sleep(pollMs)
+            synced = gate()
           }
+          if (!synced)
+            println(s"[export] WARNING: sync gate abandoned after " +
+              s"$maxPolls polls — ingesting against a still-syncing " +
+              "node (raise --gate-max-polls, or 0 to wait forever)")
         }
         val resume = Backfill.maxIngestedHeight(spark, store)
         // live mode ingests to the node's TIP unless --blocks bounds it

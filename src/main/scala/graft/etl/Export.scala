@@ -37,11 +37,21 @@ object Export {
       source: ChainSource,
       store: GraftStore,
       cfg: Config = Config()): Summary = {
+    // maxGatePolls <= 0 = wait forever (the reference's
+    // loop-until-SyncStatus::None, etl.rs:99-116); a bounded budget
+    // that runs out logs the abandonment rather than silently
+    // proceeding against a still-syncing node.
     var polls = 0
-    while (!cfg.lazyGate() && polls < cfg.maxGatePolls) {
+    var synced = cfg.lazyGate()
+    while (!synced && (cfg.maxGatePolls <= 0 || polls < cfg.maxGatePolls)) {
       polls += 1
       Thread.sleep(cfg.gatePollMs)
+      synced = cfg.lazyGate()
     }
+    if (!synced)
+      System.err.println(s"[export] WARNING: sync gate abandoned after " +
+        s"${cfg.maxGatePolls} polls — proceeding against a still-syncing " +
+        "node")
     var attempt = 0
     var ingested = 0L
     var done = false

@@ -500,6 +500,14 @@ private[etl] object WsJsonRpcConn {
     }
     j match {
       case JArray(items) => items.exists(idOf(_).exists(ids))
+      // JSON-RPC 2.0 §5: a server that cannot read a request (parse
+      // error, whole-batch rejection) responds with `error` and
+      // id:null. Only the in-flight exchange can be its addressee (a
+      // failed exchange tears the connection down), so surface it —
+      // dropping it as "foreign" converts an immediate server error
+      // into a read-timeout plus a full retry loop per attempt.
+      case o: JObject if (o \ "error") != JNothing =>
+        idOf(o).forall(ids) // matching id, or id:null/absent
       case o: JObject => idOf(o).exists(ids)
       case _ => false
     }

@@ -515,11 +515,21 @@ object IndexStore {
         cents, read(store, spark, "ivfpq-codebook"), probes, queries)
     case "vec" =>
       // near-identical detection: in-bucket pairwise cosine >= threshold
-      // against ONLY the probe's own sign buckets (manifest prune + the
-      // distinct bucket ids as a pushed scan filter — the band prune
-      // levels, keyed on `bucket`)
+      // against the probe's own sign buckets PLUS their margin-gated
+      // Hamming-1 neighbors (manifest prune + the distinct bucket ids as
+      // a pushed scan filter — the band prune levels, keyed on `bucket`).
+      // Multi-probe closes the sign-boundary recall gap: a true pair at
+      // cos >= t differs by at most ||u-v|| = sqrt(2(1-t)) per component,
+      // so only bits whose dimension sits within that margin of zero can
+      // flip between the pair — flipping each such bit probes the bucket
+      // the boundary-split twin lives in. Cost: <= 17x probe keys per
+      // vector (16-bit key), typically far fewer under the margin gate;
+      // still O(batch), flat in corpus size. Pairs at Hamming distance
+      // >= 2 (two simultaneously-tiny flipped dims) remain the
+      // documented residual miss.
       requireProbeDim(probe, indexDim(store, spark, "vec"), "vec index")
-      val probeRows = DedupOps.normalizedWithBucket(probe)
+      val probeRows = DedupOps.multiProbeBuckets(
+        DedupOps.normalizedWithBucket(probe), threshold)
         .select(col("vec_id").as("new_id"), col("unit").as("u_new"),
           col("bucket"))
       val idx = prunedIndex(store, spark, "vec",

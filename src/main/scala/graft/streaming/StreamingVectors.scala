@@ -13,29 +13,34 @@ import org.apache.spark.sql.functions._
   *
   * Gates per batch:
   *  1. unit-normalize, drop zero-norm vectors (nothing to compare);
-  *  2. intra-batch dedup — in-sign-bucket pairwise cosine ≥ `threshold`
-  *     ([[DedupOps.normalizedWithBucket]]'s fixed 16-bit bucket, the
-  *     same key the at-rest index uses); every detected pair loses its
-  *     LARGER vec_id — the streaming-curation greedy drop: one pass, no
+  *  2. intra-batch dedup — pairwise cosine ≥ `threshold` over (a) the
+  *     skew-capped sign bucket ([[DedupOps.normalizedWithCappedBucket]]:
+  *     a one-direction spam burst pays cap-bounded fans, not B²/2) and
+  *     (b) the margin-gated Hamming-1 flipped buckets
+  *     ([[DedupOps.multiProbeBuckets]]: a pair split by one sign
+  *     boundary still meets); every detected pair loses its LARGER
+  *     vec_id — the streaming-curation greedy drop: one pass, no
   *     iterative closure in the hot path, conservative for dedup;
   *  3. cross-batch dedup — probe the at-rest `vec` index
-  *     ([[IndexStore.search]]): the batch's sign buckets manifest-prune
-  *     untouched leaves and push the distinct bucket ids as a scan
-  *     filter, so history is never rescanned whole.
+  *     ([[IndexStore.search]], which multi-probes the same Hamming-1
+  *     neighborhood): the batch's sign buckets (plus flips)
+  *     manifest-prune untouched leaves and push the distinct bucket ids
+  *     as a scan filter, so history is never rescanned whole.
   *
   * Exactly-once under foreachBatch replay, by the same argument as
   * streaming curate: survivors and their index rows commit in ONE
   * snapshot swap, and a replayed batch self-matches its first run's
-  * index rows at cosine 1 (identical vectors), so the replay commits
-  * nothing.
+  * index rows at cosine 1 (identical vectors share every sign bit, so
+  * the identity bucket always probes), so the replay commits nothing.
   *
-  * Scale shape per batch: one scan of the BATCH (unit + bucket), an
-  * in-bucket pair join bounded by the sphere-packing density the gate
-  * itself maintains (a direction region only accumulates index vectors
-  * that are pairwise BELOW the threshold — near-dups of them are
-  * dropped before they are ever indexed), and one commit. The recall
-  * caveat is the batch operator's own: a true pair split by a sign
-  * boundary is missed; exact-direction copies always share the bucket.
+  * Scale shape per batch: one scan of the BATCH (unit + bucket), pair
+  * joins bounded by the sphere-packing density the gate itself
+  * maintains (a direction region only accumulates index vectors that
+  * are pairwise BELOW the threshold — near-dups of them are dropped
+  * before they are ever indexed) and by the bucket cap, and one commit.
+  * Residual recall caveat: a true pair whose sign keys differ in ≥ 2
+  * bits (two simultaneously near-zero dimensions) is still missed —
+  * the standard single-flip multi-probe LSH trade.
   */
 object StreamingVectors {
 
@@ -57,16 +62,43 @@ object StreamingVectors {
       batch.select(col("vec_id"), col("embedding")))
       .select(col("vec_id"), col("unit"), col("bucket"))
       .localCheckpoint()
-    // intra-batch: larger id of any in-bucket pair at/above threshold
-    val a = rows.select(col("vec_id").as("id_a"), col("bucket"),
-      col("unit").as("u_a"))
-    val b = rows.select(col("vec_id").as("id_b"), col("bucket"),
-      col("unit").as("u_b"))
-    val intraLosers = a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(graft.functions.Vec.vec_dot(col("u_a"), col("u_b"))
-        >= threshold)
-      .select(col("id_b").as("vec_id")).distinct()
+    // intra-batch, two pair joins, both O(batch)-keyed:
+    //  (a) same-direction pairs on the CAPPED bucket — identically-
+    //      directed vectors share every sign bit, so the cap's
+    //      sub-splitting never separates a true pair, and a spam burst
+    //      concentrated in one direction generates at most cap-bounded
+    //      pair fans instead of B²/2 (the batch operator family's
+    //      skew discipline, DedupOps.normalizedWithCappedBucket);
+    //  (b) boundary pairs on the FLIPPED-only Hamming-1 buckets
+    //      (margin-gated, DedupOps.multiProbeBuckets) joined against
+    //      the fixed key — catches a near-identical pair split by one
+    //      sign boundary inside a single micro-batch. Flipped keys are
+    //      ≠ the row's own bucket, so (b) regenerates nothing from (a)
+    //      and a one-direction burst meets only its (sparse) neighbor
+    //      buckets here; two ADJACENT simultaneously-bursting buckets
+    //      remain the accepted corner.
+    val capped = DedupOps.normalizedWithCappedBucket(
+      batch.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("unit"), col("bucket"))
+      .localCheckpoint()
+    def pairs(a: DataFrame, b: DataFrame) =
+      a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(graft.functions.Vec.vec_dot(col("u_a"), col("u_b"))
+          >= threshold)
+        .select(col("id_b").as("vec_id"))
+    val sameDir = pairs(
+      capped.select(col("vec_id").as("id_a"), col("bucket"),
+        col("unit").as("u_a")),
+      capped.select(col("vec_id").as("id_b"), col("bucket"),
+        col("unit").as("u_b")))
+    val boundary = pairs(
+      DedupOps.multiProbeBuckets(rows, threshold, includeSelf = false)
+        .select(col("vec_id").as("id_a"), col("bucket"),
+          col("unit").as("u_a")),
+      rows.select(col("vec_id").as("id_b"), col("bucket"),
+        col("unit").as("u_b")))
+    val intraLosers = sameDir.unionAll(boundary).distinct()
     val intra = rows.join(intraLosers, Seq("vec_id"), "left_anti")
       .localCheckpoint()
     // cross-batch: any survivor with an at-rest neighbor at/above

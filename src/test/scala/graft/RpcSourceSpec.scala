@@ -580,6 +580,28 @@ class RpcSourceSpec extends AnyFunSuite with BeforeAndAfterAll
     } finally stale.close()
   }
 
+  test("WS transport: a lone error response with id:null (whole-batch " +
+      "rejection, JSON-RPC 2.0 §5) fails fast with the server's message") {
+    // Only the in-flight exchange can be the addressee of an id:null
+    // error; dropping it as foreign converts an immediate server error
+    // into a read-timeout + full retry loop per attempt.
+    val rejecting = new TinyWsServer((_, _, send) => {
+      send("""{"jsonrpc":"2.0","id":null,"error":""" +
+        """{"code":-32600,"message":"batch too large"}}""")
+      true
+    })
+    try {
+      val c = new graft.etl.RpcClient(rejecting.url, 1, 2000L)
+      val t0 = System.nanoTime()
+      val e = intercept[Exception](c.call("xcb_blockNumber", Nil))
+      val ms = (System.nanoTime() - t0) / 1000000L
+      assert(e.getMessage.contains("batch too large"),
+        s"server message lost: ${e.getMessage}")
+      assert(ms < 1500, s"id:null error took ${ms}ms — read-timeout " +
+        "path, not fail-fast")
+    } finally rejecting.close()
+  }
+
   test("live heads reader knobs: batchSize chunks the wire calls and " +
       "headsNullRetryMs bounds the null-retry budget (both options)") {
     import graft.sources.{HeadsRange, HeadsReaderFactory}

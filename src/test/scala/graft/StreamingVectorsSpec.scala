@@ -202,4 +202,57 @@ class StreamingVectorsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(acceptedIds(store) ==
       (0L until 25L).toSet ++ (100L until 110L).toSet)
   }
+
+  test("planted cross-boundary pairs: a near-identical twin split by " +
+      "one sign bit is caught intra-batch AND cross-batch (multi-probe)") {
+    import spark.implicits._
+    // twin differs ONLY in the sign of one tiny component: cosine
+    // 1−2ε² ≈ 0.9998 ≥ 0.99, but the fixed 16-bit sign keys differ in
+    // that bit — the exact pair the single-bucket join missed before
+    // the Hamming-1 multi-probe (round-13, VERDICT r12 next #4)
+    def withTiny(id: Long, j: Int, eps: Float): (Long, Seq[Float]) = {
+      val v = fresh(id)._2
+      (id, v.updated(j, eps))
+    }
+    for (j <- Seq(0, 5, 11)) { // boundary dim at key start/middle/end
+      val store = new GraftStore(tempDir(s"graft-svec-boundary-$j"))
+      val (idA, vA) = withTiny(10L + j, j, 0.01f)
+      val twinSame = (500L + j, vA.updated(j, -0.01f))
+      // same batch: larger id loses via the flipped-bucket pair join
+      StreamingVectors.processBatch(store,
+        (Seq((idA, vA), twinSame) ++ (800L until 805L).map(fresh))
+          .toDF("vec_id", "embedding"))
+      assert(acceptedIds(store).contains(idA))
+      assert(!acceptedIds(store).contains(twinSame._1),
+        s"dim $j: same-batch boundary twin survived")
+      // later batch: the twin probes the at-rest index through its
+      // flipped bucket and drops
+      val twinLater = (900L + j, vA.updated(j, -0.011f))
+      StreamingVectors.processBatch(store,
+        Seq(twinLater).toDF("vec_id", "embedding"))
+      assert(!acceptedIds(store).contains(twinLater._1),
+        s"dim $j: cross-batch boundary twin survived")
+    }
+  }
+
+  test("a one-direction burst stays cap-bounded: the intra-batch pair " +
+      "join uses the capped bucket, not the raw 16-bit key") {
+    import spark.implicits._
+    // 60 copies of one direction in a single micro-batch (the spam
+    // burst): greedy drop keeps exactly the smallest id. Behavioral
+    // gate for the capped-bucket intra join: identically-directed
+    // vectors share every sign bit, so the cap's sub-splitting can
+    // never separate them — the burst must still collapse to one
+    // survivor through normalizedWithCappedBucket's key
+    val store = new GraftStore(tempDir("graft-svec-burst"))
+    val dirv = fresh(9999L)._2
+    val burst = (0L until 60L).map(i =>
+      (3000L + i, scaled(dirv, 1.0f + 0.0001f * i)))
+    StreamingVectors.processBatch(store,
+      (burst ++ (4000L until 4005L).map(fresh)).toDF("vec_id", "embedding"))
+    val got = acceptedIds(store)
+    assert(got.filter(_ >= 3000L).filter(_ < 4000L) == Set(3000L),
+      s"burst not collapsed to its smallest id: ${got.filter(_ < 4000L)}")
+    assert((4000L until 4005L).forall(got.contains))
+  }
 }
