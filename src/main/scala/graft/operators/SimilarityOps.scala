@@ -1247,6 +1247,53 @@ object SimilarityOps {
          |SELECT 'all', CAST(sum(n_vecs) AS BIGINT),
          |  CAST(sum(distortion_q) AS BIGINT) FROM persub""".stripMargin))
 
+  /** Per-query + 'all' recall of an approximate (query_id, neighbor_id)
+    * frame against the exact one — integer basis points, the shared
+    * arithmetic of every hash-oracled recall report. */
+  private def recallFrame(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val perQuery = exact
+      .join(approx.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0L)))
+        .as("hits"))
+      .localCheckpoint()
+    perQuery
+      .select(col("query_id").cast("string").as("query"),
+        expr("hits * 10000 div n").as("recall_bp"))
+      .unionAll(perQuery
+        .agg(sum(col("hits")).as("hits"), sum(col("n")).as("n"))
+        .select(lit("all").as("query"),
+          expr("hits * 10000 div n").as("recall_bp")))
+  }
+
+  /** Recall tail over `pqk` (any search's final frame named pqk) vs the
+    * brute-force ground truth — the DuckDB mirror of [[recallFrame]],
+    * shared by the PQ and IVF-PQ recall oracles so the two cannot
+    * drift. Appended LAST in a WITH list (it ends with the SELECT). */
+  private def recallTailSql: String =
+    s"""brute AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dotSql("q.unit", "n.unit")}
+       |          DESC, n.vec_id) AS rank
+       |    FROM u q, u n
+       |    WHERE q.vec_id < $NumQueries AND n.vec_id <> q.vec_id) sub
+       |  WHERE rank <= $K),
+       |perq AS (
+       |  SELECT b.query_id, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN l.neighbor_id IS NULL THEN 0 ELSE 1 END)
+       |      AS BIGINT) AS hits
+       |  FROM brute b LEFT JOIN pqk l
+       |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+       |  GROUP BY 1)
+       |SELECT CAST(query_id AS VARCHAR) AS query,
+       |  hits * 10000 // n AS recall_bp FROM perq
+       |UNION ALL
+       |SELECT 'all',
+       |  CAST(sum(hits) * 10000 // sum(n) AS BIGINT) FROM perq""".stripMargin
+
   /** Recall@[[K]] of the PQ-ADC search against exact brute force, per
     * query plus an 'all' row — the [[recallReport]] telemetry for the
     * compressed index (a deployment watches it to size M/ks/budget).
@@ -1267,46 +1314,13 @@ object SimilarityOps {
         pqDistanceTables(subs.filter(col("vec_id") < NumQueries), codebook),
         pqKsOf(codebook))
         .select(col("query_id"), col("neighbor_id"))
-      val perQuery = exact
-        .join(pq.withColumn("hit", lit(1L)),
-          Seq("query_id", "neighbor_id"), "left")
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0L)))
-          .as("hits"))
-        .localCheckpoint()
-      perQuery
-        .select(col("query_id").cast("string").as("query"),
-          expr("hits * 10000 div n").as("recall_bp"))
-        .unionAll(perQuery
-          .agg(sum(col("hits")).as("hits"), sum(col("n")).as("n"))
-          .select(lit("all").as("query"),
-            expr("hits * 10000 div n").as("recall_bp")))
+      recallFrame(exact, pq)
     },
     Some(
       s"""WITH $unitCteSql,
          |${pqCtesSql(PqSubs, PqCodes, PqIters)},
          |$pqTopCtesSql,
-         |brute AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${dotSql("q.unit", "n.unit")}
-         |          DESC, n.vec_id) AS rank
-         |    FROM u q, u n
-         |    WHERE q.vec_id < $NumQueries AND n.vec_id <> q.vec_id) sub
-         |  WHERE rank <= $K),
-         |perq AS (
-         |  SELECT b.query_id, CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(CASE WHEN l.neighbor_id IS NULL THEN 0 ELSE 1 END)
-         |      AS BIGINT) AS hits
-         |  FROM brute b LEFT JOIN pqk l
-         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
-         |  GROUP BY 1)
-         |SELECT CAST(query_id AS VARCHAR) AS query,
-         |  hits * 10000 // n AS recall_bp FROM perq
-         |UNION ALL
-         |SELECT 'all',
-         |  CAST(sum(hits) * 10000 // sum(n) AS BIGINT) FROM perq""".stripMargin))
+         |$recallTailSql""".stripMargin))
 
   // ---------------------------------------------------------------------
   // IVF-PQ — the full Jégou et al. composition: coarse cells prune the
@@ -1441,13 +1455,16 @@ object SimilarityOps {
           col("distortion_q")))
   }
 
-  private def ivfPqOracleSql: String = {
+  /** The complete IVF-PQ CTE chain (both trainers + probes + quantized
+    * tables + ADC distances + the shared `pqk` rescore tail) — the WITH
+    * body the top-k and recall oracles share. */
+  private def ivfPqCtesSql: String = {
     val qLit = java.lang.Double.toString(PqQuant)
     val resOf = (u: String, c: String) =>
       s"list_transform(generate_series(1, len($u)), rj -> " +
         s"($u)[rj] - ($c)[rj])"
     val dsub = pqDsubSql("ur")
-    s"""WITH $unitCteSql,
+    s"""$unitCteSql,
        |${ivfTrainCtesSql(IvfCells, IvfIters)},
        |cells AS MATERIALIZED (
        |  ${ivfAssignSql(s"ivf$IvfIters")}),
@@ -1484,9 +1501,12 @@ object SimilarityOps {
        |  JOIN itbl t ON t.sub = a.sub AND t.code = a.code
        |    AND t.cell = r.cell AND a.vec_id <> t.query_id
        |  GROUP BY 1, 2),
-       |$pqTopCtesSql
-       |SELECT query_id, neighbor_id, rank, cos_bp FROM pqk""".stripMargin
+       |$pqTopCtesSql""".stripMargin
   }
+
+  private def ivfPqOracleSql: String =
+    s"""WITH $ivfPqCtesSql
+       |SELECT query_id, neighbor_id, rank, cos_bp FROM pqk""".stripMargin
 
   /** IVF-PQ approximate top-k, hash-oracled end to end: both trainers
     * unrolled (the ivf CTEs feeding residuals into the pq CTEs), the
@@ -1503,7 +1523,33 @@ object SimilarityOps {
         .localCheckpoint()),
     Some(ivfPqOracleSql))
 
+  /** Recall@[[K]] of the IVF-PQ search against exact brute force —
+    * completes the telemetry symmetry ([[pqRecallReport]] exists for
+    * plain PQ): a deployment sizes nprobe/M/ks/budget against this
+    * number. Hash-oracled end to end: BOTH trainers unroll in the one
+    * statement ([[ivfPqCtesSql]]) and the recall arithmetic is the
+    * shared integer-basis-points tail. On this isotropic corpus the
+    * coarse prune costs recall exactly like plain IVF (see
+    * [[IvfProbes]]) — the number reported here is the honest composed
+    * figure, spec-gated ≥0.9 on a clustered corpus in TrainingOpsSpec
+    * where the cells align with real structure. */
+  val ivfPqRecallReport: GraftQuery = GraftQuery(
+    "ann_ivfpq_recall",
+    (s, dir) => {
+      val exact = bruteForce.fn(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint()
+      val approx = ivfPqSearch(
+        unit(emb(s, dir)).select(col("vec_id"), col("unit"))
+          .localCheckpoint())
+        .select(col("query_id"), col("neighbor_id"))
+      recallFrame(exact, approx)
+    },
+    Some(
+      s"""WITH $ivfPqCtesSql,
+         |$recallTailSql""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(bruteForce, lshTopK, ivfTopK, recallReport, diverse, pqTopK,
-      pqDistortion, pqRecallReport, ivfPqTopK)
+      pqDistortion, pqRecallReport, ivfPqTopK, ivfPqRecallReport)
 }

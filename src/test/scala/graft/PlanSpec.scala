@@ -190,6 +190,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.store.GraftStore.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("PQ and IVF-PQ searches keep the map-side rank-limit pushdown: " +
+      "a Partial WindowGroupLimit bounds the ADC candidates BEFORE the " +
+      "exchange") {
+    // The candidate ranking (row_number over query_id ordered by adist,
+    // capped at RescoreBudget) is scale-safe only because Spark's
+    // InferWindowGroupLimit rule inserts a Partial-mode WindowGroupLimit
+    // below the shuffle — each map task forwards at most
+    // RescoreBudget+1 rows per query instead of its full ADC output.
+    // That pushdown exists by optimizer grace: it requires the limit to
+    // be a foldable literal and the filter shape rank <= K. A refactor
+    // that makes RescoreBudget non-literal or reshapes the filter loses
+    // it SILENTLY (results stay correct, the full candidate set
+    // shuffles into 10 reducer partitions at corpus scale) — so pin it,
+    // like the ObjectHashAggregate pin for approximate top-k.
+    for (q <- Seq("ann_topk_pq", "ann_topk_ivfpq")) {
+      val p = plan(q)
+      // the formatted detail block renders the node as
+      //   (N) WindowGroupLimit
+      //   Arguments: [query_id], [adist ASC, vec_id ASC],
+      //     row_number(), <budget>, Partial
+      val budget = graft.operators.SimilarityOps.RescoreBudget
+      val blocks = p.split("\n\n").filter(_.contains("WindowGroupLimit"))
+      assert(blocks.exists(b => b.contains(s" $budget, Partial") &&
+          b.contains("adist")),
+        s"$q: no map-side (Partial) WindowGroupLimit at the " +
+          s"$budget-candidate ADC ranking — it shuffles unbounded:\n$p")
+    }
+  }
+
   test("ngram verify stage is bounded by candidates (semi-join prune)") {
     val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
     df.collect()
