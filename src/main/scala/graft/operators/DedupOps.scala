@@ -1164,8 +1164,42 @@ object DedupOps {
     done.reduce(_ unionAll _)
   }
 
-  /** Near-dup pairs: in-bucket pairwise cosine >= threshold. Injected
-    * copies are scaled by 1.001 (identical direction ⇒ cosine 1). */
+  /** Near-dup pairs at cosine ≥ `threshold` via sign-LSH buckets:
+    * same-direction pairs on the skew-capped bucket, boundary-split
+    * pairs (sign keys differing in ONE bit) via the margin-gated
+    * Hamming-1 flip join ([[multiProbeBuckets]]) — the two sources are
+    * disjoint by construction (a flipped match requires differing fixed
+    * keys; the capped key refines the fixed key). */
+  def embeddingNearDupPairs(vectors: DataFrame,
+      threshold: Double): DataFrame = {
+    val capped = normalizedWithCappedBucket(vectors, "vec_id")
+      .select(col("vec_id"), col("unit"), col("bucket"))
+      .localCheckpoint()
+    val fixed = normalizedWithBucket(vectors)
+      .select(col("vec_id"), col("unit"), col("bucket"))
+      .localCheckpoint()
+    def pairs(a: DataFrame, b: DataFrame) =
+      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .withColumn("cos",
+          graft.functions.Vec.vec_dot(col("u_a"), col("u_b")))
+        .filter(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cos"))
+    def sideA(df: DataFrame) = df.select(col("vec_id").as("id_a"),
+      col("bucket"), col("unit").as("u_a"))
+    def sideB(df: DataFrame) = df.select(col("vec_id").as("id_b"),
+      col("bucket"), col("unit").as("u_b"))
+    pairs(sideA(capped), sideB(capped))
+      .unionAll(pairs(
+        sideA(multiProbeBuckets(fixed, threshold, includeSelf = false)),
+        sideB(fixed)))
+  }
+
+  /** Near-dup pairs: in-bucket pairwise cosine >= threshold, plus the
+    * Hamming-1 boundary join — on an adversarial corpus a true pair
+    * split by one sign boundary is now found, so the engine matches the
+    * ALL-PAIRS oracle under strictly weaker corpus assumptions.
+    * Injected copies are scaled by 1.001 (identical direction ⇒ cosine
+    * 1 ⇒ always same bucket). */
   val embeddingNearDup: GraftQuery = GraftQuery(
     "dedup_embedding_cosine",
     (s, dir) => {
@@ -1174,18 +1208,7 @@ object DedupOps {
         .select((col("vec_id") + 1000000).as("vec_id"),
           expr("transform(embedding, x -> x * CAST(1.001 AS FLOAT))")
             .as("embedding"))
-      val all =
-        normalizedWithCappedBucket(base.unionAll(dups), "vec_id")
-          .localCheckpoint()
-      val a = all.select(col("vec_id").as("id_a"), col("bucket"),
-        col("unit").as("u_a"))
-      val b = all.select(col("vec_id").as("id_b"), col("bucket"),
-        col("unit").as("u_b"))
-      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-        .withColumn("cos",
-          graft.functions.Vec.vec_dot(col("u_a"), col("u_b")))
-        .filter(col("cos") >= 0.99)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cos"))
+      embeddingNearDupPairs(base.unionAll(dups), 0.99)
     },
     // Oracle-able despite the LSH bucketing: identically-directed vectors
     // (the injected ×1.001 copies) always share a sign bucket, and on this

@@ -91,6 +91,35 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll
       pairs.contains((i.toLong, i + 1000000L))))
   }
 
+  test("embedding cosine near-dup catches pairs split by one sign " +
+      "boundary (batch multi-probe)") {
+    import spark.implicits._
+    // near-identical twins differing ONLY in the sign of one tiny
+    // component: cosine 1−2ε² ≈ 0.9998, sign keys one bit apart — the
+    // pair the single-bucket join missed before the Hamming-1 flip join
+    val rnd = new scala.util.Random(23)
+    val dim = 20
+    val base = (0L until 30L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val planted = Seq(0, 7, 15).flatMap { j =>
+      val v = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+        .updated(j, 0.01f)
+      Seq((5000L + j, v), (6000L + j, v.updated(j, -0.01f)))
+    }
+    val pairs = DedupOps.embeddingNearDupPairs(
+      (base ++ planted).toDF("vec_id", "embedding"), 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (j <- Seq(0, 7, 15))
+      assert(pairs.contains((5000L + j, 6000L + j)),
+        s"boundary pair at bit $j missed: $pairs")
+    // and the pair sources are disjoint: no duplicated pair rows
+    val all = DedupOps.embeddingNearDupPairs(
+      (base ++ planted).toDF("vec_id", "embedding"), 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length == all.distinct.length,
+      s"duplicate pair rows: ${all.mkString(",")}")
+  }
+
   test("capped sign buckets: clustered corpus stays under the cap, dups survive") {
     // The driver corpus is isotropic (16-bit sign buckets are tiny); the
     // 100 TB case is CLUSTERED embeddings, where one dense bucket makes
