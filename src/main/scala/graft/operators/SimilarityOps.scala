@@ -109,6 +109,88 @@ object SimilarityOps {
          |  WHERE q.vec_id < $NumQueries AND n.vec_id <> q.vec_id) sub
          |WHERE rank <= $K""".stripMargin))
 
+  /** Metadata-filtered top-k — the filtered-ANN shape every production
+    * vector search needs (neighbors among vectors satisfying an
+    * attribute predicate; here: sharing the QUERY's label, the
+    * same-category search). PRE-filtered by construction: the label
+    * equi-join replaces the crossJoin, so a candidate outside the
+    * query's label partition is never ranked (and with a label-
+    * partitioned or label-sorted at-rest layout the predicate prunes
+    * IO before any distance math — the composition [[graft.operators
+    * .LayoutOps]] provides). Post-filtering a plain top-k instead would
+    * under-fill k whenever the unfiltered neighborhood is dominated by
+    * other labels — the classic filtered-ANN correctness trap. */
+  val filteredTopK: GraftQuery = GraftQuery(
+    "ann_topk_filtered",
+    (s, dir) => {
+      val all = unit(emb(s, dir))
+        .select(col("vec_id"), col("unit"), col("label"))
+      val queries = all.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("unit").as("q_unit"),
+          col("label"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      all.join(broadcast(queries), "label")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), col("label"))
+    },
+    Some(
+      s"""WITH $unitCteSql,
+         |ul AS (
+         |  SELECT u.vec_id, u.unit, e.label
+         |  FROM u JOIN embeddings e USING (vec_id))
+         |SELECT query_id, neighbor_id, rank, label FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    q.label AS label,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${dotSql("q.unit", "n.unit")}
+         |        DESC, n.vec_id) AS rank
+         |  FROM ul q JOIN ul n
+         |    ON n.label = q.label AND n.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries) sub
+         |WHERE rank <= $K""".stripMargin))
+
+  /** Range-search similarity floor: every neighbor at cosine ≥ this is
+    * returned (vs top-k's fixed count). 0.25 ≈ 2σ on this isotropic
+    * corpus — a stable, non-trivial result set. */
+  val RangeCos = 0.25
+
+  /** Radius/range search: ALL neighbors within a similarity floor per
+    * query — the other half of the standard vector-search API (top-k
+    * bounds the count, range bounds the distance; dedup gating and
+    * "find everything similar enough" recall jobs need the latter).
+    * This is the exact reference implementation; at rest the `vec`
+    * index kind IS the scale path for high thresholds
+    * ([[graft.store.IndexStore.search]]'s sign-bucket + Hamming-1
+    * multi-probe serves range queries without scanning history), and
+    * the sketch/ivf kinds serve lower thresholds with their own
+    * prunes. */
+  val rangeSearch: GraftQuery = GraftQuery(
+    "ann_range_search",
+    (s, dir) => {
+      val all = unit(emb(s, dir)).select(col("vec_id"), col("unit"))
+      val queries = all.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("unit").as("q_unit"))
+      all.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine)
+        .filter(col("cos") >= lit(RangeCos))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          floor(col("cos") * 10000).cast("long").as("cos_bp"))
+    },
+    Some(
+      s"""WITH $unitCteSql
+         |SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |  CAST(floor(${dotSql("q.unit", "n.unit")} * 10000) AS BIGINT)
+         |    AS cos_bp
+         |FROM u q, u n
+         |WHERE q.vec_id < $NumQueries AND n.vec_id <> q.vec_id
+         |  AND ${dotSql("q.unit", "n.unit")} >= $RangeCos""".stripMargin))
+
   /** The ingest-side index: unit-normalized vectors with their sketches —
     * persist this (parquet) and every later search reads sketches at
     * rest instead of recomputing them. */
@@ -1550,6 +1632,7 @@ object SimilarityOps {
          |$recallTailSql""".stripMargin))
 
   val all: Seq[GraftQuery] =
-    Seq(bruteForce, lshTopK, ivfTopK, recallReport, diverse, pqTopK,
-      pqDistortion, pqRecallReport, ivfPqTopK, ivfPqRecallReport)
+    Seq(bruteForce, filteredTopK, rangeSearch, lshTopK, ivfTopK,
+      recallReport, diverse, pqTopK, pqDistortion, pqRecallReport,
+      ivfPqTopK, ivfPqRecallReport)
 }

@@ -219,6 +219,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("filtered ANN pre-filters: the label predicate is the broadcast " +
+      "join key, not a post-rank filter") {
+    val p = plan("ann_topk_filtered")
+    // candidates meet queries through a label-keyed broadcast hash join
+    // — a candidate outside the query's label partition is never ranked
+    // (the join keys live in the node's detail block, not the tree line)
+    assert(p.split("\n\n").exists(b => b.contains("BroadcastHashJoin") &&
+        b.contains("Left keys") && b.contains("label")),
+      s"no label-keyed broadcast join:\n$p")
+  }
+
   test("ngram verify stage is bounded by candidates (semi-join prune)") {
     val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
     df.collect()
