@@ -461,8 +461,12 @@ object Main {
             val defaultThreshold =
               if (kind == "vec") graft.streaming.StreamingVectors.DupCos
               else 0.4
+            // --filter 'label = 3': attribute predicate over columns
+            // the index rows carry (filtered ANN) — pushed to the
+            // index scan, composes with bucket/cell pruning
             val hits = IndexStore.search(store, spark, kind, input,
-              opt("threshold").map(_.toDouble).getOrElse(defaultThreshold))
+              opt("threshold").map(_.toDouble).getOrElse(defaultThreshold),
+              opt("filter").map(org.apache.spark.sql.functions.expr))
             opt("output") match {
               case Some(out) =>
                 hits.write.mode("overwrite").parquet(out)

@@ -182,6 +182,27 @@ object IndexStore {
       case _ => SimilarityOps.buildSketchIndex(input)
     }
 
+  /** Attribute passthrough for the vector kinds: any input column
+    * besides (vec_id, embedding) rides into the at-rest index rows —
+    * label, source, language, whatever a deployment filters on — so an
+    * at-rest search can apply an attribute predicate that PUSHES DOWN
+    * to the index scan and composes with bucket/cell pruning (filtered
+    * ANN, the [[search]] `where` parameter). Pre-filtering at the scan
+    * is the correct semantics: post-filtering a top-k under-fills k
+    * whenever a neighborhood is dominated by non-matching rows. The
+    * attribute SET must stay stable across appends to one index (parquet
+    * schemas union at read; a column present in some leaves and absent
+    * in others reads as null and silently un-matches predicates). */
+  private def withAttrs(rows: DataFrame, input: DataFrame): DataFrame = {
+    val attrs = input.columns
+      .filterNot(c => c == "vec_id" || c == "embedding").toSeq
+    if (attrs.isEmpty) rows
+    // drop-then-join keeps this idempotent: some kinds' row builders
+    // (sketch) already carry the input columns through
+    else rows.drop(attrs: _*).join(input.select("vec_id", attrs: _*),
+      "vec_id")
+  }
+
   /** Stage ALREADY-COMPUTED index rows of `kind` without committing —
     * for callers that commit index rows atomically WITH other tables in
     * one snapshot swap (streaming curate stages its accepted docs and
@@ -201,14 +222,15 @@ object IndexStore {
       if (kind == "ivf") {
         val (cells, cents) =
           SimilarityOps.buildIvfIndex(SimilarityOps.unitVectors(input))
-        store.stageKeyed(tableOf(kind), cells, bucketOf(kind),
-          sortOf(kind)) ++
+        store.stageKeyed(tableOf(kind), withAttrs(cells, input),
+          bucketOf(kind), sortOf(kind)) ++
           store.stageKeyed(IvfCentroidsTable, cents, lit(0L), Seq(col("cell")))
       } else if (kind == "pq") {
         val units = SimilarityOps.unitVectors(input).localCheckpoint()
         val (subs, cb) = SimilarityOps.buildPqCodebooks(units)
         store.stageKeyed(tableOf(kind),
-          SimilarityOps.pqEncode(subs, cb).join(units, "vec_id"),
+          withAttrs(SimilarityOps.pqEncode(subs, cb).join(units, "vec_id"),
+            input),
           bucketOf(kind), sortOf(kind)) ++
           store.stageKeyed(PqCodebookTable, cb, lit(0L),
             Seq(col("sub"), col("code")))
@@ -224,15 +246,18 @@ object IndexStore {
         val rows = SimilarityOps.pqEncode(rsubs, cb)
           .join(residuals.select(col("vec_id"), col("cell")), "vec_id")
           .join(units, "vec_id")
-        store.stageKeyed(tableOf(kind), rows, bucketOf(kind),
-          sortOf(kind)) ++
+        store.stageKeyed(tableOf(kind), withAttrs(rows, input),
+          bucketOf(kind), sortOf(kind)) ++
           store.stageKeyed(IvfPqCentroidsTable, cents, lit(0L),
             Seq(col("cell"))) ++
           store.stageKeyed(IvfPqCodebookTable, cb, lit(0L),
             Seq(col("sub"), col("code")))
       } else
-        store.stageKeyed(tableOf(kind), rowsFor(kind, input), bucketOf(kind),
-          sortOf(kind))
+        store.stageKeyed(tableOf(kind),
+          if (kind == "vec" || kind == "sketch")
+            withAttrs(rowsFor(kind, input), input)
+          else rowsFor(kind, input),
+          bucketOf(kind), sortOf(kind))
     store.commit(adds, drops =
       store.leavesOf(tableOf(kind)) ++
         store.leavesOf(IvfCentroidsTable).filter(_ => kind == "ivf") ++
@@ -333,15 +358,18 @@ object IndexStore {
         SimilarityOps.requireDim(units, "unit",
           cents.select(size(col("centroid"))).head().getInt(0),
           "ivf centroids")
-        SimilarityOps.ivfAssign(units, cents)
-          .select(col("vec_id"), col("unit"), col("cell"))
+        withAttrs(SimilarityOps.ivfAssign(units, cents)
+          .select(col("vec_id"), col("unit"), col("cell")), input)
       } else if (kind == "pq")
-        SimilarityOps.pqEncodeWith(SimilarityOps.unitVectors(input),
-          read(store, input.sparkSession, "pq-codebook"))
+        withAttrs(SimilarityOps.pqEncodeWith(SimilarityOps.unitVectors(input),
+          read(store, input.sparkSession, "pq-codebook")), input)
       else if (kind == "ivfpq")
-        SimilarityOps.ivfPqEncodeWith(SimilarityOps.unitVectors(input),
+        withAttrs(SimilarityOps.ivfPqEncodeWith(
+          SimilarityOps.unitVectors(input),
           read(store, input.sparkSession, "ivfpq-centroids"),
-          read(store, input.sparkSession, "ivfpq-codebook"))
+          read(store, input.sparkSession, "ivfpq-codebook")), input)
+      else if (kind == "vec" || kind == "sketch")
+        withAttrs(rowsFor(kind, input), input)
       else rowsFor(kind, input)
     val adds = store.stageKeyed(tableOf(kind), rows, bucketOf(kind),
       sortOf(kind))
@@ -449,9 +477,24 @@ object IndexStore {
     * all sketches by design (hamming scan), so no leaf pruning applies.
     *
     * `probe`: (doc_id, text) for band/span, (vec_id, embedding) for
-    * sketch. Returns the probe operator's pair/neighbor frame. */
+    * sketch. Returns the probe operator's pair/neighbor frame.
+    *
+    * `where`: optional attribute predicate for the VECTOR kinds
+    * (filtered ANN) over columns the index rows carry ([[withAttrs]]
+    * passthrough at build/append). Applied to the index-side scan
+    * BEFORE any distance math — Catalyst pushes it into the parquet
+    * read, where it composes with the kind's own prune (cells for
+    * ivf/ivfpq, sign buckets for vec, manifest leaves everywhere): a
+    * non-matching row costs at most a skipped row group, never a
+    * ranked candidate. Pre-filter, not post-filter, so a top-k among
+    * matching rows is always full. */
   def search(store: GraftStore, spark: SparkSession, kind: String,
-      probe: DataFrame, threshold: Double = 0.4): DataFrame = kind match {
+      probe: DataFrame, threshold: Double = 0.4,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(where.isEmpty || !Set("band", "span").contains(kind),
+      s"attribute predicates apply to the vector kinds, not '$kind'")
+    def flt(df: DataFrame): DataFrame = where.fold(df)(df.filter)
+    kind match {
     case "band" =>
       // ONE pass over the (small) probe batch yields both prune levels:
       // leaf buckets for the manifest, and the distinct probe band keys
@@ -489,12 +532,12 @@ object IndexStore {
       val cellSet = probes.select(col("cell")).distinct()
         .collect().map(_.getInt(0).toLong).toSet
       SimilarityOps.ivfSearchWithProbes(
-        read(store, spark, "ivf", cellSet.contains), probes)
+        flt(read(store, spark, "ivf", cellSet.contains)), probes)
     case "pq" =>
       // candidate scan reads the codes COLUMN of the at-rest leaves
       // (columnar pruning — ~1% of the index bytes); only survivor
       // units are fetched for the rescore
-      SimilarityOps.pqProbe(read(store, spark, "pq"),
+      SimilarityOps.pqProbe(flt(read(store, spark, "pq")),
         read(store, spark, "pq-codebook"), probe)
     case "ivfpq" =>
       // two-phase like ivf: the probe list needs only the tiny model
@@ -508,7 +551,7 @@ object IndexStore {
         SimilarityOps.IvfProbes).localCheckpoint()
       val cellSet = probes.select(col("cell")).distinct()
         .collect().map(_.getInt(0).toLong).toSet
-      val idx = read(store, spark, "ivfpq", cellSet.contains)
+      val idx = flt(read(store, spark, "ivfpq", cellSet.contains))
       SimilarityOps.ivfPqSearchWithProbes(
         idx.select(col("vec_id"), col("cell"), col("codes")),
         idx.select(col("vec_id"), col("unit")),
@@ -539,7 +582,7 @@ object IndexStore {
       // self-match (cosine 1) is what makes streaming replays
       // exactly-once ([[graft.streaming.StreamingVectors]])
       probeRows
-        .join(idx.select(col("vec_id").as("existing_id"),
+        .join(flt(idx).select(col("vec_id").as("existing_id"),
           col("unit").as("u_ex"), col("bucket")), Seq("bucket"))
         .withColumn("cos", graft.functions.Vec
           .vec_dot(col("u_new"), col("u_ex")))
@@ -550,8 +593,8 @@ object IndexStore {
       val idx = read(store, spark, "sketch")
       requireProbeDim(probe,
         idx.select(size(col("unit"))).head().getInt(0), "sketch index")
-      SimilarityOps.sketchProbe(idx, probe)
-  }
+      SimilarityOps.sketchProbe(flt(idx), probe)
+  } }
 
   /** Loud probe-side dimension check for the vector kinds — the shared
     * [[SimilarityOps.requireDim]] guard over the probe's `embedding`

@@ -892,4 +892,53 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
         .count() == 60L, s"$kind: wrong-dim append mutated the index")
     }
   }
+
+  test("filtered ANN at rest: an attribute predicate pre-filters every " +
+      "vector kind's search and pushes into the index scan") {
+    import spark.implicits._
+    // clustered corpus with a label attribute riding into the index
+    // rows: 6 directions x 50 members, labels alternate 0/1 WITHIN each
+    // direction so the unfiltered neighborhood of any query is half
+    // wrong-label — post-filtering a top-k would under-fill; the
+    // pre-filter contract returns only (and all) matching neighbors
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    val centers = (0 until 6).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val corpus = (0 until 300).map { i =>
+      val c = centers(i % 6)
+      // label alternates WITHIN each direction (members of direction d
+      // are i = d, d+6, d+12, …), so every neighborhood is half
+      // wrong-label
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq,
+        (i / 6) % 2)
+    }
+    val probe = Seq((9000L, centers(0).map(_.toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    for (kind <- Seq("vec", "sketch", "ivf", "pq", "ivfpq")) {
+      val root = tempDir(s"graft-idx-filtered-$kind")
+      IndexStore.build(new GraftStore(root), kind,
+        corpus.toDF("vec_id", "embedding", "label"))
+      val store = new GraftStore(root)
+      val thr = if (kind == "vec") 0.9 else 0.4
+      val hits = IndexStore.search(store, spark, kind, probe, thr,
+        Some(col("label") === 1))
+      val ids = hits.select(hits.columns.filter(c =>
+          c == "existing_id" || c == "neighbor_id").head)
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.nonEmpty, s"$kind: filtered search returned nothing")
+      assert(ids.forall(id => (id / 6) % 2 == 1),
+        s"$kind: non-matching neighbors leaked: " +
+          s"${ids.filter(id => (id / 6) % 2 == 0)}")
+      // the predicate reaches the parquet scan of the index leaves
+      val df = IndexStore.search(store, spark, kind, probe, thr,
+        Some(col("label") === 1))
+      df.collect()
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("PushedFilters: [") &&
+          p.linesIterator.exists(l => l.contains("PushedFilters") &&
+            l.contains("label")),
+        s"$kind: label predicate not pushed to the index scan:\n$p")
+    }
+  }
 }
