@@ -117,15 +117,21 @@ object Vec {
     * the floor(2³²·d2 + ½) form it replaces summed 60k×8 IEEE folds and
     * flipped on one-ulp `list_reduce` divergence in the driver's DuckDB.
     *
-    * Bounds: |c·xq − S| ≤ c·2³³ (unit-sphere data), so 2·|N| + c·2¹⁶
-    * needs c < 2²⁹ (~500M members per (sub, code) cell) to stay in
-    * int64 — guarded loudly, not silently wrapped. qⱼ ≤ 2¹⁷ ⇒ qⱼ² ≤
-    * 2³⁴; the per-row sum over dsub ≤ 64 stays far under 2⁶³. */
+    * Bounds: the statistic also runs in RESIDUAL space
+    * ([[graft.operators.SimilarityOps.pqStoredDistortion]] for IVF-PQ),
+    * where components reach |x| ≤ 2, so xq ≤ 2³³ and |c·xq − S| ≤
+    * c·2³⁴: 2·|N| + c·2¹⁶ stays in int64 for c < 2²⁸ (~268M members
+    * per (sub, code) cell) — guarded loudly, not silently wrapped
+    * (the DuckDB mirror would raise on the same out-of-range BIGINT
+    * op; a wrapped long here would diverge silently instead). qⱼ ≤
+    * 2¹⁸ ⇒ qⱼ² ≤ 2³⁶; the per-row sum over dsub ≤ 64 stays far under
+    * 2⁶³. */
   def distq(x: ArrayData, sq: ArrayData, c: Long): Long = {
-    if (c <= 0L || c >= (1L << 29))
+    if (c <= 0L || c >= (1L << 28))
       throw new IllegalArgumentException(
-        s"pq_dist_q: centroid member count $c outside (0, 2^29) — " +
-          "the integer numerator would overflow int64")
+        s"pq_dist_q: centroid member count $c outside (0, 2^28) — " +
+          "the integer numerator would overflow int64 (residual-space " +
+          "components reach |x| = 2)")
     val n = math.min(x.numElements(), sq.numElements())
     val dn = c * 65536L
     val dn2 = dn * 2L

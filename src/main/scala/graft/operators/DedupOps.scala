@@ -1126,13 +1126,34 @@ object DedupOps {
     * aggregation and exits. */
   def normalizedWithCappedBucket(e: DataFrame, idCol: String,
       bits: Int = 16, cap: Int = EmbBucketCap, step: Int = 8,
-      maxBits: Int = 48): DataFrame = {
+      maxBits: Int = 48): DataFrame =
+    cappedFromBucketed(normalizedWithBucket(e, bits), idCol, bits, cap,
+      step, maxBits)
+
+  /** [[normalizedWithCappedBucket]] over rows ALREADY carrying (unit,
+    * bucket) from [[normalizedWithBucket]] — callers that need both the
+    * fixed and the capped key (the streaming gate, the batch near-dup
+    * pair query) normalize and sign-bucket ONCE and derive both from
+    * the same frame instead of scanning the input twice.
+    *
+    * `truncate = false` keeps a bucket that is still over the cap at
+    * `maxBits` WHOLE instead of hash-truncating it to `cap` members:
+    * rows agreeing on all `maxBits` sign bits pair quadratically, but
+    * nothing silently escapes the pair join. The streaming ingest gate
+    * needs this — a truncated row would skip intra-batch dedup and
+    * COMMIT permanently (unlike the batch pair REPORT, where the lossy
+    * cap is the documented skew trade) — and its quadratic corner is
+    * micro-batch-bounded: a maxBits-sign-identical pileup is exactly
+    * the near-duplicate burst the greedy drop collapses anyway. */
+  def cappedFromBucketed(rows: DataFrame, idCol: String,
+      bits: Int = 16, cap: Int = EmbBucketCap, step: Int = 8,
+      maxBits: Int = 48, truncate: Boolean = true): DataFrame = {
     require(cap > 0 && step > 0 && maxBits > bits && maxBits <= 57,
       "need cap > 0, step > 0, bits < maxBits <= 57")
     // (value, length) -> collision-free Long key: length fits in 6 bits
     def finalized(df: DataFrame, nbits: Int): DataFrame =
       df.withColumn("bucket", shiftleft(col("bucket"), 6) + lit(nbits.toLong))
-    var cur = normalizedWithBucket(e, bits).localCheckpoint(eager = false)
+    var cur = rows.localCheckpoint(eager = false)
     var nbits = bits
     val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var oversized = true
@@ -1154,12 +1175,14 @@ object DedupOps {
       }
     }
     if (oversized) {
-      // maxBits exhausted with dense buckets left (sign-identical
-      // vectors): truncate to the cap by hash rank — the lossy step
-      val rk = Window.partitionBy("bucket").orderBy(xxhash64(col(idCol)))
-      done += finalized(
-        cur.withColumn("rk", row_number().over(rk))
-          .filter(col("rk") <= cap).drop("rk"), nbits)
+      if (truncate) {
+        // maxBits exhausted with dense buckets left (sign-identical
+        // vectors): truncate to the cap by hash rank — the lossy step
+        val rk = Window.partitionBy("bucket").orderBy(xxhash64(col(idCol)))
+        done += finalized(
+          cur.withColumn("rk", row_number().over(rk))
+            .filter(col("rk") <= cap).drop("rk"), nbits)
+      } else done += finalized(cur, nbits) // keep whole: nothing escapes
     }
     done.reduce(_ unionAll _)
   }
@@ -1172,10 +1195,11 @@ object DedupOps {
     * keys; the capped key refines the fixed key). */
   def embeddingNearDupPairs(vectors: DataFrame,
       threshold: Double): DataFrame = {
-    val capped = normalizedWithCappedBucket(vectors, "vec_id")
+    // ONE normalize+sign-bucket scan; both join keys derive from it
+    val fixed = normalizedWithBucket(vectors)
       .select(col("vec_id"), col("unit"), col("bucket"))
       .localCheckpoint()
-    val fixed = normalizedWithBucket(vectors)
+    val capped = cappedFromBucketed(fixed, "vec_id")
       .select(col("vec_id"), col("unit"), col("bucket"))
       .localCheckpoint()
     def pairs(a: DataFrame, b: DataFrame) =

@@ -154,10 +154,15 @@ object SimilarityOps {
          |  WHERE q.vec_id < $NumQueries) sub
          |WHERE rank <= $K""".stripMargin))
 
-  /** Range-search similarity floor: every neighbor at cosine ≥ this is
-    * returned (vs top-k's fixed count). 0.25 ≈ 2σ on this isotropic
-    * corpus — a stable, non-trivial result set. */
-  val RangeCos = 0.25
+  /** Range-search similarity floor in integer basis points: every
+    * neighbor whose RENDERED cos_bp = floor(cos·10⁴) meets this is
+    * returned (vs top-k's fixed count). Thresholding the same integer
+    * the row renders leaves ONE floor boundary per row (the accepted
+    * per-row cos_bp exposure every sketch/vec probe shares) instead of
+    * adding a second, independent raw-double membership boundary with
+    * no tie-break. 2500 ≈ 2σ on this isotropic corpus — a stable,
+    * non-trivial result set. */
+  val RangeCosBp = 2500L
 
   /** Radius/range search: ALL neighbors within a similarity floor per
     * query — the other half of the standard vector-search API (top-k
@@ -178,18 +183,20 @@ object SimilarityOps {
       all.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("cos", cosine)
-        .filter(col("cos") >= lit(RangeCos))
+        .withColumn("cos_bp", floor(col("cos") * 10000).cast("long"))
+        .filter(col("cos_bp") >= lit(RangeCosBp))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          floor(col("cos") * 10000).cast("long").as("cos_bp"))
+          col("cos_bp"))
     },
     Some(
       s"""WITH $unitCteSql
-         |SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-         |  CAST(floor(${dotSql("q.unit", "n.unit")} * 10000) AS BIGINT)
-         |    AS cos_bp
-         |FROM u q, u n
-         |WHERE q.vec_id < $NumQueries AND n.vec_id <> q.vec_id
-         |  AND ${dotSql("q.unit", "n.unit")} >= $RangeCos""".stripMargin))
+         |SELECT query_id, neighbor_id, cos_bp FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    CAST(floor(${dotSql("q.unit", "n.unit")} * 10000) AS BIGINT)
+         |      AS cos_bp
+         |  FROM u q, u n
+         |  WHERE q.vec_id < $NumQueries AND n.vec_id <> q.vec_id) s
+         |WHERE cos_bp >= $RangeCosBp""".stripMargin))
 
   /** The ingest-side index: unit-normalized vectors with their sketches —
     * persist this (parquet) and every later search reads sketches at

@@ -371,6 +371,20 @@ object IndexStore {
       else if (kind == "vec" || kind == "sketch")
         withAttrs(rowsFor(kind, input), input)
       else rowsFor(kind, input)
+    // Attribute-set stability, enforced loudly ([[withAttrs]]): a batch
+    // missing a previously-carried attribute column would write leaves
+    // whose schema unions to null for that column — filtered searches
+    // would then silently exclude every row of this append.
+    if (existing) {
+      val stored = read(store, input.sparkSession, kind).columns.toSet
+      val batch = rows.columns.toSet
+      require(batch == stored,
+        s"'$kind' append: columns must match the stored index (stored: " +
+          s"${stored.toSeq.sorted.mkString(",")}; batch: " +
+          s"${batch.toSeq.sorted.mkString(",")}) — a missing attribute " +
+          "reads as null at rest and silently un-matches filtered " +
+          "searches")
+    }
     val adds = store.stageKeyed(tableOf(kind), rows, bucketOf(kind),
       sortOf(kind))
     store.commit(adds, meta = formatMeta(kind))
@@ -569,7 +583,11 @@ object IndexStore {
       // vector (16-bit key), typically far fewer under the margin gate;
       // still O(batch), flat in corpus size. Pairs at Hamming distance
       // >= 2 (two simultaneously-tiny flipped dims) remain the
-      // documented residual miss.
+      // documented residual miss. At LOW thresholds (< 0.5, not the
+      // near-identity dial this kind exists for) the margin exceeds 1
+      // and every bit flips — a guaranteed 17x fan; large probe batches
+      // then cross [[MaxKeyPushdown]] and fall back to bucket pruning
+      // without the isin scan filter, the documented bulk shape.
       requireProbeDim(probe, indexDim(store, spark, "vec"), "vec index")
       val probeRows = DedupOps.multiProbeBuckets(
         DedupOps.normalizedWithBucket(probe), threshold)

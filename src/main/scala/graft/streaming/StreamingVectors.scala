@@ -68,7 +68,11 @@ object StreamingVectors {
     //      sub-splitting never separates a true pair, and a spam burst
     //      concentrated in one direction generates at most cap-bounded
     //      pair fans instead of B²/2 (the batch operator family's
-    //      skew discipline, DedupOps.normalizedWithCappedBucket);
+    //      skew discipline). truncate = false: a gate must never let a
+    //      row silently ESCAPE the pair join and commit a duplicate —
+    //      a bucket still over the cap at maxBits (48-sign-identical
+    //      rows, i.e. the dup burst itself) pairs whole, quadratic but
+    //      micro-batch-bounded and collapsed by the greedy drop;
     //  (b) boundary pairs on the FLIPPED-only Hamming-1 buckets
     //      (margin-gated, DedupOps.multiProbeBuckets) joined against
     //      the fixed key — catches a near-identical pair split by one
@@ -77,8 +81,9 @@ object StreamingVectors {
     //      and a one-direction burst meets only its (sparse) neighbor
     //      buckets here; two ADJACENT simultaneously-bursting buckets
     //      remain the accepted corner.
-    val capped = DedupOps.normalizedWithCappedBucket(
-      batch.select(col("vec_id"), col("embedding")), "vec_id")
+    // Both keys derive from the ONE normalized+bucketed scan (`rows`).
+    val capped = DedupOps.cappedFromBucketed(rows, "vec_id",
+        truncate = false)
       .select(col("vec_id"), col("unit"), col("bucket"))
       .localCheckpoint()
     def pairs(a: DataFrame, b: DataFrame) =

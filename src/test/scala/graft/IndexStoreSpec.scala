@@ -941,4 +941,26 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
         s"$kind: label predicate not pushed to the index scan:\n$p")
     }
   }
+
+  test("append with a drifted attribute set fails loudly (a missing " +
+      "column would silently null out of filtered searches)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    def vecs(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.fill(12)(rnd.nextGaussian().toFloat), i % 3))
+    val root = tempDir("graft-idx-attr-drift")
+    IndexStore.build(new GraftStore(root), "vec",
+      vecs(0 until 40).toDF("vec_id", "embedding", "label"))
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.append(new GraftStore(root), "vec",
+        vecs(100 until 120).map { case (id, v, _) => (id, v) }
+          .toDF("vec_id", "embedding"))
+    }
+    assert(e.getMessage.contains("label"), e.getMessage)
+    // the matching attribute set still appends fine
+    IndexStore.append(new GraftStore(root), "vec",
+      vecs(100 until 120).toDF("vec_id", "embedding", "label"))
+    assert(IndexStore.read(new GraftStore(root), spark, "vec")
+      .count() == 60L)
+  }
 }

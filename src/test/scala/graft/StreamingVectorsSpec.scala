@@ -255,4 +255,34 @@ class StreamingVectorsSpec extends AnyFunSuite with BeforeAndAfterAll
       s"burst not collapsed to its smallest id: ${got.filter(_ < 4000L)}")
     assert((4000L until 4005L).forall(got.contains))
   }
+
+  test("no row escapes the gate's pair join: an over-cap sign-identical " +
+      "pileup stays WHOLE under truncate=false (vs the batch cap's " +
+      "lossy truncation)") {
+    import spark.implicits._
+    // 20 identically-directed vectors against cap=4, maxBits=20: the
+    // cap can never sub-split them (identical signs), so the batch
+    // operators' policy would hash-truncate 16 rows OUT of the pair
+    // join — for the streaming gate those rows would skip intra-batch
+    // dedup and COMMIT duplicates permanently. truncate=false keeps
+    // the bucket whole: every row is present exactly once, all in ONE
+    // final bucket.
+    val dirv = Seq.fill(12)(rnd.nextGaussian().toFloat)
+    val rows = graft.operators.DedupOps.normalizedWithBucket(
+      (0L until 20L).map(i => (i, dirv.map(x => x * (1.0f + 0.001f * i))))
+        .toDF("vec_id", "embedding"))
+    val kept = graft.operators.DedupOps.cappedFromBucketed(
+      rows, "vec_id", bits = 12, cap = 4, step = 4, maxBits = 20,
+      truncate = false)
+      .select("vec_id", "bucket").collect()
+    assert(kept.length == 20, s"rows escaped: ${kept.length}/20")
+    assert(kept.map(_.getLong(1)).distinct.length == 1,
+      "sign-identical rows split across buckets")
+    // and the default (batch) policy really is lossy here — pinning the
+    // CONTRAST so a silent default flip gets caught
+    val truncated = graft.operators.DedupOps.cappedFromBucketed(
+      rows, "vec_id", bits = 12, cap = 4, step = 4, maxBits = 20)
+      .count()
+    assert(truncated == 4L, s"expected cap-truncated 4, got $truncated")
+  }
 }

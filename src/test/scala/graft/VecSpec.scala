@@ -215,6 +215,6 @@ class VecSpec extends AnyFunSuite with BeforeAndAfterAll {
     val a = new GenericArrayData(Array(0.5))
     val s = new GenericArrayData(Array(1L))
     intercept[IllegalArgumentException](Vec.distq(a, s, 0L))
-    intercept[IllegalArgumentException](Vec.distq(a, s, 1L << 29))
+    intercept[IllegalArgumentException](Vec.distq(a, s, 1L << 28))
   }
 }
