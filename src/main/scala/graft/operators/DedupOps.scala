@@ -1134,7 +1134,10 @@ object DedupOps {
     * bucket) from [[normalizedWithBucket]] — callers that need both the
     * fixed and the capped key (the streaming gate, the batch near-dup
     * pair query) normalize and sign-bucket ONCE and derive both from
-    * the same frame instead of scanning the input twice.
+    * the same frame instead of scanning the input twice. `bits` must be
+    * the width `rows` was bucketed at — sub-splitting appends sign bits
+    * STARTING at `bits`+1, so a narrower claim would re-append bits the
+    * key already holds.
     *
     * `truncate = false` keeps a bucket that is still over the cap at
     * `maxBits` WHOLE instead of hash-truncating it to `cap` members:

@@ -272,7 +272,7 @@ class StreamingVectorsSpec extends AnyFunSuite with BeforeAndAfterAll
       (0L until 20L).map(i => (i, dirv.map(x => x * (1.0f + 0.001f * i))))
         .toDF("vec_id", "embedding"))
     val kept = graft.operators.DedupOps.cappedFromBucketed(
-      rows, "vec_id", bits = 12, cap = 4, step = 4, maxBits = 20,
+      rows, "vec_id", cap = 4, step = 4, maxBits = 24,
       truncate = false)
       .select("vec_id", "bucket").collect()
     assert(kept.length == 20, s"rows escaped: ${kept.length}/20")
@@ -281,7 +281,7 @@ class StreamingVectorsSpec extends AnyFunSuite with BeforeAndAfterAll
     // and the default (batch) policy really is lossy here — pinning the
     // CONTRAST so a silent default flip gets caught
     val truncated = graft.operators.DedupOps.cappedFromBucketed(
-      rows, "vec_id", bits = 12, cap = 4, step = 4, maxBits = 20)
+      rows, "vec_id", cap = 4, step = 4, maxBits = 24)
       .count()
     assert(truncated == 4L, s"expected cap-truncated 4, got $truncated")
   }
