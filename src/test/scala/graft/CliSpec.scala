@@ -93,6 +93,40 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(hitsAfter == hits, s"compaction changed results: $hitsAfter")
   }
 
+  test("index search --filter applies an attribute predicate to a " +
+      "labeled vec index through the CLI") {
+    import spark.implicits._
+    val root = tempDir("graft-index-cli-filter")
+    val storeDir = s"$root/store"
+    val rnd = new scala.util.Random(41)
+    val dirv = Seq.fill(12)(rnd.nextGaussian().toFloat)
+    // two near-identical copies of one direction, labels 0 and 1, plus
+    // unrelated vectors
+    val corpus = Seq(
+      (1L, dirv.map(_ * 1.001f), 0),
+      (2L, dirv.map(_ * 1.002f), 1)) ++
+      (10L until 20L).map(i =>
+        (i, Seq.fill(12)(rnd.nextGaussian().toFloat), (i % 2).toInt))
+    val inputPath = s"$root/vecs.parquet"
+    corpus.toDF("vec_id", "embedding", "label").write.parquet(inputPath)
+    val probePath = s"$root/probe.parquet"
+    Seq((9000L, dirv)).toDF("vec_id", "embedding").write.parquet(probePath)
+    captured {
+      cli.Main.run(spark, Array("index", "build", "--store", storeDir,
+        "--kind", "vec", "--input", inputPath))
+    }
+    val outPath = s"$root/hits.parquet"
+    captured {
+      cli.Main.run(spark, Array("index", "search", "--store", storeDir,
+        "--kind", "vec", "--input", probePath,
+        "--filter", "label = 1", "--output", outPath))
+    }
+    val ids = spark.read.parquet(outPath)
+      .select("existing_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L),
+      s"--filter 'label = 1' should match only vec 2, got $ids")
+  }
+
   test("index CLI drives the ANN kinds: pq build/append/search across " +
       "invocations") {
     import spark.implicits._
