@@ -177,8 +177,10 @@ object IndexStore {
     kind match {
       case "band" => DedupOps.buildBandIndex(input)
       case "span" => DedupOps.buildSpanIndex(input)
-      case "vec" => DedupOps.normalizedWithBucket(input)
-        .select(col("vec_id"), col("unit"), col("bucket"))
+      // drop(embedding), not select(3): normalizedWithBucket keeps every
+      // input column, so attributes ride through WITHOUT the keyed
+      // re-join [[withAttrs]] would otherwise pay
+      case "vec" => DedupOps.normalizedWithBucket(input).drop("embedding")
       case _ => SimilarityOps.buildSketchIndex(input)
     }
 
@@ -192,13 +194,19 @@ object IndexStore {
     * whenever a neighborhood is dominated by non-matching rows. The
     * attribute SET must stay stable across appends to one index (parquet
     * schemas union at read; a column present in some leaves and absent
-    * in others reads as null and silently un-matches predicates). */
+    * in others reads as null and silently un-matches predicates).
+    *
+    * Cost shape: the scan-stage kinds (vec, sketch) carry attributes
+    * through their row builders for FREE (pass-through below); the
+    * model kinds (ivf, pq, ivfpq) aggregate the attributes away in
+    * their trainers/encoders, so carrying them costs ONE vec_id-keyed
+    * join per build/append — paid only when attributes exist. */
   private def withAttrs(rows: DataFrame, input: DataFrame): DataFrame = {
     val attrs = input.columns
       .filterNot(c => c == "vec_id" || c == "embedding").toSeq
     if (attrs.isEmpty) rows
-    // drop-then-join keeps this idempotent: some kinds' row builders
-    // (sketch) already carry the input columns through
+    // already carried through the builder (vec/sketch): no join to pay
+    else if (attrs.forall(rows.columns.contains)) rows
     else rows.drop(attrs: _*).join(input.select("vec_id", attrs: _*),
       "vec_id")
   }
