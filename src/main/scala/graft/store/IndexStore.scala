@@ -469,7 +469,14 @@ object IndexStore {
         read(store, spark, "ivfpq-codebook"))
     case "ivf" =>
       // per-cell quantized residual energy ‖unit − centroid‖² — same
-      // grid and shape as the pq reports
+      // grid and shape as the pq reports. Deliberately NOT the
+      // integer-domain distq statistic the pq/ivfpq reports use: ivf
+      // centroids are SPHERICALLY normalized (sv/‖sv‖ — the norm is
+      // irrational), so no exact integer pair exists to define the
+      // statistic against. This telemetry is spec-gated on RATIOS
+      // (IndexStoreSpec drift test), never hash-gated, so the
+      // floor-of-computed-double exposure that flipped the round-12
+      // driver gate cannot reach a correctness row here.
       val q = SimilarityOps.PqQuant
       val perCell = read(store, spark, "ivf")
         .join(broadcast(read(store, spark, "ivf-centroids")), "cell")
