@@ -69,6 +69,11 @@ class CorpusSchemaSpec extends AnyFunSuite with BeforeAndAfterAll with TempDirCl
       Set[DataType](FloatType, DoubleType)
         .contains(emb.asInstanceOf[ArrayType].elementType),
       s"embeddings.embedding must be array<float|double>, got $emb")
+    // label: the filtered-ANN queries (ann_topk_filtered) predicate on
+    // it — a corpus drop without it turns a green query into a driver
+    // error row; catch the drift here first
+    assert(fieldType("embeddings", "label") == IntegerType,
+      "embeddings.label (int) must exist: ann_topk_filtered keys on it")
     // Fixed width: every vector the ANN/dedup ops see must agree.
     import org.apache.spark.sql.functions._
     val widths = Tables.t(spark, dir, "embeddings")
