@@ -293,7 +293,7 @@ object SimilarityOps {
   /** Zero-norm-filtered unit vectors as a DuckDB CTE — mirrors the
     * engine's [[unit]] (fixed-order norm fold, null-filter). Shared by
     * the sketch and ivf oracles so the two can never drift. */
-  private def unitCteSql: String =
+  private def unitCteSqlFrom(src: String): String =
     s"""u AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
@@ -301,9 +301,11 @@ object SimilarityOps {
        |        list_transform(embedding,
        |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
        |        (a, b) -> a + b))) AS unit
-       |  FROM embeddings
+       |  FROM $src
        |  WHERE list_sum(list_transform(embedding,
        |    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0)""".stripMargin
+
+  private def unitCteSql: String = unitCteSqlFrom("embeddings")
 
   /** DuckDB mirror of [[graft.functions.Vec.dot]] (left-to-right fold
     * over the common prefix). Lambda vars are obscure (dj/da/db) so the
@@ -1638,8 +1640,73 @@ object SimilarityOps {
       s"""WITH $ivfPqCtesSql,
          |$recallTailSql""".stripMargin))
 
+  /** Group-size ceiling for the code-equality dedup: a degenerate
+    * codebook (tiny or collapsed corpus) could put a large fraction of
+    * the corpus in one code cell, and emitting that group's pairs is
+    * quadratic — groups past the cap drop entirely, the
+    * [[DedupOps.MaxBucketSize]] boilerplate policy applied to code
+    * space (deterministic, mirrored in the oracle's HAVING). */
+  val SemanticGroupCap = 1024
+
+  /** Semantic (codebook-space) dedup over PQ codes — the SemDeDup-style
+    * coarse pass: two vectors quantizing to the SAME code in every
+    * subspace sit in the same tiny product cell of the trained
+    * codebook, the cheapest large-scale signal of semantic
+    * near-duplication. Cost shape is the selling point: where
+    * cosine-based near-dup pays an in-bucket pair join over unit
+    * vectors, this is ONE keyed exchange over the M·4-bit code arrays
+    * (the at-rest `pq` index payload — no embedding bytes read at all
+    * when codes are persisted), then pair fan-out bounded by
+    * [[SemanticGroupCap]]. Precision is the codebook's: cell mates are
+    * near in quantized space, not certified by an exact cosine — a
+    * deployment uses this as the cheap FIRST pass and rescores
+    * survivors with `dedup_embedding_cosine` where certification
+    * matters. Injected ×1.001 copies land in their original's cell
+    * (identical direction ⇒ per-subspace argmin ties bit-for-bit), so
+    * the gate has guaranteed, hash-oracled output. */
+  val pqSemanticDedup: GraftQuery = GraftQuery(
+    "dedup_pq_semantic",
+    (s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val dups = emb(s, dir).filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          expr("transform(embedding, x -> x * CAST(1.001 AS FLOAT))")
+            .as("embedding"))
+      val units = unit(base.unionAll(dups))
+        .select(col("vec_id"), col("unit")).localCheckpoint()
+      val (subs, cb) = buildPqCodebooks(units)
+      pqEncode(subs, cb)
+        .groupBy(col("codes"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, SemanticGroupCap))
+        .select(explode(expr(
+          """flatten(transform(ids, (xa, ia) ->
+            |  transform(slice(ids, ia + 2, size(ids)), xb ->
+            |    struct(xa AS id_a, xb AS id_b))))""".stripMargin)).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+    },
+    Some(
+      s"""WITH uaug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(embedding, x -> x * CAST(1.001 AS FLOAT))
+         |  FROM embeddings WHERE vec_id < 10),
+         |${unitCteSqlFrom("uaug")},
+         |${pqTrainCtesSql(PqSubs, PqCodes, PqIters, "u")},
+         |cvec AS (
+         |  SELECT vec_id, list(code ORDER BY sub) AS codes
+         |  FROM pasgF GROUP BY 1),
+         |grp AS (
+         |  SELECT codes FROM cvec GROUP BY 1
+         |  HAVING count(*) BETWEEN 2 AND $SemanticGroupCap)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM cvec a
+         |JOIN grp g ON a.codes = g.codes
+         |JOIN cvec b ON b.codes = a.codes AND a.vec_id < b.vec_id""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(bruteForce, filteredTopK, rangeSearch, lshTopK, ivfTopK,
       recallReport, diverse, pqTopK, pqDistortion, pqRecallReport,
-      ivfPqTopK, ivfPqRecallReport)
+      ivfPqTopK, ivfPqRecallReport, pqSemanticDedup)
 }

@@ -91,6 +91,14 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll
       pairs.contains((i.toLong, i + 1000000L))))
   }
 
+  test("PQ semantic dedup: identically-directed copies land in their " +
+      "original's code cell; pairs come out of the codes groupBy alone") {
+    val pairs = SimilarityOps.pqSemanticDedup.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert((0 until 10).forall(i => pairs.contains((i.toLong, i + 1000000L))),
+      s"injected copies missing from code cells: $pairs")
+  }
+
   test("embedding cosine near-dup catches pairs split by one sign " +
       "boundary (batch multi-probe)") {
     import spark.implicits._
