@@ -448,6 +448,18 @@ object Main {
                 println(s"[index] $kind scope=${r.getString(0)} " +
                   s"n=${r.getLong(1)} distortion_q=${r.getLong(2)}")
               }
+          case Some("dupes") =>
+            // semantic dup pairs from the stored codes: the scan reads
+            // code arrays only — the coarse pass before exact-cosine
+            // certification
+            val pairs = IndexStore.semanticDupes(store, spark, kind)
+            opt("output") match {
+              case Some(out) =>
+                pairs.write.mode("overwrite").parquet(out)
+                println(s"[index] wrote code-cell dup pairs to $out")
+              case None =>
+                pairs.orderBy("id_a", "id_b").show(50, truncate = false)
+            }
           case Some("build") =>
             val n = IndexStore.build(store, kind, input)
             println(s"[index] built fresh '$kind' index: $n leaves")
@@ -476,7 +488,8 @@ object Main {
                   .functions.col): _*).show(50, truncate = false)
             }
           case other =>
-            sys.error(s"usage: index build|append|search|compact|report " +
+            sys.error(s"usage: index build|append|search|compact|report" +
+              s"|dupes " +
               s"... (got $other)")
         }
 

@@ -498,6 +498,35 @@ object IndexStore {
       s"kinds (pq|ivfpq|ivf), not '$other'")
   }
 
+  /** Semantic duplicate pairs from the at-rest PQ codes — the
+    * [[graft.operators.SimilarityOps.pqSemanticDedup]] pass where its
+    * cost claim is literal: the scan reads the code arrays ONLY (M·4
+    * bits/row; the unit column stays on disk), one groupBy over them,
+    * group-capped pair fan-out. The coarse first pass a deployment runs
+    * over an index it already maintains; survivors get exact-cosine
+    * certification where it matters. Kinds: `pq` (whole-space codes) —
+    * ivfpq codes are RESIDUAL-space (per-cell) and only comparable
+    * within a cell, so this report composes (cell, codes) as the group
+    * key there. */
+  def semanticDupes(store: GraftStore, spark: SparkSession,
+      kind: String): DataFrame = {
+    require(kind == "pq" || kind == "ivfpq",
+      s"semantic dupes need stored codes (pq|ivfpq), not '$kind'")
+    val keyCols =
+      if (kind == "ivfpq") Seq(col("cell"), col("codes"))
+      else Seq(col("codes"))
+    read(store, spark, kind)
+      .groupBy(keyCols: _*)
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids"))
+        .between(2, SimilarityOps.SemanticGroupCap))
+      .select(explode(expr(
+        """flatten(transform(ids, (xa, ia) ->
+          |  transform(slice(ids, ia + 2, size(ids)), xb ->
+          |    struct(xa AS id_a, xb AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+  }
+
   /** Probe a batch against the at-rest index. For the keyed indexes
     * (band/span) the probe batch's own keys determine which leaf buckets
     * can match, so the manifest read is pruned to those — a small batch

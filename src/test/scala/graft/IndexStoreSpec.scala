@@ -942,6 +942,34 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     }
   }
 
+  test("semantic dupes from at-rest codes: pq and ivfpq report " +
+      "identically-directed copies without reading embedding bytes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.ExplainMode
+    val rnd = new scala.util.Random(43)
+    val base = (0L until 80L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val dups = (0 until 5).map(i =>
+      (800L + i, base(i)._2.map(x => x * 1.001f)))
+    for (kind <- Seq("pq", "ivfpq")) {
+      val root = tempDir(s"graft-idx-semdup-$kind")
+      IndexStore.build(new GraftStore(root), kind,
+        (base ++ dups).toDF("vec_id", "embedding"))
+      val pairs = IndexStore.semanticDupes(new GraftStore(root), spark, kind)
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (0 until 5).foreach(i => assert(got.contains((i.toLong, 800L + i)),
+        s"$kind: injected copy $i not in its original's code cell: $got"))
+      // the scan side reads codes (and cell for ivfpq), never unit —
+      // the zero-embedding-bytes claim is a plan property
+      pairs.collect()
+      val p = pairs.queryExecution.explainString(
+        ExplainMode.fromString("formatted"))
+      val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(schemas.nonEmpty && schemas.forall(!_.contains("unit")),
+        s"$kind: dupes scan reads unit bytes:\n${schemas.mkString("\n")}")
+    }
+  }
+
   test("append with a drifted attribute set fails loudly (a missing " +
       "column would silently null out of filtered searches)") {
     import spark.implicits._
