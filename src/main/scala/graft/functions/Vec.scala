@@ -120,18 +120,23 @@ object Vec {
     * Bounds: the statistic also runs in RESIDUAL space
     * ([[graft.operators.SimilarityOps.pqStoredDistortion]] for IVF-PQ),
     * where components reach |x| ≤ 2, so xq ≤ 2³³ and |c·xq − S| ≤
-    * c·2³⁴: 2·|N| + c·2¹⁶ stays in int64 for c < 2²⁸ (~268M members
-    * per (sub, code) cell) — guarded loudly, not silently wrapped
-    * (the DuckDB mirror would raise on the same out-of-range BIGINT
-    * op; a wrapped long here would diverge silently instead). qⱼ ≤
-    * 2¹⁸ ⇒ qⱼ² ≤ 2³⁶; the per-row sum over dsub ≤ 64 stays far under
-    * 2⁶³. */
+    * c·2³⁴: 2·|N| + c·2¹⁶ stays in int64 for c up to 2²⁸ − 2⁹ (~268M
+    * members per (sub, code) cell); above that the rounding numerator
+    * 2a + dn can exceed 2⁶³ at the |x| = 2 extreme. Guarded loudly,
+    * not silently wrapped — the c guard covers the documented bound
+    * exactly, and every multiply/add in the kernel uses
+    * Math.multiplyExact/addExact so even an input OUTSIDE the modeled
+    * envelope (a component beyond |x| = 2, say) raises instead of
+    * wrapping (the DuckDB mirror raises on the same out-of-range
+    * BIGINT op; a wrapped long here would diverge silently instead).
+    * qⱼ ≤ 2¹⁸ ⇒ qⱼ² ≤ 2³⁶; the per-row sum over dsub ≤ 64 stays far
+    * under 2⁶³. */
   def distq(x: ArrayData, sq: ArrayData, c: Long): Long = {
-    if (c <= 0L || c >= (1L << 28))
+    if (c <= 0L || c >= (1L << 28) - (1L << 9))
       throw new IllegalArgumentException(
-        s"pq_dist_q: centroid member count $c outside (0, 2^28) — " +
-          "the integer numerator would overflow int64 (residual-space " +
-          "components reach |x| = 2)")
+        s"pq_dist_q: centroid member count $c outside (0, 2^28 - 2^9) — " +
+          "the rounding numerator 2|c*xq - S| + c*2^16 would overflow " +
+          "int64 (residual-space components reach |x| = 2)")
     val n = math.min(x.numElements(), sq.numElements())
     val dn = c * 65536L
     val dn2 = dn * 2L
@@ -139,8 +144,9 @@ object Vec {
     var i = 0
     while (i < n) {
       val xq = math.floor(x.getDouble(i) * 4294967296.0 + 0.5).toLong
-      val a = math.abs(c * xq - sq.getLong(i))
-      val q = (a * 2L + dn) / dn2
+      val a = math.abs(Math.subtractExact(Math.multiplyExact(c, xq),
+        sq.getLong(i)))
+      val q = Math.addExact(Math.multiplyExact(a, 2L), dn) / dn2
       s += q * q
       i += 1
     }

@@ -1190,12 +1190,39 @@ object DedupOps {
     done.reduce(_ unionAll _)
   }
 
+  /** Per-bucket population cap by xxhash64 rank, applied ONLY inside
+    * oversized buckets — the [[cappedFromBucketed]] truncation policy
+    * as a standalone pass, for frames whose bucket KEY must stay fixed
+    * (the Hamming-1 boundary join matches flipped keys against the
+    * fixed key, so the sub-splitting cap's refined keys cannot be used
+    * there). Shape: one map-side-partial bucket count keeps only the
+    * > cap ids (≤ rows/cap entries ⇒ both joins broadcast under AQE);
+    * the common no-skew path pays that one aggregation and no window —
+    * the rank window shuffles only the oversized remainder. */
+  def capBucketPopulation(df: DataFrame, idCol: String,
+      cap: Int = EmbBucketCap): DataFrame = {
+    val over = df.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap).select("bucket")
+      .localCheckpoint(eager = false)
+    val rk = Window.partitionBy("bucket").orderBy(xxhash64(col(idCol)))
+    df.join(over, Seq("bucket"), "left_anti")
+      .unionAll(df.join(over, Seq("bucket"), "left_semi")
+        .withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= cap).drop("rk"))
+  }
+
   /** Near-dup pairs at cosine ≥ `threshold` via sign-LSH buckets:
     * same-direction pairs on the skew-capped bucket, boundary-split
     * pairs (sign keys differing in ONE bit) via the margin-gated
     * Hamming-1 flip join ([[multiProbeBuckets]]) — the two sources are
     * disjoint by construction (a flipped match requires differing fixed
-    * keys; the capped key refines the fixed key). */
+    * keys; the capped key refines the fixed key). The boundary join's
+    * fixed side is [[capBucketPopulation]]-capped: a dense direction
+    * with one sub-margin component fans its whole population into the
+    * adjacent fixed bucket, so an uncapped adjacent burst would pay
+    * P·P′ pairs — the cap bounds it to P·cap, the same lossy skew trade
+    * (and the same hash-rank policy) the same-direction path already
+    * documents. */
   def embeddingNearDupPairs(vectors: DataFrame,
       threshold: Double): DataFrame = {
     // ONE normalize+sign-bucket scan; both join keys derive from it
@@ -1218,7 +1245,7 @@ object DedupOps {
     pairs(sideA(capped), sideB(capped))
       .unionAll(pairs(
         sideA(multiProbeBuckets(fixed, threshold, includeSelf = false)),
-        sideB(fixed)))
+        sideB(capBucketPopulation(fixed, "vec_id"))))
   }
 
   /** Near-dup pairs: in-bucket pairwise cosine >= threshold, plus the

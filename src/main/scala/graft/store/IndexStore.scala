@@ -90,13 +90,41 @@ object IndexStore {
     s"index_hash_format.$kind"
   }
 
+  /** At-rest TABLE-SCHEMA version, stamped per kind alongside the hash
+    * family. Version 2 = the pq/ivfpq codebook tables carry the exact
+    * quantized-centroid pair columns (sq, cq) that the integer-domain
+    * drift report joins on; a version-1 store (pre-round-13) holds
+    * valid codes and serves every probe, but its codebook cannot feed
+    * [[driftReport]] — without this stamp that surfaced as an opaque
+    * missing-column AnalysisException mid-join instead of a guarded,
+    * versioned error naming the fix. */
+  val SchemaVersion = 2
+  private def schemaKey(kind: String): String = {
+    tableOf(kind)
+    s"index_schema_version.$kind"
+  }
+
   /** Commit meta every index writer of `kind` must include (commit
     * itself applies the store's key prefix) — public so callers that
     * commit staged index rows themselves
     * ([[graft.streaming.StreamingCuration]]'s atomic docs+index
     * snapshot) stamp the same version for the kind they stage. */
   def formatMeta(kind: String): Map[String, String] =
-    Map(formatKey(kind) -> HashFormat)
+    Map(formatKey(kind) -> HashFormat,
+      schemaKey(kind) -> SchemaVersion.toString)
+
+  /** Reject a `kind` whose at-rest table schema predates `need` before
+    * a reader joins columns that would not exist — loud and versioned,
+    * not an AnalysisException from the middle of a plan. */
+  private def checkSchemaVersion(store: GraftStore, kind: String,
+      need: Int, why: String): Unit = {
+    val have = store.currentMeta()
+      .get(store.metaKey(schemaKey(kind))).map(_.toInt).getOrElse(1)
+    if (have < need) sys.error(
+      s"'$kind' index at ${store.root} has table-schema v$have; $why " +
+        s"needs v$need (engine writes v$SchemaVersion). Re-run " +
+        "`index build` to rewrite the model tables.")
+  }
 
   /** Reject an at-rest `kind` index written under a different (or
     * unstamped — pre-versioning) hash family before any probe runs
@@ -457,9 +485,13 @@ object IndexStore {
   def driftReport(store: GraftStore, spark: SparkSession,
       kind: String): DataFrame = kind match {
     case "pq" =>
+      checkSchemaVersion(store, kind, 2,
+        "the quantized-distortion report (codebook columns sq/cq)")
       SimilarityOps.pqStoredDistortion(read(store, spark, "pq"),
         read(store, spark, "pq-codebook"))
     case "ivfpq" =>
+      checkSchemaVersion(store, kind, 2,
+        "the quantized-distortion report (codebook columns sq/cq)")
       val cents = read(store, spark, "ivfpq-centroids")
       val residualRows = read(store, spark, "ivfpq")
         .join(broadcast(cents), "cell")

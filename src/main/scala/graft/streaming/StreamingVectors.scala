@@ -76,11 +76,21 @@ object StreamingVectors {
     //  (b) boundary pairs on the FLIPPED-only Hamming-1 buckets
     //      (margin-gated, DedupOps.multiProbeBuckets) joined against
     //      the fixed key — catches a near-identical pair split by one
-    //      sign boundary inside a single micro-batch. Flipped keys are
-    //      ≠ the row's own bucket, so (b) regenerates nothing from (a)
-    //      and a one-direction burst meets only its (sparse) neighbor
-    //      buckets here; two ADJACENT simultaneously-bursting buckets
-    //      remain the accepted corner.
+    //      sign boundary inside a single micro-batch. (b) runs AFTER
+    //      (a)'s greedy drop, over the same-direction SURVIVORS only:
+    //      a one-direction burst with a sub-margin component collapses
+    //      in (a) to its pairwise-below-threshold core before it can
+    //      fan into the adjacent bucket, so two ADJACENT simultaneously
+    //      bursting buckets pay survivor·survivor pairs (sphere-packing
+    //      bounded), not P·P′ — the batch REPORT path bounds the same
+    //      corner with a lossy hash-rank cap, but a gate must fail
+    //      closed, and sequencing bounds it with ZERO loss: every row
+    //      (b) no longer compares against was already dropped as a
+    //      duplicate. Dropping a boundary partner of a (a)-loser is the
+    //      standard greedy-star semantics — the kept representative of
+    //      the loser's direction either meets the partner itself or the
+    //      partner is no duplicate of anything kept. Flipped keys are
+    //      ≠ the row's own bucket, so (b) regenerates nothing from (a).
     // Both keys derive from the ONE normalized+bucketed scan (`rows`).
     val capped = DedupOps.cappedFromBucketed(rows, "vec_id",
         truncate = false)
@@ -96,15 +106,19 @@ object StreamingVectors {
       capped.select(col("vec_id").as("id_a"), col("bucket"),
         col("unit").as("u_a")),
       capped.select(col("vec_id").as("id_b"), col("bucket"),
-        col("unit").as("u_b")))
+        col("unit").as("u_b"))).distinct()
+    val sameDirSurvivors = rows
+      .join(sameDir, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
     val boundary = pairs(
-      DedupOps.multiProbeBuckets(rows, threshold, includeSelf = false)
+      DedupOps.multiProbeBuckets(sameDirSurvivors, threshold,
+          includeSelf = false)
         .select(col("vec_id").as("id_a"), col("bucket"),
           col("unit").as("u_a")),
-      rows.select(col("vec_id").as("id_b"), col("bucket"),
-        col("unit").as("u_b")))
-    val intraLosers = sameDir.unionAll(boundary).distinct()
-    val intra = rows.join(intraLosers, Seq("vec_id"), "left_anti")
+      sameDirSurvivors.select(col("vec_id").as("id_b"), col("bucket"),
+        col("unit").as("u_b"))).distinct()
+    val intra = sameDirSurvivors
+      .join(boundary, Seq("vec_id"), "left_anti")
       .localCheckpoint()
     // cross-batch: any survivor with an at-rest neighbor at/above
     // threshold drops (first batch of a fresh store has no index yet)

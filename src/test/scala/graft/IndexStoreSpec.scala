@@ -678,6 +678,33 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     }
   }
 
+  test("drift report against a pre-sq/cq store fails with a VERSIONED " +
+      "error naming the fix, not a mid-plan missing-column exception") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    for (kind <- Seq("pq", "ivfpq")) {
+      val root = tempDir(s"graft-idx-schemaver-$kind")
+      val store = new GraftStore(root)
+      IndexStore.build(store, kind, vecs.toDF("vec_id", "embedding"))
+      // simulate a store written by the pre-v2 engine: same hash
+      // family, table schema v1 (codebook without the sq/cq pair
+      // columns the quantized-distortion join needs)
+      store.commit(Nil, meta = Map(s"index_schema_version.$kind" -> "1"))
+      val e = intercept[RuntimeException](
+        IndexStore.driftReport(store, spark, kind))
+      assert(e.getMessage.contains("table-schema v1"), s"$kind: $e")
+      assert(e.getMessage.contains("index build"), s"$kind: $e")
+      // the guard is scoped to the report: the same v1 store still
+      // serves searches (codes and hash family are unchanged)
+      val probe = vecs.take(3).toDF("vec_id", "embedding")
+      assert(IndexStore.search(store, spark, kind, probe, 0.5)
+        .count() >= 0L, s"$kind: search must not be blocked by the " +
+        "schema-version guard")
+    }
+  }
+
   test("four-kind append race on ONE store: band/ivf/pq/vec all land " +
       "and every stamp survives") {
     import spark.implicits._

@@ -216,5 +216,16 @@ class VecSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = new GenericArrayData(Array(1L))
     intercept[IllegalArgumentException](Vec.distq(a, s, 0L))
     intercept[IllegalArgumentException](Vec.distq(a, s, 1L << 28))
+    // exact documented bound: 2^28 - 2^9 is the first rejected count
+    // (above it, 2a + dn can exceed 2^63 at the |x| = 2 residual
+    // extreme and would have wrapped silently before the exact-ops fix)
+    intercept[IllegalArgumentException](
+      Vec.distq(a, s, (1L << 28) - (1L << 9)))
+    assert(Vec.distq(a, s, (1L << 28) - (1L << 9) - 1L) >= 0L)
+    // inputs outside the modeled envelope raise (exact ops), never wrap:
+    // a huge |x| makes c*xq overflow int64 at the largest legal c
+    val huge = new GenericArrayData(Array(1e18))
+    intercept[ArithmeticException](
+      Vec.distq(huge, s, (1L << 28) - (1L << 9) - 1L))
   }
 }
