@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.chain.ChainQueries
-import graft.operators.{CorpusOps, CurationOps, DedupOps, ExtendedOps, LayoutOps, MultimodalOps, RelationalOps, SimilarityOps, SkewOps, TemporalOps, TextOps}
+import graft.operators.{CorpusOps, CurationOps, DedupOps, ExtendedOps, ImageDedupOps, LayoutOps, MultimodalOps, RelationalOps, SimilarityOps, SkewOps, TemporalOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,8 @@ object SparkEntry {
   /** All declared engine queries, one per operator (SURVEY.md §2). */
   def allQueries: Seq[GraftQuery] =
     RelationalOps.all ++ ChainQueries.all ++ TextOps.all ++ DedupOps.all ++
-      SimilarityOps.all ++ MultimodalOps.all ++ ExtendedOps.all ++
+      SimilarityOps.all ++ MultimodalOps.all ++ ImageDedupOps.all ++
+      ExtendedOps.all ++
       CurationOps.all ++ TemporalOps.all ++ CorpusOps.all ++ LayoutOps.all ++
       SkewOps.all
 
