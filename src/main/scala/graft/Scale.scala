@@ -191,6 +191,8 @@ object Scale {
         phase("pack_chunks", k, 1)(q("pack_chunks")(spark, dir))
       if (want("sample_shuffle"))
         phase("sample_shuffle", k, 1)(q("sample_shuffle")(spark, dir))
+      if (want("exact_spans"))
+        phase("exact_spans", k, 1)(q("dedup_exact_spans")(spark, dir))
 
       // at-rest index lifecycle: build at k× (linear claim), then probe
       // a FIXED batch (flat claim — manifest prunes unprobed buckets)

@@ -383,6 +383,24 @@ object Vec {
     new GenericArrayData(out)
   }
 
+  /** POSITIONAL portable hashes of the n-token shingles of a token
+    * array: entry i is the pair-fold of token hashes i..i+n-1 — ALL
+    * shingles, in order, duplicates kept (unlike [[shingleHashes]],
+    * whose distinct set serves set-similarity). The exact-span screen
+    * keys its postings exchange on these, so the position is the array
+    * index and the hash is DuckDB-recomputable term-for-term. */
+  def shinglePosHashes(toks: ArrayData, n: Int): ArrayData = {
+    val cnt = toks.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) { th(i) = portableHash(toks.getUTF8String(i)); i += 1 }
+    val out = new Array[Long](cnt - n + 1)
+    i = 0
+    while (i <= cnt - n) { out(i) = foldLongs(th, i, n); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Distinct portable hashes of the n-char grams of a string — the
     * character analogue of [[shingleHashes]]. Mirrors
     * `substring(text, i, n) for i in 1..greatest(len-n+1, 1)` (so a
@@ -513,6 +531,11 @@ object Vec {
   def shingle_hashes(c: Column, n: Int): Column =
     columnOf(ShingleHashes(exprOf(c), n))
 
+  /** Positional (all, in order) n-token shingle hashes (array<bigint>)
+    * of an array<string> token column. */
+  def shingle_pos_hashes(c: Column, n: Int): Column =
+    columnOf(ShinglePosHashes(exprOf(c), n))
+
   /** Distinct n-char gram hashes (array<bigint>) of a string column. */
   def char_gram_hashes(c: Column, n: Int): Column =
     columnOf(CharGramHashes(exprOf(c), n))
@@ -628,6 +651,18 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.Vec.shingleHashes($c, $n);")
   override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+case class ShinglePosHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    Vec.shinglePosHashes(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Vec.shinglePosHashes($c, $n);")
+  override protected def withNewChildInternal(c: Expression): ShinglePosHashes =
     copy(child = c)
 }
 

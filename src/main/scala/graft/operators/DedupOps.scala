@@ -1042,6 +1042,140 @@ object DedupOps {
          |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // EXACT duplicated spans (the certification layer above the winnow
+  // screen)
+  // ---------------------------------------------------------------------
+
+  /** Exact-span granularity in tokens: a duplicated region is reported
+    * iff an identical `ExactSpanGram`-token sequence occurs at least
+    * twice in the corpus (anywhere — across documents or repeated
+    * within one, the Lee et al. 2022 convention), and reported spans
+    * are the per-document MAXIMAL merged extents, so every span is
+    * ≥ this many tokens. The public-literature standard is ~50 tokens
+    * on web corpora; the fixture documents run 30–60 tokens, so the
+    * operator pins the machinery at 12 and the granularity is a plain
+    * parameter. */
+  val ExactSpanGram = 12
+
+  /** EXACT duplicated-span extraction — the certification pass above
+    * the [[sharedSpanPairs]] winnow screen. Winnowing is approximate by
+    * construction (only sampled fingerprints are compared; a span is
+    * GUARANTEED to share one only at 27+ normalized chars, and reported
+    * evidence is fingerprint counts, not extents); this operator
+    * reports the exact maximal duplicated token ranges, the form
+    * suitable for span REMOVAL (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — their
+    * suffix-array ExactSubstr pass, re-shaped for Spark as sorted
+    * shingle postings + neighbor runs).
+    *
+    * Shape and exactness:
+    *  1. positional shingle-hash postings (doc_id, pos, h) — one
+    *     codegen'd scan-stage kernel pass
+    *     ([[graft.functions.Vec.shinglePosHashes]]), 20-byte rows;
+    *  2. screen: ONE hash exchange keyed on h; a hash occurring once
+    *     cannot be a duplicate (count ≥ 2 keeps true dups plus the
+    *     ~2⁻⁶⁰-rate collisions) — no df cap and no pair join anywhere:
+    *     unlike the pair REPORT queries, span extraction is linear in
+    *     postings, so even a boilerplate span present in a million
+    *     documents costs a million rows, never a million² join;
+    *  3. certify: candidate positions only (a semi-join prunes the
+    *     token-array fetch to candidate docs) re-derive their shingle
+    *     STRINGS and re-group on the string itself — hash collisions
+    *     fall out here, so the output is EXACT string equality, not
+    *     "equal up to hash collision";
+    *  4. per-document interval merge of the surviving [pos, pos+n-1]
+    *     windows (gaps-and-islands over a doc-keyed window — bounded
+    *     per doc, the scalable window shape) into maximal spans.
+    * At 100 TB the screen exchange dominates and is linear in corpus
+    * tokens; the certify stage touches only candidate docs. */
+  def exactDuplicatedSpans(d: DataFrame,
+      gram: Int = ExactSpanGram): DataFrame = {
+    val toks = d
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= gram)
+    val sh = toks.select(col("doc_id"),
+      posexplode(graft.functions.Vec.shingle_pos_hashes(col("toks"), gram)))
+      .withColumnRenamed("col", "h")
+    val byH = Window.partitionBy(col("h"))
+    val cand = sh.withColumn("df", count(lit(1)).over(byH))
+      .filter(col("df") >= 2).drop("df")
+    val candToks = toks.join(cand.select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val byS = Window.partitionBy(col("shingle"))
+    val verified = cand.join(candToks, Seq("doc_id"))
+      .withColumn("shingle",
+        array_join(slice(col("toks"), col("pos") + 1, lit(gram)), " "))
+      .withColumn("n", count(lit(1)).over(byS))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"), col("pos"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    verified
+      .withColumn("e", col("pos") + lit(gram - 1))
+      .withColumn("maxe",
+        max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("maxe").isNull || col("pos") > col("maxe") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("isl",
+        sum(col("brk")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("s0"), max(col("e")).as("e0"))
+      .select(col("doc_id"),
+        col("s0").cast("int").as("span_start"),
+        col("e0").cast("int").as("span_end"),
+        (col("e0") - col("s0") + 1).cast("int").as("span_tokens"))
+  }
+
+  /** The certification layer, hash-oracled over the same
+    * slice-copy-injected corpus the winnow screen uses — every injected
+    * 160-char slice yields an exact shared token run well above the
+    * 12-token granularity, and the DuckDB oracle recomputes the
+    * duplicated-shingle set from shingle STRINGS (no hash anywhere in
+    * its path: the engine's hash screen is certified away by its own
+    * string re-group, so both sides state exact string equality). */
+  val exactSpans: GraftQuery = GraftQuery(
+    "dedup_exact_spans",
+    (s, dir) => exactDuplicatedSpans(withSpanDups(docs(s, dir))),
+    Some {
+      val g = ExactSpanGram
+      s"""WITH inj AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000,
+         |    substr(text, 41, 160) || ' tail' || CAST(doc_id AS VARCHAR)
+         |  FROM documents WHERE doc_id < 25),
+         |toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+         |  FROM inj),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, len(t) - $g)) AS pos,
+         |    unnest(list_transform(generate_series(1, len(t) - $g + 1),
+         |      i -> array_to_string(t[i:i+${g - 1}], ' '))) AS s
+         |  FROM toks WHERE len(t) >= $g),
+         |dup AS (
+         |  SELECT doc_id, pos FROM sh
+         |  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2)),
+         |iv AS (SELECT doc_id, pos, pos + ${g - 1} AS e FROM dup),
+         |isl AS (
+         |  SELECT doc_id, pos, e,
+         |    CASE WHEN pos <= max(e) OVER (PARTITION BY doc_id
+         |        ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         |      THEN 0 ELSE 1 END AS brk
+         |  FROM iv),
+         |grp AS (
+         |  SELECT doc_id, pos, e,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS grp_id
+         |  FROM isl)
+         |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+         |  CAST(max(e) AS INTEGER) AS span_end,
+         |  CAST(max(e) - min(pos) + 1 AS INTEGER) AS span_tokens
+         |FROM grp GROUP BY doc_id, grp_id""".stripMargin
+    })
+
+  // ---------------------------------------------------------------------
   // Embedding-cosine near-dup
   // ---------------------------------------------------------------------
 
@@ -1285,5 +1419,5 @@ object DedupOps {
   val all: Seq[GraftQuery] =
     Seq(exact, lineDedup, intraDocDedup, minhashLsh, lshRecall,
       incrementalDedup, simhashDedup, ngramJaccard, sharedSpans,
-      spansIncremental, embeddingNearDup)
+      exactSpans, spansIncremental, embeddingNearDup)
 }

@@ -486,6 +486,53 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(injected.length == 25)
   }
 
+  test("exact-span certification reports precise maximal extents the " +
+      "winnow screen only approximates") {
+    import spark.implicits._
+    val g = DedupOps.ExactSpanGram
+    // a 20-token span shared verbatim by docs 1 and 2, at different
+    // offsets; doc 3 shares nothing; doc 4 repeats a 12-token run
+    // INTRA-document (the Lee et al. convention counts it)
+    val shared = (1 to 20).map(i => s"common$i").mkString(" ")
+    val run = (1 to g).map(i => s"loop$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"one two three $shared tail1 tail2"),
+      (2L, s"$shared other closing words here now"),
+      (3L, "entirely unrelated text with no span overlap anywhere at " +
+        "all in this document body padding padding2 padding3"),
+      (4L, s"prefix $run middle filler $run suffix"))
+      .toDF("doc_id", "text")
+    val spans = DedupOps.exactDuplicatedSpans(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Int]("span_tokens")))
+      .toSet
+    // doc 1: tokens 3..22 are the shared 20; doc 2: tokens 0..19
+    assert(spans.contains((1L, 3, 22, 20)), s"doc1 span wrong: $spans")
+    assert(spans.contains((2L, 0, 19, 20)), s"doc2 span wrong: $spans")
+    assert(!spans.exists(_._1 == 3L), "doc3 must report nothing")
+    // doc 4: two separate 12-token extents (not merged — 'middle
+    // filler' separates them beyond adjacency)
+    val d4 = spans.filter(_._1 == 4L)
+    assert(d4.size == 2 && d4.forall(_._4 == g), s"doc4: $d4")
+    // every reported span is at least the granularity
+    assert(spans.forall(_._4 >= g))
+  }
+
+  test("dedup_exact_spans certifies every injected slice copy with a " +
+      "span >= the granularity on BOTH sides of the copy") {
+    val out = DedupOps.exactSpans.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_tokens")))
+    val g = DedupOps.ExactSpanGram
+    assert(out.forall(_._2 >= g), "a span below the granularity leaked")
+    // injected ids 3000000..3000024 and their 25 source docs must all
+    // carry at least one certified span (a 160-char slice is ~20+
+    // whole shared tokens, well above the 12-token granularity)
+    val injected = out.map(_._1).filter(_ >= 3000000L).toSet
+    assert(injected.size == 25, s"injected docs with spans: $injected")
+    val sources = out.map(_._1).filter(_ < 25L).toSet
+    assert(sources.size == 25, s"source docs with spans: ${sources.size}")
+  }
+
   test("distributed IVF trainer equals a sequential re-derivation on " +
       "random corpora (portable arithmetic is partitioning-proof)") {
     import spark.implicits._
