@@ -460,6 +460,22 @@ object Main {
               case None =>
                 pairs.orderBy("id_a", "id_b").show(50, truncate = false)
             }
+          case Some("decontaminate") =>
+            // benchmark-vs-corpus in code space against the at-rest pq
+            // index: --input is the benchmark (eval_id, embedding);
+            // corpus side reads stored codes only, hits are certified
+            // at exact cosine >= --cert-bp (default 9900)
+            val pairs = IndexStore.semanticContamination(store, spark,
+              input, opt("cert-bp").map(_.toLong)
+                .getOrElse(graft.operators.SimilarityOps.DecontamCertBp))
+            opt("output") match {
+              case Some(out) =>
+                pairs.write.mode("overwrite").parquet(out)
+                println(s"[index] wrote contamination pairs to $out")
+              case None =>
+                pairs.orderBy("eval_id", "corpus_id")
+                  .show(50, truncate = false)
+            }
           case Some("build") =>
             val n = IndexStore.build(store, kind, input)
             println(s"[index] built fresh '$kind' index: $n leaves")
@@ -489,7 +505,7 @@ object Main {
             }
           case other =>
             sys.error(s"usage: index build|append|search|compact|report" +
-              s"|dupes " +
+              s"|dupes|decontaminate " +
               s"... (got $other)")
         }
 

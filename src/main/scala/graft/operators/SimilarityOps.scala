@@ -293,8 +293,8 @@ object SimilarityOps {
   /** Zero-norm-filtered unit vectors as a DuckDB CTE — mirrors the
     * engine's [[unit]] (fixed-order norm fold, null-filter). Shared by
     * the sketch and ivf oracles so the two can never drift. */
-  private def unitCteSqlFrom(src: String): String =
-    s"""u AS (
+  private def unitCteSqlFrom(src: String, name: String = "u"): String =
+    s"""$name AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
        |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -1705,8 +1705,143 @@ object SimilarityOps {
          |JOIN grp g ON a.codes = g.codes
          |JOIN cvec b ON b.codes = a.codes AND a.vec_id < b.vec_id""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Semantic decontamination (benchmark-vs-corpus in PQ code space)
+  // ---------------------------------------------------------------------
+
+  /** Exact-cosine certification floor for semantic contamination, in
+    * rendered basis points (the round-13 rule: membership thresholds
+    * compare the rendered integer, never a raw double). 9900 = cosine
+    * 0.99, the dedup family's near-identical bar. */
+  val DecontamCertBp = 9900L
+
+  /** Code-space contamination pairs + exact-cosine certification, from
+    * ALREADY-ENCODED sides — the [[pqSemanticDedup]] keyed exchange
+    * with a two-sided source. The benchmark side is model-sized
+    * (an eval suite: thousands of rows, not billions) and broadcasts;
+    * the corpus side contributes only its (vec_id, codes) rows to the
+    * join — at rest that is a codes-column-only scan — and corpus
+    * UNITS are fetched for certification only for code-join HITS (the
+    * join output is semi-join-pruned before any unit is read), so the
+    * exact-cosine pass touches a contamination-sized row set, not the
+    * corpus. */
+  def contaminationFromCodes(corpusCodes: DataFrame,
+      corpusUnits: DataFrame, benchCodes: DataFrame,
+      benchUnits: DataFrame, certBp: Long = DecontamCertBp): DataFrame = {
+    val hits = corpusCodes.select(col("vec_id"), col("codes"))
+      .join(broadcast(benchCodes.select(col("eval_id"), col("codes"))),
+        Seq("codes"))
+      .select(col("eval_id"), col("vec_id"))
+    hits
+      .join(corpusUnits.select(col("vec_id"), col("unit")), Seq("vec_id"))
+      .join(broadcast(benchUnits.select(col("eval_id"),
+        col("unit").as("b_unit"))), Seq("eval_id"))
+      .withColumn("cos_bp",
+        floor(vec_dot(col("b_unit"), col("unit")) * lit(10000))
+          .cast("long"))
+      .filter(col("cos_bp") >= certBp)
+      .select(col("eval_id"), col("vec_id").as("corpus_id"), col("cos_bp"))
+  }
+
+  /** Semantic decontamination of a benchmark against a corpus:
+    * paraphrased contamination shares few token n-grams (the
+    * `text_decontaminate` gate passes it) but the SAME embedding
+    * neighborhood under the corpus's encoder — so compare in PQ code
+    * space. Trains the [[buildPqCodebooks]] model on the CORPUS,
+    * encodes both sides under it (the benchmark via [[pqEncodeWith]] —
+    * the fixed-model ingest path), joins on exact code vectors (the
+    * SemDeDup-style coarse screen), then certifies each hit with the
+    * exact cosine at ≥ `certBp` rendered basis points. Input frames:
+    * corpus (vec_id, embedding), benchmark (eval_id, embedding).
+    * Output: one row per CERTIFIED contaminated (eval_id, corpus_id)
+    * pair — eval items absent from the output are clean under the
+    * model. At rest the corpus side needs no training or encoding at
+    * all: [[graft.store.IndexStore]]'s `pq` kind already stores
+    * (codes, unit) under a committed codebook, so the same exchange
+    * runs over a codes-only scan (see `IndexStore.semanticContamination`). */
+  def semanticContamination(corpusEmb: DataFrame, benchEmb: DataFrame,
+      certBp: Long = DecontamCertBp): DataFrame = {
+    val cu = unit(corpusEmb).select(col("vec_id"), col("unit"))
+      .localCheckpoint()
+    val bu = unit(benchEmb.withColumnRenamed("eval_id", "vec_id"))
+      .select(col("vec_id"), col("unit"))
+    val (subs, cb) = buildPqCodebooks(cu)
+    contaminationFromCodes(
+      pqEncode(subs, cb), cu,
+      pqEncodeWith(bu, cb)
+        .select(col("vec_id").as("eval_id"), col("codes")),
+      bu.select(col("vec_id").as("eval_id"), col("unit")), certBp)
+  }
+
+  /** Driver gate: the corpus is the embeddings table; the benchmark is
+    * 10 planted CONTAMINATED items (×1.001-scaled copies of corpus
+    * vectors — the "benchmark question embedded by the same encoder"
+    * shape, textually paraphrased so an n-gram gate sees nothing) and
+    * 10 planted CLEAN items (negated corpus directions — antipodal,
+    * cosine ≈ −1 to their source and ≈ chance to everything else on
+    * this isotropic corpus). Expected output: exactly the contaminated
+    * pairs, certified at cos_bp ≈ 10⁴; the clean ids must not appear —
+    * which the oracle recomputes end-to-end (trainer unrolled, both
+    * encodings, the code join, the certification floor). */
+  val decontamSemantic: GraftQuery = GraftQuery(
+    "text_decontaminate_semantic",
+    (s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val contaminated = emb(s, dir).filter(col("vec_id") < 10)
+        .select((col("vec_id") + 5000000).as("eval_id"),
+          expr("transform(embedding, x -> x * CAST(1.001 AS FLOAT))")
+            .as("embedding"))
+      val clean = emb(s, dir)
+        .filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select((col("vec_id") + 6000000).as("eval_id"),
+          expr("transform(embedding, x -> -x)").as("embedding"))
+      semanticContamination(base, contaminated.unionAll(clean))
+    },
+    Some {
+      val dsub = pqDsubSql("u")
+      val subIdx = s"(SELECT unnest(generate_series(0, ${PqSubs - 1})) AS sub)"
+      s"""WITH baug AS (
+         |  SELECT vec_id + 5000000 AS vec_id,
+         |    list_transform(embedding, x -> x * CAST(1.001 AS FLOAT))
+         |      AS embedding
+         |  FROM embeddings WHERE vec_id < 10
+         |  UNION ALL
+         |  SELECT vec_id + 6000000, list_transform(embedding, x -> -x)
+         |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 20),
+         |$unitCteSql,
+         |${unitCteSqlFrom("baug", "bu")},
+         |${pqTrainCtesSql(PqSubs, PqCodes, PqIters, "u")},
+         |cvec AS (
+         |  SELECT vec_id, list(code ORDER BY sub) AS codes
+         |  FROM pasgF GROUP BY 1),
+         |bsubs AS MATERIALIZED (
+         |  SELECT vec_id, s.sub,
+         |    list_slice(unit, s.sub * $dsub + 1,
+         |      (s.sub + 1) * $dsub) AS subvec
+         |  FROM bu, $subIdx s),
+         |basg AS MATERIALIZED (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT t.vec_id, t.sub, c.code,
+         |      row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+         |        ${l2sqSql("t.subvec", "c.centroid")} ASC, c.code ASC)
+         |        AS ark
+         |    FROM bsubs t JOIN pq$PqIters c ON c.sub = t.sub) z
+         |  WHERE ark = 1),
+         |bcvec AS (
+         |  SELECT vec_id, list(code ORDER BY sub) AS codes
+         |  FROM basg GROUP BY 1)
+         |SELECT b.vec_id AS eval_id, c.vec_id AS corpus_id,
+         |  CAST(floor(${dotSql("bu.unit", "cu.unit")} * 10000) AS BIGINT)
+         |    AS cos_bp
+         |FROM bcvec b JOIN cvec c ON b.codes = c.codes
+         |JOIN bu ON bu.vec_id = b.vec_id
+         |JOIN u cu ON cu.vec_id = c.vec_id
+         |WHERE floor(${dotSql("bu.unit", "cu.unit")} * 10000)
+         |  >= $DecontamCertBp""".stripMargin
+    })
+
   val all: Seq[GraftQuery] =
     Seq(bruteForce, filteredTopK, rangeSearch, lshTopK, ivfTopK,
       recallReport, diverse, pqTopK, pqDistortion, pqRecallReport,
-      ivfPqTopK, ivfPqRecallReport, pqSemanticDedup)
+      ivfPqTopK, ivfPqRecallReport, pqSemanticDedup, decontamSemantic)
 }

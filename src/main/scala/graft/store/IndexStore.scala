@@ -559,6 +559,39 @@ object IndexStore {
       .select(col("p.id_a"), col("p.id_b"))
   }
 
+  /** Semantic decontamination of a benchmark against the at-rest `pq`
+    * index — [[graft.operators.SimilarityOps.semanticContamination]]
+    * where its cost claim is literal: the corpus side needs NO training
+    * and NO encoding (codes and codebook are already committed in one
+    * snapshot), the code-join scan reads the codes column only, and
+    * corpus `unit` bytes are fetched solely for code-join hits (the
+    * certification join is hit-pruned before it touches the unit
+    * column). The benchmark (eval_id, embedding) is encoded against
+    * the committed codebook — O(benchmark) work — and broadcasts.
+    * `pq` kind only: ivfpq codes are residual-space (per-cell), and a
+    * contamination screen must compare across the whole space (the
+    * [[semanticDupes]] cross-cell caveat squared); encode the
+    * benchmark against a plain pq index instead. */
+  def semanticContamination(store: GraftStore, spark: SparkSession,
+      benchEmb: DataFrame,
+      certBp: Long = SimilarityOps.DecontamCertBp): DataFrame = {
+    checkSchemaVersion(store, "pq", 2,
+      "the semantic-contamination report")
+    val cb = read(store, spark, "pq-codebook")
+    val bu = benchEmb.withColumnRenamed("eval_id", "vec_id")
+      .withColumn("unit",
+        graft.functions.Vec.vec_unit(col("embedding")))
+      .filter(col("unit").isNotNull)
+      .select(col("vec_id"), col("unit"))
+    val idx = read(store, spark, "pq")
+    SimilarityOps.contaminationFromCodes(
+      idx.select(col("vec_id"), col("codes")),
+      idx.select(col("vec_id"), col("unit")),
+      SimilarityOps.pqEncodeWith(bu, cb)
+        .select(col("vec_id").as("eval_id"), col("codes")),
+      bu.select(col("vec_id").as("eval_id"), col("unit")), certBp)
+  }
+
   /** Probe a batch against the at-rest index. For the keyed indexes
     * (band/span) the probe batch's own keys determine which leaf buckets
     * can match, so the manifest read is pruned to those — a small batch

@@ -174,6 +174,36 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
       graft.operators.SimilarityOps.PqSubs + 1, report)
   }
 
+  test("index decontaminate certifies benchmark contamination against " +
+      "the at-rest pq index through the CLI") {
+    import spark.implicits._
+    val root = tempDir("graft-index-cli-decontam")
+    val storeDir = s"$root/store"
+    val rnd = new scala.util.Random(17)
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val corpusPath = s"$root/corpus.parquet"
+    corpus.toDF("vec_id", "embedding").write.parquet(corpusPath)
+    val benchPath = s"$root/bench.parquet"
+    Seq((500L, corpus(7)._2.map(_ * 1.0005f)),
+      (501L, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("eval_id", "embedding").write.parquet(benchPath)
+    captured {
+      cli.Main.run(spark, Array("index", "build", "--store", storeDir,
+        "--kind", "pq", "--input", corpusPath))
+    }
+    val outPath = s"$root/contam.parquet"
+    captured {
+      cli.Main.run(spark, Array("index", "decontaminate",
+        "--store", storeDir, "--kind", "pq", "--input", benchPath,
+        "--output", outPath))
+    }
+    val pairs = spark.read.parquet(outPath).collect()
+      .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("corpus_id")))
+    assert(pairs.contains((500L, 7L)), pairs.mkString(","))
+    assert(!pairs.exists(_._1 == 501L), pairs.mkString(","))
+  }
+
   test("curate --pii-scrub and --decontaminate-against filter content") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -533,6 +533,72 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(sources.size == 25, s"source docs with spans: ${sources.size}")
   }
 
+  test("semantic decontamination flags a paraphrase the n-gram gate " +
+      "passes, and leaves novel eval items clean") {
+    import spark.implicits._
+    import graft.operators.CurationOps
+    // corpus doc 5 and its benchmark PARAPHRASE: same meaning, zero
+    // shared token 5-grams (every content word replaced) — but the
+    // same encoder puts them at near-identical embeddings
+    val t1 = "the quick brown fox jumps over the lazy dog every single " +
+      "morning before breakfast in the quiet park"
+    val t2 = "each dawn a swift russet animal leaps above one sleepy " +
+      "canine ahead of its first meal at that calm green"
+    val rnd = new scala.util.Random(7)
+    val corpusVecs = (0 until 24).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val corpus = corpusVecs.toDF("vec_id", "embedding")
+    val para = corpusVecs(5)._2.map(x => x * 1.0005f)
+    val novel = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val bench = Seq((100L, para), (101L, novel))
+      .toDF("eval_id", "embedding")
+    // 1) the n-gram gate sees NOTHING: the corpus doc survives
+    //    decontaminateAgainst the paraphrased eval set untouched
+    val corpusDocs = Seq((5L, t1)).toDF("doc_id", "text")
+    val evalDocs = Seq((100L, t2)).toDF("doc_id", "text")
+    assert(CurationOps.decontaminateAgainst(corpusDocs, evalDocs)
+      .count() == 1L, "n-gram gate wrongly flagged the paraphrase " +
+      "(shared 5-grams exist — fixture broken)")
+    // 2) the semantic gate flags exactly the paraphrase pair
+    val hits = SimilarityOps.semanticContamination(corpus, bench)
+      .collect()
+      .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Long]("cos_bp")))
+    assert(hits.exists(h => h._1 == 100L && h._2 == 5L && h._3 >= 9990L),
+      s"paraphrase not flagged: ${hits.mkString(",")}")
+    assert(!hits.exists(_._1 == 101L),
+      s"novel eval item wrongly flagged: ${hits.mkString(",")}")
+  }
+
+  test("at-rest semantic decontamination over the pq index equals the " +
+      "batch pass and reads no training") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val corpusVecs = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val corpus = corpusVecs.toDF("vec_id", "embedding")
+    val bench = Seq(
+      (200L, corpusVecs(3)._2.map(x => x * 1.0005f)),
+      (201L, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("eval_id", "embedding")
+    val root = tempDir("graft-idx-decontam")
+    val store = new graft.store.GraftStore(root)
+    graft.store.IndexStore.build(store, "pq", corpus)
+    val atRest = graft.store.IndexStore
+      .semanticContamination(store, spark, bench).collect()
+      .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("corpus_id")))
+    assert(atRest.contains((200L, 3L)),
+      s"at-rest pass missed the planted pair: ${atRest.mkString(",")}")
+    assert(!atRest.exists(_._1 == 201L))
+    // the at-rest pass IS the batch pass under the committed model:
+    // same deterministic trainer, so identical certified pairs
+    val batch = SimilarityOps.semanticContamination(corpus, bench)
+      .collect()
+      .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("corpus_id")))
+    assert(atRest.toSet == batch.toSet,
+      s"at-rest=${atRest.toSet} batch=${batch.toSet}")
+  }
+
   test("distributed IVF trainer equals a sequential re-derivation on " +
       "random corpora (portable arithmetic is partitioning-proof)") {
     import spark.implicits._
