@@ -539,7 +539,13 @@ object IndexStore {
     * certification where it matters. Kinds: `pq` (whole-space codes) —
     * ivfpq codes are RESIDUAL-space (per-cell) and only comparable
     * within a cell, so this report composes (cell, codes) as the group
-    * key there. */
+    * key there. BLIND SPOT, stated plainly: under `ivfpq` a
+    * near-duplicate pair that straddles two coarse cells (members
+    * assigned to different centroids — a pair sitting on a cell
+    * boundary) is INVISIBLE to this report, inherent to residual
+    * codes; the `pq` kind has no such gap and reports the same pair
+    * (spec-pinned in IndexStoreSpec). Run this report over a `pq`
+    * index when boundary pairs matter. */
   def semanticDupes(store: GraftStore, spark: SparkSession,
       kind: String): DataFrame = {
     require(kind == "pq" || kind == "ivfpq",

@@ -705,6 +705,89 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     }
   }
 
+  test("semanticDupes blind spot is exactly as documented: a coarse-" +
+      "cell-straddling near-dup pair is reported by pq, invisible to " +
+      "ivfpq") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(3)
+    def unitv(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(a.map(x => x * x).sum); a.map(_ / n)
+    }
+    val c1 = unitv(Array.fill(dim)(rnd.nextGaussian()))
+    val c2 = unitv(Array.fill(dim)(rnd.nextGaussian()))
+    def near(c: Array[Double]) =
+      c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq
+    // two tight clusters train the models; the boundary pair is
+    // PLANTED afterwards, on the Voronoi boundary between two
+    // neighboring TRAINED coarse centroids, and APPENDED (the
+    // fixed-model encode path) — appends are exactly how boundary
+    // pairs arrive in production
+    val corpus = ((0 until 150).map(i => (i.toLong, near(c1))) ++
+      (150 until 300).map(i => (i.toLong, near(c2))))
+      .toDF("vec_id", "embedding")
+    val root = tempDir("graft-idx-blindspot")
+    val store = new GraftStore(root)
+    IndexStore.build(store, "pq", corpus)
+    IndexStore.build(store, "ivfpq", corpus)
+    val cents = IndexStore.read(store, spark, "ivfpq-centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    def l2sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(u: Array[Double]): Int =
+      cents.minBy { case (cell, g) => (l2sq(u, g), cell) }._1
+    // pick two neighboring centroids and nudge a midpoint pair toward
+    // each; the first (pair, eps) whose UNIT vectors split between
+    // exactly those argmins is the plant (heuristic pre-selection —
+    // the store's own stored cells re-verify it below)
+    val plant = (for {
+      (cellA, ga) <- cents.iterator
+      (cellB, gb) = cents.filter(_._1 != cellA)
+        .minBy { case (cell, g) => (l2sq(ga, g), cell) }
+      eps <- Seq(0.02, 0.05, 0.1, 0.2).iterator
+      d = ga.zip(gb).map { case (x, y) => x - y }
+      b = ga.zip(gb).map { case (x, y) => (x + y) / 2 }
+      pa = unitv(b.zip(d).map { case (x, y) => x + eps * y })
+      pb = unitv(b.zip(d).map { case (x, y) => x - eps * y })
+      if assign(pa) == cellA && assign(pb) == cellB
+    } yield (pa, pb)).buffered.headOption
+    assert(plant.nonEmpty,
+      "fixture broke: no centroid pair admits a splitting midpoint — " +
+        "reseed")
+    val (pa, pb) = plant.get
+    IndexStore.append(store, "pq", Seq(
+      (900L, pa.map(_.toFloat).toSeq), (901L, pb.map(_.toFloat).toSeq))
+      .toDF("vec_id", "embedding"))
+    IndexStore.append(store, "ivfpq", Seq(
+      (900L, pa.map(_.toFloat).toSeq), (901L, pb.map(_.toFloat).toSeq))
+      .toDF("vec_id", "embedding"))
+    // preconditions, from the STORE (not the heuristic): the pair
+    // straddles coarse cells AND shares whole-space pq codes
+    val cells = IndexStore.read(store, spark, "ivfpq")
+      .filter(col("vec_id") >= 900L)
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(900L) != cells(901L),
+      s"fixture broke: appended pair not split across cells ($cells)")
+    val codes = IndexStore.read(store, spark, "pq")
+      .filter(col("vec_id") >= 900L)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(900L) == codes(901L),
+      s"fixture broke: pair's whole-space pq codes differ ($codes)")
+    // the contract: pq reports the pair, ivfpq cannot
+    val pqPairs = IndexStore.semanticDupes(store, spark, "pq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpqPairs = IndexStore.semanticDupes(store, spark, "ivfpq")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pqPairs.contains((900L, 901L)),
+      s"pq kind must report the boundary pair: $pqPairs")
+    assert(!ivfpqPairs.contains((900L, 901L)),
+      "ivfpq reported a cross-cell pair — the residual-code blind " +
+        "spot documentation is now WRONG; update both")
+  }
+
   test("four-kind append race on ONE store: band/ivf/pq/vec all land " +
       "and every stamp survives") {
     import spark.implicits._
