@@ -51,16 +51,43 @@ object StreamingVectors {
     * 0.99 matches the batch `dedup_embedding_cosine` operator. */
   val DupCos = 0.99
 
+  /** Scope-cardinality bound for the scoped cross-batch probe: the
+    * at-rest pass runs one filtered search per distinct scope tuple in
+    * the batch (so the label predicate PUSHES DOWN to the index scan,
+    * the filtered-ANN pre-filter semantics), which is only sane for
+    * low-cardinality scopes — language, label, source. A batch with
+    * more distinct scope tuples than this fails loudly rather than
+    * degrade into per-row index scans (scope on a near-unique column
+    * is a design error, not a workload). */
+  val MaxScopes = 64
+
   /** One micro-batch: gate, then commit survivors + their `vec` index
-    * rows in one atomic snapshot. */
+    * rows in one atomic snapshot.
+    *
+    * Attribute columns (anything besides vec_id/embedding) ride through
+    * the whole gate into BOTH committed tables — the accepted vectors
+    * and the `vec` index rows — exactly like the batch build path
+    * (IndexStore `withAttrs`), so `index search --filter` works over a
+    * streamed index too. `scopeCols` (must be attribute columns)
+    * additionally SCOPE the dedup: near-identical vectors in different
+    * scopes are NOT duplicates (per-language corpora, per-split eval
+    * protection). Scoping is a join-key refinement on the intra-batch
+    * pair joins and a pushed-down label filter on the per-scope
+    * cross-batch probes — pre-filter semantics everywhere, so a
+    * cross-scope twin can never shadow a same-scope one. */
   def processBatch(
       store: GraftStore,
       batch: DataFrame,
-      threshold: Double = DupCos): Unit = {
+      threshold: Double = DupCos,
+      scopeCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
-    val rows = DedupOps.normalizedWithBucket(
-      batch.select(col("vec_id"), col("embedding")))
-      .select(col("vec_id"), col("unit"), col("bucket"))
+    val attrCols = batch.columns
+      .filterNot(c => c == "vec_id" || c == "embedding").toSeq
+    require(scopeCols.forall(attrCols.contains),
+      s"scope columns ${scopeCols.mkString(",")} must be attribute " +
+        s"columns of the batch (has: ${attrCols.mkString(",")})")
+    val rows = DedupOps.normalizedWithBucket(batch)
+      .drop("embedding")
       .localCheckpoint()
     // intra-batch, two pair joins, both O(batch)-keyed:
     //  (a) same-direction pairs on the CAPPED bucket — identically-
@@ -94,45 +121,77 @@ object StreamingVectors {
     // Both keys derive from the ONE normalized+bucketed scan (`rows`).
     val capped = DedupOps.cappedFromBucketed(rows, "vec_id",
         truncate = false)
-      .select(col("vec_id"), col("unit"), col("bucket"))
       .localCheckpoint()
+    // scoped dedup: scope columns join as additional pair keys, so a
+    // cross-scope near-identical pair never pairs at all (pre-filter,
+    // not post-drop)
+    val pairKeys = "bucket" +: scopeCols
+    def side(df: DataFrame, id: String, u: String) =
+      df.select((Seq(col("vec_id").as(id), col("bucket"),
+        col("unit").as(u)) ++ scopeCols.map(col)): _*)
     def pairs(a: DataFrame, b: DataFrame) =
-      a.join(b, Seq("bucket"))
+      a.join(b, pairKeys)
         .filter(col("id_a") < col("id_b"))
         .filter(graft.functions.Vec.vec_dot(col("u_a"), col("u_b"))
           >= threshold)
         .select(col("id_b").as("vec_id"))
     val sameDir = pairs(
-      capped.select(col("vec_id").as("id_a"), col("bucket"),
-        col("unit").as("u_a")),
-      capped.select(col("vec_id").as("id_b"), col("bucket"),
-        col("unit").as("u_b"))).distinct()
+      side(capped, "id_a", "u_a"), side(capped, "id_b", "u_b")).distinct()
     val sameDirSurvivors = rows
       .join(sameDir, Seq("vec_id"), "left_anti")
       .localCheckpoint()
     val boundary = pairs(
-      DedupOps.multiProbeBuckets(sameDirSurvivors, threshold,
-          includeSelf = false)
-        .select(col("vec_id").as("id_a"), col("bucket"),
-          col("unit").as("u_a")),
-      sameDirSurvivors.select(col("vec_id").as("id_b"), col("bucket"),
-        col("unit").as("u_b"))).distinct()
+      side(DedupOps.multiProbeBuckets(sameDirSurvivors, threshold,
+        includeSelf = false), "id_a", "u_a"),
+      side(sameDirSurvivors, "id_b", "u_b")).distinct()
     val intra = sameDirSurvivors
       .join(boundary, Seq("vec_id"), "left_anti")
       .localCheckpoint()
     // cross-batch: any survivor with an at-rest neighbor at/above
-    // threshold drops (first batch of a fresh store has no index yet)
+    // threshold IN ITS SCOPE drops (first batch of a fresh store has no
+    // index yet). Scoped: one probe per distinct scope tuple in the
+    // batch, its scope equality pushed into the index scan as the
+    // filtered-ANN predicate (composes with the sign-bucket prune).
+    val probeOf: DataFrame => DataFrame = p =>
+      p.select(col("vec_id"), col("unit").as("embedding"))
     val crossLosers =
       if (store.leavesOf(IndexStore.tableOf("vec")).isEmpty)
         intra.select(col("vec_id")).limit(0)
-      else IndexStore.search(store, spark, "vec",
-        intra.select(col("vec_id"),
-          col("unit").as("embedding")), threshold)
-        .select(col("new_id").as("vec_id")).distinct()
+      else if (scopeCols.isEmpty)
+        IndexStore.search(store, spark, "vec", probeOf(intra), threshold)
+          .select(col("new_id").as("vec_id")).distinct()
+      else {
+        val scopes = intra.select(scopeCols.map(col): _*).distinct()
+          .limit(MaxScopes + 1).collect()
+        require(scopes.length <= MaxScopes,
+          s"more than $MaxScopes distinct scope tuples in one batch — " +
+            s"scope columns (${scopeCols.mkString(",")}) must be " +
+            "low-cardinality (language/label/source)")
+        if (scopes.isEmpty) intra.select(col("vec_id")).limit(0)
+        else scopes.map { s =>
+          val eq = scopeCols.zipWithIndex
+            .map { case (c, i) => col(c) === lit(s.get(i)) }
+            .reduce(_ && _)
+          IndexStore.search(store, spark, "vec",
+            probeOf(intra.filter(eq)), threshold, Some(eq))
+            .select(col("new_id").as("vec_id"))
+        }.reduce(_ unionAll _).distinct()
+      }
     val survivors = intra.join(crossLosers, Seq("vec_id"), "left_anti")
       .localCheckpoint()
+    // attribute-set stability across streamed commits, the append()
+    // guard applied to the staged path: a batch missing a
+    // previously-carried attribute would union to null at rest and
+    // silently un-match filtered searches
+    if (store.leavesOf(IndexStore.tableOf("vec")).nonEmpty) {
+      val stored = IndexStore.read(store, spark, "vec").columns.toSet
+      require(survivors.columns.toSet == stored,
+        s"streamed vec batch columns ${survivors.columns.sorted
+          .mkString(",")} must match the stored index " +
+          s"(${stored.toSeq.sorted.mkString(",")})")
+    }
     val adds = store.stageKeyed(AcceptedTable,
-      survivors.select(col("vec_id"), col("unit")),
+      survivors.drop("bucket"),
       pmod(xxhash64(col("vec_id")), lit(IndexStore.Buckets.toLong)),
       Seq(col("vec_id"))) ++
       IndexStore.stageRows(store, "vec", survivors)
@@ -149,10 +208,11 @@ object StreamingVectors {
       stream: DataFrame,
       store: GraftStore,
       checkpointDir: String,
-      threshold: Double = DupCos): StreamingQuery =
+      threshold: Double = DupCos,
+      scopeCols: Seq[String] = Nil): StreamingQuery =
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(store, batch, threshold)
+        processBatch(store, batch, threshold, scopeCols)
       }
       .option("checkpointLocation", checkpointDir)
       .start()

@@ -285,4 +285,78 @@ class StreamingVectorsSpec extends AnyFunSuite with BeforeAndAfterAll
       .count()
     assert(truncated == 4L, s"expected cap-truncated 4, got $truncated")
   }
+
+  test("scoped filtered ingest: attrs ride into the streamed index, " +
+      "cross-label twins both survive when scoped, same-label dups " +
+      "drop intra- AND cross-batch, and filtered search works after " +
+      "streaming") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-svec-scoped"))
+    val scope = Seq("label")
+    // batch 1: a near-identical pair SPLIT ACROSS LABELS (both must
+    // survive under scoping) and a same-label near-identical pair (the
+    // larger id must drop), plus fresh fillers in each label
+    val twin = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    val samePair = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    val b1 = Seq(
+      (10L, twin, 0L), (11L, scaled(twin, 1.001f), 1L),
+      (20L, samePair, 0L), (21L, scaled(samePair, 1.001f), 0L)) ++
+      (30L until 40L).map(i => (i, fresh(i)._2, i % 2))
+    StreamingVectors.processBatch(store,
+      b1.toDF("vec_id", "embedding", "label"), scopeCols = scope)
+    val after1 = acceptedIds(store)
+    assert(after1.contains(10L) && after1.contains(11L),
+      s"cross-label twins must BOTH survive under scoping: $after1")
+    assert(after1.contains(20L) && !after1.contains(21L),
+      s"same-label near-dup must drop: $after1")
+    // batch 2 (cross-batch): a twin of vec 10 in label 0 drops; a twin
+    // of vec 10 in label 2 (a label with no near neighbors) survives
+    val b2 = Seq(
+      (100L, scaled(twin, 1.002f), 0L),
+      (101L, scaled(twin, 1.002f), 2L))
+    StreamingVectors.processBatch(store,
+      b2.toDF("vec_id", "embedding", "label"), scopeCols = scope)
+    val after2 = acceptedIds(store)
+    assert(!after2.contains(100L),
+      s"same-label cross-batch dup must drop: $after2")
+    assert(after2.contains(101L),
+      s"new-label twin must survive the scoped cross-batch probe: " +
+        s"$after2")
+    // attrs are at rest in the streamed index: filtered search (the
+    // index search --filter path) sees label-0 twins only
+    val probe = Seq((9000L, scaled(twin, 1.0005f)))
+      .toDF("vec_id", "embedding")
+    val hits0 = IndexStore.search(store, spark, "vec", probe,
+      StreamingVectors.DupCos, Some(col("label") === 0L))
+      .select("existing_id").collect().map(_.getLong(0)).toSet
+    assert(hits0 == Set(10L),
+      s"label-0 filtered search must hit exactly vec 10: $hits0")
+    val hits1 = IndexStore.search(store, spark, "vec", probe,
+      StreamingVectors.DupCos, Some(col("label") === 1L))
+      .select("existing_id").collect().map(_.getLong(0)).toSet
+    assert(hits1 == Set(11L),
+      s"label-1 filtered search must hit exactly vec 11: $hits1")
+    // accepted table carries the attribute too
+    val lbl = StreamingVectors.accepted(spark, store)
+      .filter(col("vec_id") === 11L).select("label").head().getLong(0)
+    assert(lbl == 1L)
+  }
+
+  test("scoped replay stays exactly-once: the same labeled batch " +
+      "commits nothing the second time") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-svec-scoped-replay"))
+    val batch = (0L until 15L).map(i => (i, fresh(i)._2, i % 3))
+    StreamingVectors.processBatch(store,
+      batch.toDF("vec_id", "embedding", "label"),
+      scopeCols = Seq("label"))
+    val snap1 = store.currentSnapshot()
+    assert(acceptedIds(store) == (0L until 15L).toSet)
+    StreamingVectors.processBatch(store,
+      batch.toDF("vec_id", "embedding", "label"),
+      scopeCols = Seq("label"))
+    assert(store.currentSnapshot() == snap1,
+      "scoped replay committed a new snapshot")
+    assert(acceptedIds(store) == (0L until 15L).toSet)
+  }
 }
