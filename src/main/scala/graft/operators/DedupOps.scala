@@ -1382,6 +1382,65 @@ object DedupOps {
         sideB(capBucketPopulation(fixed, "vec_id"))))
   }
 
+  /** Quantified recall of the sign-bucket + Hamming-1 multi-probe pair
+    * kernel by SIGN-SPLIT DISTANCE — the [[lshRecallReport]] treatment
+    * applied to the embedding family (and therefore to the streaming
+    * vector gate, which runs these same pair joins): plant `perClass`
+    * true near-dup pairs per split distance h = 0..`maxSplit`, where a
+    * split-h twin flips the sign of EXACTLY h sub-margin components of
+    * its source inside the 16-bit key, and report planted vs detected
+    * per h.
+    *
+    * Construction is exact, not sampled: non-designated components are
+    * drawn away from zero, the h designated components are set to
+    * a = δ·R/√(1−hδ²) (R = norm of the non-designated part) so the
+    * UNIT vector's designated magnitudes are exactly δ = √((1−c)/(2h))
+    * with c = 0.995 > threshold — every planted pair is a true
+    * near-dup comfortably above the gate, its designated components
+    * sit inside the flip margin √(2(1−t)), and the pair's sign keys
+    * differ in exactly h bits. Expected outcome, which the spec PINS
+    * as the quantitative residual-miss contract: h ∈ {0, 1} detected
+    * 100% (same bucket / single-flip probe), h ≥ 2 detected 0% — the
+    * standard single-flip multi-probe trade, now a number instead of a
+    * caveat. */
+  def vecGateRecallReport(spark: SparkSession, dim: Int = 64,
+      perClass: Int = 25, threshold: Double = 0.99, maxSplit: Int = 3,
+      seed: Long = 11L): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val targetCos = 1.0 - (1.0 - threshold) / 2 // 0.995 at t = 0.99
+    val planted = for {
+      h <- 0 to maxSplit
+      i <- 0 until perClass
+    } yield {
+      val raw = Array.fill(dim)(
+        (0.3 + rnd.nextDouble()) * (if (rnd.nextBoolean()) 1.0 else -1.0))
+      if (h > 0) {
+        val delta = math.sqrt((1.0 - targetCos) / (2.0 * h))
+        val r = math.sqrt(raw.drop(h).map(x => x * x).sum)
+        val a = delta * r / math.sqrt(1.0 - h * delta * delta)
+        (0 until h).foreach(j => raw(j) = a) // sign +, flips to −
+      }
+      val twin = raw.clone()
+      (0 until h).foreach(j => twin(j) = -twin(j))
+      val srcId = h * 100000L + i
+      (srcId, srcId + 50000L, h,
+        raw.map(_.toFloat).toSeq, twin.map(_.toFloat).toSeq)
+    }
+    val corpus = planted
+      .flatMap(p => Seq((p._1, p._4), (p._2, p._5)))
+      .toDF("vec_id", "embedding")
+    val found = embeddingNearDupPairs(corpus, threshold)
+      .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    planted.map(p => (p._1, p._2, p._3))
+      .toDF("id_a", "id_b", "split_bits")
+      .join(found, Seq("id_a", "id_b"), "left")
+      .groupBy(col("split_bits"))
+      .agg(count(lit(1)).as("planted"),
+        sum(coalesce(col("hit"), lit(0L))).as("detected"))
+      .orderBy(col("split_bits"))
+  }
+
   /** Near-dup pairs: in-bucket pairwise cosine >= threshold, plus the
     * Hamming-1 boundary join — on an adversarial corpus a true pair
     * split by one sign boundary is now found, so the engine matches the

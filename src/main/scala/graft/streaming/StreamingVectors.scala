@@ -38,9 +38,14 @@ import org.apache.spark.sql.functions._
   * maintains (a direction region only accumulates index vectors that
   * are pairwise BELOW the threshold — near-dups of them are dropped
   * before they are ever indexed) and by the bucket cap, and one commit.
-  * Residual recall caveat: a true pair whose sign keys differ in ≥ 2
-  * bits (two simultaneously near-zero dimensions) is still missed —
-  * the standard single-flip multi-probe LSH trade.
+  * Residual recall caveat, QUANTIFIED
+  * ([[graft.operators.DedupOps.vecGateRecallReport]], pinned in
+  * StreamingVectorsSpec "residual-miss contract"): on planted true
+  * near-dup pairs (cos 0.995) split by exactly h sign bits, the pair
+  * kernel detects 25/25 at h = 0 and h = 1 and 0/25 at h = 2 and
+  * h = 3 — a pair whose keys differ in ≥ 2 bits (two simultaneously
+  * near-zero dimensions) is missed, the standard single-flip
+  * multi-probe LSH trade, now a measured number instead of a caveat.
   */
 object StreamingVectors {
 

@@ -342,6 +342,23 @@ class StreamingVectorsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(lbl == 1L)
   }
 
+  test("residual-miss contract, quantified: sign-split 0 and 1 " +
+      "detected 100%, split >= 2 detected 0% (the single-flip " +
+      "multi-probe trade as a pinned number)") {
+    val rep = graft.operators.DedupOps
+      .vecGateRecallReport(spark).collect()
+      .map(r => r.getAs[Int]("split_bits") ->
+        (r.getAs[Long]("planted"), r.getAs[Long]("detected"))).toMap
+    assert(rep.keySet == Set(0, 1, 2, 3), rep.toString)
+    assert(rep(0) == (25L, 25L), s"split 0: ${rep(0)}")
+    assert(rep(1) == (25L, 25L), s"split 1: ${rep(1)}")
+    // THE documented residual miss, as a number. If multi-probe ever
+    // grows double-flips, these flip to detected — update the
+    // StreamingVectors scaladoc citation alongside this pin.
+    assert(rep(2) == (25L, 0L), s"split 2: ${rep(2)}")
+    assert(rep(3) == (25L, 0L), s"split 3: ${rep(3)}")
+  }
+
   test("scoped replay stays exactly-once: the same labeled batch " +
       "commits nothing the second time") {
     import spark.implicits._
