@@ -1324,25 +1324,23 @@ object DedupOps {
     done.reduce(_ unionAll _)
   }
 
-  /** Per-bucket population cap by xxhash64 rank, applied ONLY inside
-    * oversized buckets — the [[cappedFromBucketed]] truncation policy
-    * as a standalone pass, for frames whose bucket KEY must stay fixed
-    * (the Hamming-1 boundary join matches flipped keys against the
-    * fixed key, so the sub-splitting cap's refined keys cannot be used
-    * there). Shape: one map-side-partial bucket count keeps only the
-    * > cap ids (≤ rows/cap entries ⇒ both joins broadcast under AQE);
-    * the common no-skew path pays that one aggregation and no window —
-    * the rank window shuffles only the oversized remainder. */
+  /** Per-bucket population cap by xxhash64 rank — the
+    * [[cappedFromBucketed]] truncation policy as a standalone pass, for
+    * frames whose bucket KEY must stay fixed (the Hamming-1 boundary
+    * join matches flipped keys against the fixed key, so the
+    * sub-splitting cap's refined keys cannot be used there). Shape: ONE
+    * rank window keyed on the bucket — the downstream boundary join
+    * keys on the same column, so the exchange this window introduces is
+    * the join's own exchange, not an extra pass (an agg + anti/semi
+    * formulation was measured at ~2× the whole query's wall from its
+    * extra scan/join stages; the window costs one in-partition sort).
+    * A skew-degenerate bucket sorts in one task, bounded by the same
+    * population the cap exists to bound. */
   def capBucketPopulation(df: DataFrame, idCol: String,
       cap: Int = EmbBucketCap): DataFrame = {
-    val over = df.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > cap).select("bucket")
-      .localCheckpoint(eager = false)
     val rk = Window.partitionBy("bucket").orderBy(xxhash64(col(idCol)))
-    df.join(over, Seq("bucket"), "left_anti")
-      .unionAll(df.join(over, Seq("bucket"), "left_semi")
-        .withColumn("rk", row_number().over(rk))
-        .filter(col("rk") <= cap).drop("rk"))
+    df.withColumn("__rk", row_number().over(rk))
+      .filter(col("__rk") <= cap).drop("__rk")
   }
 
   /** Near-dup pairs at cosine ≥ `threshold` via sign-LSH buckets:
