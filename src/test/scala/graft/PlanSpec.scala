@@ -412,4 +412,56 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
     assert(p.contains("hashpartitioning("), p)
   }
+
+  /** Output column names of every shuffle exchange in the executed
+    * plan (AQE final), shuffle-byte-shape evidence for the claims
+    * below. */
+  private def shuffleOutputs(
+      df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(s.plan)
+      case other => other.children
+    }
+    def collectEx(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[Seq[String]] = {
+      val here = p match {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          Seq(e.output.map(_.name).toSeq)
+        case _ => Nil
+      }
+      here ++ unwrap(p).flatMap(collectEx)
+    }
+    collectEx(plan)
+  }
+
+  test("image phash dedup: pixel payloads never cross a shuffle — " +
+      "every exchange carries hash/band rows only") {
+    val df = SparkEntry.queries("multimodal_phash_dedup")(spark, dir)
+    val exs = shuffleOutputs(df)
+    assert(exs.nonEmpty, "expected at least the band-join exchange")
+    exs.foreach(cols => assert(!cols.exists(_.contains("payload")),
+      s"an exchange carries image payload bytes: $cols"))
+  }
+
+  test("exact spans: the postings screen exchange carries only " +
+      "(doc_id, pos, h) — 20-byte rows, never text or token arrays") {
+    val df = SparkEntry.queries("dedup_exact_spans")(spark, dir)
+    val exs = shuffleOutputs(df)
+    // the screen exchange is the one partitioned work over `h`
+    val screen = exs.filter(_.contains("h"))
+    assert(screen.nonEmpty, s"no postings exchange found in: $exs")
+    screen.foreach(cols => assert(
+      cols.toSet.subsetOf(Set("doc_id", "pos", "h")),
+      s"postings exchange carries more than (doc_id, pos, h): $cols"))
+    // raw text never shuffles anywhere; token arrays may cross only
+    // the candidate-pruned certify join, never the corpus-wide screen
+    exs.foreach(cols => assert(!cols.contains("text"),
+      s"an exchange carries raw text: $cols"))
+  }
 }

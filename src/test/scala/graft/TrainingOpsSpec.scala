@@ -597,6 +597,18 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll
       .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("corpus_id")))
     assert(atRest.toSet == batch.toSet,
       s"at-rest=${atRest.toSet} batch=${batch.toSet}")
+    // the cost claim is a plan property: the code-join side scans the
+    // codes column WITHOUT unit (units are fetched by a separate,
+    // hit-pruned scan) — some ReadSchema has codes and not unit
+    val rep = graft.store.IndexStore
+      .semanticContamination(store, spark, bench)
+    rep.collect()
+    val p = rep.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.exists(s => s.contains("codes") && !s.contains("unit")),
+      s"no codes-only scan — the code join drags unit bytes:\n" +
+        schemas.mkString("\n"))
   }
 
   test("distributed IVF trainer equals a sequential re-derivation on " +
