@@ -301,15 +301,33 @@ object ImageDedupOps {
   def hashAsset(a: ImageAsset): ImageHash =
     ImageHash(a.asset_id, dhash64(MultimodalOps.decodeImage(a.payload)))
 
-  /** Distributed decode+hash: binary payloads in, 16-byte hash rows out,
-    * per-partition (the [[MultimodalOps.extractFeatures]] codec-affinity
-    * shape — at scale the decode runs where the bytes live and only
-    * hashes ever shuffle). */
-  def imageHashes(spark: SparkSession, n: Int): DataFrame = {
+  /** Distributed decode+hash over a BINARY image frame (asset_id,
+    * payload): 16-byte hash rows out, per-partition (the
+    * [[MultimodalOps.extractFeatures]] codec-affinity shape — at scale
+    * the decode runs where the bytes live and only hashes ever
+    * shuffle). The at-rest `phash` index kind's ingest stage. */
+  def imageHashRows(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
     import spark.implicits._
-    imageAssets(n).toDS()
+    images.select(col("asset_id"), col("payload")).as[ImageAsset]
       .mapPartitions(_.map(hashAsset))
       .toDF()
+  }
+
+  /** The 4×16-bit band explode of a (asset_id, phash) frame — the
+    * multi-index Hamming search key rows, shared by the batch pair
+    * query and the at-rest `phash` index layout so probe keys and
+    * stored keys can never drift. */
+  def bandRows(hashes: DataFrame): DataFrame =
+    hashes.select(col("asset_id"), col("phash"),
+      explode(expr(s"sequence(0, ${NumBands - 1})")).as("band"))
+      .withColumn("band_key", expr(
+        s"shiftrightunsigned(phash, (${NumBands - 1} - band) * 16) & 65535"))
+
+  /** Decode+hash the fixture corpus. */
+  def imageHashes(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    imageHashRows(imageAssets(n).toDF())
   }
 
   /** Near-dup pairs at Hamming ≤ [[MaxHamming]] from a (asset_id, phash)
@@ -319,13 +337,8 @@ object ImageDedupOps {
     * see object doc); an over-cap band value is the family's documented
     * boilerplate drop. */
   def phashNearDupPairs(hashes: DataFrame): DataFrame = {
-    val bands = hashes
-      .select(col("asset_id"), col("phash"),
-        explode(expr(s"sequence(0, ${NumBands - 1})")).as("band"))
-      .withColumn("band_key", expr(
-        s"shiftrightunsigned(phash, (${NumBands - 1} - band) * 16) & 65535"))
-    val capped = DedupOps.capBuckets(bands, Seq("band", "band_key"),
-      DedupOps.MaxBucketSize)
+    val capped = DedupOps.capBuckets(bandRows(hashes),
+      Seq("band", "band_key"), DedupOps.MaxBucketSize)
     val a = capped.select(col("asset_id").as("id_a"),
       col("phash").as("h_a"), col("band"), col("band_key"))
     val b = capped.select(col("asset_id").as("id_b"),

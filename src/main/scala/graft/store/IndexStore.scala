@@ -1,6 +1,6 @@
 package graft.store
 
-import graft.operators.{DedupOps, SimilarityOps}
+import graft.operators.{DedupOps, ImageDedupOps, SimilarityOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -39,6 +39,12 @@ import org.apache.spark.sql.functions._
   *    Same documented recall caveat as the batch operator: a true pair
   *    split by a sign-boundary flip is missed; exact-direction dups
   *    always share every sign bit.
+  *  - `phash`  — image perceptual-hash near-dup index: 64-bit dHash
+  *    rows ([[ImageDedupOps]]) stored as 4×16-bit band rows, bucketed
+  *    and sorted by (band, band_key) — the band kind's two-level probe
+  *    prune applied to images. Probe input is binary (asset_id,
+  *    payload); decode+hash runs per partition on the probe side only
+  *    (history pixels are never re-decoded).
   *
   * Index rows are plain parquet leaves committed through the SAME
   * manifest swap as everything else in the store: a probe always sees a
@@ -69,7 +75,8 @@ object IndexStore {
     * most leaves; size it ~sqrt(index rows / target leaf rows) at scale. */
   val Buckets = 64
 
-  val Kinds = Seq("band", "span", "sketch", "ivf", "pq", "ivfpq", "vec")
+  val Kinds = Seq("band", "span", "sketch", "ivf", "pq", "ivfpq", "vec",
+    "phash")
 
   /** Hash/projection family version stamped into the store manifest by
     * every index commit. The round-9 migration changed the signature
@@ -167,6 +174,7 @@ object IndexStore {
     case "pq" => "pq_codes"
     case "ivfpq" => "ivfpq_codes"
     case "vec" => "vec_index"
+    case "phash" => "phash_index"
     case other => sys.error(s"unknown index kind '$other' " +
       s"(expected one of ${Kinds.mkString("|")})")
   }
@@ -176,7 +184,11 @@ object IndexStore {
     * ivf the bucket IS the cell: `ivfProbes` decides which cells a query
     * set needs, and every other cell's leaves are manifest-pruned. */
   private def bucketOf(kind: String): Column = kind match {
-    case "band" => pmod(xxhash64(col("band"), col("band_key")), lit(Buckets))
+    // phash shares the band kind's probe-computable layout: the probe
+    // batch hashes its own images, so its (band, band_key) rows prune
+    // leaves and push key filters exactly like text band probes
+    case "band" | "phash" =>
+      pmod(xxhash64(col("band"), col("band_key")), lit(Buckets))
     case "span" => pmod(col("fp"), lit(Buckets))
     case "ivf" | "ivfpq" => col("cell")
     // content-keyed: a probe computes its own sign buckets, so untouched
@@ -191,7 +203,7 @@ object IndexStore {
   }
 
   private def sortOf(kind: String): Seq[Column] = kind match {
-    case "band" => Seq(col("band"), col("band_key"))
+    case "band" | "phash" => Seq(col("band"), col("band_key"))
     case "span" => Seq(col("fp"))
     // sorted by the probe key so row-group stats prune the In() filter
     case "vec" => Seq(col("bucket"), col("vec_id"))
@@ -205,6 +217,13 @@ object IndexStore {
     kind match {
       case "band" => DedupOps.buildBandIndex(input)
       case "span" => DedupOps.buildSpanIndex(input)
+      // binary (asset_id, payload) in; decode+dHash per partition, the
+      // 4x16-bit band explode, build-time skew cap (the band-bucket
+      // policy: a degenerate band value - e.g. flat-color images - is
+      // dropped once so no probe ever pays for it)
+      case "phash" => DedupOps.capBuckets(
+        ImageDedupOps.bandRows(ImageDedupOps.imageHashRows(input)),
+        Seq("band", "band_key"), DedupOps.MaxBucketSize)
       // drop(embedding), not select(3): normalizedWithBucket keeps every
       // input column, so attributes ride through WITHOUT the keyed
       // re-join [[withAttrs]] would otherwise pay
@@ -350,6 +369,9 @@ object IndexStore {
         case "span" =>
           DedupOps.capBuckets(live.dropDuplicates("doc_id", "fp"),
             Seq("fp"), DedupOps.MaxSpanDf)
+        case "phash" =>
+          DedupOps.capBuckets(live.dropDuplicates("asset_id", "band"),
+            Seq("band", "band_key"), DedupOps.MaxBucketSize)
         case _ => live.dropDuplicates("vec_id")
       }).localCheckpoint() // counted AND staged — one computation
       val dropped = live.count() - rows.count()
@@ -620,7 +642,7 @@ object IndexStore {
   def search(store: GraftStore, spark: SparkSession, kind: String,
       probe: DataFrame, threshold: Double = 0.4,
       where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    require(where.isEmpty || !Set("band", "span").contains(kind),
+    require(where.isEmpty || !Set("band", "span", "phash").contains(kind),
       s"attribute predicates apply to the vector kinds, not '$kind'")
     def flt(df: DataFrame): DataFrame = where.fold(df)(df.filter)
     kind match {
@@ -638,6 +660,34 @@ object IndexStore {
       // collisions just ride to the join, which checks both columns.
       DedupOps.incrementalNearDup(probe,
         prunedBandIndex(store, spark, probe), threshold)
+    case "phash" =>
+      // image near-dup probe: hash the probe batch's own pixels (one
+      // per-partition decode pass), then the band two-level prune —
+      // candidate leaves from the probe's (band, band_key) rows, the
+      // distinct band_key values pushed as a scan filter over the
+      // (band, band_key)-sorted leaves — and a codegen'd bit_count
+      // verify at Hamming <= round(threshold). Like the band/vec
+      // probes there is NO equal-id exclusion: a re-delivered asset
+      // self-matches at Hamming 0, which is what makes a streaming
+      // consumer replay-safe.
+      val probeBands = graft.operators.ImageDedupOps.bandRows(
+        graft.operators.ImageDedupOps.imageHashRows(probe))
+        .localCheckpoint() // decode once: keys collect + join both read it
+      val pIdx = prunedIndex(store, spark, "phash",
+        probeBands.select(col("band_key"), bucketOf("phash").as("b")),
+        "band_key")
+      probeBands
+        .select(col("asset_id").as("new_id"), col("phash").as("h_new"),
+          col("band"), col("band_key"))
+        .join(pIdx.select(col("asset_id").as("existing_id"),
+          col("phash").as("h_ex"), col("band"), col("band_key")),
+          Seq("band", "band_key"))
+        .select(col("new_id"), col("existing_id"), col("h_new"),
+          col("h_ex"))
+        .distinct() // a pair can meet in up to 4 bands
+        .withColumn("hamming", expr("CAST(bit_count(h_new ^ h_ex) AS INT)"))
+        .filter(col("hamming") <= math.round(threshold).toInt)
+        .select(col("new_id"), col("existing_id"), col("hamming"))
     case "span" =>
       val fps = probe
         .select(explode(graft.functions.Vec.winnow_fps(

@@ -174,6 +174,35 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
       graft.operators.SimilarityOps.PqSubs + 1, report)
   }
 
+  test("index CLI drives the phash kind: build binary images, probe " +
+      "a recompressed copy at the kind-aware default threshold") {
+    import spark.implicits._
+    import graft.operators.ImageDedupOps
+    val root = tempDir("graft-index-cli-phash")
+    val storeDir = s"$root/store"
+    val assets = ImageDedupOps.imageAssets(ImageDedupOps.NumImages)
+    val basePath = s"$root/images.parquet"
+    assets.filter(_.asset_id < ImageDedupOps.NumImages).toDF()
+      .write.parquet(basePath)
+    val probePath = s"$root/probe.parquet"
+    Seq(ImageDedupOps.ImageAsset(9007L,
+      assets.find(_.asset_id == 1007L).get.payload)).toDF()
+      .write.parquet(probePath)
+    captured {
+      cli.Main.run(spark, Array("index", "build", "--store", storeDir,
+        "--kind", "phash", "--input", basePath))
+    }
+    val outPath = s"$root/imghits.parquet"
+    captured {
+      cli.Main.run(spark, Array("index", "search", "--store", storeDir,
+        "--kind", "phash", "--input", probePath, "--output", outPath))
+    }
+    val hits = spark.read.parquet(outPath).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("existing_id"),
+        r.getAs[Int]("hamming")))
+    assert(hits.contains((9007L, 7L, 0)), hits.mkString(","))
+  }
+
   test("index decontaminate certifies benchmark contamination against " +
       "the at-rest pq index through the CLI") {
     import spark.implicits._

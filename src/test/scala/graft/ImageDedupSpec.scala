@@ -60,6 +60,47 @@ class ImageDedupSpec extends AnyFunSuite with BeforeAndAfterAll
           "would be vacuous")
   }
 
+  test("at-rest phash index: build/append/probe lifecycle finds a " +
+      "recompressed copy without re-decoding history, replays " +
+      "self-match at Hamming 0") {
+    import spark.implicits._
+    import graft.store.{GraftStore, IndexStore}
+    val store = new GraftStore(tempDir("graft-idx-phash"))
+    val assets = ImageDedupOps.imageAssets(ImageDedupOps.NumImages)
+    val base = assets.filter(_.asset_id < ImageDedupOps.NumImages)
+    IndexStore.build(store, "phash", base.toDF())
+    // probe 1: a recompressed copy of image 3 (planted id 1003 in the
+    // fixture is exactly that transform) + a fresh unrelated image
+    val copy3 = assets.find(_.asset_id == 1003L).get
+    val freshImg = ImageDedupOps.imageAssets(ImageDedupOps.NumImages + 8)
+      .find(_.asset_id == ImageDedupOps.NumImages + 5L).get
+    val probe = Seq(
+      ImageDedupOps.ImageAsset(9003L, copy3.payload),
+      ImageDedupOps.ImageAsset(9100L, freshImg.payload)).toDF()
+    val hits = IndexStore.search(store, spark, "phash", probe,
+      ImageDedupOps.MaxHamming.toDouble).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("existing_id"),
+        r.getAs[Int]("hamming")))
+    assert(hits.contains((9003L, 3L, 0)),
+      s"recompressed copy must hit its source at Hamming 0: " +
+        s"${hits.mkString(",")}")
+    assert(!hits.exists(_._1 == 9100L),
+      s"fresh image must hit nothing: ${hits.mkString(",")}")
+    // append the fresh image, re-probe: now it self-matches at 0 (the
+    // replay-safety property) and still matches nothing else
+    IndexStore.append(store, "phash",
+      Seq(ImageDedupOps.ImageAsset(9100L, freshImg.payload)).toDF())
+    val hits2 = IndexStore.search(store, spark, "phash",
+      Seq(ImageDedupOps.ImageAsset(9100L, freshImg.payload)).toDF(),
+      ImageDedupOps.MaxHamming.toDouble).collect()
+      .map(r => (r.getAs[Long]("existing_id"), r.getAs[Int]("hamming")))
+    assert(hits2.toSet == Set((9100L, 0)),
+      s"appended image must self-match only: ${hits2.mkString(",")}")
+    // compact is phash-aware (global cap re-application keeps rows)
+    val (dropped, leaves) = IndexStore.compact(store, spark, "phash")
+    assert(dropped == 0L && leaves > 0L, s"($dropped, $leaves)")
+  }
+
   test("banded pipeline matches the declared band-OR semantics, is " +
       "provably complete at d <= bands-1, and surfaces every planted " +
       "pair") {
