@@ -1108,6 +1108,16 @@ object DedupOps {
       .withColumn("n", count(lit(1)).over(byS))
       .filter(col("n") >= 2)
       .select(col("doc_id"), col("pos"))
+    mergeTokenSpans(verified, gram)
+  }
+
+  /** Gaps-and-islands merge of per-document duplicated shingle windows
+    * [pos, pos + gram − 1] into maximal spans — the shared tail of the
+    * batch certification and the incremental probe. Adjacent windows
+    * merge (contiguous duplicated coverage is one removable region);
+    * per-doc windows, so the shuffle key is the document — the
+    * bounded-partition window shape. Input: (doc_id, pos). */
+  private def mergeTokenSpans(verified: DataFrame, gram: Int): DataFrame = {
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     verified
       .withColumn("e", col("pos") + lit(gram - 1))
@@ -1125,6 +1135,115 @@ object DedupOps {
         col("e0").cast("int").as("span_end"),
         (col("e0") - col("s0") + 1).cast("int").as("span_tokens"))
   }
+
+  /** Positional shingle-hash postings index of a corpus for
+    * [[incrementalExactSpans]]: (doc_id, pos, h) — one scan-stage
+    * kernel pass, NO cap (span probing is linear in matching postings,
+    * never a pair join; see [[exactDuplicatedSpans]]). Persist bucketed
+    * by h so probe joins prune partitions. */
+  def buildExactSpanIndex(d: DataFrame,
+      gram: Int = ExactSpanGram): DataFrame =
+    d.select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= gram)
+      .select(col("doc_id"),
+        posexplode(graft.functions.Vec.shingle_pos_hashes(col("toks"), gram)))
+      .withColumnRenamed("col", "h")
+
+  /** Incremental exact-span probe: which spans of the NEW documents
+    * already exist verbatim in an indexed corpus — the
+    * [[exactDuplicatedSpans]] certification applied at ingest time,
+    * without re-shingling history. The probe's positional hashes join
+    * the at-rest postings (hash screen); certification re-derives the
+    * shingle STRINGS on both sides, the existing side from `corpus`
+    * text fetched for CANDIDATE docs only (a semi-join prunes the
+    * fetch — history is re-tokenized only where a hash matched, the
+    * batch operator's certify discipline, so the result states exact
+    * string equality, not hash equality). Returns maximal duplicated
+    * extents of the new docs: (doc_id, span_start, span_end,
+    * span_tokens). */
+  def incrementalExactSpans(newDocs: DataFrame, index: DataFrame,
+      corpus: DataFrame, gram: Int = ExactSpanGram): DataFrame = {
+    val pToks = newDocs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= gram)
+      .localCheckpoint() // probe-sized; read by postings AND certify
+    val pPost = pToks.select(col("doc_id"),
+      posexplode(graft.functions.Vec.shingle_pos_hashes(col("toks"), gram)))
+      .withColumnRenamed("col", "h")
+    val hits = pPost.join(index.select(col("doc_id").as("ex_id"),
+      col("pos").as("ex_pos"), col("h")), "h")
+    val exToks = corpus
+      .join(hits.select(col("ex_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("ex_id"),
+        split(lower(col("text")), "\\s+").as("ex_toks"))
+    val certified = hits
+      .join(pToks, Seq("doc_id"))
+      .join(exToks, Seq("ex_id"))
+      .filter(array_join(slice(col("toks"), col("pos") + 1, lit(gram)), " ")
+        === array_join(
+          slice(col("ex_toks"), col("ex_pos") + 1, lit(gram)), " "))
+      .select(col("doc_id"), col("pos"))
+      .distinct()
+    mergeTokenSpans(certified, gram)
+  }
+
+  /** Slice copies probed for exact spans against the base corpus's
+    * positional postings index — the ingest-time form of
+    * [[exactSpans]], same oracle discipline (the DuckDB side works in
+    * shingle strings end-to-end). */
+  val exactSpansIncremental: GraftQuery = GraftQuery(
+    "dedup_exact_spans_incremental",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val index = buildExactSpanIndex(d).localCheckpoint()
+      incrementalExactSpans(sliceCopies(d), index, d)
+    },
+    Some {
+      val g = ExactSpanGram
+      s"""WITH probe AS (
+         |  SELECT doc_id + 3000000 AS doc_id,
+         |    substr(text, 41, 160) || ' tail' || CAST(doc_id AS VARCHAR)
+         |      AS text
+         |  FROM documents WHERE doc_id < 25),
+         |bt AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+         |  FROM documents),
+         |bs AS (
+         |  SELECT DISTINCT
+         |    unnest(list_transform(generate_series(1, len(t) - $g + 1),
+         |      i -> array_to_string(t[i:i+${g - 1}], ' '))) AS s
+         |  FROM bt WHERE len(t) >= $g),
+         |pt AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+         |  FROM probe),
+         |ps AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, len(t) - $g)) AS pos,
+         |    unnest(list_transform(generate_series(1, len(t) - $g + 1),
+         |      i -> array_to_string(t[i:i+${g - 1}], ' '))) AS s
+         |  FROM pt WHERE len(t) >= $g),
+         |dup AS (
+         |  SELECT doc_id, pos FROM ps
+         |  WHERE s IN (SELECT s FROM bs)),
+         |iv AS (SELECT doc_id, pos, pos + ${g - 1} AS e FROM dup),
+         |isl AS (
+         |  SELECT doc_id, pos, e,
+         |    CASE WHEN pos <= max(e) OVER (PARTITION BY doc_id
+         |        ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         |      THEN 0 ELSE 1 END AS brk
+         |  FROM iv),
+         |grp AS (
+         |  SELECT doc_id, pos, e,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS grp_id
+         |  FROM isl)
+         |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+         |  CAST(max(e) AS INTEGER) AS span_end,
+         |  CAST(max(e) - min(pos) + 1 AS INTEGER) AS span_tokens
+         |FROM grp GROUP BY doc_id, grp_id""".stripMargin
+    })
 
   /** The certification layer, hash-oracled over the same
     * slice-copy-injected corpus the winnow screen uses — every injected
@@ -1476,5 +1595,6 @@ object DedupOps {
   val all: Seq[GraftQuery] =
     Seq(exact, lineDedup, intraDocDedup, minhashLsh, lshRecall,
       incrementalDedup, simhashDedup, ngramJaccard, sharedSpans,
-      exactSpans, spansIncremental, embeddingNearDup)
+      exactSpans, exactSpansIncremental, spansIncremental,
+      embeddingNearDup)
 }

@@ -533,6 +533,31 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(sources.size == 25, s"source docs with spans: ${sources.size}")
   }
 
+  test("incremental exact-span probe matches the batch certification " +
+      "on the probe docs and certifies every slice copy") {
+    val out = DedupOps.exactSpansIncremental.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Int]("span_tokens")))
+    val g = DedupOps.ExactSpanGram
+    assert(out.forall(_._4 >= g))
+    // all 25 injected slice copies certify a span against history
+    assert(out.map(_._1).filter(_ >= 3000000L).distinct.length == 25,
+      s"probe docs with spans: ${out.map(_._1).distinct.length}")
+    // consistency: the batch pass over (corpus + probes) reports the
+    // SAME spans for the probe docs — the probe certifies against
+    // history exactly what the batch certifies within the union,
+    // except spans whose only duplicate is probe-internal (none here:
+    // each slice copy duplicates its source). Probe-side spans must be
+    // a subset of the batch's probe-doc spans; equality on this
+    // corpus.
+    val batch = DedupOps.exactSpans.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Int]("span_tokens")))
+      .filter(_._1 >= 3000000L).toSet
+    assert(out.filter(_._1 >= 3000000L).toSet == batch,
+      s"incremental=${out.count(_._1 >= 3000000L)} batch=${batch.size}")
+  }
+
   test("semantic decontamination flags a paraphrase the n-gram gate " +
       "passes, and leaves novel eval items clean") {
     import spark.implicits._
