@@ -543,19 +543,37 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll
     // all 25 injected slice copies certify a span against history
     assert(out.map(_._1).filter(_ >= 3000000L).distinct.length == 25,
       s"probe docs with spans: ${out.map(_._1).distinct.length}")
-    // consistency: the batch pass over (corpus + probes) reports the
-    // SAME spans for the probe docs — the probe certifies against
-    // history exactly what the batch certifies within the union,
-    // except spans whose only duplicate is probe-internal (none here:
-    // each slice copy duplicates its source). Probe-side spans must be
-    // a subset of the batch's probe-doc spans; equality on this
-    // corpus.
-    val batch = DedupOps.exactSpans.fn(spark, dir).collect()
+    // Consistency, stated at TOKEN granularity so it survives corpus
+    // regeneration: a probe window is batch-certified iff it duplicates
+    // against history (the incremental contract) OR against another
+    // probe occurrence (the probe-internal exception set). The previous
+    // form of this gate asserted span-set EQUALITY under the assumption
+    // that the exception set is empty — a corpus property, not an
+    // operator property, and the round-14 testdata regeneration broke
+    // it (probe docs 3000008/3000012 opened with the same 12 tokens).
+    // Corpus-drift hazard: never encode a data coincidence as a hard
+    // equality — compute the exception set from the corpus instead.
+    def cover(spans: Iterable[(Long, Int, Int, Int)]): Set[(Long, Int)] =
+      spans.iterator.flatMap(s => (s._2 to s._3).map(t => (s._1, t))).toSet
+    val batchCov = cover(DedupOps.exactSpans.fn(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
         r.getAs[Int]("span_end"), r.getAs[Int]("span_tokens")))
-      .filter(_._1 >= 3000000L).toSet
-    assert(out.filter(_._1 >= 3000000L).toSet == batch,
-      s"incremental=${out.count(_._1 >= 3000000L)} batch=${batch.size}")
+      .filter(_._1 >= 3000000L))
+    val internalCov = cover(DedupOps.exactDuplicatedSpans(
+        DedupOps.sliceCopies(Tables.t(spark, dir, "documents"))).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Int]("span_tokens"))))
+    val incrCov = cover(out.filter(_._1 >= 3000000L))
+    // subset property: unconditional — probe-vs-history certification
+    // can never exceed the union pass
+    assert(incrCov.subsetOf(batchCov),
+      s"incremental covered tokens outside batch: ${
+        (incrCov -- batchCov).take(5)}")
+    // identity: batch coverage decomposes exactly into history-side
+    // (incremental) plus probe-internal duplication
+    assert(batchCov == (incrCov ++ internalCov),
+      s"batch-only=${(batchCov -- incrCov -- internalCov).take(5)} " +
+        s"extra=${((incrCov ++ internalCov) -- batchCov).take(5)}")
   }
 
   test("semantic decontamination flags a paraphrase the n-gram gate " +
