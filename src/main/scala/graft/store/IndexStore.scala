@@ -640,11 +640,20 @@ object IndexStore {
     * ranked candidate. Pre-filter, not post-filter, so a top-k among
     * matching rows is always full. */
   def search(store: GraftStore, spark: SparkSession, kind: String,
-      probe: DataFrame, threshold: Double = 0.4,
+      probe: DataFrame, threshold: Double = Double.NaN,
       where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(where.isEmpty || !Set("band", "span", "phash").contains(kind),
       s"attribute predicates apply to the vector kinds, not '$kind'")
     def flt(df: DataFrame): DataFrame = where.fold(df)(df.filter)
+    // kind-aware default: `threshold` means cosine for the similarity
+    // kinds (default 0.4) but HAMMING DISTANCE for phash — a NaN
+    // sentinel resolves the unset default per kind, so a programmatic
+    // phash caller omitting it gets the operator's MaxHamming radius
+    // (round(0.4) = exact-hash-only was the silent prior behavior)
+    val th = if (!threshold.isNaN) threshold
+      else if (kind == "phash")
+        graft.operators.ImageDedupOps.MaxHamming.toDouble
+      else 0.4
     kind match {
     case "band" =>
       // ONE pass over the (small) probe batch yields both prune levels:
@@ -659,7 +668,7 @@ object IndexStore {
       // superset of the (band, band_key) match — cross-band key
       // collisions just ride to the join, which checks both columns.
       DedupOps.incrementalNearDup(probe,
-        prunedBandIndex(store, spark, probe), threshold)
+        prunedBandIndex(store, spark, probe), th)
     case "phash" =>
       // image near-dup probe: hash the probe batch's own pixels (one
       // per-partition decode pass), then the band two-level prune —
@@ -686,7 +695,7 @@ object IndexStore {
           col("h_ex"))
         .distinct() // a pair can meet in up to 4 bands
         .withColumn("hamming", expr("CAST(bit_count(h_new ^ h_ex) AS INT)"))
-        .filter(col("hamming") <= math.round(threshold).toInt)
+        .filter(col("hamming") <= math.round(th).toInt)
         .select(col("new_id"), col("existing_id"), col("hamming"))
     case "span" =>
       val fps = probe
@@ -755,7 +764,7 @@ object IndexStore {
       // without the isin scan filter, the documented bulk shape.
       requireProbeDim(probe, indexDim(store, spark, "vec"), "vec index")
       val probeRows = DedupOps.multiProbeBuckets(
-        DedupOps.normalizedWithBucket(probe), threshold)
+        DedupOps.normalizedWithBucket(probe), th)
         .select(col("vec_id").as("new_id"), col("unit").as("u_new"),
           col("bucket"))
       val idx = prunedIndex(store, spark, "vec",
@@ -769,7 +778,7 @@ object IndexStore {
           col("unit").as("u_ex"), col("bucket")), Seq("bucket"))
         .withColumn("cos", graft.functions.Vec
           .vec_dot(col("u_new"), col("u_ex")))
-        .filter(col("cos") >= threshold)
+        .filter(col("cos") >= th)
         .select(col("new_id"), col("existing_id"),
           floor(col("cos") * 10000).cast("long").as("cos_bp"))
     case _ =>

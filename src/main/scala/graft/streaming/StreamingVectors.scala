@@ -79,7 +79,9 @@ object StreamingVectors {
     * protection). Scoping is a join-key refinement on the intra-batch
     * pair joins and a pushed-down label filter on the per-scope
     * cross-batch probes — pre-filter semantics everywhere, so a
-    * cross-scope twin can never shadow a same-scope one. */
+    * cross-scope twin can never shadow a same-scope one. A NULL scope
+    * value is a scope of its own, not a silent opt-out: pair keys and
+    * probe predicates are null-safe throughout. */
   def processBatch(
       store: GraftStore,
       batch: DataFrame,
@@ -129,11 +131,19 @@ object StreamingVectors {
       .localCheckpoint()
     // scoped dedup: scope columns join as additional pair keys, so a
     // cross-scope near-identical pair never pairs at all (pre-filter,
-    // not post-drop)
-    val pairKeys = "bucket" +: scopeCols
+    // not post-drop). The scope tuple joins as ONE struct key, not as
+    // bare columns: a NULL scope value is a legitimate scope of its own
+    // (struct field comparison is null-safe), whereas bare-column join
+    // keys silently drop null rows from the pair joins — two identical
+    // vectors with a null scope would BOTH commit as survivors with no
+    // error, a dedup gate leaking exactly the rows it cannot see.
+    val pairKeys =
+      if (scopeCols.isEmpty) Seq("bucket") else Seq("bucket", "scope_key")
     def side(df: DataFrame, id: String, u: String) =
       df.select((Seq(col("vec_id").as(id), col("bucket"),
-        col("unit").as(u)) ++ scopeCols.map(col)): _*)
+        col("unit").as(u)) ++
+        (if (scopeCols.isEmpty) Nil
+         else Seq(struct(scopeCols.map(col): _*).as("scope_key")))): _*)
     def pairs(a: DataFrame, b: DataFrame) =
       a.join(b, pairKeys)
         .filter(col("id_a") < col("id_b"))
@@ -174,8 +184,13 @@ object StreamingVectors {
             "low-cardinality (language/label/source)")
         if (scopes.isEmpty) intra.select(col("vec_id")).limit(0)
         else scopes.map { s =>
+          // null-safe equality: a null scope value must select its own
+          // scope's rows (plain === yields NULL and the probe filter
+          // would match nothing — the null-scope batch would skip the
+          // cross-batch gate entirely); <=> pushes down to the index
+          // scan like === (EqualNullSafe / IsNull are parquet filters)
           val eq = scopeCols.zipWithIndex
-            .map { case (c, i) => col(c) === lit(s.get(i)) }
+            .map { case (c, i) => col(c) <=> lit(s.get(i)) }
             .reduce(_ && _)
           IndexStore.search(store, spark, "vec",
             probeOf(intra.filter(eq)), threshold, Some(eq))

@@ -60,6 +60,39 @@ class ImageDedupSpec extends AnyFunSuite with BeforeAndAfterAll
           "would be vacuous")
   }
 
+  test("phash search default threshold is kind-aware: omitting it " +
+      "means MaxHamming, so a resized copy at Hamming > 0 is found") {
+    import spark.implicits._
+    import graft.store.{GraftStore, IndexStore}
+    val store = new GraftStore(tempDir("graft-idx-phash-def"))
+    val assets = ImageDedupOps.imageAssets(ImageDedupOps.NumImages)
+    IndexStore.build(store, "phash",
+      assets.filter(_.asset_id < ImageDedupOps.NumImages).toDF())
+    // the fixture must plant at least one resize at Hamming > 0, or
+    // this test could not distinguish MaxHamming from the silent prior
+    // default round(0.4) = exact-hash-only (deterministic in-repo
+    // fixture — no corpus-drift exposure)
+    val resizeD = (0 until ImageDedupOps.DupSeeds)
+      .map(i => i -> ham(hashOf(i.toLong), hashOf(i + 3000L))).toMap
+    assert(resizeD.values.exists(_ > 0),
+      s"fixture renders every 90% resize at d=0: $resizeD")
+    val probe = assets
+      .filter(a => a.asset_id >= 3000L &&
+        a.asset_id < 3000L + ImageDedupOps.DupSeeds)
+      .map(a => ImageDedupOps.ImageAsset(a.asset_id + 6000L, a.payload))
+      .toDF()
+    val hits = IndexStore.search(store, spark, "phash", probe).collect()
+      .map(r => (r.getAs[Long]("new_id") - 9000L,
+        r.getAs[Long]("existing_id"), r.getAs[Int]("hamming")))
+    for (i <- 0 until ImageDedupOps.DupSeeds)
+      assert(hits.exists(h => h._1 == i.toLong && h._2 == i.toLong),
+        s"resize copy of seed $i missed under the default threshold: " +
+          s"${hits.mkString(",")}")
+    assert(hits.exists(_._3 > 0),
+      "no hit above Hamming 0 — the default did not widen beyond " +
+        "exact-hash")
+  }
+
   test("at-rest phash index: build/append/probe lifecycle finds a " +
       "recompressed copy without re-decoding history, replays " +
       "self-match at Hamming 0") {

@@ -342,6 +342,50 @@ class StreamingVectorsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(lbl == 1L)
   }
 
+  test("a NULL scope value is a scope of its own, not a silent " +
+      "opt-out: null-scope dups drop intra- and cross-batch, and a " +
+      "labeled twin of a null-scope vector survives") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-svec-nullscope"))
+    val scope = Seq("label")
+    val twin = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    // batch 1: a null-scope near-identical pair (larger id must DROP —
+    // the pre-fix behavior let both commit because null join keys fell
+    // out of the pair joins), a labeled twin of the same direction
+    // (different scope — survives), and null-scope fillers
+    val b1 = Seq(
+      (1L, twin, Option.empty[Long]),
+      (2L, scaled(twin, 1.001f), Option.empty[Long]),
+      (3L, scaled(twin, 1.002f), Some(0L))) ++
+      (10L until 14L).map(i => (i, fresh(i)._2, Option.empty[Long]))
+    StreamingVectors.processBatch(store,
+      b1.toDF("vec_id", "embedding", "label"), scopeCols = scope)
+    val after1 = acceptedIds(store)
+    assert(after1.contains(1L) && !after1.contains(2L),
+      s"null-scope intra-batch dup must drop the larger id: $after1")
+    assert(after1.contains(3L),
+      s"labeled twin of a null-scope vector must survive: $after1")
+    // batch 2 (cross-batch): a null-scope twin of vec 1 must drop via
+    // the null-scope probe (plain === would match nothing and commit
+    // it); a twin under a brand-new label survives
+    val b2 = Seq(
+      (100L, scaled(twin, 1.003f), Option.empty[Long]),
+      (101L, scaled(twin, 1.003f), Some(5L)))
+    StreamingVectors.processBatch(store,
+      b2.toDF("vec_id", "embedding", "label"), scopeCols = scope)
+    val after2 = acceptedIds(store)
+    assert(!after2.contains(100L),
+      s"null-scope cross-batch dup must drop: $after2")
+    assert(after2.contains(101L),
+      s"new-label twin must survive: $after2")
+    // replay of the null-scope batch stays exactly-once
+    val snap = store.currentSnapshot()
+    StreamingVectors.processBatch(store,
+      b2.toDF("vec_id", "embedding", "label"), scopeCols = scope)
+    assert(store.currentSnapshot() == snap,
+      "null-scope replay committed a new snapshot")
+  }
+
   test("residual-miss contract, quantified: sign-split 0 and 1 " +
       "detected 100%, split >= 2 detected 0% (the single-flip " +
       "multi-probe trade as a pinned number)") {
