@@ -485,12 +485,14 @@ object Main {
           case Some("search") =>
             // kind-aware default: 0.4 is the band/span JACCARD dial;
             // the vec kind thresholds COSINE near-identity (0.4 would
-            // call most of the corpus a duplicate); phash thresholds
-            // HAMMING BITS of the 64-bit perceptual hash
+            // call most of the corpus a duplicate); phash/afp threshold
+            // HAMMING BITS of the 64-bit perceptual fingerprint
             val defaultThreshold =
               if (kind == "vec") graft.streaming.StreamingVectors.DupCos
               else if (kind == "phash")
                 graft.operators.ImageDedupOps.MaxHamming.toDouble
+              else if (kind == "afp")
+                graft.operators.AudioDedupOps.MaxHamming.toDouble
               else 0.4
             // --filter 'label = 3': attribute predicate over columns
             // the index rows carry (filtered ANN) — pushed to the

@@ -1,6 +1,6 @@
 package graft.store
 
-import graft.operators.{DedupOps, ImageDedupOps, SimilarityOps}
+import graft.operators.{AudioDedupOps, DedupOps, ImageDedupOps, SimilarityOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,6 +45,10 @@ import org.apache.spark.sql.functions._
   *    prune applied to images. Probe input is binary (asset_id,
   *    payload); decode+hash runs per partition on the probe side only
   *    (history pixels are never re-decoded).
+  *  - `afp`    — audio perceptual-fingerprint near-dup index
+  *    ([[AudioDedupOps]] 64-bit integer PCM fingerprint), stored and
+  *    probed exactly like `phash`: 4×16-bit band rows, (band,
+  *    band_key) layout, probe-side-only decode.
   *
   * Index rows are plain parquet leaves committed through the SAME
   * manifest swap as everything else in the store: a probe always sees a
@@ -76,7 +80,7 @@ object IndexStore {
   val Buckets = 64
 
   val Kinds = Seq("band", "span", "sketch", "ivf", "pq", "ivfpq", "vec",
-    "phash")
+    "phash", "afp")
 
   /** Hash/projection family version stamped into the store manifest by
     * every index commit. The round-9 migration changed the signature
@@ -175,6 +179,7 @@ object IndexStore {
     case "ivfpq" => "ivfpq_codes"
     case "vec" => "vec_index"
     case "phash" => "phash_index"
+    case "afp" => "afp_index"
     case other => sys.error(s"unknown index kind '$other' " +
       s"(expected one of ${Kinds.mkString("|")})")
   }
@@ -184,10 +189,11 @@ object IndexStore {
     * ivf the bucket IS the cell: `ivfProbes` decides which cells a query
     * set needs, and every other cell's leaves are manifest-pruned. */
   private def bucketOf(kind: String): Column = kind match {
-    // phash shares the band kind's probe-computable layout: the probe
-    // batch hashes its own images, so its (band, band_key) rows prune
-    // leaves and push key filters exactly like text band probes
-    case "band" | "phash" =>
+    // phash/afp share the band kind's probe-computable layout: the
+    // probe batch hashes its own images / fingerprints its own audio,
+    // so its (band, band_key) rows prune leaves and push key filters
+    // exactly like text band probes
+    case "band" | "phash" | "afp" =>
       pmod(xxhash64(col("band"), col("band_key")), lit(Buckets))
     case "span" => pmod(col("fp"), lit(Buckets))
     case "ivf" | "ivfpq" => col("cell")
@@ -203,7 +209,7 @@ object IndexStore {
   }
 
   private def sortOf(kind: String): Seq[Column] = kind match {
-    case "band" | "phash" => Seq(col("band"), col("band_key"))
+    case "band" | "phash" | "afp" => Seq(col("band"), col("band_key"))
     case "span" => Seq(col("fp"))
     // sorted by the probe key so row-group stats prune the In() filter
     case "vec" => Seq(col("bucket"), col("vec_id"))
@@ -223,6 +229,11 @@ object IndexStore {
       // dropped once so no probe ever pays for it)
       case "phash" => DedupOps.capBuckets(
         ImageDedupOps.bandRows(ImageDedupOps.imageHashRows(input)),
+        Seq("band", "band_key"), DedupOps.MaxBucketSize)
+      // same shape for audio: (asset_id, payload) in, decode+afp64 per
+      // partition, 4x16-bit band explode, build-time skew cap
+      case "afp" => DedupOps.capBuckets(
+        AudioDedupOps.afpBandRows(AudioDedupOps.audioHashRows(input)),
         Seq("band", "band_key"), DedupOps.MaxBucketSize)
       // drop(embedding), not select(3): normalizedWithBucket keeps every
       // input column, so attributes ride through WITHOUT the keyed
@@ -369,7 +380,7 @@ object IndexStore {
         case "span" =>
           DedupOps.capBuckets(live.dropDuplicates("doc_id", "fp"),
             Seq("fp"), DedupOps.MaxSpanDf)
-        case "phash" =>
+        case "phash" | "afp" =>
           DedupOps.capBuckets(live.dropDuplicates("asset_id", "band"),
             Seq("band", "band_key"), DedupOps.MaxBucketSize)
         case _ => live.dropDuplicates("vec_id")
@@ -642,7 +653,8 @@ object IndexStore {
   def search(store: GraftStore, spark: SparkSession, kind: String,
       probe: DataFrame, threshold: Double = Double.NaN,
       where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    require(where.isEmpty || !Set("band", "span", "phash").contains(kind),
+    require(where.isEmpty ||
+      !Set("band", "span", "phash", "afp").contains(kind),
       s"attribute predicates apply to the vector kinds, not '$kind'")
     def flt(df: DataFrame): DataFrame = where.fold(df)(df.filter)
     // kind-aware default: `threshold` means cosine for the similarity
@@ -653,6 +665,8 @@ object IndexStore {
     val th = if (!threshold.isNaN) threshold
       else if (kind == "phash")
         graft.operators.ImageDedupOps.MaxHamming.toDouble
+      else if (kind == "afp")
+        graft.operators.AudioDedupOps.MaxHamming.toDouble
       else 0.4
     kind match {
     case "band" =>
@@ -690,6 +704,29 @@ object IndexStore {
           col("band"), col("band_key"))
         .join(pIdx.select(col("asset_id").as("existing_id"),
           col("phash").as("h_ex"), col("band"), col("band_key")),
+          Seq("band", "band_key"))
+        .select(col("new_id"), col("existing_id"), col("h_new"),
+          col("h_ex"))
+        .distinct() // a pair can meet in up to 4 bands
+        .withColumn("hamming", expr("CAST(bit_count(h_new ^ h_ex) AS INT)"))
+        .filter(col("hamming") <= math.round(th).toInt)
+        .select(col("new_id"), col("existing_id"), col("hamming"))
+    case "afp" =>
+      // audio near-dup probe: fingerprint the probe batch's own PCM
+      // (one per-partition decode pass), then the phash band prune +
+      // bit_count verify at Hamming <= threshold. Same no-equal-id
+      // contract: re-delivered clips self-match at Hamming 0.
+      val probeBands = AudioDedupOps.afpBandRows(
+        AudioDedupOps.audioHashRows(probe))
+        .localCheckpoint() // decode once: keys collect + join both read it
+      val pIdx = prunedIndex(store, spark, "afp",
+        probeBands.select(col("band_key"), bucketOf("afp").as("b")),
+        "band_key")
+      probeBands
+        .select(col("asset_id").as("new_id"), col("afp").as("h_new"),
+          col("band"), col("band_key"))
+        .join(pIdx.select(col("asset_id").as("existing_id"),
+          col("afp").as("h_ex"), col("band"), col("band_key")),
           Seq("band", "band_key"))
         .select(col("new_id"), col("existing_id"), col("h_new"),
           col("h_ex"))

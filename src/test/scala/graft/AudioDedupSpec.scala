@@ -109,6 +109,46 @@ class AudioDedupSpec extends AnyFunSuite with BeforeAndAfterAll
         s"planted pair ($i, ${i + off}) missed")
   }
 
+  test("at-rest afp index: build/append/probe lifecycle finds a " +
+      "re-encoded copy without re-decoding history, replays " +
+      "self-match at Hamming 0, default threshold is kind-aware") {
+    import spark.implicits._
+    import graft.store.{GraftStore, IndexStore}
+    val store = new GraftStore(tempDir("graft-idx-afp"))
+    val assets = AudioDedupOps.audioAssets(AudioDedupOps.NumClips)
+    val base = assets.filter(_.asset_id < AudioDedupOps.NumClips)
+    IndexStore.build(store, "afp", base.toDF())
+    // probe: a re-encoded copy of clip 3 (planted id 1003) + a fresh
+    // unrelated clip — searched with the DEFAULT threshold (must
+    // resolve to the audio MaxHamming, not 0.4)
+    val copy3 = assets.find(_.asset_id == 1003L).get
+    val freshClip = AudioDedupOps.audioAssets(AudioDedupOps.NumClips + 8)
+      .find(_.asset_id == AudioDedupOps.NumClips + 5L).get
+    val probe = Seq(
+      AudioDedupOps.AudioAsset(9003L, copy3.payload),
+      AudioDedupOps.AudioAsset(9100L, freshClip.payload)).toDF()
+    val hits = IndexStore.search(store, spark, "afp", probe).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("existing_id"),
+        r.getAs[Int]("hamming")))
+    assert(hits.contains((9003L, 3L, 0)),
+      s"re-encoded copy must hit its source at Hamming 0: " +
+        s"${hits.mkString(",")}")
+    assert(!hits.exists(_._1 == 9100L),
+      s"fresh clip must hit nothing: ${hits.mkString(",")}")
+    // append the fresh clip, re-probe: self-match at 0 (replay safety)
+    IndexStore.append(store, "afp",
+      Seq(AudioDedupOps.AudioAsset(9100L, freshClip.payload)).toDF())
+    val hits2 = IndexStore.search(store, spark, "afp",
+      Seq(AudioDedupOps.AudioAsset(9100L, freshClip.payload)).toDF())
+      .collect()
+      .map(r => (r.getAs[Long]("existing_id"), r.getAs[Int]("hamming")))
+    assert(hits2.toSet == Set((9100L, 0)),
+      s"appended clip must self-match only: ${hits2.mkString(",")}")
+    // compact is afp-aware (global cap re-application keeps rows)
+    val (dropped, leaves) = IndexStore.compact(store, spark, "afp")
+    assert(dropped == 0L && leaves > 0L, s"($dropped, $leaves)")
+  }
+
   test("fingerprint guards fail loudly: too-short and over-long input") {
     intercept[IllegalArgumentException] {
       AudioDedupOps.afp64(Array.fill(16)(0))
