@@ -308,7 +308,7 @@ object Main {
 
       case Some("curate") =>
         // the training-data pipeline as one CLI call: (pii scrub) →
-        // quality floor → exact + near-dup dedup → (decontaminate →
+        // (exact-span removal) → quality floor → exact + near-dup dedup → (decontaminate →
         // domain cap → target mixture) → split → shard export — each
         // optional stage wired to its library operator
         import org.apache.spark.sql.functions.col
@@ -336,7 +336,21 @@ object Main {
           if (args.contains("--pii-scrub"))
             deduped.withColumn("text", CorpusOps.scrubText(col("text")))
           else deduped
-        val total = scrubbed.count()
+        // --exact-spans: Lee et al. duplicated-span REMOVAL before the
+        // whole-doc stages — every non-first duplicated extent is cut
+        // (keep-first-occurrence, DedupOps.removeDuplicatedSpans), so
+        // boilerplate spans can't carry a doc past the whole-doc dedup
+        // gates or into the shards. Runs after scrubbing (spans are
+        // certified on the text the shards will carry) and re-joins the
+        // cleaned text onto the attribute columns.
+        val spanned =
+          if (args.contains("--exact-spans"))
+            scrubbed.drop("text").join(
+              graft.operators.DedupOps.removeDuplicatedSpans(
+                scrubbed.select(col("doc_id"), col("text")))
+                .select(col("doc_id"), col("text")), "doc_id")
+          else scrubbed
+        val total = spanned.count()
         // --lm-floor-bp N: the CCNet-shaped perplexity gate
         // (TextOps.trainCharLm + Lm.lm_score_bp) — train on this corpus
         // (after scrubbing, so the model never sees scrubbed-away PII) or
@@ -350,13 +364,13 @@ object Main {
             // filter re-evaluated by every downstream job — without this
             // the read->dropDuplicates->scrub lineage would recompute for
             // each of them
-            val base = scrubbed.localCheckpoint()
+            val base = spanned.localCheckpoint()
             val ref = opt("lm-ref")
               .map(p => spark.read.parquet(p)).getOrElse(base)
             val model = graft.operators.TextOps.trainCharLm(ref)
             base.filter(graft.functions.Lm.lm_score_bp(
               graft.operators.TextOps.lmNorm(col("text")), model) >= bp.toLong)
-          case None => scrubbed
+          case None => spanned
         }
         val curated = CurationOps.curateCorpus(d, floor, threshold)
           .localCheckpoint()

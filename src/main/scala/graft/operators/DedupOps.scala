@@ -1089,7 +1089,19 @@ object DedupOps {
     * At 100 TB the screen exchange dominates and is linear in corpus
     * tokens; the certify stage touches only candidate docs. */
   def exactDuplicatedSpans(d: DataFrame,
-      gram: Int = ExactSpanGram): DataFrame = {
+      gram: Int = ExactSpanGram): DataFrame =
+    mergeTokenSpans(
+      certifiedWindows(d, gram).select(col("doc_id"), col("pos")), gram)
+
+  /** The shared certification core of [[exactDuplicatedSpans]] and
+    * [[removeDuplicatedSpans]]: every token window (doc_id, pos) whose
+    * `gram`-token shingle STRING occurs at least twice in the corpus,
+    * returned WITH the shingle (the removal pass ranks occurrences per
+    * shingle). Stages 1–3 of the operator doc above: positional
+    * shingle-hash postings, the count ≥ 2 hash screen (one 20-byte-row
+    * exchange — the only corpus-sized shuffle), string re-derivation
+    * over candidate docs only. */
+  private def certifiedWindows(d: DataFrame, gram: Int): DataFrame = {
     val toks = d
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= gram)
@@ -1102,13 +1114,69 @@ object DedupOps {
     val candToks = toks.join(cand.select(col("doc_id")).distinct(),
       Seq("doc_id"), "left_semi")
     val byS = Window.partitionBy(col("shingle"))
-    val verified = cand.join(candToks, Seq("doc_id"))
+    cand.join(candToks, Seq("doc_id"))
       .withColumn("shingle",
         array_join(slice(col("toks"), col("pos") + 1, lit(gram)), " "))
       .withColumn("n", count(lit(1)).over(byS))
       .filter(col("n") >= 2)
+      .select(col("doc_id"), col("pos"), col("shingle"))
+  }
+
+  /** Exact-span REMOVAL — the intervention [[exactDuplicatedSpans]]'s
+    * report exists for (Lee et al. 2022: cut every duplicated span,
+    * keeping one occurrence). Policy, stated at window granularity so
+    * it is deterministic and oracle-mirrorable: among all occurrences
+    * of a certified duplicated `gram`-token window, the FIRST in
+    * (doc_id, pos) order survives; every other occurrence marks its
+    * tokens for removal, and the marked windows merge per document
+    * into maximal cut extents (the report's gaps-and-islands). A doc
+    * re-emits its un-cut tokens joined by single spaces (original
+    * casing — only the MATCH is case-folded), so a verbatim slice copy
+    * of an earlier doc comes back EMPTY while its source is untouched,
+    * and an intra-doc repeat keeps its first extent only. Overlap
+    * corner, documented: a token covered by both a kept-first window
+    * and a later duplicate's window is still cut — removal is coverage
+    * of non-first windows, the conservative reading.
+    *
+    * Scale shape: the certification stages are [[certifiedWindows]]
+    * (the screen exchange stays the only corpus-sized shuffle); the
+    * occurrence rank adds a window keyed on the shingle string over
+    * CERTIFIED windows only (duplicated-region rows, a corpus
+    * fraction); the rewrite joins the corpus against per-doc cut
+    * ranges — metadata-sized rows (one row per doc WITH cuts, ~3 ints
+    * per merged extent), BROADCAST by default so the text side never
+    * shuffles (plan-pinned; a stats-blind sort-merge here would
+    * re-exchange the whole corpus to join rows it mostly left-keeps).
+    * `broadcastCuts = false` is the escape hatch for pathological
+    * corpora whose cut metadata outgrows the driver (~100M+ cut docs):
+    * the join falls back to doc-keyed co-partitioning, which the
+    * store's doc-bucketed layout serves without moving the text.
+    * Output: (doc_id, text, removed_tokens). */
+  def removeDuplicatedSpans(d: DataFrame,
+      gram: Int = ExactSpanGram,
+      broadcastCuts: Boolean = true): DataFrame = {
+    val byShingle = Window.partitionBy(col("shingle"))
+      .orderBy(col("doc_id"), col("pos"))
+    val cuts = certifiedWindows(d, gram)
+      .withColumn("rk", row_number().over(byShingle))
+      .filter(col("rk") >= 2)
       .select(col("doc_id"), col("pos"))
-    mergeTokenSpans(verified, gram)
+    val perDoc = mergeTokenSpans(cuts, gram)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("cuts"))
+    d.select(col("doc_id"), col("text"))
+      .join(if (broadcastCuts) broadcast(perDoc) else perDoc,
+        Seq("doc_id"), "left")
+      .withColumn("otoks", split(col("text"), "\\s+"))
+      .withColumn("kept", when(col("cuts").isNull, col("otoks"))
+        .otherwise(expr(
+          "filter(otoks, (t, i) -> NOT exists(cuts, " +
+            "c -> i >= c.s AND i <= c.e))")))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("text"),
+        (size(col("otoks")) - size(col("kept")))
+          .cast("int").as("removed_tokens"))
   }
 
   /** Gaps-and-islands merge of per-document duplicated shingle windows
@@ -1292,6 +1360,80 @@ object DedupOps {
          |  CAST(max(e) AS INTEGER) AS span_end,
          |  CAST(max(e) - min(pos) + 1 AS INTEGER) AS span_tokens
          |FROM grp GROUP BY doc_id, grp_id""".stripMargin
+    })
+
+  /** The removal pass over the same slice-copy-injected corpus: the
+    * oracle recomputes the cut entirely by string ops — certified
+    * windows from shingle strings, keep-first rank per shingle, merged
+    * cut extents, token-level anti-join, string_agg rebuild — so both
+    * sides state the same keep-first contract end-to-end. */
+  val spansRemoved: GraftQuery = GraftQuery(
+    "dedup_spans_removed",
+    (s, dir) => removeDuplicatedSpans(withSpanDups(docs(s, dir))),
+    Some {
+      val g = ExactSpanGram
+      s"""WITH inj AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000,
+         |    substr(text, 41, 160) || ' tail' || CAST(doc_id AS VARCHAR)
+         |  FROM documents WHERE doc_id < 25),
+         |toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+         |  FROM inj),
+         |otoks AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+         |  FROM inj),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, len(t) - $g)) AS pos,
+         |    unnest(list_transform(generate_series(1, len(t) - $g + 1),
+         |      i -> array_to_string(t[i:i+${g - 1}], ' '))) AS s
+         |  FROM toks WHERE len(t) >= $g),
+         |dup AS (
+         |  SELECT doc_id, pos, s FROM sh
+         |  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2)),
+         |nf AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      row_number() OVER (PARTITION BY s
+         |        ORDER BY doc_id, pos) AS rk
+         |    FROM dup) WHERE rk >= 2),
+         |iv AS (SELECT doc_id, pos, pos + ${g - 1} AS e FROM nf),
+         |isl AS (
+         |  SELECT doc_id, pos, e,
+         |    CASE WHEN pos <= max(e) OVER (PARTITION BY doc_id
+         |        ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         |      THEN 0 ELSE 1 END AS brk
+         |  FROM iv),
+         |grp AS (
+         |  SELECT doc_id, pos, e,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS grp_id
+         |  FROM isl),
+         |cuts AS (
+         |  SELECT doc_id, min(pos) AS s0, max(e) AS e0
+         |  FROM grp GROUP BY doc_id, grp_id),
+         |tok AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, len(t) - 1)) AS pos,
+         |    unnest(t) AS tok
+         |  FROM otoks),
+         |kept AS (
+         |  SELECT tk.doc_id, tk.pos, tk.tok FROM tok tk
+         |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+         |    WHERE c.doc_id = tk.doc_id
+         |      AND tk.pos BETWEEN c.s0 AND c.e0)),
+         |ka AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ktext,
+         |    count(*) AS kn
+         |  FROM kept GROUP BY doc_id)
+         |SELECT o.doc_id, coalesce(ka.ktext, '') AS text,
+         |  CAST(len(o.t) - coalesce(ka.kn, 0) AS INTEGER)
+         |    AS removed_tokens
+         |FROM otoks o LEFT JOIN ka ON o.doc_id = ka.doc_id"""
+        .stripMargin
     })
 
   // ---------------------------------------------------------------------
@@ -1595,6 +1737,6 @@ object DedupOps {
   val all: Seq[GraftQuery] =
     Seq(exact, lineDedup, intraDocDedup, minhashLsh, lshRecall,
       incrementalDedup, simhashDedup, ngramJaccard, sharedSpans,
-      exactSpans, exactSpansIncremental, spansIncremental,
+      exactSpans, spansRemoved, exactSpansIncremental, spansIncremental,
       embeddingNearDup)
 }

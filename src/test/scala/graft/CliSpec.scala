@@ -273,6 +273,43 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(back.filter(col("text").contains("<EMAIL>")).count() == 2)
   }
 
+  test("curate --exact-spans cuts the duplicated extent out of the " +
+      "written shards, keeping the first occurrence") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = tempPath("graft-curate-spans")
+    val corpusPath = s"$root/corpus.parquet"
+    val out = s"$root/shards"
+    val g = operators.DedupOps.ExactSpanGram
+    val boiler = (1 to 20).map(i => s"boiler$i").mkString(" ")
+    // docs 0/1 share a 20-token boilerplate run at different offsets;
+    // 30 clean docs pad the corpus
+    val docs = Seq(
+      (0L, s"alpha beta $boiler closing words"),
+      (1L, s"$boiler entirely different trailing content here")) ++
+      (10 until 40).map(i =>
+        (i.toLong, (0 until 16).map(j => s"doc${i}word$j").mkString(" ")))
+    docs.toDF("doc_id", "text").write.parquet(corpusPath)
+    val printed = captured {
+      cli.Main.run(spark, Array("curate",
+        "--input", corpusPath, "--output", out,
+        "--quality-floor-bp", "0", "--near-dup-threshold", "0.95",
+        "--docs-per-shard", "50", "--exact-spans"))
+    }
+    assert(printed.contains("[curate] kept"))
+    val back = spark.read.parquet(out)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 0 (first occurrence) keeps the run; doc 1 loses exactly it
+    assert(back(0L) == s"alpha beta $boiler closing words",
+      s"doc0: ${back(0L)}")
+    assert(back(1L) == "entirely different trailing content here",
+      s"doc1: ${back(1L)}")
+    // clean docs ride through verbatim
+    assert(back(15L) == (0 until 16).map(j => s"doc15word$j")
+      .mkString(" "))
+  }
+
   test("curate --lm-floor-bp drops gibberish while natural text passes") {
     import spark.implicits._
     val root = tempPath("graft-curate-lm")

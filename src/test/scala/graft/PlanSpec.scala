@@ -464,4 +464,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     exs.foreach(cols => assert(!cols.contains("text"),
       s"an exchange carries raw text: $cols"))
   }
+
+  test("span removal: the rewrite joins cut metadata against the " +
+      "corpus without shuffling text — no exchange carries the text " +
+      "column (ranges broadcast at this scale)") {
+    val df = SparkEntry.queries("dedup_spans_removed")(spark, dir)
+    val exs = shuffleOutputs(df)
+    // the certification screen is still the only corpus-sized exchange
+    assert(exs.exists(_.contains("h")),
+      s"no postings exchange found in: $exs")
+    exs.foreach(cols => assert(!cols.contains("text"),
+      s"an exchange carries raw text: $cols"))
+  }
 }

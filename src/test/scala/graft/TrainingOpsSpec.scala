@@ -518,6 +518,73 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(spans.forall(_._4 >= g))
   }
 
+  test("span removal cuts every non-first occurrence, keeps the first, " +
+      "preserves casing and non-duplicated docs verbatim, and is " +
+      "idempotent on the result") {
+    import spark.implicits._
+    val g = DedupOps.ExactSpanGram
+    val shared = (1 to 20).map(i => s"Common$i").mkString(" ")
+    val run = (1 to g).map(i => s"loop$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"one two three $shared tail1 tail2"),
+      (2L, s"$shared other closing words here now"),
+      (3L, "entirely Unrelated text with no span overlap anywhere at " +
+        "all in this document body padding padding2 padding3"),
+      (4L, s"prefix $run middle filler $run suffix"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.removeDuplicatedSpans(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Int]("removed_tokens"))).toMap
+    // doc 1 holds the first occurrence (doc order): untouched, original
+    // casing intact
+    assert(out(1L) == (s"one two three $shared tail1 tail2", 0),
+      s"doc1: ${out(1L)}")
+    // doc 2's copy of the shared 20-token span is cut whole
+    assert(out(2L) == ("other closing words here now", 20),
+      s"doc2: ${out(2L)}")
+    // doc 3 never pairs: verbatim, zero removed
+    assert(out(3L)._2 == 0 && out(3L)._1.contains("Unrelated"),
+      s"doc3: ${out(3L)}")
+    // doc 4's intra-doc repeat keeps its FIRST extent only
+    assert(out(4L) == (s"prefix $run middle filler suffix", g),
+      s"doc4: ${out(4L)}")
+    // idempotence on this corpus: each duplicated window now has one
+    // surviving occurrence, so a second pass removes nothing
+    val again = DedupOps.removeDuplicatedSpans(
+      Seq(1L, 2L, 3L, 4L).map(id => (id, out(id)._1))
+        .toDF("doc_id", "text"))
+      .collect().map(_.getAs[Int]("removed_tokens"))
+    assert(again.forall(_ == 0), s"second pass cut: ${again.toSeq}")
+  }
+
+  test("span removal over the injected corpus: every slice copy loses " +
+      "its whole duplicated extent (only mid-word boundary fragments " +
+      "and its unique tail marker survive), every source doc intact") {
+    val g = DedupOps.ExactSpanGram
+    val out = DedupOps.spansRemoved.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("removed_tokens")))
+    val probes = out.filter(_._1 >= 3000000L)
+    assert(probes.length == 25, s"probes re-emitted: ${probes.length}")
+    // the 160-char slice is ~20+ shared tokens: the duplicated extent
+    // is cut whole (>= the granularity), and what survives is at most
+    // the two boundary fragments + the unique ' tailN' marker — tokens
+    // that belong to NO duplicated window
+    assert(probes.forall(_._3 >= g),
+      s"a slice copy kept its duplicated extent: " +
+        s"${probes.filter(_._3 < g).take(3).toSeq}")
+    assert(probes.forall(
+      _._2.split("\\s+").count(_.nonEmpty) <= 3),
+      s"a slice copy kept more than its boundary fragments: " +
+        s"${probes.filter(_._2.split("\\s+").count(_.nonEmpty) > 3)
+          .take(3).toSeq}")
+    // sources keep their duplicated extents (first occurrence wins) —
+    // their removed counts reflect only inter-source duplication, which
+    // never covers a doc fully
+    val sources = out.filter(_._1 < 25L)
+    assert(sources.forall(_._2.nonEmpty), "a source doc was emptied")
+  }
+
   test("dedup_exact_spans certifies every injected slice copy with a " +
       "span >= the granularity on BOTH sides of the copy") {
     val out = DedupOps.exactSpans.fn(spark, dir).collect()
