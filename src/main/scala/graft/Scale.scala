@@ -193,6 +193,16 @@ object Scale {
         phase("sample_shuffle", k, 1)(q("sample_shuffle")(spark, dir))
       if (want("exact_spans"))
         phase("exact_spans", k, 1)(q("dedup_exact_spans")(spark, dir))
+      // span REMOVAL over the same k x corpus (claim: tracks the
+      // exact_spans curve — the rewrite adds no corpus-sized exchange
+      // beyond the certification screen; the cut metadata broadcasts)
+      // the filter FORCES the rewrite: a bare count() lets Catalyst
+      // eliminate the (unique-keyed) outer join and prune the cut
+      // expressions — measured 0.4 s flat at every k, i.e. nothing
+      if (want("spans_removed"))
+        phase("spans_removed", k, 1)(
+          q("dedup_spans_removed")(spark, dir)
+            .filter(col("removed_tokens") >= 0))
 
       // at-rest index lifecycle: build at k× (linear claim), then probe
       // a FIXED batch (flat claim — manifest prunes unprobed buckets)
@@ -288,6 +298,49 @@ object Scale {
       if (want("vec_probe")) phase("vec_probe", k, 2)(
         graft.store.IndexStore.search(store, spark, "vec", queryBatch,
           graft.streaming.StreamingVectors.DupCos))
+      // at-rest semantic decontamination against the k x pq index
+      // (claim: linear in the corpus CODES column — ~1/50 the embedding
+      // bytes — with the fixed benchmark side broadcast; unit bytes are
+      // fetched for hits only, so wall tracks the codes scan)
+      if (want("decontam_semantic")) phase("decontam_semantic", k, 2)(
+        graft.store.IndexStore.semanticContamination(store, spark,
+          spark.read.parquet(s"$baseDir/embeddings.parquet")
+            .filter(col("vec_id") < 10)
+            .select(col("vec_id").as("eval_id"), col("embedding"))))
+
+      // perceptual dedup at k x synthetic assets, decoded per partition
+      // (claim: one decode+hash scan, linear; shuffles carry 16-byte
+      // hash/band rows only — payload bytes never cross an exchange),
+      // then the at-rest lifecycle: build at k x, probe a FIXED batch
+      // (claim: flat — the probe computes its own band keys and the
+      // manifest prunes every untouched bucket)
+      val assetN = 1500L * k
+      if (want("phash_dedup")) phase("phash_dedup", k, 1)(
+        graft.operators.ImageDedupOps.phashNearDupPairs(
+          graft.operators.ImageDedupOps.imageHashRows(
+            graft.operators.ImageDedupOps.syntheticImageFrame(
+              spark, assetN))))
+      if (want("phash_build")) phase("phash_build", k, 1) {
+        graft.store.IndexStore.build(store, "phash",
+          graft.operators.ImageDedupOps.syntheticImageFrame(spark, assetN))
+        graft.store.IndexStore.read(store, spark, "phash").limit(0)
+      }
+      if (want("phash_probe")) phase("phash_probe", k, 2)(
+        graft.store.IndexStore.search(store, spark, "phash",
+          graft.operators.ImageDedupOps.syntheticImageFrame(spark, 25L)))
+      if (want("afp_dedup")) phase("afp_dedup", k, 1)(
+        graft.operators.AudioDedupOps.afpNearDupPairs(
+          graft.operators.AudioDedupOps.audioHashRows(
+            graft.operators.AudioDedupOps.syntheticAudioFrame(
+              spark, assetN))))
+      if (want("afp_build")) phase("afp_build", k, 1) {
+        graft.store.IndexStore.build(store, "afp",
+          graft.operators.AudioDedupOps.syntheticAudioFrame(spark, assetN))
+        graft.store.IndexStore.read(store, spark, "afp").limit(0)
+      }
+      if (want("afp_probe")) phase("afp_probe", k, 2)(
+        graft.store.IndexStore.search(store, spark, "afp",
+          graft.operators.AudioDedupOps.syntheticAudioFrame(spark, 25L)))
     }
 
     // a phase/point-filtered rerun writes a scratch file — it must never

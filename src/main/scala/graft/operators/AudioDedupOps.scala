@@ -313,6 +313,17 @@ object AudioDedupOps {
     bits
   }
 
+  /** Distributed synthetic audio corpus for the scale sweeps: `n`
+    * deterministic clips, WAV-encoded where the rows live
+    * (per-partition, the [[ImageDedupOps.syntheticImageFrame]]
+    * discipline). */
+  def syntheticAudioFrame(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, 32).as[Long].mapPartitions(_.map { i =>
+      AudioAsset(i, wav16(baseSamples(i), rateOf(i)))
+    }).toDF()
+  }
+
   /** Decode + fingerprint one asset. */
   def fingerprintAsset(a: AudioAsset): AudioFp =
     AudioFp(a.asset_id, afp64(pcmSamples(a.payload)))

@@ -297,6 +297,19 @@ object ImageDedupOps {
     bits
   }
 
+  /** Distributed synthetic image corpus for the scale sweeps: `n`
+    * deterministic smooth renders, ENCODED WHERE THE ROWS LIVE
+    * (per-partition PNG encode — a driver-side loop here would be the
+    * collect anti-pattern the sweep exists to catch). Geometry cycles
+    * the fixture's shapes; content varies by asset id. */
+  def syntheticImageFrame(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, 32).as[Long].mapPartitions(_.map { i =>
+      val (w, h) = geometry((i % 1000L).toInt)
+      ImageAsset(i, encodePng(renderSmooth(i, w, h, 0)))
+    }).toDF()
+  }
+
   /** Decode + hash one asset. */
   def hashAsset(a: ImageAsset): ImageHash =
     ImageHash(a.asset_id, dhash64(MultimodalOps.decodeImage(a.payload)))

@@ -685,32 +685,9 @@ object IndexStore {
         prunedBandIndex(store, spark, probe), th)
     case "phash" =>
       // image near-dup probe: hash the probe batch's own pixels (one
-      // per-partition decode pass), then the band two-level prune —
-      // candidate leaves from the probe's (band, band_key) rows, the
-      // distinct band_key values pushed as a scan filter over the
-      // (band, band_key)-sorted leaves — and a codegen'd bit_count
-      // verify at Hamming <= round(threshold). Like the band/vec
-      // probes there is NO equal-id exclusion: a re-delivered asset
-      // self-matches at Hamming 0, which is what makes a streaming
-      // consumer replay-safe.
-      val probeBands = graft.operators.ImageDedupOps.bandRows(
-        graft.operators.ImageDedupOps.imageHashRows(probe))
-        .localCheckpoint() // decode once: keys collect + join both read it
-      val pIdx = prunedIndex(store, spark, "phash",
-        probeBands.select(col("band_key"), bucketOf("phash").as("b")),
-        "band_key")
-      probeBands
-        .select(col("asset_id").as("new_id"), col("phash").as("h_new"),
-          col("band"), col("band_key"))
-        .join(pIdx.select(col("asset_id").as("existing_id"),
-          col("phash").as("h_ex"), col("band"), col("band_key")),
-          Seq("band", "band_key"))
-        .select(col("new_id"), col("existing_id"), col("h_new"),
-          col("h_ex"))
-        .distinct() // a pair can meet in up to 4 bands
-        .withColumn("hamming", expr("CAST(bit_count(h_new ^ h_ex) AS INT)"))
-        .filter(col("hamming") <= math.round(th).toInt)
-        .select(col("new_id"), col("existing_id"), col("hamming"))
+      // per-partition decode pass), then the hash-rows probe below.
+      phashSearchFromHashes(store, spark,
+        ImageDedupOps.imageHashRows(probe), math.round(th).toInt)
     case "afp" =>
       // audio near-dup probe: fingerprint the probe batch's own PCM
       // (one per-partition decode pass), then the phash band prune +
@@ -824,6 +801,38 @@ object IndexStore {
         idx.select(size(col("unit"))).head().getInt(0), "sketch index")
       SimilarityOps.sketchProbe(flt(idx), probe)
   } }
+
+  /** phash probe from PRE-COMPUTED (asset_id, phash) rows — the body
+    * of `search("phash", ...)`, public so the streaming image gate
+    * ([[graft.streaming.StreamingImages]]) probes with the hashes it
+    * already computed instead of decoding the batch a second time.
+    * The band two-level prune: candidate leaves from the probe's
+    * (band, band_key) rows, the distinct band_key values pushed as a
+    * scan filter over the (band, band_key)-sorted leaves, then a
+    * codegen'd bit_count verify at Hamming <= maxHamming. Like the
+    * band/vec probes there is NO equal-id exclusion: a re-delivered
+    * asset self-matches at Hamming 0, which is what makes a streaming
+    * consumer replay-safe. */
+  def phashSearchFromHashes(store: GraftStore, spark: SparkSession,
+      hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val probeBands = ImageDedupOps.bandRows(hashes)
+      .localCheckpoint() // keys collect + join both read it
+    val pIdx = prunedIndex(store, spark, "phash",
+      probeBands.select(col("band_key"), bucketOf("phash").as("b")),
+      "band_key")
+    probeBands
+      .select(col("asset_id").as("new_id"), col("phash").as("h_new"),
+        col("band"), col("band_key"))
+      .join(pIdx.select(col("asset_id").as("existing_id"),
+        col("phash").as("h_ex"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select(col("new_id"), col("existing_id"), col("h_new"),
+        col("h_ex"))
+      .distinct() // a pair can meet in up to 4 bands
+      .withColumn("hamming", expr("CAST(bit_count(h_new ^ h_ex) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("new_id"), col("existing_id"), col("hamming"))
+  }
 
   /** Loud probe-side dimension check for the vector kinds — the shared
     * [[SimilarityOps.requireDim]] guard over the probe's `embedding`

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.ImageDedupOps
+import graft.store.{GraftStore, IndexStore}
+import graft.streaming.StreamingImages
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming image ingest over the `phash` index: per-batch gates
+  * (intra-batch + cross-batch perceptual dedup), atomic assets+index
+  * commits, exactly-once replay — the [[StreamingImages]] analogue of
+  * StreamingVectorsSpec. */
+class StreamingImagesSpec extends AnyFunSuite with BeforeAndAfterAll
+    with TempDirCleanup {
+
+  lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
+
+  private lazy val assets =
+    ImageDedupOps.imageAssets(ImageDedupOps.NumImages)
+  private def asset(id: Long) = assets.find(_.asset_id == id).get
+
+  private def acceptedIds(store: GraftStore): Set[Long] =
+    StreamingImages.accepted(spark, store)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+
+  test("gates compose: an intra-batch recompressed pair keeps the " +
+      "smaller id, a cross-batch planted dup drops, fresh images " +
+      "survive, and the accepted set and index stay in lockstep") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-simg"))
+    // batch 1: base images 0..9
+    val b1 = assets.filter(_.asset_id < 10).toDF()
+    StreamingImages.processBatch(store, b1)
+    assert(acceptedIds(store) == (0L until 10L).toSet)
+
+    // batch 2: an INTRA-batch near-dup pair (a fresh base image and
+    // its recompressed copy under a larger id — the larger id loses),
+    // a CROSS-batch recompressed copy of accepted image 3 (planted
+    // fixture id 1003 is exactly that transform — drops), and one
+    // fresh image
+    val fresh20 = asset(20L)
+    val b2 = Seq(
+      ImageDedupOps.ImageAsset(200L, fresh20.payload),
+      ImageDedupOps.ImageAsset(201L,
+        asset(1003L).payload.clone()), // copy of image 3 -> cross drop
+      ImageDedupOps.ImageAsset(202L, asset(21L).payload),
+      ImageDedupOps.ImageAsset(203L, // recompress of 202's pixels
+        asset(21L).payload)).toDF()
+    StreamingImages.processBatch(store, b2)
+    val after = acceptedIds(store)
+    assert(after == (0L until 10L).toSet ++ Set(200L, 202L),
+      s"got $after")
+    // index band rows track the accepted set exactly
+    val idxIds = IndexStore.read(store, spark, "phash")
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(idxIds == after)
+  }
+
+  test("a replayed micro-batch commits nothing (exactly-once)") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-simg-replay"))
+    val batch = assets.filter(_.asset_id < 8).toDF()
+    StreamingImages.processBatch(store, batch)
+    val snap1 = store.currentSnapshot()
+    assert(acceptedIds(store) == (0L until 8L).toSet)
+    StreamingImages.processBatch(store, batch)
+    assert(store.currentSnapshot() == snap1,
+      "replay committed a new snapshot")
+    assert(acceptedIds(store) == (0L until 8L).toSet)
+  }
+
+  test("end-to-end stream: two micro-batches through runToAccepted — " +
+      "cross-batch planted transforms drop, survivors accepted once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = new GraftStore(tempDir("graft-simg-e2e"))
+    val ckpt = tempDir("graft-simg-ckpt")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingImages.runToAccepted(
+      mem.toDF().toDF("asset_id", "payload"), store, ckpt)
+    // batch 1: bases 0..5; batch 2: their +2000 brightness variants
+    // (d = 0 against history -> all drop) plus fresh base 6
+    mem.addData((0 until 6).map(i => (i.toLong, asset(i.toLong).payload)))
+    q.processAllAvailable()
+    mem.addData((0 until 6).map(i =>
+      (500L + i, asset(i + 2000L).payload)) :+ (6L, asset(6L).payload))
+    q.processAllAvailable()
+    q.stop()
+    assert(acceptedIds(store) == (0L until 7L).toSet,
+      s"got ${acceptedIds(store)}")
+  }
+}
