@@ -690,27 +690,9 @@ object IndexStore {
         ImageDedupOps.imageHashRows(probe), math.round(th).toInt)
     case "afp" =>
       // audio near-dup probe: fingerprint the probe batch's own PCM
-      // (one per-partition decode pass), then the phash band prune +
-      // bit_count verify at Hamming <= threshold. Same no-equal-id
-      // contract: re-delivered clips self-match at Hamming 0.
-      val probeBands = AudioDedupOps.afpBandRows(
-        AudioDedupOps.audioHashRows(probe))
-        .localCheckpoint() // decode once: keys collect + join both read it
-      val pIdx = prunedIndex(store, spark, "afp",
-        probeBands.select(col("band_key"), bucketOf("afp").as("b")),
-        "band_key")
-      probeBands
-        .select(col("asset_id").as("new_id"), col("afp").as("h_new"),
-          col("band"), col("band_key"))
-        .join(pIdx.select(col("asset_id").as("existing_id"),
-          col("afp").as("h_ex"), col("band"), col("band_key")),
-          Seq("band", "band_key"))
-        .select(col("new_id"), col("existing_id"), col("h_new"),
-          col("h_ex"))
-        .distinct() // a pair can meet in up to 4 bands
-        .withColumn("hamming", expr("CAST(bit_count(h_new ^ h_ex) AS INT)"))
-        .filter(col("hamming") <= math.round(th).toInt)
-        .select(col("new_id"), col("existing_id"), col("hamming"))
+      // (one per-partition decode pass), then the hash-rows probe.
+      afpSearchFromHashes(store, spark,
+        AudioDedupOps.audioHashRows(probe), math.round(th).toInt)
     case "span" =>
       val fps = probe
         .select(explode(graft.functions.Vec.winnow_fps(
@@ -802,6 +784,14 @@ object IndexStore {
       SimilarityOps.sketchProbe(flt(idx), probe)
   } }
 
+  /** afp probe from PRE-COMPUTED (asset_id, afp) rows — the audio
+    * mirror of [[phashSearchFromHashes]], same pruning and the same
+    * no-equal-id replay-safety contract. */
+  def afpSearchFromHashes(store: GraftStore, spark: SparkSession,
+      hashes: DataFrame, maxHamming: Int): DataFrame =
+    bandedSearchFromHashes(store, spark, "afp",
+      AudioDedupOps.afpBandRows(hashes), maxHamming)
+
   /** phash probe from PRE-COMPUTED (asset_id, phash) rows — the body
     * of `search("phash", ...)`, public so the streaming image gate
     * ([[graft.streaming.StreamingImages]]) probes with the hashes it
@@ -814,17 +804,32 @@ object IndexStore {
     * asset self-matches at Hamming 0, which is what makes a streaming
     * consumer replay-safe. */
   def phashSearchFromHashes(store: GraftStore, spark: SparkSession,
-      hashes: DataFrame, maxHamming: Int): DataFrame = {
-    val probeBands = ImageDedupOps.bandRows(hashes)
+      hashes: DataFrame, maxHamming: Int): DataFrame =
+    bandedSearchFromHashes(store, spark, "phash",
+      ImageDedupOps.bandRows(hashes), maxHamming)
+
+  /** The shared probe body of the banded perceptual kinds: prune the
+    * at-rest leaves from the probe's own (band, band_key) rows, push
+    * the distinct keys as a scan filter, verify with a codegen'd
+    * bit_count at Hamming <= maxHamming. `probeBands` must carry
+    * (asset_id, <hash col>, band, band_key) — the hash column is
+    * whatever non-key column remains (phash / afp), detected here so
+    * both kinds share one body. */
+  private def bandedSearchFromHashes(store: GraftStore,
+      spark: SparkSession, kind: String, bands: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val hashCol = bands.columns
+      .filterNot(Set("asset_id", "band", "band_key")).head
+    val probeBands = bands
       .localCheckpoint() // keys collect + join both read it
-    val pIdx = prunedIndex(store, spark, "phash",
-      probeBands.select(col("band_key"), bucketOf("phash").as("b")),
+    val pIdx = prunedIndex(store, spark, kind,
+      probeBands.select(col("band_key"), bucketOf(kind).as("b")),
       "band_key")
     probeBands
-      .select(col("asset_id").as("new_id"), col("phash").as("h_new"),
+      .select(col("asset_id").as("new_id"), col(hashCol).as("h_new"),
         col("band"), col("band_key"))
       .join(pIdx.select(col("asset_id").as("existing_id"),
-        col("phash").as("h_ex"), col("band"), col("band_key")),
+        col(hashCol).as("h_ex"), col("band"), col("band_key")),
         Seq("band", "band_key"))
       .select(col("new_id"), col("existing_id"), col("h_new"),
         col("h_ex"))

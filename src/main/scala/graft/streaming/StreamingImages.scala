@@ -1,17 +1,16 @@
 package graft.streaming
 
-import graft.operators.{DedupOps, ImageDedupOps}
+import graft.operators.ImageDedupOps
 import graft.store.{GraftStore, IndexStore}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Streaming image ingest with perceptual near-dup dedup — the
   * [[StreamingVectors]] shape applied to the image modality, completing
   * the batch / incremental / at-rest symmetry the other modalities
   * have: a readStream of (asset_id, payload) rows passes per-batch
-  * gates and the survivors land in the store atomically with their
-  * `phash` index band rows.
+  * gates ([[PerceptualGate]]) and the survivors land in the store
+  * atomically with their `phash` index band rows.
   *
   * Gates per batch:
   *  1. decode + dHash ONCE per batch, per partition
@@ -35,8 +34,7 @@ import org.apache.spark.sql.functions._
   * Exactly-once under foreachBatch replay, by the vector gate's
   * argument: survivors and their band rows commit in ONE snapshot
   * swap, and a replayed batch self-matches its first run's index rows
-  * at Hamming 0 (identical bytes hash identically; the probe has no
-  * equal-id exclusion), so the replay commits nothing. */
+  * at Hamming 0, so the replay commits nothing. */
 object StreamingImages {
 
   /** Manifest table holding the accepted (asset_id, payload) rows. */
@@ -44,36 +42,13 @@ object StreamingImages {
 
   /** One micro-batch: gate, then commit survivors + their `phash`
     * band rows in one atomic snapshot. */
-  def processBatch(store: GraftStore, batch: DataFrame): Unit = {
-    val spark = batch.sparkSession
-    val hashes = ImageDedupOps.imageHashRows(batch)
-      .localCheckpoint() // ONE decode: pair join, probe, stage all reuse
-    val intraLosers = ImageDedupOps.phashNearDupPairs(hashes)
-      .select(col("id_b").as("asset_id")).distinct()
-    val intra = hashes.join(intraLosers, Seq("asset_id"), "left_anti")
-      .localCheckpoint()
-    val crossLosers =
-      if (store.leavesOf(IndexStore.tableOf("phash")).isEmpty)
-        intra.select(col("asset_id")).limit(0)
-      else IndexStore.phashSearchFromHashes(store, spark, intra,
-        ImageDedupOps.MaxHamming)
-        .select(col("new_id").as("asset_id")).distinct()
-    val survivors = intra.join(crossLosers, Seq("asset_id"), "left_anti")
-      .localCheckpoint()
-    // payloads are fetched for SURVIVORS only, at the commit boundary —
-    // the store write is the first (and only) exchange payload bytes
-    // cross, and writing the data is moving it
-    val adds = store.stageKeyed(AcceptedTable,
-      batch.join(survivors.select(col("asset_id")),
-        Seq("asset_id"), "left_semi"),
-      pmod(xxhash64(col("asset_id")), lit(IndexStore.Buckets.toLong)),
-      Seq(col("asset_id"))) ++
-      IndexStore.stageRows(store, "phash",
-        DedupOps.capBuckets(ImageDedupOps.bandRows(survivors),
-          Seq("band", "band_key"), DedupOps.MaxBucketSize))
-    if (adds.nonEmpty)
-      store.commit(adds, meta = IndexStore.formatMeta("phash"))
-  }
+  def processBatch(store: GraftStore, batch: DataFrame): Unit =
+    PerceptualGate.processBatch(store, batch, "phash", AcceptedTable,
+      ImageDedupOps.imageHashRows,
+      ImageDedupOps.phashNearDupPairs,
+      hashes => IndexStore.phashSearchFromHashes(store,
+        batch.sparkSession, hashes, ImageDedupOps.MaxHamming),
+      ImageDedupOps.bandRows)
 
   /** The full pipeline: a streaming (asset_id, payload) frame driven
     * through [[processBatch]] per micro-batch. The `phash` index is
