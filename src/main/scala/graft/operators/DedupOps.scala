@@ -1161,7 +1161,18 @@ object DedupOps {
       .withColumn("rk", row_number().over(byShingle))
       .filter(col("rk") >= 2)
       .select(col("doc_id"), col("pos"))
-    val perDoc = mergeTokenSpans(cuts, gram)
+    applyCuts(d, mergeTokenSpans(cuts, gram), broadcastCuts)
+  }
+
+  /** Cut `ranges` (doc_id, span_start, span_end) out of `d`'s token
+    * streams — the shared rewrite tail of [[removeDuplicatedSpans]]
+    * and [[removeIncrementalSpans]]: per-doc ranges collect to a
+    * metadata frame (broadcast by default — text never shuffles), the
+    * token filter is a codegen'd higher-order expression, and the doc
+    * re-emits its kept tokens joined by single spaces. */
+  private def applyCuts(d: DataFrame, ranges: DataFrame,
+      broadcastCuts: Boolean): DataFrame = {
+    val perDoc = ranges
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("cuts"))
@@ -1178,6 +1189,21 @@ object DedupOps {
         (size(col("otoks")) - size(col("kept")))
           .cast("int").as("removed_tokens"))
   }
+
+  /** Span removal AT INGEST: cut from the NEW documents every extent
+    * that already exists verbatim in the indexed corpus
+    * ([[incrementalExactSpans]] certifies; this consumes). The
+    * keep-first policy degenerates cleanly here — history IS earlier,
+    * so every history-duplicated probe window is a non-first occurrence
+    * and is cut; extents duplicated only WITHIN the new batch are the
+    * batch operator's job ([[removeDuplicatedSpans]] over the batch, or
+    * the next compaction). Returns the cleaned probe docs:
+    * (doc_id, text, removed_tokens). */
+  def removeIncrementalSpans(newDocs: DataFrame, index: DataFrame,
+      corpus: DataFrame, gram: Int = ExactSpanGram,
+      broadcastCuts: Boolean = true): DataFrame =
+    applyCuts(newDocs,
+      incrementalExactSpans(newDocs, index, corpus, gram), broadcastCuts)
 
   /** Gaps-and-islands merge of per-document duplicated shingle windows
     * [pos, pos + gram − 1] into maximal spans — the shared tail of the
@@ -1311,6 +1337,86 @@ object DedupOps {
          |  CAST(max(e) AS INTEGER) AS span_end,
          |  CAST(max(e) - min(pos) + 1 AS INTEGER) AS span_tokens
          |FROM grp GROUP BY doc_id, grp_id""".stripMargin
+    })
+
+  /** The ingest-time removal, hash-oracled like its batch twin: slice
+    * copies probed against the base corpus's postings index, their
+    * history-duplicated extents cut, the cleaned probes re-emitted.
+    * The oracle mirrors probe-vs-history certification (windows whose
+    * shingle string exists ANYWHERE in the base corpus) and recomputes
+    * the cut by string ops. */
+  val spansRemovedIncremental: GraftQuery = GraftQuery(
+    "dedup_spans_removed_incremental",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val index = buildExactSpanIndex(d).localCheckpoint()
+      removeIncrementalSpans(sliceCopies(d), index, d)
+    },
+    Some {
+      val g = ExactSpanGram
+      s"""WITH probe AS (
+         |  SELECT doc_id + 3000000 AS doc_id,
+         |    substr(text, 41, 160) || ' tail' || CAST(doc_id AS VARCHAR)
+         |      AS text
+         |  FROM documents WHERE doc_id < 25),
+         |bt AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+         |  FROM documents),
+         |bs AS (
+         |  SELECT DISTINCT
+         |    unnest(list_transform(generate_series(1, len(t) - $g + 1),
+         |      i -> array_to_string(t[i:i+${g - 1}], ' '))) AS s
+         |  FROM bt WHERE len(t) >= $g),
+         |pt AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+         |  FROM probe),
+         |po AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+         |  FROM probe),
+         |ps AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, len(t) - $g)) AS pos,
+         |    unnest(list_transform(generate_series(1, len(t) - $g + 1),
+         |      i -> array_to_string(t[i:i+${g - 1}], ' '))) AS s
+         |  FROM pt WHERE len(t) >= $g),
+         |dup AS (
+         |  SELECT doc_id, pos FROM ps
+         |  WHERE s IN (SELECT s FROM bs)),
+         |iv AS (SELECT doc_id, pos, pos + ${g - 1} AS e FROM dup),
+         |isl AS (
+         |  SELECT doc_id, pos, e,
+         |    CASE WHEN pos <= max(e) OVER (PARTITION BY doc_id
+         |        ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         |      THEN 0 ELSE 1 END AS brk
+         |  FROM iv),
+         |grp AS (
+         |  SELECT doc_id, pos, e,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS grp_id
+         |  FROM isl),
+         |cuts AS (
+         |  SELECT doc_id, min(pos) AS s0, max(e) AS e0
+         |  FROM grp GROUP BY doc_id, grp_id),
+         |tok AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, len(t) - 1)) AS pos,
+         |    unnest(t) AS tok
+         |  FROM po),
+         |kept AS (
+         |  SELECT tk.doc_id, tk.pos, tk.tok FROM tok tk
+         |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+         |    WHERE c.doc_id = tk.doc_id
+         |      AND tk.pos BETWEEN c.s0 AND c.e0)),
+         |ka AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ktext,
+         |    count(*) AS kn
+         |  FROM kept GROUP BY doc_id)
+         |SELECT o.doc_id, coalesce(ka.ktext, '') AS text,
+         |  CAST(len(o.t) - coalesce(ka.kn, 0) AS INTEGER)
+         |    AS removed_tokens
+         |FROM po o LEFT JOIN ka ON o.doc_id = ka.doc_id"""
+        .stripMargin
     })
 
   /** The certification layer, hash-oracled over the same
@@ -1737,6 +1843,6 @@ object DedupOps {
   val all: Seq[GraftQuery] =
     Seq(exact, lineDedup, intraDocDedup, minhashLsh, lshRecall,
       incrementalDedup, simhashDedup, ngramJaccard, sharedSpans,
-      exactSpans, spansRemoved, exactSpansIncremental, spansIncremental,
-      embeddingNearDup)
+      exactSpans, spansRemoved, exactSpansIncremental,
+      spansRemovedIncremental, spansIncremental, embeddingNearDup)
 }

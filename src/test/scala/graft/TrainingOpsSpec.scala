@@ -585,6 +585,33 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(sources.forall(_._2.nonEmpty), "a source doc was emptied")
   }
 
+  test("incremental span removal cuts each probe's history-duplicated " +
+      "extent and never cuts more than the batch pass would") {
+    val g = DedupOps.ExactSpanGram
+    val inc = DedupOps.spansRemovedIncremental.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Int]("removed_tokens"))).toMap
+    assert(inc.size == 25, s"probes re-emitted: ${inc.size}")
+    // every probe loses its whole history-duplicated extent; only
+    // boundary fragments + the unique tail marker survive
+    assert(inc.values.forall(_._2 >= g),
+      s"a probe kept its duplicated extent: ${
+        inc.filter(_._2._2 < g).take(3)}")
+    assert(inc.values.forall(_._1.split("\\s+").count(_.nonEmpty) <= 3),
+      s"a probe kept more than fragments: ${
+        inc.filter(_._2._1.split("\\s+").count(_.nonEmpty) > 3).take(3)}")
+    // the batch pass cuts at least as much per probe (it additionally
+    // cuts probe-internal duplicates — the incremental contract leaves
+    // those to the batch operator)
+    val batch = DedupOps.spansRemoved.fn(spark, dir).collect()
+      .filter(_.getAs[Long]("doc_id") >= 3000000L)
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Int]("removed_tokens")).toMap
+    assert(inc.forall { case (id, (_, n)) => n <= batch(id) },
+      s"incremental cut more than batch: ${
+        inc.filter { case (id, (_, n)) => n > batch(id) }.take(3)}")
+  }
+
   test("dedup_exact_spans certifies every injected slice copy with a " +
       "span >= the granularity on BOTH sides of the copy") {
     val out = DedupOps.exactSpans.fn(spark, dir).collect()
