@@ -403,5 +403,40 @@ object AudioDedupOps {
         .stripMargin
     })
 
-  val all: Seq[GraftQuery] = Seq(audioDedup)
+  /** Near-dup clusters over the audio pair report — the
+    * [[ImageDedupOps.phashClusters]] shape for the audio modality:
+    * banded pairs → neighbor-min closure, recursive-CTE oracle over
+    * the identical band-OR edge set. */
+  val audioClusters: GraftQuery = GraftQuery(
+    "multimodal_audio_clusters",
+    (s, _) => CurationOps.connectedComponents(
+      afpNearDupPairs(audioFingerprints(s, NumClips))
+        .select(col("id_a"), col("id_b"))),
+    Some {
+      val rows = oracleFps
+        .map(x => s"(CAST(${x.asset_id} AS BIGINT), " +
+          s"CAST(${x.afp} AS BIGINT))")
+        .mkString(", ")
+      val bandMatch = (0 until NumBands)
+        .map(k => s"((a.afp >> ${(NumBands - 1 - k) * 16}) & 65535) = " +
+          s"((b.afp >> ${(NumBands - 1 - k) * 16}) & 65535)")
+        .mkString(" OR ")
+      s"""WITH RECURSIVE h(asset_id, afp) AS (VALUES $rows),
+         |edges AS (
+         |  SELECT a.asset_id AS ia, b.asset_id AS ib
+         |  FROM h a JOIN h b ON a.asset_id < b.asset_id
+         |  WHERE bit_count(xor(a.afp, b.afp)) <= $MaxHamming
+         |    AND ($bandMatch)),
+         |und AS (SELECT ia AS a, ib AS b FROM edges
+         |        UNION SELECT ib, ia FROM edges),
+         |reach AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+         |SELECT a AS node, least(a, min(b)) AS comp
+         |FROM reach GROUP BY a"""
+        .stripMargin
+    })
+
+  val all: Seq[GraftQuery] = Seq(audioDedup, audioClusters)
 }

@@ -401,5 +401,44 @@ object ImageDedupOps {
         .stripMargin
     })
 
-  val all: Seq[GraftQuery] = Seq(phashDedup)
+  /** Near-dup CLUSTERS over the pair report — the operational form of
+    * image dedup (keep one witness per component, drop the rest): the
+    * banded pairs feed the family's neighbor-min transitive closure
+    * ([[CurationOps.connectedComponents]] — one shuffle per round,
+    * O(diameter) rounds, no pair explosion). Every planted quadruple
+    * {i, i+1000, i+2000, i+3000} must collapse to component i. The
+    * oracle recomputes the closure as a recursive CTE over the SAME
+    * band-OR edge set (the `dedup_clusters` precedent). */
+  val phashClusters: GraftQuery = GraftQuery(
+    "multimodal_phash_clusters",
+    (s, _) => CurationOps.connectedComponents(
+      phashNearDupPairs(imageHashes(s, NumImages))
+        .select(col("id_a"), col("id_b"))),
+    Some {
+      val rows = oracleHashes
+        .map(x => s"(CAST(${x.asset_id} AS BIGINT), " +
+          s"CAST(${x.phash} AS BIGINT))")
+        .mkString(", ")
+      val bandMatch = (0 until NumBands)
+        .map(k => s"((a.phash >> ${(NumBands - 1 - k) * 16}) & 65535) = " +
+          s"((b.phash >> ${(NumBands - 1 - k) * 16}) & 65535)")
+        .mkString(" OR ")
+      s"""WITH RECURSIVE h(asset_id, phash) AS (VALUES $rows),
+         |edges AS (
+         |  SELECT a.asset_id AS ia, b.asset_id AS ib
+         |  FROM h a JOIN h b ON a.asset_id < b.asset_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= $MaxHamming
+         |    AND ($bandMatch)),
+         |und AS (SELECT ia AS a, ib AS b FROM edges
+         |        UNION SELECT ib, ia FROM edges),
+         |reach AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+         |SELECT a AS node, least(a, min(b)) AS comp
+         |FROM reach GROUP BY a"""
+        .stripMargin
+    })
+
+  val all: Seq[GraftQuery] = Seq(phashDedup, phashClusters)
 }

@@ -109,6 +109,20 @@ class AudioDedupSpec extends AnyFunSuite with BeforeAndAfterAll
         s"planted pair ($i, ${i + off}) missed")
   }
 
+  test("afp clusters: every planted quadruple collapses to one " +
+      "component labeled by its base clip") {
+    val comps = AudioDedupOps.audioClusters.fn(spark, "").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    for (i <- 0 until AudioDedupOps.DupSeeds;
+         off <- Seq(0L, 1000L, 2000L, 3000L))
+      assert(comps.get(i + off).contains(i.toLong),
+        s"asset ${i + off}: ${comps.get(i + off)} != $i")
+    val baseComps = (0 until AudioDedupOps.DupSeeds)
+      .map(i => comps(i.toLong))
+    assert(baseComps.distinct.size == baseComps.size,
+      s"two planted quadruples merged: $baseComps")
+  }
+
   test("at-rest afp index: build/append/probe lifecycle finds a " +
       "re-encoded copy without re-decoding history, replays " +
       "self-match at Hamming 0, default threshold is kind-aware") {

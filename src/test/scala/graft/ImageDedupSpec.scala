@@ -60,6 +60,21 @@ class ImageDedupSpec extends AnyFunSuite with BeforeAndAfterAll
           "would be vacuous")
   }
 
+  test("phash clusters: every planted quadruple collapses to one " +
+      "component labeled by its base image") {
+    val comps = ImageDedupOps.phashClusters.fn(spark, "").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    for (i <- 0 until ImageDedupOps.DupSeeds;
+         off <- Seq(0L, 1000L, 2000L, 3000L))
+      assert(comps.get(i + off).contains(i.toLong),
+        s"asset ${i + off}: ${comps.get(i + off)} != $i")
+    // no cross-seed merge: distinct bases never share a component
+    val baseComps = (0 until ImageDedupOps.DupSeeds)
+      .map(i => comps(i.toLong))
+    assert(baseComps.distinct.size == baseComps.size,
+      s"two planted quadruples merged: $baseComps")
+  }
+
   test("phash search default threshold is kind-aware: omitting it " +
       "means MaxHamming, so a resized copy at Hamming > 0 is found") {
     import spark.implicits._
