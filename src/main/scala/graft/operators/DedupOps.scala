@@ -1129,9 +1129,10 @@ object DedupOps {
     * of a certified duplicated `gram`-token window, the FIRST in
     * (doc_id, pos) order survives; every other occurrence marks its
     * tokens for removal, and the marked windows merge per document
-    * into maximal cut extents (the report's gaps-and-islands). A doc
-    * re-emits its un-cut tokens joined by single spaces (original
-    * casing — only the MATCH is case-folded), so a verbatim slice copy
+    * into maximal cut extents (the report's gaps-and-islands). A CUT doc
+    * re-emits its surviving tokens joined by single spaces (original
+    * casing — only the MATCH is case-folded); an un-cut doc passes
+    * through verbatim. A verbatim slice copy
     * of an earlier doc comes back EMPTY while its source is untouched,
     * and an intra-doc repeat keeps its first extent only. Overlap
     * corner, documented: a token covered by both a kept-first window
@@ -1184,9 +1185,13 @@ object DedupOps {
         .otherwise(expr(
           "filter(otoks, (t, i) -> NOT exists(cuts, " +
             "c -> i >= c.s AND i <= c.e))")))
+      // an un-cut doc passes through VERBATIM (null text, tabs, runs of
+      // spaces all preserved — the operator touches nothing it does not
+      // cut); only docs with cut extents are re-joined on single spaces
       .select(col("doc_id"),
-        array_join(col("kept"), " ").as("text"),
-        (size(col("otoks")) - size(col("kept")))
+        when(col("cuts").isNull, col("text"))
+          .otherwise(array_join(col("kept"), " ")).as("text"),
+        coalesce(size(col("otoks")) - size(col("kept")), lit(0))
           .cast("int").as("removed_tokens"))
   }
 
@@ -1412,10 +1417,17 @@ object DedupOps {
          |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ktext,
          |    count(*) AS kn
          |  FROM kept GROUP BY doc_id)
-         |SELECT o.doc_id, coalesce(ka.ktext, '') AS text,
-         |  CAST(len(o.t) - coalesce(ka.kn, 0) AS INTEGER)
+         |SELECT p.doc_id,
+         |  CASE WHEN cd.doc_id IS NULL THEN p.text
+         |    ELSE coalesce(ka.ktext, '') END AS text,
+         |  CAST(CASE WHEN cd.doc_id IS NULL THEN 0
+         |    ELSE len(o.t) - coalesce(ka.kn, 0) END AS INTEGER)
          |    AS removed_tokens
-         |FROM po o LEFT JOIN ka ON o.doc_id = ka.doc_id"""
+         |FROM probe p
+         |LEFT JOIN po o ON p.doc_id = o.doc_id
+         |LEFT JOIN (SELECT DISTINCT doc_id FROM cuts) cd
+         |  ON p.doc_id = cd.doc_id
+         |LEFT JOIN ka ON p.doc_id = ka.doc_id"""
         .stripMargin
     })
 
@@ -1535,10 +1547,17 @@ object DedupOps {
          |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ktext,
          |    count(*) AS kn
          |  FROM kept GROUP BY doc_id)
-         |SELECT o.doc_id, coalesce(ka.ktext, '') AS text,
-         |  CAST(len(o.t) - coalesce(ka.kn, 0) AS INTEGER)
+         |SELECT i.doc_id,
+         |  CASE WHEN cd.doc_id IS NULL THEN i.text
+         |    ELSE coalesce(ka.ktext, '') END AS text,
+         |  CAST(CASE WHEN cd.doc_id IS NULL THEN 0
+         |    ELSE len(o.t) - coalesce(ka.kn, 0) END AS INTEGER)
          |    AS removed_tokens
-         |FROM otoks o LEFT JOIN ka ON o.doc_id = ka.doc_id"""
+         |FROM inj i
+         |LEFT JOIN otoks o ON i.doc_id = o.doc_id
+         |LEFT JOIN (SELECT DISTINCT doc_id FROM cuts) cd
+         |  ON i.doc_id = cd.doc_id
+         |LEFT JOIN ka ON i.doc_id = ka.doc_id"""
         .stripMargin
     })
 

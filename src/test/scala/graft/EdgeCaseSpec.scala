@@ -51,6 +51,27 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.toSet == Set((5L, 6L), (6L, 5L)))
   }
 
+  test("span removal passes degenerates and un-cut docs through " +
+      "VERBATIM (null, empty, whitespace, single glyph) and cuts the " +
+      "verbatim dup whole") {
+    val out = DedupOps.removeDuplicatedSpans(dirty).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Int]("removed_tokens"))).toMap
+    assert(out.size == 6)
+    assert(out(1L) == ((null, 0)), s"null doc: ${out(1L)}")
+    assert(out(2L) == (("", 0)), s"empty doc: ${out(2L)}")
+    assert(out(3L) == (("   \t  ", 0)),
+      s"whitespace doc must survive untouched: ${out(3L)}")
+    assert(out(4L) == (("x", 0)), s"single glyph: ${out(4L)}")
+    // doc 5 holds the first occurrence: verbatim; doc 6 is an exact
+    // copy: every window is non-first, the whole doc is cut
+    assert(out(5L)._2 == 0 && out(5L)._1.startsWith("the quick"),
+      s"doc5: ${out(5L)}")
+    assert(out(6L)._1.isEmpty &&
+      out(6L)._2 == out(5L)._1.split("\\s+").length,
+      s"doc6: ${out(6L)}")
+  }
+
   test("curation pipeline drops degenerates at the floor, collapses the dup") {
     val out = CurationOps.curateCorpus(dirty).collect()
     val ids = out.map(_.getAs[Long]("doc_id")).toSet
