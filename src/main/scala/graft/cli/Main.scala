@@ -434,6 +434,65 @@ object Main {
           println(s"[curate] wrote _stats sidecar covering $audited shards")
         }
 
+      case Some("assets") =>
+        // perceptual batch dedup for the binary modalities — the
+        // `curate` analogue for image/audio assets:
+        //   assets dedup --kind phash|afp --input a.parquet --output out
+        //       [--report pairs|clusters]
+        // default (no --report): write the DEDUPED SURVIVORS — one
+        // witness (the min asset_id) per near-dup component plus every
+        // unclustered asset; --report pairs / clusters writes the
+        // intermediate frames instead. Decode+fingerprint runs once,
+        // per partition; payload bytes reach only the survivor write.
+        import org.apache.spark.sql.functions.col
+        args.lift(1) match {
+          case Some("dedup") =>
+            val kind = opt("kind")
+              .getOrElse(sys.error("--kind required (phash|afp)"))
+            val in = spark.read.parquet(opt("input")
+              .getOrElse(sys.error("--input required")))
+            val out = opt("output")
+              .getOrElse(sys.error("--output required"))
+            import graft.operators.{AudioDedupOps, ImageDedupOps}
+            val pairs = (kind match {
+              case "phash" => ImageDedupOps.phashNearDupPairs(
+                ImageDedupOps.imageHashRows(in))
+              case "afp" => AudioDedupOps.afpNearDupPairs(
+                AudioDedupOps.audioHashRows(in))
+              case other => sys.error(
+                s"assets dedup: unknown kind '$other' (phash|afp)")
+            }).localCheckpoint() // pairs feed report AND closure
+            opt("report") match {
+              case Some("pairs") =>
+                pairs.write.mode("overwrite").parquet(out)
+                println(s"[assets] wrote ${pairs.count()} near-dup " +
+                  s"pair(s) to $out")
+              case Some("clusters") =>
+                val comps = graft.operators.CurationOps
+                  .connectedComponents(pairs.select("id_a", "id_b"))
+                comps.write.mode("overwrite").parquet(out)
+                println(s"[assets] wrote ${comps.count()} clustered " +
+                  s"node(s) to $out")
+              case None =>
+                val losers = graft.operators.CurationOps
+                  .connectedComponents(pairs.select("id_a", "id_b"))
+                  .filter(col("node") =!= col("comp"))
+                  .select(col("node").as("asset_id"))
+                  .localCheckpoint() // counted and anti-joined
+                val survivors = in.join(losers, Seq("asset_id"),
+                  "left_anti")
+                survivors.write.mode("overwrite").parquet(out)
+                println(s"[assets] wrote ${survivors.count()} " +
+                  s"survivor(s) to $out (dropped ${losers.count()} " +
+                  "near-duplicate(s), one witness kept per cluster)")
+              case Some(other) => sys.error(
+                s"assets dedup: unknown --report '$other' " +
+                  "(pairs|clusters)")
+            }
+          case other =>
+            sys.error(s"usage: assets dedup ... (got $other)")
+        }
+
       case Some("index") =>
         // persisted-index lifecycle over the store manifest (IndexStore):
         //   index build  --store S --kind band|span|sketch|ivf|pq|ivfpq|vec --input in.parquet
@@ -678,8 +737,8 @@ object Main {
         }
 
       case other =>
-        sys.error(s"usage: export|view|verify|curate|index|store ... " +
-          s"(got $other)")
+        sys.error(s"usage: export|view|verify|curate|assets|index|store " +
+          s"... (got $other)")
     }
   }
 }

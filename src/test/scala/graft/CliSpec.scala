@@ -273,6 +273,37 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(back.filter(col("text").contains("<EMAIL>")).count() == 2)
   }
 
+  test("assets dedup keeps one witness per perceptual cluster and " +
+      "writes reports on request") {
+    import spark.implicits._
+    import graft.operators.ImageDedupOps
+    val root = tempPath("graft-assets")
+    val in = s"$root/assets.parquet"
+    val out = s"$root/deduped"
+    ImageDedupOps.imageAssets(ImageDedupOps.NumImages).toDF()
+      .write.parquet(in)
+    val printed = captured {
+      cli.Main.run(spark, Array("assets", "dedup",
+        "--kind", "phash", "--input", in, "--output", out))
+    }
+    assert(printed.contains("survivor(s)"), printed)
+    val ids = spark.read.parquet(out)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    // every planted variant drops; its base (the min of the cluster)
+    // survives, as does every unclustered base
+    assert(ids == (0 until ImageDedupOps.NumImages).map(_.toLong).toSet,
+      s"got $ids")
+    // cluster report: every planted quadruple labeled by its base
+    val cOut = s"$root/clusters"
+    cli.Main.run(spark, Array("assets", "dedup",
+      "--kind", "phash", "--input", in, "--output", cOut,
+      "--report", "clusters"))
+    val comps = spark.read.parquet(cOut).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    for (i <- 0 until ImageDedupOps.DupSeeds)
+      assert(comps(i + 3000L) == i.toLong, s"${comps.get(i + 3000L)}")
+  }
+
   test("curate --exact-spans cuts the duplicated extent out of the " +
       "written shards, keeping the first occurrence") {
     import org.apache.spark.sql.functions._
