@@ -569,10 +569,19 @@ object Main {
               else 0.4
             // --filter 'label = 3': attribute predicate over columns
             // the index rows carry (filtered ANN) — pushed to the
-            // index scan, composes with bucket/cell pruning
-            val hits = IndexStore.search(store, spark, kind, input,
-              opt("threshold").map(_.toDouble).getOrElse(defaultThreshold),
-              opt("filter").map(org.apache.spark.sql.functions.expr))
+            // index scan, composes with bucket/cell pruning. The espan
+            // kind certifies against corpus TEXT (--corpus), fetched
+            // for candidate docs only.
+            val hits =
+              if (kind == "espan")
+                IndexStore.searchExactSpans(store, spark, input,
+                  spark.read.parquet(opt("corpus").getOrElse(sys.error(
+                    "index search --kind espan needs --corpus " +
+                      "<docs.parquet> for the string certification"))))
+              else IndexStore.search(store, spark, kind, input,
+                opt("threshold").map(_.toDouble)
+                  .getOrElse(defaultThreshold),
+                opt("filter").map(org.apache.spark.sql.functions.expr))
             opt("output") match {
               case Some(out) =>
                 hits.write.mode("overwrite").parquet(out)

@@ -45,6 +45,11 @@ import org.apache.spark.sql.functions._
   *    prune applied to images. Probe input is binary (asset_id,
   *    payload); decode+hash runs per partition on the probe side only
   *    (history pixels are never re-decoded).
+  *  - `espan`  — exact positional shingle-hash postings
+  *    ([[DedupOps.buildExactSpanIndex]]), probed by
+  *    [[searchExactSpans]] — ingest-time exact-span certification
+  *    without re-shingling history (corpus text read for candidate
+  *    docs only).
   *  - `afp`    — audio perceptual-fingerprint near-dup index
   *    ([[AudioDedupOps]] 64-bit integer PCM fingerprint), stored and
   *    probed exactly like `phash`: 4×16-bit band rows, (band,
@@ -80,7 +85,7 @@ object IndexStore {
   val Buckets = 64
 
   val Kinds = Seq("band", "span", "sketch", "ivf", "pq", "ivfpq", "vec",
-    "phash", "afp")
+    "phash", "afp", "espan")
 
   /** Hash/projection family version stamped into the store manifest by
     * every index commit. The round-9 migration changed the signature
@@ -180,6 +185,7 @@ object IndexStore {
     case "vec" => "vec_index"
     case "phash" => "phash_index"
     case "afp" => "afp_index"
+    case "espan" => "espan_index"
     case other => sys.error(s"unknown index kind '$other' " +
       s"(expected one of ${Kinds.mkString("|")})")
   }
@@ -196,6 +202,9 @@ object IndexStore {
     case "band" | "phash" | "afp" =>
       pmod(xxhash64(col("band"), col("band_key")), lit(Buckets))
     case "span" => pmod(col("fp"), lit(Buckets))
+    // exact positional postings: bucket by the shingle hash itself, so
+    // a probe batch's own hashes name its candidate leaves
+    case "espan" => pmod(col("h"), lit(Buckets))
     case "ivf" | "ivfpq" => col("cell")
     // content-keyed: a probe computes its own sign buckets, so untouched
     // leaves are never listed (band/span discipline for vectors). The
@@ -211,6 +220,7 @@ object IndexStore {
   private def sortOf(kind: String): Seq[Column] = kind match {
     case "band" | "phash" | "afp" => Seq(col("band"), col("band_key"))
     case "span" => Seq(col("fp"))
+    case "espan" => Seq(col("h"))
     // sorted by the probe key so row-group stats prune the In() filter
     case "vec" => Seq(col("bucket"), col("vec_id"))
     case _ => Seq(col("vec_id"))
@@ -223,6 +233,10 @@ object IndexStore {
     kind match {
       case "band" => DedupOps.buildBandIndex(input)
       case "span" => DedupOps.buildSpanIndex(input)
+      // exact positional shingle-hash postings (doc_id, pos, h) — NO
+      // df cap by design: exact-span probing is linear in matching
+      // postings, never a pair join (DedupOps.exactDuplicatedSpans doc)
+      case "espan" => DedupOps.buildExactSpanIndex(input)
       // binary (asset_id, payload) in; decode+dHash per partition, the
       // 4x16-bit band explode, build-time skew cap (the band-bucket
       // policy: a degenerate band value - e.g. flat-color images - is
@@ -380,6 +394,8 @@ object IndexStore {
         case "span" =>
           DedupOps.capBuckets(live.dropDuplicates("doc_id", "fp"),
             Seq("fp"), DedupOps.MaxSpanDf)
+        // re-delivered rows collapse; no cap (see rowsFor)
+        case "espan" => live.dropDuplicates("doc_id", "pos")
         case "phash" | "afp" =>
           DedupOps.capBuckets(live.dropDuplicates("asset_id", "band"),
             Seq("band", "band_key"), DedupOps.MaxBucketSize)
@@ -654,7 +670,7 @@ object IndexStore {
       probe: DataFrame, threshold: Double = Double.NaN,
       where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(where.isEmpty ||
-      !Set("band", "span", "phash", "afp").contains(kind),
+      !Set("band", "span", "phash", "afp", "espan").contains(kind),
       s"attribute predicates apply to the vector kinds, not '$kind'")
     def flt(df: DataFrame): DataFrame = where.fold(df)(df.filter)
     // kind-aware default: `threshold` means cosine for the similarity
@@ -693,6 +709,10 @@ object IndexStore {
       // (one per-partition decode pass), then the hash-rows probe.
       afpSearchFromHashes(store, spark,
         AudioDedupOps.audioHashRows(probe), math.round(th).toInt)
+    case "espan" => sys.error(
+      "espan search certifies against the corpus text — call " +
+        "IndexStore.searchExactSpans(store, spark, probe, corpus) " +
+        "(CLI: index search --kind espan --corpus c.parquet)")
     case "span" =>
       val fps = probe
         .select(explode(graft.functions.Vec.winnow_fps(
@@ -783,6 +803,29 @@ object IndexStore {
         idx.select(size(col("unit"))).head().getInt(0), "sketch index")
       SimilarityOps.sketchProbe(flt(idx), probe)
   } }
+
+  /** Exact-span probe against the at-rest `espan` postings: which
+    * spans of the NEW documents already exist verbatim in the indexed
+    * corpus, WITHOUT re-shingling history — the
+    * [[DedupOps.incrementalExactSpans]] semantics served from rest.
+    * The probe's own shingle hashes prune the manifest to candidate
+    * leaves and push as a scan key filter (the band/span two-level
+    * discipline); `corpus` supplies document text for the STRING
+    * certification, fetched for candidate docs only (the operator's
+    * semi-join prune) — so history is never re-shingled and its text
+    * is read only where a hash matched. Returns the probe docs'
+    * maximal duplicated extents (doc_id, span_start, span_end,
+    * span_tokens). */
+  def searchExactSpans(store: GraftStore, spark: SparkSession,
+      probe: DataFrame, corpus: DataFrame,
+      gram: Int = DedupOps.ExactSpanGram): DataFrame = {
+    checkFormat(store, "espan")
+    val pPost = DedupOps.buildExactSpanIndex(probe, gram)
+      .localCheckpoint() // probe-sized; prune keys + the probe join
+    val pruned = prunedIndex(store, spark, "espan",
+      pPost.select(col("h"), bucketOf("espan").as("b")), "h")
+    DedupOps.incrementalExactSpans(probe, pruned, corpus, gram)
+  }
 
   /** afp probe from PRE-COMPUTED (asset_id, afp) rows — the audio
     * mirror of [[phashSearchFromHashes]], same pruning and the same

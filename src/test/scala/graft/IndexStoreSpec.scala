@@ -45,6 +45,56 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(!hits.exists(_._1 == 701L))
   }
 
+  test("espan index: at-rest exact-span certification across restarts — " +
+      "probe spans match the inline incremental operator, appends land, " +
+      "compact collapses re-deliveries, plain search refuses loudly") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val root = tempDir("graft-idx-espan")
+    val corpus = (0L until 30L).map(doc(_, "e"))
+    val corpusDf = corpus.toDF("doc_id", "text")
+    IndexStore.build(new GraftStore(root), "espan", corpusDf)
+    // probe: a verbatim 20-token run of doc 11 with fresh framing + a
+    // novel doc. Certification reads corpus text for candidate docs
+    // only; history postings come from REST (fresh store instance)
+    val run11 = corpus(11)._2.split(" ").slice(10, 30).mkString(" ")
+    val probe = Seq(
+      (700L, s"fresh head $run11 fresh tail here"),
+      doc(701L, "z")).toDF("doc_id", "text")
+    def spanSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Int]("span_tokens"))).toSet
+    val atRest = spanSet(IndexStore.searchExactSpans(
+      new GraftStore(root), spark, probe, corpusDf))
+    // tokens 2..21 of the probe are the copied run
+    assert(atRest.contains((700L, 2, 21, 20)), s"got $atRest")
+    assert(!atRest.exists(_._1 == 701L), s"novel doc certified: $atRest")
+    // equals the inline incremental operator over the same postings
+    val inline = spanSet(DedupOps.incrementalExactSpans(probe,
+      DedupOps.buildExactSpanIndex(corpusDf), corpusDf))
+    assert(atRest == inline, s"atRest=$atRest inline=$inline")
+    // append new docs; a probe slice of the APPENDED doc certifies
+    val extra = Seq(doc(500L, "y")).toDF("doc_id", "text")
+    IndexStore.append(new GraftStore(root), "espan", extra)
+    val run500 = doc(500L, "y")._2.split(" ").slice(0, 15).mkString(" ")
+    val hits2 = spanSet(IndexStore.searchExactSpans(new GraftStore(root),
+      spark, Seq((800L, s"$run500 and some closing words")).toDF(
+        "doc_id", "text"),
+      corpusDf.unionAll(extra)))
+    assert(hits2.contains((800L, 0, 14, 15)), s"got $hits2")
+    // re-delivered append collapses under compact
+    IndexStore.append(new GraftStore(root), "espan", extra)
+    val (dropped, leaves) = IndexStore.compact(
+      new GraftStore(root), spark, "espan")
+    assert(dropped > 0L && leaves > 0L, s"($dropped, $leaves)")
+    // the generic search entry refuses with the pointer, never a
+    // silent wrong answer
+    val err = intercept[RuntimeException] {
+      IndexStore.search(new GraftStore(root), spark, "espan", probe)
+    }
+    assert(err.getMessage.contains("searchExactSpans"), err.getMessage)
+  }
+
   test("band probe key-prune: search equals the unpruned probe, and the " +
       "probe-key In filter reaches the parquet scan") {
     import spark.implicits._
