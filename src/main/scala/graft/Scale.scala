@@ -341,6 +341,18 @@ object Scale {
       if (want("afp_probe")) phase("afp_probe", k, 2)(
         graft.store.IndexStore.search(store, spark, "afp",
           graft.operators.AudioDedupOps.syntheticAudioFrame(spark, 25L)))
+      // at-rest exact-span postings: build at k x (linear claim), then
+      // certify a FIXED probe batch from rest (claim: flat — the
+      // probe's own hashes prune leaves + push key filters, and corpus
+      // text is semi-join-fetched for candidate docs only; a wholesale
+      // index read here would be the round-10 probe bug reborn)
+      if (want("espan_build")) phase("espan_build", k, 1) {
+        graft.store.IndexStore.build(store, "espan", docsK)
+        graft.store.IndexStore.read(store, spark, "espan").limit(0)
+      }
+      if (want("espan_probe")) phase("espan_probe", k, 2)(
+        graft.store.IndexStore.searchExactSpans(store, spark,
+          probeBatch, docsK))
     }
 
     // a phase/point-filtered rerun writes a scratch file — it must never

@@ -1195,6 +1195,15 @@ object DedupOps {
           .cast("int").as("removed_tokens"))
   }
 
+  /** Public cut application — compose span reports into removal:
+    * `cutSpans(docs, IndexStore.searchExactSpans(store, spark, docs,
+    * corpus))` is ingest-time removal against an AT-REST postings
+    * index (history never re-shingled). `ranges` is any
+    * (doc_id, span_start, span_end) frame. */
+  def cutSpans(d: DataFrame, ranges: DataFrame,
+      broadcastCuts: Boolean = true): DataFrame =
+    applyCuts(d, ranges, broadcastCuts)
+
   /** Span removal AT INGEST: cut from the NEW documents every extent
     * that already exists verbatim in the indexed corpus
     * ([[incrementalExactSpans]] certifies; this consumes). The
@@ -1271,8 +1280,16 @@ object DedupOps {
       .withColumnRenamed("col", "h")
     val hits = pPost.join(index.select(col("doc_id").as("ex_id"),
       col("pos").as("ex_pos"), col("h")), "h")
+    // BROADCAST the candidate-id semi-join: candidates are bounded by
+    // the probe's hash matches (probe-sized in the common case), while
+    // the corpus is the big side — a shuffled semi join here exchanges
+    // the WHOLE corpus text by doc_id just to drop non-candidates
+    // (measured: a fixed 25-doc probe's shuffle grew 1→26 MB as the
+    // at-rest index grew 1×→30×, the round-10 probe-shape bug in a new
+    // coat). Broadcast keeps the corpus scan exchange-free; text is
+    // dropped scan-side and only candidate docs' tokens flow on.
     val exToks = corpus
-      .join(hits.select(col("ex_id").as("doc_id")).distinct(),
+      .join(broadcast(hits.select(col("ex_id").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("ex_id"),
         split(lower(col("text")), "\\s+").as("ex_toks"))

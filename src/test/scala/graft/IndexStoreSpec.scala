@@ -82,6 +82,16 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
         "doc_id", "text"),
       corpusDf.unionAll(extra)))
     assert(hits2.contains((800L, 0, 14, 15)), s"got $hits2")
+    // composition: the at-rest spans cut straight out of the probe
+    // (ingest-time removal with history never re-shingled)
+    val cut = DedupOps.cutSpans(probe,
+      IndexStore.searchExactSpans(new GraftStore(root), spark, probe,
+        corpusDf)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Int]("removed_tokens"))).toMap
+    assert(cut(700L) == (("fresh head fresh tail here", 20)),
+      s"cut probe: ${cut(700L)}")
+    assert(cut(701L)._2 == 0, s"novel doc cut: ${cut(701L)}")
     // re-delivered append collapses under compact
     IndexStore.append(new GraftStore(root), "espan", extra)
     val (dropped, leaves) = IndexStore.compact(
