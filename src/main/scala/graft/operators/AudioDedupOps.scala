@@ -330,12 +330,19 @@ object AudioDedupOps {
 
   /** Distributed decode+fingerprint over a BINARY audio frame
     * (asset_id, payload): 16-byte rows out, per partition — the codec
-    * runs where the bytes live and only fingerprints ever shuffle. */
+    * runs where the bytes live and only fingerprints ever shuffle.
+    * Undecodable payloads (corrupt/unknown containers, clips shorter
+    * than 32 samples or beyond the [[MaxSamples]] guard, unsupported
+    * bit depths, null bytes) are DROPPED deterministically — the
+    * [[ImageDedupOps.imageHashRows]] policy and rationale: one corrupt
+    * file must not kill the job, and an unverifiable asset fails
+    * curation (the streaming gate never accepts what it cannot hash). */
   def audioHashRows(audio: DataFrame): DataFrame = {
     val spark = audio.sparkSession
     import spark.implicits._
     audio.select(col("asset_id"), col("payload")).as[AudioAsset]
-      .mapPartitions(_.map(fingerprintAsset))
+      .mapPartitions(_.flatMap(a =>
+        scala.util.Try(fingerprintAsset(a)).toOption))
       .toDF()
   }
 

@@ -318,12 +318,22 @@ object ImageDedupOps {
     * payload): 16-byte hash rows out, per-partition (the
     * [[MultimodalOps.extractFeatures]] codec-affinity shape — at scale
     * the decode runs where the bytes live and only hashes ever
-    * shuffle). The at-rest `phash` index kind's ingest stage. */
+    * shuffle). The at-rest `phash` index kind's ingest stage.
+    *
+    * UNDECODABLE payloads (corrupt containers, unknown formats, images
+    * below the 9×8 hash grid, null bytes) are DROPPED deterministically
+    * instead of killing the job — at corpus scale corrupt assets are
+    * routine, and one bad file must not fail a million-row partition.
+    * Downstream consequence, by construction: such assets can never
+    * near-dup-match anything, and the streaming gates never accept
+    * them (no hash row ⇒ not a survivor) — undecodable data fails
+    * curation, which is the policy a training corpus wants. */
   def imageHashRows(images: DataFrame): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
     images.select(col("asset_id"), col("payload")).as[ImageAsset]
-      .mapPartitions(_.map(hashAsset))
+      .mapPartitions(_.flatMap(a =>
+        scala.util.Try(hashAsset(a)).toOption))
       .toDF()
   }
 

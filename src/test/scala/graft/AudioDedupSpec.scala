@@ -109,6 +109,21 @@ class AudioDedupSpec extends AnyFunSuite with BeforeAndAfterAll
         s"planted pair ($i, ${i + off}) missed")
   }
 
+  test("corrupt payloads drop deterministically from the fingerprint " +
+      "path instead of killing the job") {
+    import spark.implicits._
+    val garbage = AudioDedupOps.AudioAsset(999L,
+      Array.fill[Byte](64)(0x2a))
+    val tooShort = AudioDedupOps.AudioAsset(998L, // valid WAV, < 32 samples
+      AudioDedupOps.wav16(Array.fill(8)(100), 8000))
+    val batch = (AudioDedupOps.audioAssets(4).filter(_.asset_id < 4L)
+      :+ garbage :+ tooShort).toDF()
+    val ids = AudioDedupOps.audioHashRows(batch)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 2L, 3L),
+      s"undecodable clips must drop, valid ones fingerprint: $ids")
+  }
+
   test("afp clusters: every planted quadruple collapses to one " +
       "component labeled by its base clip") {
     val comps = AudioDedupOps.audioClusters.fn(spark, "").collect()

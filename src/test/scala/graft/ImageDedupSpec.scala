@@ -60,6 +60,27 @@ class ImageDedupSpec extends AnyFunSuite with BeforeAndAfterAll
           "would be vacuous")
   }
 
+  test("corrupt payloads drop deterministically from the hash path " +
+      "instead of killing the job") {
+    import spark.implicits._
+    val garbage = ImageDedupOps.ImageAsset(999L,
+      Array.fill[Byte](64)(0x2a))
+    val tinyPng = { // valid PNG, below the 9x8 hash grid
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val tiny = ImageDedupOps.ImageAsset(998L, tinyPng)
+    val batch = (ImageDedupOps.imageAssets(4).filter(_.asset_id < 4L)
+      :+ garbage :+ tiny).toDF()
+    val ids = ImageDedupOps.imageHashRows(batch)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 2L, 3L),
+      s"undecodable assets must drop, valid ones hash: $ids")
+  }
+
   test("phash clusters: every planted quadruple collapses to one " +
       "component labeled by its base image") {
     val comps = ImageDedupOps.phashClusters.fn(spark, "").collect()

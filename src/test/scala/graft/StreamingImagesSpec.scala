@@ -60,6 +60,18 @@ class StreamingImagesSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(idxIds == after)
   }
 
+  test("a corrupt payload in a batch is rejected (never accepted, " +
+      "never kills the gate) while valid assets dedup normally") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-simg-corrupt"))
+    val garbage = ImageDedupOps.ImageAsset(999L,
+      Array.fill[Byte](80)(0x11))
+    val b = (assets.filter(_.asset_id < 4) :+ garbage).toDF()
+    StreamingImages.processBatch(store, b)
+    assert(acceptedIds(store) == (0L until 4L).toSet,
+      s"corrupt asset must fail curation: ${acceptedIds(store)}")
+  }
+
   test("a replayed micro-batch commits nothing (exactly-once)") {
     import spark.implicits._
     val store = new GraftStore(tempDir("graft-simg-replay"))
