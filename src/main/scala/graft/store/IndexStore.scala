@@ -827,6 +827,43 @@ object IndexStore {
     DedupOps.incrementalExactSpans(probe, pruned, corpus, gram)
   }
 
+  /** [[searchExactSpans]] with the certification corpus read FROM THE
+    * STORE, candidate-bounded: the hash screen's candidate doc ids
+    * drive an isin-pushed read of `corpusTable` (leaves are sorted by
+    * doc_id, so row-group stats prune the fetch to candidate docs —
+    * per-batch cost stays probe-bounded instead of re-reading history
+    * text every micro-batch; past [[MaxKeyPushdown]] candidates the
+    * read falls back to the scan + broadcast-semi bulk shape).
+    * `excludeProbeIds` drops index postings whose doc_id is IN the
+    * probe batch — the replay-determinism switch for streaming
+    * consumers: a foreachBatch replay probes an index that already
+    * holds the batch's own first-run postings, and excluding them
+    * makes the effective history identical to the first run's. */
+  def searchExactSpansAtRest(store: GraftStore, spark: SparkSession,
+      probe: DataFrame, corpusTable: String,
+      gram: Int = DedupOps.ExactSpanGram,
+      excludeProbeIds: Boolean = false): DataFrame = {
+    checkFormat(store, "espan")
+    val p = probe.select(col("doc_id"), col("text")).localCheckpoint()
+    val pPost = DedupOps.buildExactSpanIndex(p, gram).localCheckpoint()
+    val pruned = prunedIndex(store, spark, "espan",
+      pPost.select(col("h"), bucketOf("espan").as("b")), "h")
+    val idx =
+      if (!excludeProbeIds) pruned
+      else pruned.join(broadcast(p.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    val cand = idx.join(pPost.select(col("h")).distinct(), Seq("h"))
+      .select(col("doc_id")).distinct()
+      .limit(MaxKeyPushdown + 1).collect().map(_.getLong(0)).toSeq
+    val full = store.read(spark, corpusTable)
+      .select(col("doc_id"), col("text"))
+    val corpus =
+      if (cand.length > MaxKeyPushdown) full
+      else if (cand.isEmpty) full.limit(0)
+      else full.filter(col("doc_id").isin(cand: _*))
+    DedupOps.incrementalExactSpans(p, idx, corpus, gram)
+  }
+
   /** afp probe from PRE-COMPUTED (asset_id, afp) rows — the audio
     * mirror of [[phashSearchFromHashes]], same pruning and the same
     * no-equal-id replay-safety contract. */

@@ -95,8 +95,33 @@ object StreamingCuration {
       store: GraftStore,
       batch: DataFrame,
       qualityFloorBp: Long = 3000L,
-      threshold: Double = 0.4): Unit = {
+      threshold: Double = 0.4,
+      exactSpans: Boolean = false): Unit = {
     val spark = batch.sparkSession
+    // Optional exact-span stage (Lee et al. at ingest): BEFORE the
+    // whole-doc gates, cut from each batch doc every extent that
+    // already exists verbatim in the ACCEPTED corpus — the at-rest
+    // espan postings certify (history never re-shingled; accepted text
+    // fetched for candidate docs only), DedupOps.cutSpans rewrites.
+    // The quality floor then judges the REMAINDER: a doc that is
+    // mostly known boilerplate loses it here and stands on what is
+    // left, which is the pipeline semantics span removal exists for.
+    // Replay determinism: the probe EXCLUDES the batch's own doc_ids
+    // from the index (a replayed batch sees exactly the first run's
+    // history, cuts identically, and then self-matches in the
+    // whole-doc cross-batch gate — nothing commits twice). Extents
+    // duplicated only WITHIN the batch are the batch operator's job,
+    // exactly like the incremental removal operator documents.
+    val cleaned =
+      if (!exactSpans ||
+          store.leavesOf(IndexStore.tableOf("espan")).isEmpty)
+        batch.select(col("doc_id"), col("text"))
+      else DedupOps.cutSpans(
+        batch.select(col("doc_id"), col("text")),
+        IndexStore.searchExactSpansAtRest(store, spark,
+          batch.select(col("doc_id"), col("text")), AcceptedTable,
+          excludeProbeIds = true))
+        .drop("removed_tokens")
     // The cross-batch probe reads the index PRUNED for this batch's
     // band keys ([[IndexStore.prunedBandIndex]]: manifest bucket prune
     // + the In(band_key) scan filter), not the full index — reading it
@@ -108,17 +133,25 @@ object StreamingCuration {
     val idx =
       if (store.leavesOf(IndexStore.tableOf("band")).isEmpty)
         readIndex(store, spark) // empty-schema frame, first batch
-      else IndexStore.prunedBandIndex(store, spark,
-        batch.select(col("doc_id"), col("text")))
+      else IndexStore.prunedBandIndex(store, spark, cleaned)
     val (survivors, newRows) =
-      curateBatch(batch, idx, qualityFloorBp, threshold)
+      curateBatch(cleaned, idx, qualityFloorBp, threshold)
     val adds = store.stageKeyed(AcceptedTable,
       survivors.select(col("doc_id"), col("text"), col("quality_bp")),
       pmod(xxhash64(col("doc_id")), lit(IndexStore.Buckets.toLong)),
       Seq(col("doc_id"))) ++
-      IndexStore.stageRows(store, "band", newRows)
+      IndexStore.stageRows(store, "band", newRows) ++
+      // espan postings of the survivors' CLEANED text (what the
+      // accepted table holds), committed in the SAME snapshot — later
+      // batches certify against everything accepted so far
+      (if (exactSpans) IndexStore.stageRows(store, "espan",
+        DedupOps.buildExactSpanIndex(
+          survivors.select(col("doc_id"), col("text"))))
+      else Nil)
     if (adds.nonEmpty)
-      store.commit(adds, meta = IndexStore.formatMeta("band"))
+      store.commit(adds, meta = IndexStore.formatMeta("band") ++
+        (if (exactSpans) IndexStore.formatMeta("espan")
+         else Map.empty[String, String]))
   }
 
   /** The full streaming curate pipeline — the reference's
@@ -141,10 +174,11 @@ object StreamingCuration {
       store: GraftStore,
       checkpointDir: String,
       qualityFloorBp: Long = 3000L,
-      threshold: Double = 0.4): StreamingQuery =
+      threshold: Double = 0.4,
+      exactSpans: Boolean = false): StreamingQuery =
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(store, batch, qualityFloorBp, threshold)
+        processBatch(store, batch, qualityFloorBp, threshold, exactSpans)
       }
       .option("checkpointLocation", checkpointDir)
       .start()

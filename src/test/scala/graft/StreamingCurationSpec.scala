@@ -263,4 +263,65 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(!ids.contains(900001L) && !ids.contains(900002L))
     assert(ids.contains(7L) && ids.contains(23L))
   }
+
+  test("exactSpans stage: a later batch's doc loses its " +
+      "history-duplicated extent before the gates, a boilerplate-" +
+      "heavy doc the whole-doc gates would PASS fails on its " +
+      "remainder, and replay commits nothing") {
+    import spark.implicits._
+    import graft.store.GraftStore
+    val store = new GraftStore(tempDir("graft-scur-espan"))
+    val base = (1 to 80).map(i => f"orbit$i%05d").mkString(" ")
+    StreamingCuration.processBatch(store,
+      Seq((1L, base)).toDF("doc_id", "text"), exactSpans = true)
+    def acceptedText: Map[Long, String] =
+      store.read(spark, StreamingCuration.AcceptedTable)
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(acceptedText.keySet == Set(1L))
+
+    // doc 2: 60 fresh tokens + a verbatim 20-token run of doc 1 —
+    // accepted WITHOUT the run (cut against the at-rest espan index)
+    val run = base.split(" ").slice(10, 30).mkString(" ")
+    val fresh = (1 to 60).map(i => f"nova$i%05d").mkString(" ")
+    StreamingCuration.processBatch(store,
+      Seq((2L, s"$fresh $run")).toDF("doc_id", "text"),
+      exactSpans = true)
+    assert(acceptedText.get(2L).contains(fresh),
+      s"doc 2 must land with the duplicated extent cut: " +
+        s"${acceptedText.get(2L)}")
+
+    // replay of doc 2's batch: the probe excludes the batch's own
+    // postings, cuts identically, and the whole-doc gate self-matches
+    val snap = store.currentSnapshot()
+    StreamingCuration.processBatch(store,
+      Seq((2L, s"$fresh $run")).toDF("doc_id", "text"),
+      exactSpans = true)
+    assert(store.currentSnapshot() == snap,
+      "replayed batch committed a new snapshot")
+
+    // doc 3: a 31-token slice of doc 1 + a tiny tail — whole-doc
+    // near-dup sits UNDER the 0.4 gate (jaccard ~0.34, the slice shape
+    // whole-doc fingerprints miss), but after the span cut only the
+    // tail remains and the quality floor drops it
+    val slice31 = base.split(" ").slice(20, 51).mkString(" ")
+    val doc3 = s"$slice31 small tail"
+    StreamingCuration.processBatch(store,
+      Seq((3L, doc3)).toDF("doc_id", "text"), exactSpans = true)
+    assert(!acceptedText.contains(3L),
+      s"boilerplate-heavy doc must fail on its remainder: " +
+        s"${acceptedText.get(3L)}")
+    // control: WITHOUT the stage the same doc sails through the
+    // whole-doc gates — the span cut is what caught it
+    val store2 = new GraftStore(tempDir("graft-scur-espan-ctl"))
+    StreamingCuration.processBatch(store2,
+      Seq((1L, base)).toDF("doc_id", "text"))
+    StreamingCuration.processBatch(store2,
+      Seq((3L, doc3)).toDF("doc_id", "text"))
+    val ctl = store2.read(spark, StreamingCuration.AcceptedTable)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ctl.contains(3L),
+      s"control: whole-doc gates alone were expected to pass doc 3 " +
+        s"(got $ctl) — fixture no longer demonstrates the stage")
+  }
 }
