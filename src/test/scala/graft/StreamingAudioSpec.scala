@@ -56,6 +56,18 @@ class StreamingAudioSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(idxIds == after)
   }
 
+  test("a corrupt payload in a batch is rejected (never accepted, " +
+      "never kills the gate) while valid clips dedup normally") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-saud-corrupt"))
+    val garbage = AudioDedupOps.AudioAsset(999L,
+      Array.fill[Byte](80)(0x11))
+    val b = (assets.filter(_.asset_id < 4) :+ garbage).toDF()
+    StreamingAudio.processBatch(store, b)
+    assert(acceptedIds(store) == (0L until 4L).toSet,
+      s"corrupt clip must fail curation: ${acceptedIds(store)}")
+  }
+
   test("a replayed micro-batch commits nothing (exactly-once)") {
     import spark.implicits._
     val store = new GraftStore(tempDir("graft-saud-replay"))
