@@ -52,8 +52,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cross-multiplication exact): |feature| ≤ 4·2¹⁵ = 2¹⁷ per sample
   * (|Δ²| of full-range 16-bit), per-sample weight ≤ T = 9, cell area
   * = n exactly, so |cell sum| ≤ 2¹⁷·2¹⁹ = 2³⁶ and the cross product
-  * ≤ 2³⁶·2¹⁹ = 2⁵⁵ < 2⁶³ under the guarded n ≤ 2¹⁹ samples (~65 s at
-  * 8 kHz; longer material is fingerprinted per chunk upstream).
+  * ≤ 2³⁶·2¹⁹ = 2⁵⁵ < 2⁶³ under the guarded n ≤ 2¹⁹ samples per
+  * FINGERPRINT INPUT.
+  *
+  * Long clips — CHUNKED fingerprinting (real audio at 44.1 kHz hits
+  * 2¹⁹ samples at ~12 s, so a single-fingerprint design would reject
+  * nearly every real-world clip): [[chunkBounds]] splits a decoded
+  * clip of n > [[MaxSamples]] samples into k = ⌈(n − overlap) /
+  * stride⌉ RELATIVE chunks — chunk c covers
+  * [⌊c·(n−ov)/k⌋, ⌊(c+1)·(n−ov)/k⌋ + ov) — each ≤ [[MaxSamples]]
+  * samples (proof: (n−ov) ≤ k·stride bounds every floor difference by
+  * stride, + ov = MaxSamples) with EXACTLY [[ChunkOverlap]] = one
+  * fingerprint-cell width of overlap between consecutive chunks, so a
+  * duplicated region straddling a boundary is fully inside one chunk's
+  * cell grid on at least one side. Bounds depend only on n, so every
+  * length-preserving transform (container re-encode, gain) chunks
+  * identically and the per-chunk exact-invariance arguments carry
+  * verbatim (d = 0 per chunk, spec-pinned on planted long clips). A
+  * resample CHANGES n — chunk bounds are relative, so content stays
+  * aligned while k is stable, but the decimation budget is only
+  * pinned for single-chunk clips (the honest caveat; asset-level
+  * aggregation below tolerates a minority of missed chunks anyway).
+  *
+  * Asset-level verdict over chunk fingerprints: the banded join runs
+  * at (asset, chunk) granularity — only 24-byte rows shuffle, never
+  * PCM — and a pair (a, b) is a near-dup iff its matched chunk pairs
+  * (Hamming ≤ [[MaxHamming]] after the band-OR candidate step) cover
+  * a MAJORITY of BOTH assets' chunks (2·matched > n_chunks on each
+  * side); the reported `hamming` is the worst matched chunk (max).
+  * For single-chunk clips this reduces exactly to the round-15
+  * semantics: one chunk, matched 1 of 1, hamming = the pair's d.
   *
   * Pair generation, candidate completeness (pigeonhole at Hamming ≤
   * [[NumBands]] − 1), skew cap, and the VALUES oracle mirroring the
@@ -69,7 +97,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object AudioDedupOps {
 
   final case class AudioAsset(asset_id: Long, payload: Array[Byte])
-  final case class AudioFp(asset_id: Long, afp: Long)
+
+  /** One chunk's fingerprint: clips ≤ [[MaxSamples]] produce exactly
+    * one row (chunk_idx 0, n_chunks 1); longer clips one row per
+    * [[chunkBounds]] chunk. `n_chunks` rides every row so the
+    * asset-level majority-coverage verdict is computable from the rows
+    * alone (batch pairs, at-rest probes, the streaming gate). */
+  final case class AudioChunkFp(asset_id: Long, chunk_idx: Int,
+      n_chunks: Int, afp: Long)
 
   /** Time cells per feature row: 9 cells → 8 adjacent comparisons. */
   val TimeCells = 9
@@ -94,8 +129,48 @@ object AudioDedupOps {
   /** Corpus size (base clips; variants land on ids +1000/+2000/+3000). */
   val NumClips = 32
 
-  /** Per-clip sample-count guard for the overflow audit above. */
+  /** Per-FINGERPRINT sample-count guard for the overflow audit above.
+    * Not a per-clip limit: [[chunkBounds]] splits longer clips and
+    * [[fingerprintChunks]] hashes each chunk — no valid clip is ever
+    * dropped for length. */
   val MaxSamples = 1 << 19
+
+  /** Shortest fingerprintable input (below it the cell grid would be
+    * thinner than its own comparison count). */
+  val MinSamples = 32
+
+  /** Overlap between consecutive chunks of a long clip: one
+    * fingerprint-cell width of the largest chunk, so a duplicated
+    * region crossing a chunk boundary is fully covered by one chunk's
+    * grid on at least one side. */
+  val ChunkOverlap: Int = MaxSamples / TimeCells
+
+  /** Non-overlapping stride per chunk; stride + overlap = MaxSamples
+    * bounds every chunk at the overflow guard exactly. */
+  val ChunkStride: Int = MaxSamples - ChunkOverlap
+
+  /** How many long (> [[MaxSamples]] samples, multi-chunk) base clips
+    * the fixture plants, each with re-encode (+5000) and ×2 gain
+    * (+6000) variants — the chunked path is hash-oracled, not just
+    * spec-gated. */
+  val LongSeeds = 2
+
+  /** Deterministic chunk bounds [lo, hi) over an n-sample clip — see
+    * the object doc for the ≤ [[MaxSamples]] proof, the exact
+    * [[ChunkOverlap]] between consecutive chunks, and the
+    * relative-position rationale. Depends only on n: every
+    * length-preserving transform chunks identically. */
+  def chunkBounds(n: Int): Seq[(Int, Int)] =
+    if (n <= MaxSamples) Seq((0, n))
+    else {
+      val body = n - ChunkOverlap // covered by k stride segments
+      val k = ((body + ChunkStride - 1) / ChunkStride).toInt
+      (0 until k).map { c =>
+        val lo = (c.toLong * body / k).toInt
+        val hi = ((c + 1).toLong * body / k).toInt + ChunkOverlap
+        (lo, hi)
+      }
+    }
 
   // -------------------------------------------------------------------
   // Deterministic natural-ish audio corpus
@@ -198,12 +273,28 @@ object AudioDedupOps {
     Array.tabulate(n)(j => sampleVal(i, j, n))
   }
 
+  /** A LONG clip — n > [[MaxSamples]], so it fingerprints as 2 chunks
+    * — rendered by the same integer generator under an independent
+    * content seed (4000 + i: no relation to any short clip). At the
+    * fixture's 44.1 kHz this is the real-world shape the chunked path
+    * exists for (~12.8 s). */
+  private def longSamples(i: Long): Array[Int] = {
+    val n = MaxSamples + 40000 + (i * 2048L).toInt
+    Array.tabulate(n)(j => sampleVal(4000L + i, j, n))
+  }
+
   private def rateOf(i: Long): Int = 8000 + 100 * (i % 40L).toInt
 
   /** Deterministic corpus of real WAV containers: [[NumClips]] base
     * clips; ids +1000 = container re-encode (d = 0), +2000 = exact ×2
     * gain (d = 0), +3000 = 90% decimation (d ≤ [[MaxHamming]],
-    * spec-pinned) of the first [[DupSeeds]] bases. */
+    * spec-pinned) of the first [[DupSeeds]] bases. Plus [[LongSeeds]]
+    * LONG clips (> [[MaxSamples]] samples at 44.1 kHz — two chunks
+    * each): ids +4000 = long base, +5000 = its container re-encode,
+    * +6000 = its exact ×2 gain — every chunk matches at d = 0 by the
+    * same invariance arguments, so the majority-coverage verdict fires
+    * and the chunked path is exercised by the hash-oracled query, not
+    * just specs. */
   def audioAssets(n: Int): Seq[AudioAsset] = {
     val base = (0 until n).map { i =>
       AudioAsset(i.toLong, wav16(baseSamples(i.toLong), rateOf(i.toLong)))
@@ -216,7 +307,15 @@ object AudioDedupOps {
         AudioAsset(i + 2000L, wav16(s.map(_ * 2), rate)),
         AudioAsset(i + 3000L, wav16(decimate(s), rate * 9 / 10)))
     }
-    base ++ variants
+    val long = (0 until math.min(LongSeeds, n)).flatMap { i =>
+      val s = longSamples(i.toLong)
+      val baseWav = wav16(s, 44100)
+      Seq(
+        AudioAsset(i + 4000L, baseWav),
+        AudioAsset(i + 5000L, withJunkChunk(baseWav)),
+        AudioAsset(i + 6000L, wav16(s.map(_ * 2), 44100)))
+    }
+    base ++ variants ++ long
   }
 
   // -------------------------------------------------------------------
@@ -252,10 +351,11 @@ object AudioDedupOps {
     * rows, exact-area cells, and invariance arguments. */
   def afp64(samples: Array[Int]): Long = {
     val n = samples.length
-    require(n >= 32, s"afp64 needs at least 32 samples, got $n")
+    require(n >= MinSamples,
+      s"afp64 needs at least $MinSamples samples, got $n")
     require(n <= MaxSamples,
       s"afp64 overflow guard: $n samples exceeds $MaxSamples — " +
-        "fingerprint longer material per chunk")
+        "fingerprintChunks splits long material before calling this")
     val t = TimeCells
     // per-sample feature values; rows 0..6 are degree-1 homogeneous in
     // the samples, row 7 is scale-invariant outright
@@ -324,32 +424,88 @@ object AudioDedupOps {
     }).toDF()
   }
 
-  /** Decode + fingerprint one asset. */
-  def fingerprintAsset(a: AudioAsset): AudioFp =
-    AudioFp(a.asset_id, afp64(pcmSamples(a.payload)))
+  /** Decode + chunk + fingerprint one asset: one [[AudioChunkFp]] row
+    * per [[chunkBounds]] chunk (exactly one for clips ≤
+    * [[MaxSamples]]). Throws on undecodable input — [[classifyAudio]]
+    * is the total wrapper. */
+  def fingerprintChunks(a: AudioAsset): Seq[AudioChunkFp] =
+    fingerprintSamples(a.asset_id, pcmSamples(a.payload))
 
-  /** Distributed decode+fingerprint over a BINARY audio frame
-    * (asset_id, payload): 16-byte rows out, per partition — the codec
-    * runs where the bytes live and only fingerprints ever shuffle.
-    * Undecodable payloads (corrupt/unknown containers, clips shorter
-    * than 32 samples or beyond the [[MaxSamples]] guard, unsupported
-    * bit depths, null bytes) are DROPPED deterministically — the
+  private def fingerprintSamples(id: Long,
+      s: Array[Int]): Seq[AudioChunkFp] = {
+    val bounds = chunkBounds(s.length)
+    bounds.zipWithIndex.map { case ((lo, hi), c) =>
+      AudioChunkFp(id, c, bounds.length,
+        afp64(java.util.Arrays.copyOfRange(s, lo, hi)))
+    }
+  }
+
+  /** Decode-and-classify, total: Right(chunk fingerprints) for a valid
+    * clip of ANY length (long clips chunk — length is never a reject
+    * reason), Left(reason) otherwise. The reasons are the audit
+    * surface [[audioRejects]] exposes so a curation run can see WHAT
+    * it lost instead of one silent drop bucket:
+    *  - `too_short` — decoded fine but under [[MinSamples]] samples
+    *    (no fingerprint is meaningful below its own cell grid);
+    *  - `unsupported_depth` — a real audio container whose sample
+    *    depth isn't 8/16-bit PCM;
+    *  - `corrupt` — everything the decoder itself rejects (unknown
+    *    container, truncated stream, null payload). */
+  def classifyAudio(a: AudioAsset): Either[String, Seq[AudioChunkFp]] =
+    try {
+      val s = pcmSamples(a.payload)
+      if (s.length < MinSamples) Left("too_short")
+      else Right(fingerprintSamples(a.asset_id, s))
+    } catch {
+      case e: IllegalArgumentException
+          if Option(e.getMessage).exists(_.contains("8/16-bit")) =>
+        Left("unsupported_depth")
+      case scala.util.control.NonFatal(_) => Left("corrupt")
+    }
+
+  /** Distributed decode + chunk + fingerprint over a BINARY audio
+    * frame (asset_id, payload): 24-byte (asset_id, chunk_idx,
+    * n_chunks, afp) rows out, per partition — the codec runs where the
+    * bytes live and only fingerprints ever shuffle. Valid clips of ANY
+    * length fingerprint (long clips as multiple chunk rows — the
+    * round-15 `MaxSamples` silent-drop is closed); undecodable
+    * payloads are DROPPED deterministically — the
     * [[ImageDedupOps.imageHashRows]] policy and rationale: one corrupt
     * file must not kill the job, and an unverifiable asset fails
-    * curation (the streaming gate never accepts what it cannot hash). */
+    * curation (the streaming gate never accepts what it cannot hash).
+    * [[audioRejects]] is the audit twin that reports what dropped and
+    * why. */
   def audioHashRows(audio: DataFrame): DataFrame = {
     val spark = audio.sparkSession
     import spark.implicits._
     audio.select(col("asset_id"), col("payload")).as[AudioAsset]
       .mapPartitions(_.flatMap(a =>
-        scala.util.Try(fingerprintAsset(a)).toOption))
+        classifyAudio(a).getOrElse(Nil)))
       .toDF()
   }
 
-  /** The 4×16-bit band explode of an (asset_id, afp) frame — shared by
-    * the batch pair query and the at-rest `afp` index layout. */
+  /** The audit twin of [[audioHashRows]]: one (asset_id, reason) row
+    * per asset the fingerprint path drops — `corrupt`, `too_short`, or
+    * `unsupported_depth` ([[classifyAudio]]). Runs the same
+    * per-partition decode, so calling both passes over the payloads
+    * twice; an auditing pipeline calls this on the (small) set it
+    * cares about, not inline with every batch. */
+  def audioRejects(audio: DataFrame): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.select(col("asset_id"), col("payload")).as[AudioAsset]
+      .mapPartitions(_.flatMap(a => classifyAudio(a).left.toOption
+        .map(reason => ImageDedupOps.AssetReject(a.asset_id, reason))))
+      .toDF()
+  }
+
+  /** The 4×16-bit band explode of an (asset_id, chunk_idx, n_chunks,
+    * afp) frame — shared by the batch pair query and the at-rest `afp`
+    * index layout; chunk_idx and n_chunks ride every band row so the
+    * asset-level verdict is computable wherever the rows land. */
   def afpBandRows(fps: DataFrame): DataFrame =
-    fps.select(col("asset_id"), col("afp"),
+    fps.select(col("asset_id"), col("chunk_idx"), col("n_chunks"),
+      col("afp"),
       explode(expr(s"sequence(0, ${NumBands - 1})")).as("band"))
       .withColumn("band_key", expr(
         s"shiftrightunsigned(afp, (${NumBands - 1} - band) * 16) & 65535"))
@@ -360,82 +516,111 @@ object AudioDedupOps {
     audioHashRows(audioAssets(n).toDF())
   }
 
-  /** Near-dup pairs at Hamming ≤ [[MaxHamming]] from an (asset_id, afp)
-    * frame: band explode, capped candidate join (one keyed exchange),
-    * codegen'd bit_count verify — [[ImageDedupOps.phashNearDupPairs]]
-    * applied to the audio fingerprint. */
-  def afpNearDupPairs(fps: DataFrame): DataFrame = {
+  /** CHUNK-level near-dup pairs at Hamming ≤ [[MaxHamming]]: band
+    * explode, capped candidate join (one keyed exchange), codegen'd
+    * bit_count verify — [[ImageDedupOps.phashNearDupPairs]] at
+    * (asset, chunk) granularity. Columns: id_a, id_b, c_a, c_b, n_a,
+    * n_b, hamming. */
+  def afpChunkPairs(fps: DataFrame): DataFrame = {
     val capped = DedupOps.capBuckets(afpBandRows(fps),
       Seq("band", "band_key"), DedupOps.MaxBucketSize)
     val a = capped.select(col("asset_id").as("id_a"),
+      col("chunk_idx").as("c_a"), col("n_chunks").as("n_a"),
       col("afp").as("h_a"), col("band"), col("band_key"))
     val b = capped.select(col("asset_id").as("id_b"),
+      col("chunk_idx").as("c_b"), col("n_chunks").as("n_b"),
       col("afp").as("h_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
-      .distinct() // a pair may meet in up to 4 bands; report it once
+      .select(col("id_a"), col("id_b"), col("c_a"), col("c_b"),
+        col("n_a"), col("n_b"), col("h_a"), col("h_b"))
+      .distinct() // a chunk pair may meet in up to 4 bands; once
       .withColumn("hamming",
         expr("CAST(bit_count(h_a ^ h_b) AS INT)"))
       .filter(col("hamming") <= MaxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Driver-side fingerprints for the oracle — same code path as the
-    * engine (the multimodal-family VALUES-oracle convention). */
-  private lazy val oracleFps: Seq[AudioFp] =
-    audioAssets(NumClips).map(fingerprintAsset)
+  /** ASSET-level near-dup pairs: aggregate [[afpChunkPairs]] per asset
+    * pair and keep pairs whose matched chunks cover a MAJORITY of BOTH
+    * assets (2·matched > n_chunks each side — a one-chunk graze
+    * against a long clip is not a duplicate verdict); `hamming` is the
+    * worst matched chunk. Single-chunk clips reduce exactly to the
+    * plain banded-pair semantics. One extra keyed exchange over the
+    * (small) chunk-pair report — PCM never shuffles anywhere. */
+  def afpNearDupPairs(fps: DataFrame): DataFrame =
+    afpChunkPairs(fps)
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(countDistinct(col("c_a")).as("m_a"),
+        countDistinct(col("c_b")).as("m_b"),
+        max(col("hamming")).as("hamming"))
+      .filter(col("m_a") * 2 > col("n_a") && col("m_b") * 2 > col("n_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
 
-  /** Green-gate query: decode → fingerprint → banded join vs a DuckDB
-    * mirror of the DECLARED semantics (band-OR candidate + Hamming
-    * verify — the [[ImageDedupOps.phashDedup]] oracle shape). */
+  /** Driver-side chunk fingerprints for the oracle — same code path as
+    * the engine (the multimodal-family VALUES-oracle convention),
+    * including the long clips' multi-chunk rows. */
+  private lazy val oracleFps: Seq[AudioChunkFp] =
+    audioAssets(NumClips).flatMap(fingerprintChunks)
+
+  /** VALUES rows of the chunk-fingerprint table. */
+  private def oracleValuesRows: String = oracleFps
+    .map(x => s"(CAST(${x.asset_id} AS BIGINT), ${x.chunk_idx}, " +
+      s"${x.n_chunks}, CAST(${x.afp} AS BIGINT))")
+    .mkString(", ")
+
+  /** The chunk-candidate + majority-coverage verdict CTEs mirroring
+    * [[afpChunkPairs]] → [[afpNearDupPairs]] exactly: band-OR
+    * candidate condition, Hamming verify, then 2·matched > n_chunks on
+    * both sides with MAX(d) as the pair's hamming. Arithmetic `>>`
+    * then `& 65535` equals Spark's shiftrightunsigned + mask. */
+  private def oracleCandCtes: String = {
+    val bandMatch = (0 until NumBands)
+      .map(k => s"((a.afp >> ${(NumBands - 1 - k) * 16}) & 65535) = " +
+        s"((b.afp >> ${(NumBands - 1 - k) * 16}) & 65535)")
+      .mkString(" OR ")
+    s"""h(asset_id, chunk_idx, n_chunks, afp) AS (VALUES $oracleValuesRows),
+       |cand AS (
+       |  SELECT a.asset_id AS ia, b.asset_id AS ib,
+       |    a.chunk_idx AS ca, b.chunk_idx AS cb,
+       |    a.n_chunks AS na, b.n_chunks AS nb,
+       |    CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS d
+       |  FROM h a JOIN h b ON a.asset_id < b.asset_id
+       |  WHERE bit_count(xor(a.afp, b.afp)) <= $MaxHamming
+       |    AND ($bandMatch)),
+       |verdicts AS (
+       |  SELECT ia, ib, MAX(d) AS hamming
+       |  FROM cand GROUP BY ia, ib, na, nb
+       |  HAVING COUNT(DISTINCT ca) * 2 > na
+       |     AND COUNT(DISTINCT cb) * 2 > nb)""".stripMargin
+  }
+
+  /** Green-gate query: decode → chunk → fingerprint → banded join →
+    * majority-coverage verdict vs a DuckDB mirror of the DECLARED
+    * semantics (band-OR candidate + Hamming verify + coverage
+    * aggregation — the [[ImageDedupOps.phashDedup]] oracle shape,
+    * extended to chunk granularity). */
   val audioDedup: GraftQuery = GraftQuery(
     "multimodal_audio_dedup",
     (s, _) => afpNearDupPairs(audioFingerprints(s, NumClips)),
     Some {
-      val rows = oracleFps
-        .map(x => s"(CAST(${x.asset_id} AS BIGINT), " +
-          s"CAST(${x.afp} AS BIGINT))")
-        .mkString(", ")
-      val bandMatch = (0 until NumBands)
-        .map(k => s"((a.afp >> ${(NumBands - 1 - k) * 16}) & 65535) = " +
-          s"((b.afp >> ${(NumBands - 1 - k) * 16}) & 65535)")
-        .mkString(" OR ")
-      s"""WITH h(asset_id, afp) AS (VALUES $rows)
-         |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
-         |  CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
-         |FROM h a JOIN h b ON a.asset_id < b.asset_id
-         |WHERE bit_count(xor(a.afp, b.afp)) <= $MaxHamming
-         |  AND ($bandMatch)"""
+      s"""WITH $oracleCandCtes
+         |SELECT ia AS id_a, ib AS id_b, hamming FROM verdicts"""
         .stripMargin
     })
 
   /** Near-dup clusters over the audio pair report — the
     * [[ImageDedupOps.phashClusters]] shape for the audio modality:
-    * banded pairs → neighbor-min closure, recursive-CTE oracle over
-    * the identical band-OR edge set. */
+    * asset-level verdicts → neighbor-min closure, recursive-CTE oracle
+    * over the identical verdict edge set. */
   val audioClusters: GraftQuery = GraftQuery(
     "multimodal_audio_clusters",
     (s, _) => CurationOps.connectedComponents(
       afpNearDupPairs(audioFingerprints(s, NumClips))
         .select(col("id_a"), col("id_b"))),
     Some {
-      val rows = oracleFps
-        .map(x => s"(CAST(${x.asset_id} AS BIGINT), " +
-          s"CAST(${x.afp} AS BIGINT))")
-        .mkString(", ")
-      val bandMatch = (0 until NumBands)
-        .map(k => s"((a.afp >> ${(NumBands - 1 - k) * 16}) & 65535) = " +
-          s"((b.afp >> ${(NumBands - 1 - k) * 16}) & 65535)")
-        .mkString(" OR ")
-      s"""WITH RECURSIVE h(asset_id, afp) AS (VALUES $rows),
-         |edges AS (
-         |  SELECT a.asset_id AS ia, b.asset_id AS ib
-         |  FROM h a JOIN h b ON a.asset_id < b.asset_id
-         |  WHERE bit_count(xor(a.afp, b.afp)) <= $MaxHamming
-         |    AND ($bandMatch)),
-         |und AS (SELECT ia AS a, ib AS b FROM edges
-         |        UNION SELECT ib, ia FROM edges),
+      s"""WITH RECURSIVE $oracleCandCtes,
+         |und AS (SELECT ia AS a, ib AS b FROM verdicts
+         |        UNION SELECT ib, ia FROM verdicts),
          |reach AS (
          |  SELECT a, b FROM und
          |  UNION

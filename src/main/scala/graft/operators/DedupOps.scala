@@ -274,6 +274,37 @@ object DedupOps {
       .drop("__grp_n")
   }
 
+  /** The skew-cap policy for AT-REST perceptual index rows (phash/afp):
+    * TRUNCATE each over-cap key group to its first `cap` rows (in
+    * deterministic `order`) instead of dropping the group wholesale —
+    * and additionally keep each `idCol` value's single best-ranked row
+    * even past the cap, so EVERY asset retains at least one row at
+    * rest.
+    *
+    * Why two policies exist: the pair-join path keeps [[capBuckets]]'s
+    * whole-group drop (a degenerate band value would otherwise go
+    * quadratic in the self-join — cap² candidate pairs per bucket is
+    * the bound the drop buys). At-rest probe rows have no quadratic
+    * path — a probe pays O(rows matching its own band keys), which is
+    * linear in honest matches — but they DO carry a per-asset liveness
+    * contract: the streaming gates' exactly-once replay argument needs
+    * every committed survivor to self-match its own index rows, so a
+    * survivor whose every band landed in a hot bucket must still keep
+    * one row. The guarantee costs at most one over-cap row per asset
+    * per band group sharing its minimum rank (in practice: its single
+    * best row). Two keyed window exchanges of 16-byte rows, no data to
+    * the driver. */
+  private[graft] def truncateBuckets(df: DataFrame, keys: Seq[String],
+      cap: Long, idCol: String, order: Seq[String]): DataFrame = {
+    val wg = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order.map(col): _*)
+    val wa = Window.partitionBy(col(idCol))
+    df.withColumn("__rn", row_number().over(wg))
+      .withColumn("__best", min(col("__rn")).over(wa))
+      .filter(col("__rn") <= cap || col("__rn") === col("__best"))
+      .drop("__rn", "__best")
+  }
+
   /** doc_id, `sh_hashes` (distinct 5-shingle hashes), packed `mh_arr`
     * signature — two codegen'd [[graft.functions.Vec]] kernel passes.
     * Shingle STRINGS never materialize as a column: the exact-verify
@@ -1215,9 +1246,11 @@ object DedupOps {
     * (doc_id, text, removed_tokens). */
   def removeIncrementalSpans(newDocs: DataFrame, index: DataFrame,
       corpus: DataFrame, gram: Int = ExactSpanGram,
-      broadcastCuts: Boolean = true): DataFrame =
+      broadcastCuts: Boolean = true,
+      broadcastCandidates: Boolean = true): DataFrame =
     applyCuts(newDocs,
-      incrementalExactSpans(newDocs, index, corpus, gram), broadcastCuts)
+      incrementalExactSpans(newDocs, index, corpus, gram,
+        broadcastCandidates), broadcastCuts)
 
   /** Gaps-and-islands merge of per-document duplicated shingle windows
     * [pos, pos + gram − 1] into maximal spans — the shared tail of the
@@ -1268,9 +1301,20 @@ object DedupOps {
     * batch operator's certify discipline, so the result states exact
     * string equality, not hash equality). Returns maximal duplicated
     * extents of the new docs: (doc_id, span_start, span_end,
-    * span_tokens). */
+    * span_tokens).
+    *
+    * `broadcastCandidates` is the escape hatch mirroring
+    * [[applyCuts]]'s `broadcastCuts`: the candidate-id set is bounded
+    * by the probe's hash matches in the COMMON case, but one
+    * boilerplate shingle shared by millions of history docs makes it
+    * corpus-sized — past the driver's broadcast budget the forced
+    * hint would OOM instead of degrading. `false` falls back to a
+    * shuffled semi-join (the corpus text exchanges by doc_id — the
+    * measured 1→26 MB probe-shape cost, paid knowingly, never a
+    * failure). */
   def incrementalExactSpans(newDocs: DataFrame, index: DataFrame,
-      corpus: DataFrame, gram: Int = ExactSpanGram): DataFrame = {
+      corpus: DataFrame, gram: Int = ExactSpanGram,
+      broadcastCandidates: Boolean = true): DataFrame = {
     val pToks = newDocs
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= gram)
@@ -1288,8 +1332,9 @@ object DedupOps {
     // at-rest index grew 1×→30×, the round-10 probe-shape bug in a new
     // coat). Broadcast keeps the corpus scan exchange-free; text is
     // dropped scan-side and only candidate docs' tokens flow on.
+    val candIds = hits.select(col("ex_id").as("doc_id")).distinct()
     val exToks = corpus
-      .join(broadcast(hits.select(col("ex_id").as("doc_id")).distinct()),
+      .join(if (broadcastCandidates) broadcast(candIds) else candIds,
         Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("ex_id"),
         split(lower(col("text")), "\\s+").as("ex_toks"))

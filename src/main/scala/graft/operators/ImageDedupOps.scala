@@ -60,6 +60,11 @@ object ImageDedupOps {
   final case class ImageAsset(asset_id: Long, payload: Array[Byte])
   final case class ImageHash(asset_id: Long, phash: Long)
 
+  /** One audited drop from a perceptual hash path: which asset and WHY
+    * — shared by [[imageRejects]] and
+    * [[AudioDedupOps.audioRejects]]. */
+  final case class AssetReject(asset_id: Long, reason: String)
+
   /** dHash grid: 9 columns of cell means → 8 horizontal comparisons per
     * row × 8 rows = 64 bits. */
   val HashW = 9
@@ -332,8 +337,42 @@ object ImageDedupOps {
     val spark = images.sparkSession
     import spark.implicits._
     images.select(col("asset_id"), col("payload")).as[ImageAsset]
-      .mapPartitions(_.flatMap(a =>
-        scala.util.Try(hashAsset(a)).toOption))
+      .mapPartitions(_.flatMap(a => classifyImage(a).toOption))
+      .toDF()
+  }
+
+  /** Decode-and-classify, total: Right(hash) for a hashable image,
+    * Left(reason) otherwise — the audit surface behind
+    * [[imageRejects]], distinguishing the drop classes
+    * [[imageHashRows]] used to conflate:
+    *  - `too_small` — decoded fine but under the 9×8 hash grid;
+    *  - `oversized` — past the [[dhash64]] 2²⁴-pixel overflow guard
+    *    (the only VALID-data drop this family still has — unlike audio
+    *    there is no chunking story for one giant image; a corpus
+    *    should thumbnail such assets upstream);
+    *  - `corrupt` — everything the decoder rejects (unknown container,
+    *    truncated stream, null payload). */
+  def classifyImage(a: ImageAsset): Either[String, ImageHash] =
+    try Right(hashAsset(a))
+    catch {
+      case e: IllegalArgumentException
+          if Option(e.getMessage).exists(_.contains("needs at least")) =>
+        Left("too_small")
+      case e: IllegalArgumentException
+          if Option(e.getMessage).exists(_.contains("overflow guard")) =>
+        Left("oversized")
+      case scala.util.control.NonFatal(_) => Left("corrupt")
+    }
+
+  /** The audit twin of [[imageHashRows]]: one (asset_id, reason) row
+    * per asset the hash path drops. Same per-partition decode — see
+    * [[AudioDedupOps.audioRejects]] for the two-pass note. */
+  def imageRejects(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("asset_id"), col("payload")).as[ImageAsset]
+      .mapPartitions(_.flatMap(a => classifyImage(a).left.toOption
+        .map(reason => AssetReject(a.asset_id, reason))))
       .toDF()
   }
 

@@ -113,8 +113,12 @@ object IndexStore {
     * valid codes and serves every probe, but its codebook cannot feed
     * [[driftReport]] — without this stamp that surfaced as an opaque
     * missing-column AnalysisException mid-join instead of a guarded,
-    * versioned error naming the fix. */
-  val SchemaVersion = 2
+    * versioned error naming the fix. Version 3 = the `afp` kind's rows
+    * carry (chunk_idx, n_chunks) for chunked long-audio fingerprints
+    * ([[graft.operators.AudioDedupOps.chunkBounds]]); a version-2 afp
+    * index holds single-fingerprint rows the chunk-aware probe cannot
+    * aggregate — [[afpSearchFromHashes]] refuses it loudly. */
+  val SchemaVersion = 3
   private def schemaKey(kind: String): String = {
     tableOf(kind)
     s"index_schema_version.$kind"
@@ -238,17 +242,23 @@ object IndexStore {
       // postings, never a pair join (DedupOps.exactDuplicatedSpans doc)
       case "espan" => DedupOps.buildExactSpanIndex(input)
       // binary (asset_id, payload) in; decode+dHash per partition, the
-      // 4x16-bit band explode, build-time skew cap (the band-bucket
-      // policy: a degenerate band value - e.g. flat-color images - is
-      // dropped once so no probe ever pays for it)
-      case "phash" => DedupOps.capBuckets(
+      // 4x16-bit band explode, build-time skew TRUNCATION (the at-rest
+      // perceptual policy, [[DedupOps.truncateBuckets]]: a degenerate
+      // band value - e.g. flat-color images - keeps its first cap rows
+      // plus one row per asset, so probe fan-out stays bounded while
+      // every asset remains live at rest - the streaming gates'
+      // replay self-match contract)
+      case "phash" => DedupOps.truncateBuckets(
         ImageDedupOps.bandRows(ImageDedupOps.imageHashRows(input)),
-        Seq("band", "band_key"), DedupOps.MaxBucketSize)
-      // same shape for audio: (asset_id, payload) in, decode+afp64 per
-      // partition, 4x16-bit band explode, build-time skew cap
-      case "afp" => DedupOps.capBuckets(
+        Seq("band", "band_key"), DedupOps.MaxBucketSize,
+        "asset_id", Seq("asset_id"))
+      // same shape for audio: (asset_id, payload) in, decode+chunk+
+      // afp64 per partition (chunk_idx/n_chunks ride every row),
+      // 4x16-bit band explode, build-time skew truncation
+      case "afp" => DedupOps.truncateBuckets(
         AudioDedupOps.afpBandRows(AudioDedupOps.audioHashRows(input)),
-        Seq("band", "band_key"), DedupOps.MaxBucketSize)
+        Seq("band", "band_key"), DedupOps.MaxBucketSize,
+        "asset_id", Seq("asset_id", "chunk_idx"))
       // drop(embedding), not select(3): normalizedWithBucket keeps every
       // input column, so attributes ride through WITHOUT the keyed
       // re-join [[withAttrs]] would otherwise pay
@@ -386,6 +396,8 @@ object IndexStore {
       require(old.nonEmpty,
         s"no '$table' leaves in store ${store.root} — run `index build` first")
       checkFormat(store, kind)
+      if (kind == "afp") checkSchemaVersion(store, "afp", 3,
+        "chunk-aware afp compaction")
       val live = store.readLeaves(spark, table, old)
       val rows = (kind match {
         case "band" =>
@@ -396,9 +408,22 @@ object IndexStore {
             Seq("fp"), DedupOps.MaxSpanDf)
         // re-delivered rows collapse; no cap (see rowsFor)
         case "espan" => live.dropDuplicates("doc_id", "pos")
-        case "phash" | "afp" =>
-          DedupOps.capBuckets(live.dropDuplicates("asset_id", "band"),
-            Seq("band", "band_key"), DedupOps.MaxBucketSize)
+        // perceptual kinds: re-delivered assets collapse, then the
+        // at-rest TRUNCATION policy re-applies globally — same
+        // definition as rowsFor, preserving the >=1-row-per-asset
+        // liveness the streaming gates' replay self-match needs (a
+        // whole-group drop here could erase a committed survivor's
+        // last band row and re-admit it on replay)
+        case "phash" =>
+          DedupOps.truncateBuckets(
+            live.dropDuplicates("asset_id", "band"),
+            Seq("band", "band_key"), DedupOps.MaxBucketSize,
+            "asset_id", Seq("asset_id"))
+        case "afp" =>
+          DedupOps.truncateBuckets(
+            live.dropDuplicates("asset_id", "chunk_idx", "band"),
+            Seq("band", "band_key"), DedupOps.MaxBucketSize,
+            "asset_id", Seq("asset_id", "chunk_idx"))
         case _ => live.dropDuplicates("vec_id")
       }).localCheckpoint() // counted AND staged — one computation
       val dropped = live.count() - rows.count()
@@ -864,13 +889,51 @@ object IndexStore {
     DedupOps.incrementalExactSpans(p, idx, corpus, gram)
   }
 
-  /** afp probe from PRE-COMPUTED (asset_id, afp) rows — the audio
-    * mirror of [[phashSearchFromHashes]], same pruning and the same
-    * no-equal-id replay-safety contract. */
+  /** afp probe from PRE-COMPUTED (asset_id, chunk_idx, n_chunks, afp)
+    * rows — the audio mirror of [[phashSearchFromHashes]] with the
+    * CHUNK-aware verdict: the banded join runs at chunk granularity
+    * (same two-level prune — candidate leaves from the probe's own
+    * (band, band_key) rows, distinct keys pushed to the sorted
+    * leaves), then matches aggregate per (probe asset, existing asset)
+    * under the majority-coverage rule
+    * ([[graft.operators.AudioDedupOps.afpNearDupPairs]]'s semantics:
+    * 2·matched > n_chunks on BOTH sides, hamming = worst matched
+    * chunk). Single-chunk clips reduce to the plain banded probe. Same
+    * no-equal-id replay-safety contract: a re-delivered asset
+    * self-matches every chunk at Hamming 0, so coverage is total and
+    * the verdict fires. */
   def afpSearchFromHashes(store: GraftStore, spark: SparkSession,
-      hashes: DataFrame, maxHamming: Int): DataFrame =
-    bandedSearchFromHashes(store, spark, "afp",
-      AudioDedupOps.afpBandRows(hashes), maxHamming)
+      hashes: DataFrame, maxHamming: Int): DataFrame = {
+    checkSchemaVersion(store, "afp", 3,
+      "the chunk-aware afp probe")
+    val probeBands = AudioDedupOps.afpBandRows(hashes)
+      .localCheckpoint() // keys collect + join both read it
+    val pIdx = prunedIndex(store, spark, "afp",
+      probeBands.select(col("band_key"), bucketOf("afp").as("b")),
+      "band_key")
+    probeBands
+      .select(col("asset_id").as("new_id"), col("chunk_idx").as("c_new"),
+        col("n_chunks").as("n_new"), col("afp").as("h_new"),
+        col("band"), col("band_key"))
+      .join(pIdx.select(col("asset_id").as("existing_id"),
+        col("chunk_idx").as("c_ex"), col("n_chunks").as("n_ex"),
+        col("afp").as("h_ex"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select(col("new_id"), col("existing_id"), col("c_new"),
+        col("c_ex"), col("n_new"), col("n_ex"), col("h_new"),
+        col("h_ex"))
+      .distinct() // a chunk pair can meet in up to 4 bands
+      .withColumn("hamming", expr("CAST(bit_count(h_new ^ h_ex) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("new_id"), col("existing_id"), col("n_new"),
+        col("n_ex"))
+      .agg(countDistinct(col("c_new")).as("m_new"),
+        countDistinct(col("c_ex")).as("m_ex"),
+        max(col("hamming")).as("hamming"))
+      .filter(col("m_new") * 2 > col("n_new") &&
+        col("m_ex") * 2 > col("n_ex"))
+      .select(col("new_id"), col("existing_id"), col("hamming"))
+  }
 
   /** phash probe from PRE-COMPUTED (asset_id, phash) rows — the body
     * of `search("phash", ...)`, public so the streaming image gate
@@ -886,20 +949,24 @@ object IndexStore {
   def phashSearchFromHashes(store: GraftStore, spark: SparkSession,
       hashes: DataFrame, maxHamming: Int): DataFrame =
     bandedSearchFromHashes(store, spark, "phash",
-      ImageDedupOps.bandRows(hashes), maxHamming)
+      ImageDedupOps.bandRows(hashes), "phash", maxHamming)
 
-  /** The shared probe body of the banded perceptual kinds: prune the
-    * at-rest leaves from the probe's own (band, band_key) rows, push
-    * the distinct keys as a scan filter, verify with a codegen'd
-    * bit_count at Hamming <= maxHamming. `probeBands` must carry
-    * (asset_id, <hash col>, band, band_key) — the hash column is
-    * whatever non-key column remains (phash / afp), detected here so
-    * both kinds share one body. */
+  /** The probe body of the single-hash banded perceptual kind(s):
+    * prune the at-rest leaves from the probe's own (band, band_key)
+    * rows, push the distinct keys as a scan filter, verify with a
+    * codegen'd bit_count at Hamming <= maxHamming. `probeBands` must
+    * carry (asset_id, `hashCol`, band, band_key) — the hash column is
+    * NAMED by the caller and required to exist (inferring it by
+    * eliminating the key columns let any stray extra column silently
+    * become the hash and produce wrong Hamming results). The
+    * chunk-aware afp probe has its own body
+    * ([[afpSearchFromHashes]]). */
   private def bandedSearchFromHashes(store: GraftStore,
       spark: SparkSession, kind: String, bands: DataFrame,
-      maxHamming: Int): DataFrame = {
-    val hashCol = bands.columns
-      .filterNot(Set("asset_id", "band", "band_key")).head
+      hashCol: String, maxHamming: Int): DataFrame = {
+    require(bands.columns.contains(hashCol),
+      s"probe band rows for '$kind' lack hash column '$hashCol' " +
+        s"(have: ${bands.columns.mkString(", ")})")
     val probeBands = bands
       .localCheckpoint() // keys collect + join both read it
     val pIdx = prunedIndex(store, spark, kind,

@@ -27,14 +27,20 @@ object StreamingAudio {
   val AcceptedTable = "accepted_audio"
 
   /** One micro-batch: gate, then commit survivors + their `afp` band
-    * rows in one atomic snapshot. */
-  def processBatch(store: GraftStore, batch: DataFrame): Unit =
+    * rows in one atomic snapshot. Long clips participate as their
+    * chunk rows ([[AudioDedupOps.fingerprintChunks]]) — the gate
+    * accepts, dedups, and indexes them like any other asset; the
+    * cross probe and intra pair drop both apply the majority-coverage
+    * verdict. Returns the gate's audit counters. */
+  def processBatch(store: GraftStore,
+      batch: DataFrame): PerceptualGate.GateStats =
     PerceptualGate.processBatch(store, batch, "afp", AcceptedTable,
       AudioDedupOps.audioHashRows,
       AudioDedupOps.afpNearDupPairs,
       hashes => IndexStore.afpSearchFromHashes(store,
         batch.sparkSession, hashes, AudioDedupOps.MaxHamming),
-      AudioDedupOps.afpBandRows)
+      AudioDedupOps.afpBandRows,
+      bandOrder = Seq("asset_id", "chunk_idx"))
 
   /** The full pipeline: a streaming (asset_id, payload) frame driven
     * through [[processBatch]] per micro-batch; the `afp` index is the
@@ -46,7 +52,7 @@ object StreamingAudio {
       checkpointDir: String): StreamingQuery =
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(store, batch)
+        processBatch(store, batch): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .start()

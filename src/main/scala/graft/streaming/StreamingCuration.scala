@@ -98,6 +98,26 @@ object StreamingCuration {
       threshold: Double = 0.4,
       exactSpans: Boolean = false): Unit = {
     val spark = batch.sparkSession
+    // Turning exactSpans ON over a store with pre-existing accepted
+    // docs: those docs predate the flag, so they have NO espan
+    // postings — certifying against the partial index would silently
+    // pass extents duplicated from them. One-time BACKFILL: build the
+    // postings for everything accepted so far and commit them before
+    // this batch runs (its own commit — if the batch's commit never
+    // lands, a replay sees the postings at rest, skips this branch,
+    // and cuts identically; if the backfill itself crashes mid-way,
+    // the espan table is still empty and the next attempt rebuilds —
+    // staged orphans are vacuum's job).
+    if (exactSpans &&
+        store.leavesOf(IndexStore.tableOf("espan")).isEmpty &&
+        store.leavesOf(AcceptedTable).nonEmpty) {
+      val backfill = IndexStore.stageRows(store, "espan",
+        DedupOps.buildExactSpanIndex(
+          store.read(spark, AcceptedTable)
+            .select(col("doc_id"), col("text"))))
+      if (backfill.nonEmpty)
+        store.commit(backfill, meta = IndexStore.formatMeta("espan"))
+    }
     // Optional exact-span stage (Lee et al. at ingest): BEFORE the
     // whole-doc gates, cut from each batch doc every extent that
     // already exists verbatim in the ACCEPTED corpus — the at-rest

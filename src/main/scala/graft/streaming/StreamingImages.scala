@@ -41,14 +41,17 @@ object StreamingImages {
   val AcceptedTable = "accepted_images"
 
   /** One micro-batch: gate, then commit survivors + their `phash`
-    * band rows in one atomic snapshot. */
-  def processBatch(store: GraftStore, batch: DataFrame): Unit =
+    * band rows in one atomic snapshot. Returns the gate's audit
+    * counters ([[PerceptualGate.GateStats]]). */
+  def processBatch(store: GraftStore,
+      batch: DataFrame): PerceptualGate.GateStats =
     PerceptualGate.processBatch(store, batch, "phash", AcceptedTable,
       ImageDedupOps.imageHashRows,
       ImageDedupOps.phashNearDupPairs,
       hashes => IndexStore.phashSearchFromHashes(store,
         batch.sparkSession, hashes, ImageDedupOps.MaxHamming),
-      ImageDedupOps.bandRows)
+      ImageDedupOps.bandRows,
+      bandOrder = Seq("asset_id"))
 
   /** The full pipeline: a streaming (asset_id, payload) frame driven
     * through [[processBatch]] per micro-batch. The `phash` index is
@@ -61,7 +64,7 @@ object StreamingImages {
       checkpointDir: String): StreamingQuery =
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(store, batch)
+        processBatch(store, batch): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .start()

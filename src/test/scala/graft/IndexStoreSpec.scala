@@ -73,6 +73,14 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     val inline = spanSet(DedupOps.incrementalExactSpans(probe,
       DedupOps.buildExactSpanIndex(corpusDf), corpusDf))
     assert(atRest == inline, s"atRest=$atRest inline=$inline")
+    // the broadcast escape hatch: a pathological probe (candidate set
+    // past the driver's broadcast budget) degrades to a shuffled
+    // semi-join with IDENTICAL results
+    val shuffled = spanSet(DedupOps.incrementalExactSpans(probe,
+      DedupOps.buildExactSpanIndex(corpusDf), corpusDf,
+      broadcastCandidates = false))
+    assert(shuffled == inline,
+      s"broadcastCandidates=false diverged: $shuffled vs $inline")
     // append new docs; a probe slice of the APPENDED doc certifies
     val extra = Seq(doc(500L, "y")).toDF("doc_id", "text")
     IndexStore.append(new GraftStore(root), "espan", extra)

@@ -4,6 +4,7 @@ import graft.operators.AudioDedupOps
 import graft.store.{GraftStore, IndexStore}
 import graft.streaming.StreamingAudio
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -78,6 +79,59 @@ class StreamingAudioSpec extends AnyFunSuite with BeforeAndAfterAll
     StreamingAudio.processBatch(store, batch)
     assert(store.currentSnapshot() == snap1,
       "replay committed a new snapshot")
+  }
+
+  test("LONG clips are first-class in the gate: accepted, indexed per " +
+      "chunk, a later re-encoded long copy drops cross-batch") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-saud-long"))
+    val b1 = Seq(asset(4000L), asset(4001L), asset(0L)).toDF()
+    val s1 = StreamingAudio.processBatch(store, b1)
+    assert(acceptedIds(store) == Set(4000L, 4001L, 0L),
+      s"long clips must be accepted, not silently rejected: " +
+        s"${acceptedIds(store)}")
+    assert(s1.survivors == 3 && s1.exactDropped == 0, s"$s1")
+    // each long survivor carries BOTH chunks' band rows at rest
+    val chunksAtRest = IndexStore.read(store, spark, "afp")
+      .filter(col("asset_id") === 4000L)
+      .select("chunk_idx").distinct().collect().map(_.getInt(0)).toSet
+    assert(chunksAtRest == Set(0, 1), s"got $chunksAtRest")
+    // batch 2: the junk re-encode of 4000 under a new id must drop via
+    // the chunk-aware cross probe (both chunks match at d=0)
+    val b2 = Seq(
+      AudioDedupOps.AudioAsset(700L, asset(5000L).payload),
+      asset(1L)).toDF()
+    val s2 = StreamingAudio.processBatch(store, b2)
+    assert(acceptedIds(store) == Set(4000L, 4001L, 0L, 1L),
+      s"got ${acceptedIds(store)}")
+    assert(s2.crossDropped == 1, s"$s2")
+  }
+
+  test("a flood of byte-identical clips (past the band-bucket cap) " +
+      "collapses to ONE survivor whose index rows stay live: replay " +
+      "commits nothing, a later copy still drops") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-saud-flood"))
+    // 70 identical payloads: over MaxBucketSize (64) in EVERY band
+    // bucket — the round-15 gate dropped these groups wholesale, found
+    // no pairs, and accepted the whole flood with no index rows
+    val flood = (0 until 70).map(i =>
+      AudioDedupOps.AudioAsset(100L + i, asset(0L).payload))
+    val stats = StreamingAudio.processBatch(store, flood.toDF())
+    assert(acceptedIds(store) == Set(100L),
+      s"flood must collapse to its smallest id: ${acceptedIds(store)}")
+    assert(stats.survivors == 1 && stats.exactDropped == 69, s"$stats")
+    val idxRows = IndexStore.read(store, spark, "afp")
+      .filter(col("asset_id") === 100L).count()
+    assert(idxRows > 0, "the flood survivor must keep live index rows")
+    val snap1 = store.currentSnapshot()
+    StreamingAudio.processBatch(store, flood.toDF())
+    assert(store.currentSnapshot() == snap1,
+      "flood replay committed a new snapshot")
+    StreamingAudio.processBatch(store,
+      Seq(AudioDedupOps.AudioAsset(900L, asset(0L).payload)).toDF())
+    assert(acceptedIds(store) == Set(100L),
+      s"a later copy of the flood must drop: ${acceptedIds(store)}")
   }
 
   test("end-to-end stream: cross-batch planted transforms drop, " +

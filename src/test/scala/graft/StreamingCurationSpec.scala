@@ -324,4 +324,36 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll
       s"control: whole-doc gates alone were expected to pass doc 3 " +
         s"(got $ctl) — fixture no longer demonstrates the stage")
   }
+
+  test("turning exactSpans ON over pre-existing accepted docs " +
+      "BACKFILLS their espan postings first: extents duplicated from " +
+      "pre-flag history are cut, not silently passed") {
+    import spark.implicits._
+    import graft.store.{GraftStore, IndexStore}
+    val store = new GraftStore(tempDir("graft-scur-espan-bf"))
+    val base = (1 to 80).map(i => f"comet$i%05d").mkString(" ")
+    // doc 1 accepted BEFORE the flag: no espan postings at rest
+    StreamingCuration.processBatch(store,
+      Seq((1L, base)).toDF("doc_id", "text"))
+    assert(store.leavesOf(IndexStore.tableOf("espan")).isEmpty,
+      "fixture: pre-flag accept must not write espan postings")
+    // first flagged batch: doc 2 carries a verbatim 20-token run of
+    // the PRE-FLAG doc 1 — without the backfill this certified against
+    // an empty index and the run sailed through uncut
+    val run = base.split(" ").slice(30, 50).mkString(" ")
+    val fresh = (1 to 60).map(i => f"pulsar$i%05d").mkString(" ")
+    StreamingCuration.processBatch(store,
+      Seq((2L, s"$fresh $run")).toDF("doc_id", "text"),
+      exactSpans = true)
+    val accepted = store.read(spark, StreamingCuration.AcceptedTable)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(accepted.get(2L).contains(fresh),
+      s"the pre-flag history's extent must be cut after backfill: " +
+        s"${accepted.get(2L)}")
+    // the backfill landed doc 1's postings at rest (one-time build)
+    val bf = IndexStore.read(store, spark, "espan")
+      .filter(col("doc_id") === 1L).count()
+    assert(bf > 0, "backfill must persist pre-flag docs' postings")
+  }
 }
