@@ -130,7 +130,7 @@ object ImageDedupOps {
       v01 * (256 - fx) * fy + v11 * fx * fy) >> 16) + bright
   }
 
-  private def renderSmooth(i: Long, w: Int, h: Int,
+  private[graft] def renderSmooth(i: Long, w: Int, h: Int,
       bright: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -147,7 +147,7 @@ object ImageDedupOps {
     img
   }
 
-  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+  private[graft] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
@@ -156,7 +156,7 @@ object ImageDedupOps {
   /** Nearest-neighbor resize of DECODED pixels — the
     * [[MultimodalOps.resizeImage]] integer kernel, kept as an image so
     * the result re-encodes as a genuinely transformed container. */
-  private def nnResize(src: java.awt.image.BufferedImage, tw: Int,
+  private[graft] def nnResize(src: java.awt.image.BufferedImage, tw: Int,
       th: Int): java.awt.image.BufferedImage = {
     val (sw, sh) = (src.getWidth, src.getHeight)
     val out = new java.awt.image.BufferedImage(
@@ -177,7 +177,7 @@ object ImageDedupOps {
     * container BYTES are guaranteed different, the decoded pixels are
     * bit-identical. Chunk framing is the public PNG layout: 4-byte
     * big-endian length, 4-byte type, data, CRC32 over type+data. */
-  private def reencode(payload: Array[Byte]): Array[Byte] = {
+  private[graft] def reencode(payload: Array[Byte]): Array[Byte] = {
     val clean = encodePng(MultimodalOps.decodeImage(payload))
     val data = "Comment recompressed".getBytes("ISO-8859-1")
     val chunk = java.nio.ByteBuffer.allocate(12 + data.length)
@@ -190,7 +190,7 @@ object ImageDedupOps {
     clean.take(cut) ++ chunk.array() ++ clean.drop(cut)
   }
 
-  private def geometry(i: Int): (Int, Int) =
+  private[graft] def geometry(i: Int): (Int, Int) =
     (96 + (i % 5) * 16, 80 + (i % 7) * 16)
 
   /** The dedup fixture corpus: `n` smooth base images plus, for seeds

@@ -458,6 +458,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"an exchange carries audio payload bytes: $cols"))
   }
 
+  test("video frame dedup: frame payload bytes never cross a shuffle — " +
+      "every exchange carries hash/band rows only") {
+    val df = SparkEntry.queries("multimodal_video_dedup")(spark, dir)
+    val exs = shuffleOutputs(df)
+    assert(exs.nonEmpty, "expected at least the band-join exchange")
+    exs.foreach(cols => assert(!cols.exists(_.contains("payload")),
+      s"an exchange carries frame payload bytes: $cols"))
+  }
+
   test("exact spans: the postings screen exchange carries only " +
       "(doc_id, pos, h) — 20-byte rows, never text or token arrays") {
     val df = SparkEntry.queries("dedup_exact_spans")(spark, dir)
