@@ -341,6 +341,24 @@ object Scale {
       if (want("afp_probe")) phase("afp_probe", k, 2)(
         graft.store.IndexStore.search(store, spark, "afp",
           graft.operators.AudioDedupOps.syntheticAudioFrame(spark, 25L)))
+      // afp compaction: re-delivered assets collapse and the at-rest
+      // truncation policy re-applies globally (claim: LINEAR — one
+      // scan of the 24-byte rows through two keyed window exchanges,
+      // flat task memory; no re-decode of any payload)
+      if (want("afp_compact")) phase("afp_compact", k, 1) {
+        graft.store.IndexStore.compact(store, spark, "afp")
+        graft.store.IndexStore.read(store, spark, "afp").limit(0)
+      }
+      // video frame dedup at k x synthetic frames (claim: ONE
+      // decode+hash scan — hash rows localCheckpoint like every
+      // engine call site, so the self-join never re-renders — linear;
+      // every exchange carries 24-byte hash/band rows, frame payloads
+      // never cross)
+      if (want("video_dedup")) phase("video_dedup", k, 1)(
+        graft.operators.VideoDedupOps.videoNearDupPairs(
+          graft.operators.VideoDedupOps.videoHashRows(
+            graft.operators.VideoDedupOps.syntheticVideoFrame(
+              spark, assetN)).localCheckpoint()))
       // at-rest exact-span postings: build at k x (linear claim), then
       // certify a FIXED probe batch from rest (claim: flat — the
       // probe's own hashes prune leaves + push key filters, and corpus
@@ -353,6 +371,13 @@ object Scale {
       if (want("espan_probe")) phase("espan_probe", k, 2)(
         graft.store.IndexStore.searchExactSpans(store, spark,
           probeBatch, docsK))
+      // espan compaction: (doc_id, pos) postings collapse — no cap
+      // policy by design (claim: LINEAR in postings with flat task
+      // memory; one keyed dropDuplicates scan, text never re-shingled)
+      if (want("espan_compact")) phase("espan_compact", k, 1) {
+        graft.store.IndexStore.compact(store, spark, "espan")
+        graft.store.IndexStore.read(store, spark, "espan").limit(0)
+      }
     }
 
     // a phase/point-filtered rerun writes a scratch file — it must never

@@ -435,33 +435,49 @@ object Main {
         }
 
       case Some("assets") =>
-        // perceptual batch dedup for the binary modalities — the
-        // `curate` analogue for image/audio assets:
-        //   assets dedup --kind phash|afp --input a.parquet --output out
-        //       [--report pairs|clusters]
-        // default (no --report): write the DEDUPED SURVIVORS — one
-        // witness (the min asset_id) per near-dup component plus every
+        // perceptual batch dedup + drop auditing for the binary
+        // modalities — the `curate` analogue for image/audio/video:
+        //   assets dedup --kind phash|afp|video --input a.parquet
+        //       --output out [--report pairs|clusters]
+        //   assets rejects --kind phash|afp --input a.parquet --output out
+        // dedup default (no --report): write the DEDUPED SURVIVORS —
+        // one witness (the min id) per near-dup component plus every
         // unclustered asset; --report pairs / clusters writes the
-        // intermediate frames instead. Decode+fingerprint runs once,
-        // per partition; payload bytes reach only the survivor write.
+        // intermediate frames instead. `video` consumes a
+        // (video_id, frame_idx, payload) frames table and survivors are
+        // all frames of surviving videos. `rejects` writes the
+        // (asset_id, reason) audit of what the fingerprint path drops
+        // (corrupt / too_short / unsupported_depth for afp; corrupt /
+        // too_small / oversized for phash). Decode+fingerprint runs
+        // once, per partition; payload bytes reach only the writes.
         import org.apache.spark.sql.functions.col
+        import graft.operators.{AudioDedupOps, ImageDedupOps, VideoDedupOps}
         args.lift(1) match {
           case Some("dedup") =>
             val kind = opt("kind")
-              .getOrElse(sys.error("--kind required (phash|afp)"))
+              .getOrElse(sys.error("--kind required (phash|afp|video)"))
             val in = spark.read.parquet(opt("input")
               .getOrElse(sys.error("--input required")))
             val out = opt("output")
               .getOrElse(sys.error("--output required"))
-            import graft.operators.{AudioDedupOps, ImageDedupOps}
-            val pairs = (kind match {
-              case "phash" => ImageDedupOps.phashNearDupPairs(
-                ImageDedupOps.imageHashRows(in))
-              case "afp" => AudioDedupOps.afpNearDupPairs(
-                AudioDedupOps.audioHashRows(in))
+            // hash rows materialize ONCE (the streaming gate's
+            // one-decode discipline): the banded self-join reads
+            // 16-24-byte rows, never a second decode pass
+            val (pairsRaw, idCol) = kind match {
+              case "phash" => (ImageDedupOps.phashNearDupPairs(
+                ImageDedupOps.imageHashRows(in).localCheckpoint()),
+                "asset_id")
+              case "afp" => (AudioDedupOps.afpNearDupPairs(
+                AudioDedupOps.audioHashRows(in).localCheckpoint()),
+                "asset_id")
+              case "video" => (VideoDedupOps.videoNearDupPairs(
+                VideoDedupOps.videoHashRows(in).localCheckpoint()),
+                "video_id")
               case other => sys.error(
-                s"assets dedup: unknown kind '$other' (phash|afp)")
-            }).localCheckpoint() // pairs feed report AND closure
+                s"assets dedup: unknown kind '$other' (phash|afp|video)")
+            }
+            val pairs = pairsRaw
+              .localCheckpoint() // pairs feed report AND closure
             opt("report") match {
               case Some("pairs") =>
                 pairs.write.mode("overwrite").parquet(out)
@@ -477,20 +493,36 @@ object Main {
                 val losers = graft.operators.CurationOps
                   .connectedComponents(pairs.select("id_a", "id_b"))
                   .filter(col("node") =!= col("comp"))
-                  .select(col("node").as("asset_id"))
+                  .select(col("node").as(idCol))
                   .localCheckpoint() // counted and anti-joined
-                val survivors = in.join(losers, Seq("asset_id"),
+                val survivors = in.join(losers, Seq(idCol),
                   "left_anti")
                 survivors.write.mode("overwrite").parquet(out)
                 println(s"[assets] wrote ${survivors.count()} " +
-                  s"survivor(s) to $out (dropped ${losers.count()} " +
+                  s"survivor row(s) to $out (dropped ${losers.count()} " +
                   "near-duplicate(s), one witness kept per cluster)")
               case Some(other) => sys.error(
                 s"assets dedup: unknown --report '$other' " +
                   "(pairs|clusters)")
             }
+          case Some("rejects") =>
+            val kind = opt("kind")
+              .getOrElse(sys.error("--kind required (phash|afp)"))
+            val in = spark.read.parquet(opt("input")
+              .getOrElse(sys.error("--input required")))
+            val out = opt("output")
+              .getOrElse(sys.error("--output required"))
+            val rejects = (kind match {
+              case "phash" => ImageDedupOps.imageRejects(in)
+              case "afp" => AudioDedupOps.audioRejects(in)
+              case other => sys.error(
+                s"assets rejects: unknown kind '$other' (phash|afp)")
+            }).localCheckpoint() // written and counted
+            rejects.write.mode("overwrite").parquet(out)
+            println(s"[assets] wrote ${rejects.count()} reject " +
+              s"audit row(s) to $out")
           case other =>
-            sys.error(s"usage: assets dedup ... (got $other)")
+            sys.error(s"usage: assets dedup|rejects ... (got $other)")
         }
 
       case Some("index") =>

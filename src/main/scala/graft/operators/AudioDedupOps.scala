@@ -510,10 +510,12 @@ object AudioDedupOps {
       .withColumn("band_key", expr(
         s"shiftrightunsigned(afp, (${NumBands - 1} - band) * 16) & 65535"))
 
-  /** Fingerprint the fixture corpus. */
+  /** Fingerprint the fixture corpus — materialized once (the
+    * one-decode discipline: the banded self-join reads 24-byte rows,
+    * never a second decode pass). */
   def audioFingerprints(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
-    audioHashRows(audioAssets(n).toDF())
+    audioHashRows(audioAssets(n).toDF()).localCheckpoint()
   }
 
   /** CHUNK-level near-dup pairs at Hamming ≤ [[MaxHamming]]: band

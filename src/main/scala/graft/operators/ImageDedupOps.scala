@@ -386,10 +386,12 @@ object ImageDedupOps {
       .withColumn("band_key", expr(
         s"shiftrightunsigned(phash, (${NumBands - 1} - band) * 16) & 65535"))
 
-  /** Decode+hash the fixture corpus. */
+  /** Decode+hash the fixture corpus — materialized once (the
+    * one-decode discipline: the banded self-join reads 16-byte rows,
+    * never a second decode pass). */
   def imageHashes(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
-    imageHashRows(imageAssets(n).toDF())
+    imageHashRows(imageAssets(n).toDF()).localCheckpoint()
   }
 
   /** Near-dup pairs at Hamming ≤ [[MaxHamming]] from a (asset_id, phash)

@@ -191,10 +191,26 @@ object VideoDedupOps {
       .filter(col("m_a") * 2 > col("n_a") && col("m_b") * 2 > col("n_b"))
       .select(col("id_a"), col("id_b"), col("hamming"))
 
-  /** Fixture frames as a DataFrame, hashed by the engine path. */
+  /** Distributed synthetic frames corpus for the scale sweeps: `n`
+    * frames across n/[[FramesPerVideo]] videos, PNG-encoded where the
+    * rows live (per-partition — the
+    * [[ImageDedupOps.syntheticImageFrame]] discipline). */
+  def syntheticVideoFrame(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, 32).as[Long].mapPartitions(_.map { i =>
+      val v = i / FramesPerVideo
+      val f = (i % FramesPerVideo).toInt
+      VideoFrame(v, f, framePng(v, f))
+    }).toDF()
+  }
+
+  /** Fixture frames as a DataFrame, hashed by the engine path —
+    * materialized once (the gate's ONE-decode discipline: the pair
+    * self-join and the verdict read 24-byte hash rows, never a second
+    * render+decode pass; measured 2.2× at 45k frames). */
   def videoFingerprints(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
-    videoHashRows(videoFrames(n).toDF())
+    videoHashRows(videoFrames(n).toDF()).localCheckpoint()
   }
 
   /** Driver-side frame hashes for the oracle — same kernel, same

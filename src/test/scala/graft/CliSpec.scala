@@ -286,7 +286,7 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
       cli.Main.run(spark, Array("assets", "dedup",
         "--kind", "phash", "--input", in, "--output", out))
     }
-    assert(printed.contains("survivor(s)"), printed)
+    assert(printed.contains("survivor row(s)"), printed)
     val ids = spark.read.parquet(out)
       .select("asset_id").collect().map(_.getLong(0)).toSet
     // every planted variant drops; its base (the min of the cluster)
@@ -302,6 +302,48 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
     for (i <- 0 until ImageDedupOps.DupSeeds)
       assert(comps(i + 3000L) == i.toLong, s"${comps.get(i + 3000L)}")
+  }
+
+  test("assets dedup --kind video keeps one witness per video cluster " +
+      "(survivors are all frames of surviving videos)") {
+    import spark.implicits._
+    import graft.operators.VideoDedupOps
+    val root = tempPath("graft-assets-video")
+    val in = s"$root/frames.parquet"
+    val out = s"$root/deduped"
+    VideoDedupOps.videoFrames(VideoDedupOps.NumVideos).toDF()
+      .write.parquet(in)
+    val printed = captured {
+      cli.Main.run(spark, Array("assets", "dedup",
+        "--kind", "video", "--input", in, "--output", out))
+    }
+    assert(printed.contains("survivor row(s)"), printed)
+    val ids = spark.read.parquet(out)
+      .select("video_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == (0 until VideoDedupOps.NumVideos).map(_.toLong).toSet,
+      s"got $ids")
+  }
+
+  test("assets rejects writes the (asset_id, reason) drop audit") {
+    import spark.implicits._
+    import graft.operators.AudioDedupOps
+    val root = tempPath("graft-assets-rej")
+    val in = s"$root/audio.parquet"
+    val out = s"$root/rejects"
+    (AudioDedupOps.audioAssets(4).filter(_.asset_id < 4L) :+
+      AudioDedupOps.AudioAsset(999L, Array.fill[Byte](64)(0x2a)) :+
+      AudioDedupOps.AudioAsset(998L,
+        AudioDedupOps.wav16(Array.fill(8)(100), 8000))).toDF()
+      .write.parquet(in)
+    val printed = captured {
+      cli.Main.run(spark, Array("assets", "rejects",
+        "--kind", "afp", "--input", in, "--output", out))
+    }
+    assert(printed.contains("2 reject audit row(s)"), printed)
+    val rej = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[String]("reason"))
+      .toMap
+    assert(rej == Map(999L -> "corrupt", 998L -> "too_short"), s"$rej")
   }
 
   test("curate --exact-spans cuts the duplicated extent out of the " +
