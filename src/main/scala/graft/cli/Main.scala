@@ -598,6 +598,8 @@ object Main {
                 graft.operators.ImageDedupOps.MaxHamming.toDouble
               else if (kind == "afp")
                 graft.operators.AudioDedupOps.MaxHamming.toDouble
+              else if (kind == "vhash")
+                graft.operators.ImageDedupOps.MaxHamming.toDouble
               else 0.4
             // --filter 'label = 3': attribute predicate over columns
             // the index rows carry (filtered ANN) — pushed to the

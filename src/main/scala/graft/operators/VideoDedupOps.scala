@@ -191,6 +191,29 @@ object VideoDedupOps {
       .filter(col("m_a") * 2 > col("n_a") && col("m_b") * 2 > col("n_b"))
       .select(col("id_a"), col("id_b"), col("hamming"))
 
+  // -------------------------------------------------------------------
+  // Gate/index-facing forms: the at-rest `vhash` kind and the
+  // streaming gate address a video as an ASSET (column `asset_id` —
+  // the phash/afp at-rest schema), so these wrappers present the same
+  // operators over (asset_id, frame_idx, ...) frames. Pure renames; no
+  // extra scan or exchange.
+  // -------------------------------------------------------------------
+
+  /** [[videoHashRows]] over an (asset_id, frame_idx, payload) frame. */
+  def assetHashRows(frames: DataFrame): DataFrame =
+    videoHashRows(frames.withColumnRenamed("asset_id", "video_id"))
+      .withColumnRenamed("video_id", "asset_id")
+
+  /** [[videoBandRows]] over (asset_id, frame_idx, n_frames, phash). */
+  def assetBandRows(rows: DataFrame): DataFrame =
+    videoBandRows(rows.withColumnRenamed("asset_id", "video_id"))
+      .withColumnRenamed("video_id", "asset_id")
+
+  /** [[videoNearDupPairs]] over (asset_id, frame_idx, n_frames,
+    * phash). */
+  def assetNearDupPairs(rows: DataFrame): DataFrame =
+    videoNearDupPairs(rows.withColumnRenamed("asset_id", "video_id"))
+
   /** Distributed synthetic frames corpus for the scale sweeps: `n`
     * frames across n/[[FramesPerVideo]] videos, PNG-encoded where the
     * rows live (per-partition — the

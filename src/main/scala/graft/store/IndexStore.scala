@@ -1,6 +1,6 @@
 package graft.store
 
-import graft.operators.{AudioDedupOps, DedupOps, ImageDedupOps, SimilarityOps}
+import graft.operators.{AudioDedupOps, DedupOps, ImageDedupOps, SimilarityOps, VideoDedupOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -51,9 +51,16 @@ import org.apache.spark.sql.functions._
   *    without re-shingling history (corpus text read for candidate
   *    docs only).
   *  - `afp`    — audio perceptual-fingerprint near-dup index
-  *    ([[AudioDedupOps]] 64-bit integer PCM fingerprint), stored and
-  *    probed exactly like `phash`: 4×16-bit band rows, (band,
-  *    band_key) layout, probe-side-only decode.
+  *    ([[AudioDedupOps]] 64-bit integer PCM fingerprint, one row per
+  *    CHUNK of long clips), stored like `phash` (4×16-bit band rows,
+  *    (band, band_key) layout, probe-side-only decode) and probed
+  *    chunk-aware: matches aggregate per asset pair under the
+  *    majority-coverage verdict.
+  *  - `vhash`  — video near-dup index over PRE-EXTRACTED frame stills
+  *    ([[VideoDedupOps]]: per-frame dHash, one row per frame), probed
+  *    frame-aware with the same coverage verdict — frames are to a
+  *    video what chunks are to a long clip. Input is (asset_id,
+  *    frame_idx, payload).
   *
   * Index rows are plain parquet leaves committed through the SAME
   * manifest swap as everything else in the store: a probe always sees a
@@ -85,7 +92,7 @@ object IndexStore {
   val Buckets = 64
 
   val Kinds = Seq("band", "span", "sketch", "ivf", "pq", "ivfpq", "vec",
-    "phash", "afp", "espan")
+    "phash", "afp", "vhash", "espan")
 
   /** Hash/projection family version stamped into the store manifest by
     * every index commit. The round-9 migration changed the signature
@@ -189,6 +196,7 @@ object IndexStore {
     case "vec" => "vec_index"
     case "phash" => "phash_index"
     case "afp" => "afp_index"
+    case "vhash" => "vhash_index"
     case "espan" => "espan_index"
     case other => sys.error(s"unknown index kind '$other' " +
       s"(expected one of ${Kinds.mkString("|")})")
@@ -203,7 +211,7 @@ object IndexStore {
     // probe batch hashes its own images / fingerprints its own audio,
     // so its (band, band_key) rows prune leaves and push key filters
     // exactly like text band probes
-    case "band" | "phash" | "afp" =>
+    case "band" | "phash" | "afp" | "vhash" =>
       pmod(xxhash64(col("band"), col("band_key")), lit(Buckets))
     case "span" => pmod(col("fp"), lit(Buckets))
     // exact positional postings: bucket by the shingle hash itself, so
@@ -222,7 +230,8 @@ object IndexStore {
   }
 
   private def sortOf(kind: String): Seq[Column] = kind match {
-    case "band" | "phash" | "afp" => Seq(col("band"), col("band_key"))
+    case "band" | "phash" | "afp" | "vhash" =>
+      Seq(col("band"), col("band_key"))
     case "span" => Seq(col("fp"))
     case "espan" => Seq(col("h"))
     // sorted by the probe key so row-group stats prune the In() filter
@@ -259,6 +268,13 @@ object IndexStore {
         AudioDedupOps.afpBandRows(AudioDedupOps.audioHashRows(input)),
         Seq("band", "band_key"), DedupOps.MaxBucketSize,
         "asset_id", Seq("asset_id", "chunk_idx"))
+      // video: (asset_id, frame_idx, payload) frame stills in —
+      // per-frame dHash, band explode with frame_idx/n_frames riding,
+      // same at-rest truncation policy (frame granularity)
+      case "vhash" => DedupOps.truncateBuckets(
+        VideoDedupOps.assetBandRows(VideoDedupOps.assetHashRows(input)),
+        Seq("band", "band_key"), DedupOps.MaxBucketSize,
+        "asset_id", Seq("asset_id", "frame_idx"))
       // drop(embedding), not select(3): normalizedWithBucket keeps every
       // input column, so attributes ride through WITHOUT the keyed
       // re-join [[withAttrs]] would otherwise pay
@@ -424,6 +440,11 @@ object IndexStore {
             live.dropDuplicates("asset_id", "chunk_idx", "band"),
             Seq("band", "band_key"), DedupOps.MaxBucketSize,
             "asset_id", Seq("asset_id", "chunk_idx"))
+        case "vhash" =>
+          DedupOps.truncateBuckets(
+            live.dropDuplicates("asset_id", "frame_idx", "band"),
+            Seq("band", "band_key"), DedupOps.MaxBucketSize,
+            "asset_id", Seq("asset_id", "frame_idx"))
         case _ => live.dropDuplicates("vec_id")
       }).localCheckpoint() // counted AND staged — one computation
       val dropped = live.count() - rows.count()
@@ -695,7 +716,8 @@ object IndexStore {
       probe: DataFrame, threshold: Double = Double.NaN,
       where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(where.isEmpty ||
-      !Set("band", "span", "phash", "afp", "espan").contains(kind),
+      !Set("band", "span", "phash", "afp", "vhash", "espan")
+        .contains(kind),
       s"attribute predicates apply to the vector kinds, not '$kind'")
     def flt(df: DataFrame): DataFrame = where.fold(df)(df.filter)
     // kind-aware default: `threshold` means cosine for the similarity
@@ -708,6 +730,8 @@ object IndexStore {
         graft.operators.ImageDedupOps.MaxHamming.toDouble
       else if (kind == "afp")
         graft.operators.AudioDedupOps.MaxHamming.toDouble
+      else if (kind == "vhash")
+        graft.operators.ImageDedupOps.MaxHamming.toDouble
       else 0.4
     kind match {
     case "band" =>
@@ -734,6 +758,12 @@ object IndexStore {
       // (one per-partition decode pass), then the hash-rows probe.
       afpSearchFromHashes(store, spark,
         AudioDedupOps.audioHashRows(probe), math.round(th).toInt)
+    case "vhash" =>
+      // video near-dup probe over (asset_id, frame_idx, payload)
+      // frame stills: hash the probe's own frames per partition, then
+      // the frame-coverage hash-rows probe.
+      vhashSearchFromHashes(store, spark,
+        VideoDedupOps.assetHashRows(probe), math.round(th).toInt)
     case "espan" => sys.error(
       "espan search certifies against the corpus text — call " +
         "IndexStore.searchExactSpans(store, spark, probe, corpus) " +
@@ -906,23 +936,57 @@ object IndexStore {
       hashes: DataFrame, maxHamming: Int): DataFrame = {
     checkSchemaVersion(store, "afp", 3,
       "the chunk-aware afp probe")
-    val probeBands = AudioDedupOps.afpBandRows(hashes)
+    coverageSearchFromHashes(store, spark, "afp",
+      AudioDedupOps.afpBandRows(hashes), "afp", "chunk_idx", "n_chunks",
+      maxHamming)
+  }
+
+  /** vhash probe from PRE-COMPUTED (asset_id, frame_idx, n_frames,
+    * phash) frame-hash rows — the video mirror of
+    * [[afpSearchFromHashes]] (frames are to a video what chunks are to
+    * a long clip), same pruning and the same no-equal-id replay-safety
+    * contract: a re-delivered video self-matches every frame at
+    * Hamming 0, total coverage, verdict fires. */
+  def vhashSearchFromHashes(store: GraftStore, spark: SparkSession,
+      hashes: DataFrame, maxHamming: Int): DataFrame =
+    coverageSearchFromHashes(store, spark, "vhash",
+      VideoDedupOps.assetBandRows(hashes), "phash", "frame_idx",
+      "n_frames", maxHamming)
+
+  /** The shared probe body of the UNIT-GRANULAR perceptual kinds (afp
+    * chunks, vhash frames): the banded two-level prune and bit_count
+    * verify run per unit, then matches aggregate per (probe asset,
+    * existing asset) under the majority-coverage verdict — 2·matched >
+    * `nCol` on BOTH sides, hamming = worst matched unit. `bands` must
+    * carry (asset_id, `unitCol`, `nCol`, `hashCol`, band, band_key) —
+    * every column named by the caller and required to exist (the
+    * single-hash body's lesson: inference lets a stray column become
+    * the hash). */
+  private def coverageSearchFromHashes(store: GraftStore,
+      spark: SparkSession, kind: String, bands: DataFrame,
+      hashCol: String, unitCol: String, nCol: String,
+      maxHamming: Int): DataFrame = {
+    Seq(hashCol, unitCol, nCol, "asset_id", "band", "band_key")
+      .foreach(c => require(bands.columns.contains(c),
+        s"probe band rows for '$kind' lack column '$c' " +
+          s"(have: ${bands.columns.mkString(", ")})"))
+    val probeBands = bands
       .localCheckpoint() // keys collect + join both read it
-    val pIdx = prunedIndex(store, spark, "afp",
-      probeBands.select(col("band_key"), bucketOf("afp").as("b")),
+    val pIdx = prunedIndex(store, spark, kind,
+      probeBands.select(col("band_key"), bucketOf(kind).as("b")),
       "band_key")
     probeBands
-      .select(col("asset_id").as("new_id"), col("chunk_idx").as("c_new"),
-        col("n_chunks").as("n_new"), col("afp").as("h_new"),
+      .select(col("asset_id").as("new_id"), col(unitCol).as("c_new"),
+        col(nCol).as("n_new"), col(hashCol).as("h_new"),
         col("band"), col("band_key"))
       .join(pIdx.select(col("asset_id").as("existing_id"),
-        col("chunk_idx").as("c_ex"), col("n_chunks").as("n_ex"),
-        col("afp").as("h_ex"), col("band"), col("band_key")),
+        col(unitCol).as("c_ex"), col(nCol).as("n_ex"),
+        col(hashCol).as("h_ex"), col("band"), col("band_key")),
         Seq("band", "band_key"))
       .select(col("new_id"), col("existing_id"), col("c_new"),
         col("c_ex"), col("n_new"), col("n_ex"), col("h_new"),
         col("h_ex"))
-      .distinct() // a chunk pair can meet in up to 4 bands
+      .distinct() // a unit pair can meet in up to 4 bands
       .withColumn("hamming", expr("CAST(bit_count(h_new ^ h_ex) AS INT)"))
       .filter(col("hamming") <= maxHamming)
       .groupBy(col("new_id"), col("existing_id"), col("n_new"),
