@@ -359,6 +359,19 @@ object Scale {
           graft.operators.VideoDedupOps.videoHashRows(
             graft.operators.VideoDedupOps.syntheticVideoFrame(
               spark, assetN)).localCheckpoint()))
+      // at-rest vhash lifecycle: build at k x frames (linear claim),
+      // probe a FIXED 24-frame batch (flat claim — same two-level
+      // band prune as phash/afp, frame-coverage verdict on top)
+      if (want("vhash_build")) phase("vhash_build", k, 1) {
+        graft.store.IndexStore.build(store, "vhash",
+          graft.operators.VideoDedupOps.syntheticVideoFrame(spark, assetN)
+            .withColumnRenamed("video_id", "asset_id"))
+        graft.store.IndexStore.read(store, spark, "vhash").limit(0)
+      }
+      if (want("vhash_probe")) phase("vhash_probe", k, 2)(
+        graft.store.IndexStore.search(store, spark, "vhash",
+          graft.operators.VideoDedupOps.syntheticVideoFrame(spark, 24L)
+            .withColumnRenamed("video_id", "asset_id")))
       // at-rest exact-span postings: build at k x (linear claim), then
       // certify a FIXED probe batch from rest (claim: flat — the
       // probe's own hashes prune leaves + push key filters, and corpus

@@ -439,7 +439,8 @@ object Main {
         // modalities — the `curate` analogue for image/audio/video:
         //   assets dedup --kind phash|afp|video --input a.parquet
         //       --output out [--report pairs|clusters]
-        //   assets rejects --kind phash|afp --input a.parquet --output out
+        //   assets rejects --kind phash|afp|video --input a.parquet
+        //       --output out
         // dedup default (no --report): write the DEDUPED SURVIVORS —
         // one witness (the min id) per near-dup component plus every
         // unclustered asset; --report pairs / clusters writes the
@@ -507,7 +508,7 @@ object Main {
             }
           case Some("rejects") =>
             val kind = opt("kind")
-              .getOrElse(sys.error("--kind required (phash|afp)"))
+              .getOrElse(sys.error("--kind required (phash|afp|video)"))
             val in = spark.read.parquet(opt("input")
               .getOrElse(sys.error("--input required")))
             val out = opt("output")
@@ -515,8 +516,9 @@ object Main {
             val rejects = (kind match {
               case "phash" => ImageDedupOps.imageRejects(in)
               case "afp" => AudioDedupOps.audioRejects(in)
+              case "video" => VideoDedupOps.videoFrameRejects(in)
               case other => sys.error(
-                s"assets rejects: unknown kind '$other' (phash|afp)")
+                s"assets rejects: unknown kind '$other' (phash|afp|video)")
             }).localCheckpoint() // written and counted
             rejects.write.mode("overwrite").parquet(out)
             println(s"[assets] wrote ${rejects.count()} reject " +

@@ -632,5 +632,102 @@ object AudioDedupOps {
         .stripMargin
     })
 
-  val all: Seq[GraftQuery] = Seq(audioDedup, audioClusters)
+  // -------------------------------------------------------------------
+  // Perceptual decontamination — the audio twin of
+  // [[ImageDedupOps.phashContamination]]: which corpus clips are
+  // near-dups of a benchmark clip (eval-set leakage). The benchmark
+  // side is tiny and BROADCASTS; matches aggregate under the same
+  // majority-chunk-coverage verdict as the dedup family, so long
+  // benchmark clips certify chunk-aware.
+  // -------------------------------------------------------------------
+
+  /** Corpus-vs-benchmark near-dup report: (asset_id, eval_id,
+    * hamming) for every corpus clip whose matched chunks cover a
+    * majority of BOTH itself and a benchmark clip at Hamming ≤
+    * [[MaxHamming]] under the band-OR candidate condition. Both
+    * inputs are binary (asset_id, payload) frames; `bench` must be
+    * small (eval sets are — it broadcasts). */
+  def afpContamination(corpus: DataFrame, bench: DataFrame): DataFrame = {
+    val c = afpBandRows(audioHashRows(corpus))
+      .select(col("asset_id"), col("chunk_idx").as("c_a"),
+        col("n_chunks").as("n_a"), col("afp").as("h_a"),
+        col("band"), col("band_key"))
+    val b = afpBandRows(audioHashRows(bench))
+      .select(col("asset_id").as("eval_id"), col("chunk_idx").as("c_b"),
+        col("n_chunks").as("n_b"), col("afp").as("h_b"),
+        col("band"), col("band_key"))
+    c.join(broadcast(b), Seq("band", "band_key"))
+      .select(col("asset_id"), col("eval_id"), col("c_a"), col("c_b"),
+        col("n_a"), col("n_b"), col("h_a"), col("h_b"))
+      .distinct() // a chunk pair may meet in up to 4 bands; once
+      .withColumn("hamming", expr("CAST(bit_count(h_a ^ h_b) AS INT)"))
+      .filter(col("hamming") <= MaxHamming)
+      .groupBy(col("asset_id"), col("eval_id"), col("n_a"), col("n_b"))
+      .agg(countDistinct(col("c_a")).as("m_a"),
+        countDistinct(col("c_b")).as("m_b"),
+        max(col("hamming")).as("hamming"))
+      .filter(col("m_a") * 2 > col("n_a") && col("m_b") * 2 > col("n_b"))
+      .select(col("asset_id"), col("eval_id"), col("hamming"))
+  }
+
+  /** Deterministic benchmark fixture: container re-encodes of corpus
+    * seeds 0..2 under eval ids 9000+, the LONG clip 4000's re-encode
+    * under 9200 (the chunk-aware case), plus two fresh clips (content
+    * the corpus never saw) that must NOT flag. */
+  private def benchAssets: Seq[AudioAsset] = {
+    val all = audioAssets(NumClips)
+    def payload(id: Long) = all.find(_.asset_id == id).get.payload
+    val fresh = audioAssets(NumClips + 8)
+      .filter(a => a.asset_id >= NumClips + 4L && a.asset_id < NumClips + 6L)
+    (0 until 3).map(i =>
+      AudioAsset(9000L + i, withJunkChunk(payload(i.toLong)))) ++
+      Seq(AudioAsset(9200L, payload(5000L))) ++
+      fresh.zipWithIndex.map { case (a, i) =>
+        AudioAsset(9100L + i, a.payload)
+      }
+  }
+
+  private lazy val oracleBenchFps: Seq[AudioChunkFp] =
+    benchAssets.flatMap(fingerprintChunks)
+
+  /** Green-gate query: every benchmark re-encode flags its corpus
+    * source group (short seeds at d = 0 against base + gain variants;
+    * the long re-encode flags the 4000/5000/6000 triple chunk-aware);
+    * fresh benchmark clips flag nothing. Oracle mirrors the band-OR +
+    * Hamming + coverage aggregation over BOTH chunk-hash sets. */
+  val audioDecontaminate: GraftQuery = GraftQuery(
+    "multimodal_audio_decontaminate",
+    (s, _) => {
+      import s.implicits._
+      afpContamination(audioAssets(NumClips).toDF(), benchAssets.toDF())
+    },
+    Some {
+      val benchRows = oracleBenchFps
+        .map(x => s"(CAST(${x.asset_id} AS BIGINT), ${x.chunk_idx}, " +
+          s"${x.n_chunks}, CAST(${x.afp} AS BIGINT))")
+        .mkString(", ")
+      val bandMatch = (0 until NumBands)
+        .map(k => s"((c.afp >> ${(NumBands - 1 - k) * 16}) & 65535) = " +
+          s"((b.afp >> ${(NumBands - 1 - k) * 16}) & 65535)")
+        .mkString(" OR ")
+      s"""WITH c(asset_id, chunk_idx, n_chunks, afp) AS
+         |  (VALUES $oracleValuesRows),
+         |b(eval_id, chunk_idx, n_chunks, afp) AS (VALUES $benchRows),
+         |cand AS (
+         |  SELECT c.asset_id, b.eval_id,
+         |    c.chunk_idx AS ca, b.chunk_idx AS cb,
+         |    c.n_chunks AS na, b.n_chunks AS nb,
+         |    CAST(bit_count(xor(c.afp, b.afp)) AS INTEGER) AS d
+         |  FROM c JOIN b
+         |    ON bit_count(xor(c.afp, b.afp)) <= $MaxHamming
+         |    AND ($bandMatch))
+         |SELECT asset_id, eval_id, MAX(d) AS hamming
+         |FROM cand GROUP BY asset_id, eval_id, na, nb
+         |HAVING COUNT(DISTINCT ca) * 2 > na
+         |   AND COUNT(DISTINCT cb) * 2 > nb"""
+        .stripMargin
+    })
+
+  val all: Seq[GraftQuery] =
+    Seq(audioDedup, audioClusters, audioDecontaminate)
 }

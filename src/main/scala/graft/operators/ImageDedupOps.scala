@@ -491,5 +491,86 @@ object ImageDedupOps {
         .stripMargin
     })
 
-  val all: Seq[GraftQuery] = Seq(phashDedup, phashClusters)
+  // -------------------------------------------------------------------
+  // Perceptual decontamination — the multimodal twin of the text
+  // decontaminate family: which CORPUS images are near-dups of a
+  // BENCHMARK image (eval-set leakage; a training corpus that contains
+  // a re-encoded benchmark image contaminates every model trained on
+  // it). Composition of existing ingredients: both sides hash per
+  // partition, the benchmark side is tiny and BROADCASTS — no
+  // self-join, no shuffle of corpus rows at all (the corpus-side band
+  // explode stays in its scan stage and meets the broadcast map-side).
+  // The at-rest form is [[graft.store.IndexStore.search]]("phash",
+  // benchAssets) against an already-built index; this operator is the
+  // one-shot batch form.
+  // -------------------------------------------------------------------
+
+  /** Corpus-vs-benchmark near-dup report: (asset_id, eval_id,
+    * hamming) for every corpus asset within [[MaxHamming]] of a
+    * benchmark asset under the band-OR candidate condition. `corpus`
+    * and `bench` are binary (asset_id, payload) frames; the benchmark
+    * side must be small (it broadcasts — eval sets are). */
+  def phashContamination(corpus: DataFrame, bench: DataFrame): DataFrame = {
+    val c = bandRows(imageHashRows(corpus))
+    val b = bandRows(imageHashRows(bench))
+      .select(col("asset_id").as("eval_id"), col("phash").as("h_b"),
+        col("band"), col("band_key"))
+    c.join(broadcast(b), Seq("band", "band_key"))
+      .select(col("asset_id"), col("eval_id"), col("phash"), col("h_b"))
+      .distinct() // a pair may meet in up to 4 bands; report it once
+      .withColumn("hamming", expr("CAST(bit_count(phash ^ h_b) AS INT)"))
+      .filter(col("hamming") <= MaxHamming)
+      .select(col("asset_id"), col("eval_id"), col("hamming"))
+  }
+
+  /** Deterministic benchmark fixture: re-encodes of corpus seeds 0..2
+    * under eval ids 9000+, plus two fresh renders (unseen content
+    * seeds) that must NOT flag. */
+  private def benchAssets: Seq[ImageAsset] = {
+    val base = imageAssets(NumImages)
+    (0 until 3).map(i => ImageAsset(9000L + i,
+      reencode(base(i).payload))) ++
+      Seq(ImageAsset(9100L, encodePng(renderSmooth(50001L, 112, 96, 0))),
+        ImageAsset(9101L, encodePng(renderSmooth(50002L, 96, 128, 0))))
+  }
+
+  private lazy val oracleBenchHashes: Seq[ImageHash] =
+    benchAssets.map(hashAsset)
+
+  /** Green-gate query: every benchmark re-encode flags its corpus
+    * source (d = 0); fresh benchmark images flag nothing. The oracle
+    * mirrors the band-OR + Hamming condition over BOTH hash sets. */
+  val phashDecontaminate: GraftQuery = GraftQuery(
+    "multimodal_decontaminate",
+    (s, _) => {
+      import s.implicits._
+      phashContamination(
+        imageAssets(NumImages).filter(_.asset_id < NumImages).toDF(),
+        benchAssets.toDF())
+    },
+    Some {
+      val corpusRows = oracleHashes
+        .filter(_.asset_id < NumImages)
+        .map(x => s"(CAST(${x.asset_id} AS BIGINT), " +
+          s"CAST(${x.phash} AS BIGINT))")
+        .mkString(", ")
+      val benchRows = oracleBenchHashes
+        .map(x => s"(CAST(${x.asset_id} AS BIGINT), " +
+          s"CAST(${x.phash} AS BIGINT))")
+        .mkString(", ")
+      val bandMatch = (0 until NumBands)
+        .map(k => s"((c.phash >> ${(NumBands - 1 - k) * 16}) & 65535) = " +
+          s"((b.phash >> ${(NumBands - 1 - k) * 16}) & 65535)")
+        .mkString(" OR ")
+      s"""WITH c(asset_id, phash) AS (VALUES $corpusRows),
+         |b(eval_id, phash) AS (VALUES $benchRows)
+         |SELECT c.asset_id, b.eval_id,
+         |  CAST(bit_count(xor(c.phash, b.phash)) AS INTEGER) AS hamming
+         |FROM c JOIN b ON bit_count(xor(c.phash, b.phash)) <= $MaxHamming
+         |  AND ($bandMatch)"""
+        .stripMargin
+    })
+
+  val all: Seq[GraftQuery] =
+    Seq(phashDedup, phashClusters, phashDecontaminate)
 }

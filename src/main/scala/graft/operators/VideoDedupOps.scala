@@ -146,6 +146,23 @@ object VideoDedupOps {
         col("phash"))
   }
 
+  /** The audit twin of [[videoHashRows]]: one (video_id, frame_idx,
+    * reason) row per FRAME the hash path drops
+    * ([[ImageDedupOps.classifyImage]] reasons — corrupt / too_small /
+    * oversized). A video's verdict denominator shrinks by exactly
+    * these rows. */
+  def videoFrameRejects(frames: DataFrame): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.select(col("video_id"), col("frame_idx"), col("payload"))
+      .as[VideoFrame]
+      .mapPartitions(_.flatMap(fr =>
+        ImageDedupOps.classifyImage(
+          ImageDedupOps.ImageAsset(fr.video_id, fr.payload)).left.toOption
+          .map(reason => (fr.video_id, fr.frame_idx, reason))))
+      .toDF("video_id", "frame_idx", "reason")
+  }
+
   /** 4×16-bit band explode of frame-hash rows — frame_idx/n_frames
     * ride every band row (the [[AudioDedupOps.afpBandRows]] shape). */
   def videoBandRows(rows: DataFrame): DataFrame =

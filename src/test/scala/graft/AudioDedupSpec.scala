@@ -345,6 +345,26 @@ class AudioDedupSpec extends AnyFunSuite with BeforeAndAfterAll
       s"post-compact long probe lost its source: $hits3")
   }
 
+  test("audio decontamination: benchmark re-encodes flag their corpus " +
+      "source groups (short at d=0, the LONG one chunk-aware), fresh " +
+      "benchmark clips flag nothing") {
+    val hits = AudioDedupOps.audioDecontaminate.fn(spark, "").collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Int]("hamming"))).toSet
+    // each short re-encode flags its base clip at d=0 (it also flags
+    // the planted variants of that base — genuine matches)
+    for (i <- 0 until 3)
+      assert(hits.contains((i.toLong, 9000L + i, 0)),
+        s"benchmark re-encode $i must flag its source: $hits")
+    // the long benchmark (re-encode of 4000) flags the whole long
+    // triple with full two-chunk coverage
+    for (src <- Seq(4000L, 5000L, 6000L))
+      assert(hits.contains((src, 9200L, 0)),
+        s"long benchmark must flag $src chunk-aware: $hits")
+    assert(!hits.exists(h => h._2 == 9100L || h._2 == 9101L),
+      s"fresh benchmark clips must flag nothing: $hits")
+  }
+
   test("fingerprint guards fail loudly: too-short and over-long input " +
       "(the guard is per fingerprint input — fingerprintChunks is the " +
       "long-clip path)") {

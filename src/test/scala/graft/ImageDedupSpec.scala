@@ -81,6 +81,18 @@ class ImageDedupSpec extends AnyFunSuite with BeforeAndAfterAll
       s"undecodable assets must drop, valid ones hash: $ids")
   }
 
+  test("perceptual decontamination: every benchmark re-encode flags " +
+      "its corpus source at d=0, fresh benchmark images flag nothing") {
+    val hits = ImageDedupOps.phashDecontaminate.fn(spark, "").collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Int]("hamming"))).toSet
+    for (i <- 0 until 3)
+      assert(hits.contains((i.toLong, 9000L + i, 0)),
+        s"benchmark re-encode $i must flag its source: $hits")
+    assert(!hits.exists(h => h._2 == 9100L || h._2 == 9101L),
+      s"fresh benchmark images must flag nothing: $hits")
+  }
+
   test("phash clusters: every planted quadruple collapses to one " +
       "component labeled by its base image") {
     val comps = ImageDedupOps.phashClusters.fn(spark, "").collect()

@@ -458,6 +458,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"an exchange carries audio payload bytes: $cols"))
   }
 
+  test("perceptual decontamination: the benchmark side broadcasts — " +
+      "no exchange carries corpus payload or hash rows at all") {
+    val df = SparkEntry.queries("multimodal_decontaminate")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"benchmark side must broadcast:\n$plan")
+    val exs = shuffleOutputs(df)
+    // the ONLY tolerated shuffles are the distinct/report aggregations
+    // over (asset_id, eval_id, ...) match rows — never payload bytes
+    exs.foreach(cols => assert(!cols.exists(_.contains("payload")),
+      s"an exchange carries payload bytes: $cols"))
+  }
+
   test("video frame dedup: frame payload bytes never cross a shuffle — " +
       "every exchange carries hash/band rows only") {
     val df = SparkEntry.queries("multimodal_video_dedup")(spark, dir)

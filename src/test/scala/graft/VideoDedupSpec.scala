@@ -140,6 +140,19 @@ class VideoDedupSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(pairs == Set((2L, 900L, 0)), s"got $pairs")
   }
 
+  test("videoFrameRejects names the frame-level drop reason — the " +
+      "denominator audit") {
+    import spark.implicits._
+    val mine = frames.filter(_.video_id == 1L).map(fr =>
+      if (fr.frame_idx == 2)
+        VideoDedupOps.VideoFrame(1L, 2, Array.fill[Byte](24)(0x55))
+      else fr)
+    val rej = VideoDedupOps.videoFrameRejects(mine.toDF()).collect()
+      .map(r => (r.getAs[Long]("video_id"), r.getAs[Int]("frame_idx"),
+        r.getAs[String]("reason")))
+    assert(rej.toSeq == Seq((1L, 2, "corrupt")), s"${rej.mkString(",")}")
+  }
+
   test("video clusters: every planted group collapses to one component " +
       "labeled by its base video") {
     val comps = VideoDedupOps.videoClusters.fn(spark, "").collect()
