@@ -556,10 +556,15 @@ object Main {
                   s"n=${r.getLong(1)} distortion_q=${r.getLong(2)}")
               }
           case Some("dupes") =>
-            // semantic dup pairs from the stored codes: the scan reads
-            // code arrays only — the coarse pass before exact-cosine
-            // certification
-            val pairs = IndexStore.semanticDupes(store, spark, kind)
+            // dup pairs from AT-REST rows, no re-processing of any
+            // payload/text: semantic (pq/ivfpq — code arrays only) or
+            // perceptual (phash/afp/vhash — stored fingerprints through
+            // the batch pair operator; the retroactive flood-residual
+            // closer)
+            val pairs =
+              if (Set("phash", "afp", "vhash").contains(kind))
+                IndexStore.perceptualDupes(store, spark, kind)
+              else IndexStore.semanticDupes(store, spark, kind)
             opt("output") match {
               case Some(out) =>
                 pairs.write.mode("overwrite").parquet(out)

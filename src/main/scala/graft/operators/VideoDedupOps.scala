@@ -327,5 +327,114 @@ object VideoDedupOps {
         .stripMargin
     })
 
-  val all: Seq[GraftQuery] = Seq(videoDedup, videoClusters)
+  // -------------------------------------------------------------------
+  // Perceptual decontamination — the video member of the family
+  // ([[ImageDedupOps.phashContamination]] /
+  // [[AudioDedupOps.afpContamination]]): which corpus videos are
+  // near-dups of a benchmark video, frame-coverage verdict, benchmark
+  // side broadcast.
+  // -------------------------------------------------------------------
+
+  /** Corpus-vs-benchmark near-dup report over two frames tables
+    * ((video_id, frame_idx, payload) each): (video_id, eval_id,
+    * hamming) for every corpus video whose matched frames cover a
+    * majority of BOTH itself and a benchmark video. `bench` must be
+    * small (it broadcasts). */
+  def videoContamination(corpus: DataFrame, bench: DataFrame): DataFrame = {
+    val c = videoBandRows(videoHashRows(corpus))
+      .select(col("video_id"), col("frame_idx").as("f_a"),
+        col("n_frames").as("n_a"), col("phash").as("h_a"),
+        col("band"), col("band_key"))
+    val b = videoBandRows(videoHashRows(bench))
+      .select(col("video_id").as("eval_id"), col("frame_idx").as("f_b"),
+        col("n_frames").as("n_b"), col("phash").as("h_b"),
+        col("band"), col("band_key"))
+    c.join(broadcast(b), Seq("band", "band_key"))
+      .select(col("video_id"), col("eval_id"), col("f_a"), col("f_b"),
+        col("n_a"), col("n_b"), col("h_a"), col("h_b"))
+      .distinct() // a frame pair may meet in up to 4 bands; once
+      .withColumn("hamming", expr("CAST(bit_count(h_a ^ h_b) AS INT)"))
+      .filter(col("hamming") <= ImageDedupOps.MaxHamming)
+      .groupBy(col("video_id"), col("eval_id"), col("n_a"), col("n_b"))
+      .agg(countDistinct(col("f_a")).as("m_a"),
+        countDistinct(col("f_b")).as("m_b"),
+        max(col("hamming")).as("hamming"))
+      .filter(col("m_a") * 2 > col("n_a") && col("m_b") * 2 > col("n_b"))
+      .select(col("video_id"), col("eval_id"), col("hamming"))
+  }
+
+  /** Deterministic benchmark fixture: the re-encoded frames of corpus
+    * video 0 under eval id 9000, the TRIMMED copy of video 1 under
+    * 9001 (majority holds both sides — a re-cut benchmark still
+    * flags), and a fresh 6-frame video (unseen content seeds) that
+    * must NOT flag. */
+  private def benchFrames: Seq[VideoFrame] = {
+    val base = videoFrames(NumVideos)
+    base.filter(_.video_id == 0L).map(fr => VideoFrame(9000L,
+      fr.frame_idx, ImageDedupOps.reencode(fr.payload))) ++
+      base.filter(f => f.video_id == 1L && f.frame_idx < TrimFrames)
+        .map(fr => VideoFrame(9001L, fr.frame_idx, fr.payload)) ++
+      (0 until FramesPerVideo).map(f => VideoFrame(9100L, f,
+        ImageDedupOps.encodePng(ImageDedupOps.renderSmooth(
+          66000L + f, 112, 96, 0))))
+  }
+
+  private lazy val oracleBenchRows: Seq[(Long, Int, Int, Long)] = {
+    val counts = benchFrames.groupBy(_.video_id).view.mapValues(_.size)
+      .toMap
+    benchFrames.map(fr => (fr.video_id, fr.frame_idx,
+      counts(fr.video_id),
+      ImageDedupOps.dhash64(MultimodalOps.decodeImage(fr.payload))))
+  }
+
+  /** Green-gate query: the re-encoded benchmark flags video 0 (all
+    * frames d = 0), the trimmed benchmark flags video 1 (4 of 6 —
+    * majority both sides), the fresh one flags nothing. Oracle mirrors
+    * the band-OR + Hamming + coverage aggregation over both
+    * frame-hash sets. */
+  val videoDecontaminate: GraftQuery = GraftQuery(
+    "multimodal_video_decontaminate",
+    (s, _) => {
+      import s.implicits._
+      videoContamination(videoFrames(NumVideos)
+        .filter(_.video_id < NumVideos).toDF(), benchFrames.toDF())
+    },
+    Some {
+      val nb = ImageDedupOps.NumBands
+      val corpusRows = oracleRows
+        .filter(_._1 < NumVideos)
+        .map { case (v, f, n, h) =>
+          s"(CAST($v AS BIGINT), $f, $n, CAST($h AS BIGINT))"
+        }
+        .mkString(", ")
+      val benchRows = oracleBenchRows
+        .map { case (v, f, n, h) =>
+          s"(CAST($v AS BIGINT), $f, $n, CAST($h AS BIGINT))"
+        }
+        .mkString(", ")
+      val bandMatch = (0 until nb)
+        .map(k => s"((c.phash >> ${(nb - 1 - k) * 16}) & 65535) = " +
+          s"((b.phash >> ${(nb - 1 - k) * 16}) & 65535)")
+        .mkString(" OR ")
+      s"""WITH c(video_id, frame_idx, n_frames, phash) AS
+         |  (VALUES $corpusRows),
+         |b(eval_id, frame_idx, n_frames, phash) AS (VALUES $benchRows),
+         |cand AS (
+         |  SELECT c.video_id, b.eval_id,
+         |    c.frame_idx AS fa, b.frame_idx AS fb,
+         |    c.n_frames AS na, b.n_frames AS nb,
+         |    CAST(bit_count(xor(c.phash, b.phash)) AS INTEGER) AS d
+         |  FROM c JOIN b
+         |    ON bit_count(xor(c.phash, b.phash)) <=
+         |      ${ImageDedupOps.MaxHamming}
+         |    AND ($bandMatch))
+         |SELECT video_id, eval_id, MAX(d) AS hamming
+         |FROM cand GROUP BY video_id, eval_id, na, nb
+         |HAVING COUNT(DISTINCT fa) * 2 > na
+         |   AND COUNT(DISTINCT fb) * 2 > nb"""
+        .stripMargin
+    })
+
+  val all: Seq[GraftQuery] =
+    Seq(videoDedup, videoClusters, videoDecontaminate)
 }

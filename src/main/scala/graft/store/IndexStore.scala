@@ -660,6 +660,41 @@ object IndexStore {
       .select(col("p.id_a"), col("p.id_b"))
   }
 
+  /** Perceptual duplicate pairs from the AT-REST band rows — NO
+    * payload decode: the index already holds every fingerprint, so
+    * the modality's batch pair operator runs straight over one index
+    * scan (distinct hash rows reconstruct the full fingerprint from
+    * ANY surviving band row — the pair path re-derives all 4 bands),
+    * capped candidate join, coverage verdict for the unit-granular
+    * kinds. This is the retroactive closer for the streaming gates'
+    * documented near-identical-flood residual: pairs the per-batch
+    * cap let through are reported here from rows at rest — run it
+    * with `index compact` cadence and feed the pairs to a
+    * keep-one-witness pass.
+    *
+    * Honest bound: at-rest truncation guarantees ≥1 row per ASSET,
+    * not per chunk/frame — under extreme bucket skew a long asset's
+    * minority units can be absent at rest, and this report sees only
+    * the units present. Kinds: phash | afp | vhash. */
+  def perceptualDupes(store: GraftStore, spark: SparkSession,
+      kind: String): DataFrame = kind match {
+    case "phash" =>
+      ImageDedupOps.phashNearDupPairs(read(store, spark, "phash")
+        .select(col("asset_id"), col("phash")).distinct())
+    case "afp" =>
+      checkSchemaVersion(store, "afp", 3, "the chunk-aware dup report")
+      AudioDedupOps.afpNearDupPairs(read(store, spark, "afp")
+        .select(col("asset_id"), col("chunk_idx"), col("n_chunks"),
+          col("afp")).distinct())
+    case "vhash" =>
+      VideoDedupOps.assetNearDupPairs(read(store, spark, "vhash")
+        .select(col("asset_id"), col("frame_idx"), col("n_frames"),
+          col("phash")).distinct())
+    case other => sys.error(
+      s"perceptual dupes need stored fingerprints (phash|afp|vhash), " +
+        s"not '$other'")
+  }
+
   /** Semantic decontamination of a benchmark against the at-rest `pq`
     * index — [[graft.operators.SimilarityOps.semanticContamination]]
     * where its cost claim is literal: the corpus side needs NO training

@@ -365,6 +365,27 @@ class AudioDedupSpec extends AnyFunSuite with BeforeAndAfterAll
       s"fresh benchmark clips must flag nothing: $hits")
   }
 
+  test("perceptualDupes at rest equals the batch pair operator for " +
+      "afp — chunk verdicts from stored rows, history never re-decoded") {
+    import spark.implicits._
+    import graft.store.{GraftStore, IndexStore}
+    val store = new GraftStore(tempDir("graft-afp-dupes"))
+    val assets = AudioDedupOps.audioAssets(AudioDedupOps.NumClips)
+    IndexStore.build(store, "afp", assets.toDF())
+    val atRest = IndexStore.perceptualDupes(store, spark, "afp")
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"))).toSet
+    val batch = AudioDedupOps.afpNearDupPairs(
+      AudioDedupOps.audioFingerprints(spark, AudioDedupOps.NumClips))
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(atRest == batch,
+      s"diff=${(atRest diff batch) ++ (batch diff atRest)}")
+    assert(atRest.nonEmpty, "fixture must contain planted pairs")
+  }
+
   test("fingerprint guards fail loudly: too-short and over-long input " +
       "(the guard is per fingerprint input — fingerprintChunks is the " +
       "long-clip path)") {

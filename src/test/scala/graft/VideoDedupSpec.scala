@@ -153,6 +153,45 @@ class VideoDedupSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(rej.toSeq == Seq((1L, 2, "corrupt")), s"${rej.mkString(",")}")
   }
 
+  test("video decontamination: a re-encoded benchmark flags its " +
+      "corpus source, a TRIMMED benchmark flags under majority " +
+      "coverage, a fresh one flags nothing") {
+    val hits = VideoDedupOps.videoDecontaminate.fn(spark, "").collect()
+      .map(r => (r.getAs[Long]("video_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(hits.contains((0L, 9000L, 0)),
+      s"re-encoded benchmark must flag video 0: $hits")
+    assert(hits.contains((1L, 9001L, 0)),
+      s"trimmed benchmark must flag video 1 (4 of 6 frames): $hits")
+    assert(!hits.exists(_._2 == 9100L),
+      s"fresh benchmark video must flag nothing: $hits")
+  }
+
+  test("perceptualDupes at rest equals the batch pair operator — no " +
+      "payload decode, fingerprints reconstructed from any surviving " +
+      "band row (vhash here; afp/phash share the path)") {
+    import spark.implicits._
+    import graft.store.{GraftStore, IndexStore}
+    val store = new GraftStore(tempDir("graft-vhash-dupes"))
+    val all = frames.map(f =>
+      (f.video_id, f.frame_idx, f.payload))
+      .toDF("asset_id", "frame_idx", "payload")
+    IndexStore.build(store, "vhash", all)
+    val atRest = IndexStore.perceptualDupes(store, spark, "vhash")
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"))).toSet
+    val batch = VideoDedupOps.videoNearDupPairs(
+      VideoDedupOps.videoHashRows(frames.toDF()).localCheckpoint())
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(atRest == batch,
+      s"atRest=${atRest.size} batch=${batch.size}: " +
+        s"diff=${(atRest diff batch) ++ (batch diff atRest)}")
+    assert(atRest.nonEmpty, "fixture must contain planted pairs")
+  }
+
   test("video clusters: every planted group collapses to one component " +
       "labeled by its base video") {
     val comps = VideoDedupOps.videoClusters.fn(spark, "").collect()
