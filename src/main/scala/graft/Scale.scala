@@ -372,6 +372,14 @@ object Scale {
         graft.store.IndexStore.search(store, spark, "vhash",
           graft.operators.VideoDedupOps.syntheticVideoFrame(spark, 24L)
             .withColumnRenamed("video_id", "asset_id")))
+      // perceptual decontamination at k x corpus vs a FIXED 25-image
+      // benchmark (claim: corpus-linear decode+hash scan, benchmark
+      // broadcast — shuffle stays at the match-report rows, payloads
+      // never cross)
+      if (want("decontam_phash")) phase("decontam_phash", k, 1)(
+        graft.operators.ImageDedupOps.phashContamination(
+          graft.operators.ImageDedupOps.syntheticImageFrame(spark, assetN),
+          graft.operators.ImageDedupOps.syntheticImageFrame(spark, 25L)))
       // at-rest exact-span postings: build at k x (linear claim), then
       // certify a FIXED probe batch from rest (claim: flat — the
       // probe's own hashes prune leaves + push key filters, and corpus
