@@ -458,17 +458,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"an exchange carries audio payload bytes: $cols"))
   }
 
-  test("perceptual decontamination: the benchmark side broadcasts — " +
-      "no exchange carries corpus payload or hash rows at all") {
-    val df = SparkEntry.queries("multimodal_decontaminate")(spark, dir)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastExchange"),
-      s"benchmark side must broadcast:\n$plan")
-    val exs = shuffleOutputs(df)
-    // the ONLY tolerated shuffles are the distinct/report aggregations
-    // over (asset_id, eval_id, ...) match rows — never payload bytes
-    exs.foreach(cols => assert(!cols.exists(_.contains("payload")),
-      s"an exchange carries payload bytes: $cols"))
+  test("perceptual decontamination (all three modalities): the " +
+      "benchmark side broadcasts — no exchange carries payload bytes") {
+    for (q <- Seq("multimodal_decontaminate",
+        "multimodal_audio_decontaminate",
+        "multimodal_video_decontaminate")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastExchange"),
+        s"$q: benchmark side must broadcast:\n$plan")
+      val exs = shuffleOutputs(df)
+      // the ONLY tolerated shuffles are the distinct/verdict
+      // aggregations over match rows — never payload bytes
+      exs.foreach(cols => assert(!cols.exists(_.contains("payload")),
+        s"$q: an exchange carries payload bytes: $cols"))
+    }
   }
 
   test("video frame dedup: frame payload bytes never cross a shuffle — " +
