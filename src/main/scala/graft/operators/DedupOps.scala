@@ -290,10 +290,16 @@ object DedupOps {
     * contract: the streaming gates' exactly-once replay argument needs
     * every committed survivor to self-match its own index rows, so a
     * survivor whose every band landed in a hot bucket must still keep
-    * one row. The guarantee costs at most one over-cap row per asset
-    * per band group sharing its minimum rank (in practice: its single
-    * best row). Two keyed window exchanges of 16-byte rows, no data to
-    * the driver. */
+    * one row. Exact shape of the guarantee: an asset keeps every row
+    * that TIES its global-minimum rank — for distinct fingerprints
+    * under asymmetric skew that is one row (ranks differ across
+    * groups); only EQUAL fingerprints rank identically in all their
+    * groups and keep one row per band, which a probe genuinely wants
+    * (they are honest matches). Group size is bounded by cap +
+    * #assets-at-their-minimum-rank-here; the degenerate all-past-cap
+    * single-row case keeps everything BY DESIGN (liveness beats the
+    * cap — TruncateBucketsSpec pins both shapes). Two keyed window
+    * exchanges of 16-byte rows, no data to the driver. */
   private[graft] def truncateBuckets(df: DataFrame, keys: Seq[String],
       cap: Long, idCol: String, order: Seq[String]): DataFrame = {
     val wg = Window.partitionBy(keys.map(col): _*)

@@ -72,6 +72,20 @@ class StreamingImagesSpec extends AnyFunSuite with BeforeAndAfterAll
       s"corrupt asset must fail curation: ${acceptedIds(store)}")
   }
 
+  test("an ALL-corrupt batch commits nothing — no accepted rows, no " +
+      "index rows, no snapshot, zeroed stats") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-simg-allcorrupt"))
+    val snap0 = store.currentSnapshot()
+    val garbage = (0 until 3).map(i =>
+      ImageDedupOps.ImageAsset(900L + i, Array.fill[Byte](48)((i + 1).toByte)))
+    val stats = StreamingImages.processBatch(store, garbage.toDF())
+    assert(stats.survivors == 0 && stats.batchAssets == 0,
+      s"undecodable assets have no hash rows: $stats")
+    assert(store.currentSnapshot() == snap0,
+      "an all-corrupt batch must not commit")
+  }
+
   test("a replayed micro-batch commits nothing (exactly-once)") {
     import spark.implicits._
     val store = new GraftStore(tempDir("graft-simg-replay"))
