@@ -203,6 +203,34 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(hits.contains((9007L, 7L, 0)), hits.mkString(","))
   }
 
+  test("index dupes dispatches the perceptual kinds: vhash pairs from " +
+      "at-rest fingerprints through the CLI, no re-decode") {
+    import spark.implicits._
+    import graft.operators.VideoDedupOps
+    val root = tempDir("graft-index-cli-vdupes")
+    val storeDir = s"$root/store"
+    val framesPath = s"$root/frames.parquet"
+    VideoDedupOps.videoFrames(VideoDedupOps.NumVideos)
+      .map(f => (f.video_id, f.frame_idx, f.payload))
+      .toDF("asset_id", "frame_idx", "payload")
+      .write.parquet(framesPath)
+    captured {
+      cli.Main.run(spark, Array("index", "build", "--store", storeDir,
+        "--kind", "vhash", "--input", framesPath))
+    }
+    val outPath = s"$root/vdupes.parquet"
+    captured {
+      cli.Main.run(spark, Array("index", "dupes", "--store", storeDir,
+        "--kind", "vhash", "--output", outPath))
+    }
+    val pairs = spark.read.parquet(outPath).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    for (v <- 0 until VideoDedupOps.DupSeeds;
+         off <- Seq(1000L, 2000L, 3000L))
+      assert(pairs.contains((v.toLong, v + off)),
+        s"planted pair ($v, ${v + off}) missing from CLI dupes: $pairs")
+  }
+
   test("index decontaminate certifies benchmark contamination against " +
       "the at-rest pq index through the CLI") {
     import spark.implicits._
