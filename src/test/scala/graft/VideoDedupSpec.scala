@@ -192,6 +192,39 @@ class VideoDedupSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(atRest.nonEmpty, "fixture must contain planted pairs")
   }
 
+  test("majority boundary on scene-sharing videos (the temporally-" +
+      "correlated shape real videos have): sharing exactly HALF the " +
+      "frames is NOT a verdict, sharing a majority IS") {
+    import spark.implicits._
+    def still(seed: Long) = ImageDedupOps.encodePng(
+      ImageDedupOps.renderSmooth(seed, 112, 96, 0))
+    // scene S = one still repeated (consecutive frames of a static
+    // shot hash identically); fillers are unique stills
+    val sceneS = still(70001L)
+    def vid(id: Long, shared: Int, fillerBase: Long) =
+      (0 until 6).map(f => VideoDedupOps.VideoFrame(id, f,
+        if (f < shared) sceneS else still(fillerBase + f)))
+    // half-sharing pair: 3 of 6 frames each — 3*2 > 6 is FALSE
+    val half = vid(10L, 3, 71000L) ++ vid(11L, 3, 72000L)
+    val pairsHalf = VideoDedupOps.videoNearDupPairs(
+      VideoDedupOps.videoHashRows(half.toDF())).collect()
+    assert(pairsHalf.isEmpty,
+      s"half-sharing must not verdict: ${pairsHalf.mkString(",")}")
+    // majority-sharing pair: 4 of 6 frames each — verdict fires
+    val most = vid(20L, 4, 73000L) ++ vid(21L, 4, 74000L)
+    val pairsMost = VideoDedupOps.videoNearDupPairs(
+      VideoDedupOps.videoHashRows(most.toDF())).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming")))
+    assert(pairsMost.toSeq == Seq((20L, 21L, 0)),
+      s"majority-sharing must verdict: ${pairsMost.mkString(",")}")
+    // fillers really are distinct (the boundary claim is about the
+    // shared scene, not accidental filler matches)
+    val fillerHashes = (71000L until 71006L).map(s =>
+      ImageDedupOps.dhash64(MultimodalOps.decodeImage(still(s))))
+    assert(fillerHashes.distinct.size == fillerHashes.size)
+  }
+
   test("video clusters: every planted group collapses to one component " +
       "labeled by its base video") {
     val comps = VideoDedupOps.videoClusters.fn(spark, "").collect()
