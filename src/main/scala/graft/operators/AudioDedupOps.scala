@@ -335,8 +335,9 @@ object AudioDedupOps {
       val frame = fmt.getFrameSize
       val bits = fmt.getSampleSizeInBits
       val nFrames = bytes.length / frame
-      require(bits == 8 || bits == 16,
-        s"pcmSamples supports 8/16-bit PCM, got $bits-bit")
+      if (bits != 8 && bits != 16)
+        throw new ImageDedupOps.UnhashableAssetException("unsupported_depth",
+          s"pcmSamples supports 8/16-bit PCM, got $bits-bit")
       Array.tabulate(nFrames) { j =>
         val o = j * frame
         if (bits == 8) (bytes(o) & 0xff) - 128
@@ -457,9 +458,7 @@ object AudioDedupOps {
       if (s.length < MinSamples) Left("too_short")
       else Right(fingerprintSamples(a.asset_id, s))
     } catch {
-      case e: IllegalArgumentException
-          if Option(e.getMessage).exists(_.contains("8/16-bit")) =>
-        Left("unsupported_depth")
+      case e: ImageDedupOps.UnhashableAssetException => Left(e.reason)
       case scala.util.control.NonFatal(_) => Left("corrupt")
     }
 

@@ -274,11 +274,11 @@ object DedupOps {
       .drop("__grp_n")
   }
 
-  /** The skew-cap policy for AT-REST perceptual index rows (phash/afp):
+  /** The skew-cap policy for AT-REST index rows (band/phash/afp/vhash):
     * TRUNCATE each over-cap key group to its first `cap` rows (in
     * deterministic `order`) instead of dropping the group wholesale —
-    * and additionally keep each `idCol` value's single best-ranked row
-    * even past the cap, so EVERY asset retains at least one row at
+    * and additionally keep each `idCols` UNIT's single best-ranked row
+    * even past the cap, so EVERY unit retains at least one row at
     * rest.
     *
     * Why two policies exist: the pair-join path keeps [[capBuckets]]'s
@@ -286,25 +286,31 @@ object DedupOps {
     * quadratic in the self-join — cap² candidate pairs per bucket is
     * the bound the drop buys). At-rest probe rows have no quadratic
     * path — a probe pays O(rows matching its own band keys), which is
-    * linear in honest matches — but they DO carry a per-asset liveness
+    * linear in honest matches — but they DO carry a per-unit liveness
     * contract: the streaming gates' exactly-once replay argument needs
-    * every committed survivor to self-match its own index rows, so a
-    * survivor whose every band landed in a hot bucket must still keep
-    * one row. Exact shape of the guarantee: an asset keeps every row
-    * that TIES its global-minimum rank — for distinct fingerprints
-    * under asymmetric skew that is one row (ranks differ across
-    * groups); only EQUAL fingerprints rank identically in all their
-    * groups and keep one row per band, which a probe genuinely wants
-    * (they are honest matches). Group size is bounded by cap +
-    * #assets-at-their-minimum-rank-here; the degenerate all-past-cap
-    * single-row case keeps everything BY DESIGN (liveness beats the
-    * cap — TruncateBucketsSpec pins both shapes). Two keyed window
-    * exchanges of 16-byte rows, no data to the driver. */
+    * every committed survivor to self-match its own index rows, and for
+    * the multi-unit kinds (afp chunks, vhash frames) the majority-
+    * coverage verdict needs EVERY unit of a replayed asset to find a
+    * row (a 2-chunk clip self-matches only when BOTH chunks do), so the
+    * liveness key is the UNIT — doc_id / asset_id for the one-unit
+    * kinds, (asset_id, chunk_idx) / (asset_id, frame_idx) for the
+    * multi-unit ones. A unit whose every band landed in a hot bucket
+    * still keeps one row, hence replay self-match coverage is TOTAL —
+    * matched units = n_units on both sides. Exact shape of the
+    * guarantee: a unit keeps every row that TIES its global-minimum
+    * rank — for distinct fingerprints under asymmetric skew that is one
+    * row (ranks differ across groups); only EQUAL fingerprints rank
+    * identically in all their groups and keep one row per band, which a
+    * probe genuinely wants (they are honest matches). Group size is
+    * bounded by cap + #units-at-their-minimum-rank-here; the degenerate
+    * all-past-cap single-row case keeps everything BY DESIGN (liveness
+    * beats the cap — TruncateBucketsSpec pins both shapes). Two keyed
+    * window exchanges of 16-byte rows, no data to the driver. */
   private[graft] def truncateBuckets(df: DataFrame, keys: Seq[String],
-      cap: Long, idCol: String, order: Seq[String]): DataFrame = {
+      cap: Long, idCols: Seq[String], order: Seq[String]): DataFrame = {
     val wg = Window.partitionBy(keys.map(col): _*)
       .orderBy(order.map(col): _*)
-    val wa = Window.partitionBy(col(idCol))
+    val wa = Window.partitionBy(idCols.map(col): _*)
     df.withColumn("__rn", row_number().over(wg))
       .withColumn("__best", min(col("__rn")).over(wa))
       .filter(col("__rn") <= cap || col("__rn") === col("__best"))
@@ -411,6 +417,25 @@ object DedupOps {
        |    FROM ${p}bands)
        |  WHERE n <= $MaxBucketSize)""".stripMargin
   }
+
+  /** DuckDB mirror of the AT-REST truncation policy
+    * ([[truncateBuckets]] keyed on doc_id) over `${p}bands` — rank rows
+    * within each (band, band_key) by doc_id (total: one row per doc per
+    * band), keep ranks <= cap plus each doc's global-best rank. Appended
+    * after [[sigCtesSql]] when an oracle needs the INDEX-side rows
+    * (`dedup_incremental`); the pair-join oracles keep `${p}capped`. */
+  private[operators] def truncCtesSql(p: String): String =
+    s"""${p}ranked AS (
+       |  SELECT doc_id, band, band_key,
+       |    row_number() OVER (PARTITION BY band, band_key
+       |      ORDER BY doc_id) AS rn
+       |  FROM ${p}bands),
+       |${p}trunc AS (
+       |  SELECT doc_id, band, band_key FROM (
+       |    SELECT doc_id, band, band_key, rn,
+       |      min(rn) OVER (PARTITION BY doc_id) AS best
+       |    FROM ${p}ranked)
+       |  WHERE rn <= $MaxBucketSize OR rn = best)""".stripMargin
 
   /** Signature-estimated Jaccard (slot agreement / k) — the candidate
     * prefilter, mirrored. */
@@ -636,7 +661,11 @@ object DedupOps {
   /** Incremental (streaming-shaped) near-dup: new documents probed
     * against the persistent band index of the existing corpus — history
     * is never re-shingled ([[incrementalNearDup]]; exercised in streaming
-    * form by IncrementalDedupSpec's foreachBatch test). */
+    * form by IncrementalDedupSpec's foreachBatch test). The oracle
+    * mirrors BOTH skew policies exactly where the engine applies them:
+    * the probe side is bucket-CAPPED (`p_capped` — pair-join bound),
+    * the index side is at-rest TRUNCATED (`i_trunc`,
+    * [[truncCtesSql]] — the round-17 [[buildBandIndex]] policy). */
   val incrementalDedup: GraftQuery = GraftQuery(
     "dedup_incremental",
     (s, dir) => {
@@ -649,10 +678,11 @@ object DedupOps {
       s"""WITH probe_src AS (
          |  $PerturbedSrcSql),
          |${sigCtesSql("documents", "i_")},
+         |${truncCtesSql("i_")},
          |${sigCtesSql("probe_src", "p_")},
          |cand AS (
          |  SELECT DISTINCT p.doc_id AS new_id, i.doc_id AS existing_id
-         |  FROM p_capped p JOIN i_capped i
+         |  FROM p_capped p JOIN i_trunc i
          |    ON p.band = i.band AND p.band_key = i.band_key)
          |SELECT c.new_id, c.existing_id,
          |  ${jaccardBpSql("sn.sh_hashes", "se.sh_hashes")}
@@ -724,12 +754,24 @@ object DedupOps {
   /** Band index of a corpus for [[incrementalNearDup]]: one row per
     * (doc, band) with the signature and shingle hashes attached.
     * Degenerate buckets (> [[MaxBucketSize]] docs on one band_key —
-    * boilerplate) are dropped at BUILD time, once, so no later probe pays
-    * for them or goes quadratic on them; this mirrors the batch path's
-    * cap in [[candidatePairs]]. */
+    * boilerplate) are [[truncateBuckets]]-TRUNCATED at BUILD time, once
+    * — the at-rest policy the perceptual kinds use, keyed on doc_id —
+    * so no later probe pays for them (a probe reads O(cap) rows of a
+    * hot bucket, never the whole flood) while EVERY doc keeps at least
+    * one at-rest band row. The liveness half is what the streaming
+    * curation gate's exactly-once replay needs: a committed survivor
+    * whose every band landed in a flooded bucket still self-matches on
+    * replay (its kept row collides at jaccard 1), so a 64+
+    * distinct-near-dup flood can no longer commit survivors that a
+    * replay would re-admit — the whole-group [[capBuckets]] drop this
+    * build used before round 17 could. The pair-JOIN paths
+    * ([[candidatePairs]], the probe side of [[incrementalNearDup]])
+    * keep the whole-group cap: there the quadratic bound is the
+    * point. */
   def buildBandIndex(docs: DataFrame): DataFrame = {
     val sig = minhashSignatures(docs)
-    capBuckets(lshBands(sig), Seq("band", "band_key"), MaxBucketSize)
+    truncateBuckets(lshBands(sig), Seq("band", "band_key"), MaxBucketSize,
+      Seq("doc_id"), Seq("doc_id"))
       .join(sig.select(col("doc_id"), col("mh_arr"), col("sh_hashes")),
         "doc_id")
   }

@@ -65,6 +65,16 @@ object ImageDedupOps {
     * [[AudioDedupOps.audioRejects]]. */
   final case class AssetReject(asset_id: Long, reason: String)
 
+  /** Typed reject signal for the classify* audit paths: the decode/hash
+    * guards throw this with the audit `reason` class attached, so
+    * [[classifyImage]] / [[AudioDedupOps.classifyAudio]] dispatch on the
+    * exception TYPE instead of sniffing require-message substrings — a
+    * reworded guard message can no longer silently reclassify an audit
+    * reason to `corrupt`. Extends IllegalArgumentException so callers
+    * that treat a guard failure as an argument error keep working. */
+  final class UnhashableAssetException(val reason: String, detail: String)
+      extends IllegalArgumentException(detail)
+
   /** dHash grid: 9 columns of cell means → 8 horizontal comparisons per
     * row × 8 rows = 64 bits. */
   val HashW = 9
@@ -179,7 +189,7 @@ object ImageDedupOps {
     * big-endian length, 4-byte type, data, CRC32 over type+data. */
   private[graft] def reencode(payload: Array[Byte]): Array[Byte] = {
     val clean = encodePng(MultimodalOps.decodeImage(payload))
-    val data = "Comment recompressed".getBytes("ISO-8859-1")
+    val data = "Comment\u0000recompressed".getBytes("ISO-8859-1")
     val chunk = java.nio.ByteBuffer.allocate(12 + data.length)
     chunk.putInt(data.length).put("tEXt".getBytes("ISO-8859-1")).put(data)
     val crc = new java.util.zip.CRC32()
@@ -241,10 +251,12 @@ object ImageDedupOps {
   def dhash64(img: java.awt.image.BufferedImage): Long = {
     val w = img.getWidth
     val h = img.getHeight
-    require(w >= HashW && h >= HashH,
-      s"dhash64 needs at least ${HashW}x$HashH pixels, got ${w}x$h")
-    require(w.toLong * h <= (1L << 24),
-      s"dhash64 overflow guard: ${w}x$h exceeds 2^24 pixels")
+    if (w < HashW || h < HashH)
+      throw new UnhashableAssetException("too_small",
+        s"dhash64 needs at least ${HashW}x$HashH pixels, got ${w}x$h")
+    if (w.toLong * h > (1L << 24))
+      throw new UnhashableAssetException("oversized",
+        s"dhash64 overflow guard: ${w}x$h exceeds 2^24 pixels")
     val sums = Array.ofDim[Long](HashH, HashW)
     val areas = Array.ofDim[Long](HashH, HashW)
     var cy = 0
@@ -355,12 +367,7 @@ object ImageDedupOps {
   def classifyImage(a: ImageAsset): Either[String, ImageHash] =
     try Right(hashAsset(a))
     catch {
-      case e: IllegalArgumentException
-          if Option(e.getMessage).exists(_.contains("needs at least")) =>
-        Left("too_small")
-      case e: IllegalArgumentException
-          if Option(e.getMessage).exists(_.contains("overflow guard")) =>
-        Left("oversized")
+      case e: UnhashableAssetException => Left(e.reason)
       case scala.util.control.NonFatal(_) => Left("corrupt")
     }
 

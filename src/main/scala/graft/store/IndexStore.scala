@@ -254,27 +254,30 @@ object IndexStore {
       // 4x16-bit band explode, build-time skew TRUNCATION (the at-rest
       // perceptual policy, [[DedupOps.truncateBuckets]]: a degenerate
       // band value - e.g. flat-color images - keeps its first cap rows
-      // plus one row per asset, so probe fan-out stays bounded while
-      // every asset remains live at rest - the streaming gates'
-      // replay self-match contract)
+      // plus one row per UNIT, so probe fan-out stays bounded while
+      // every unit remains live at rest - the streaming gates'
+      // replay self-match contract; the liveness key is the UNIT -
+      // asset for images, (asset, chunk) / (asset, frame) for the
+      // multi-unit kinds - so a replayed asset's coverage verdict is
+      // total, not merely nonzero)
       case "phash" => DedupOps.truncateBuckets(
         ImageDedupOps.bandRows(ImageDedupOps.imageHashRows(input)),
         Seq("band", "band_key"), DedupOps.MaxBucketSize,
-        "asset_id", Seq("asset_id"))
+        Seq("asset_id"), Seq("asset_id"))
       // same shape for audio: (asset_id, payload) in, decode+chunk+
       // afp64 per partition (chunk_idx/n_chunks ride every row),
-      // 4x16-bit band explode, build-time skew truncation
+      // 4x16-bit band explode, build-time skew truncation per chunk
       case "afp" => DedupOps.truncateBuckets(
         AudioDedupOps.afpBandRows(AudioDedupOps.audioHashRows(input)),
         Seq("band", "band_key"), DedupOps.MaxBucketSize,
-        "asset_id", Seq("asset_id", "chunk_idx"))
+        Seq("asset_id", "chunk_idx"), Seq("asset_id", "chunk_idx"))
       // video: (asset_id, frame_idx, payload) frame stills in —
       // per-frame dHash, band explode with frame_idx/n_frames riding,
       // same at-rest truncation policy (frame granularity)
       case "vhash" => DedupOps.truncateBuckets(
         VideoDedupOps.assetBandRows(VideoDedupOps.assetHashRows(input)),
         Seq("band", "band_key"), DedupOps.MaxBucketSize,
-        "asset_id", Seq("asset_id", "frame_idx"))
+        Seq("asset_id", "frame_idx"), Seq("asset_id", "frame_idx"))
       // drop(embedding), not select(3): normalizedWithBucket keeps every
       // input column, so attributes ride through WITHOUT the keyed
       // re-join [[withAttrs]] would otherwise pay
@@ -416,9 +419,17 @@ object IndexStore {
         "chunk-aware afp compaction")
       val live = store.readLeaves(spark, table, old)
       val rows = (kind match {
+        // text band rows share the perceptual kinds' at-rest TRUNCATION
+        // policy (keyed on doc_id): compaction may shrink a hot bucket
+        // to its first cap rows but can never erase a committed
+        // survivor's LAST band row — the whole-group drop this case
+        // applied before round 17 could, re-admitting that survivor on
+        // replay (the streaming curation gate's exactly-once argument
+        // needs every accepted doc to self-match at rest)
         case "band" =>
-          DedupOps.capBuckets(live.dropDuplicates("doc_id", "band"),
-            Seq("band", "band_key"), DedupOps.MaxBucketSize)
+          DedupOps.truncateBuckets(live.dropDuplicates("doc_id", "band"),
+            Seq("band", "band_key"), DedupOps.MaxBucketSize,
+            Seq("doc_id"), Seq("doc_id"))
         case "span" =>
           DedupOps.capBuckets(live.dropDuplicates("doc_id", "fp"),
             Seq("fp"), DedupOps.MaxSpanDf)
@@ -426,25 +437,27 @@ object IndexStore {
         case "espan" => live.dropDuplicates("doc_id", "pos")
         // perceptual kinds: re-delivered assets collapse, then the
         // at-rest TRUNCATION policy re-applies globally — same
-        // definition as rowsFor, preserving the >=1-row-per-asset
+        // definition as rowsFor, preserving the >=1-row-per-UNIT
         // liveness the streaming gates' replay self-match needs (a
         // whole-group drop here could erase a committed survivor's
-        // last band row and re-admit it on replay)
+        // last band row and re-admit it on replay; a per-ASSET key
+        // could erase a minority chunk/frame's last row and fail the
+        // majority-coverage self-match the same way)
         case "phash" =>
           DedupOps.truncateBuckets(
             live.dropDuplicates("asset_id", "band"),
             Seq("band", "band_key"), DedupOps.MaxBucketSize,
-            "asset_id", Seq("asset_id"))
+            Seq("asset_id"), Seq("asset_id"))
         case "afp" =>
           DedupOps.truncateBuckets(
             live.dropDuplicates("asset_id", "chunk_idx", "band"),
             Seq("band", "band_key"), DedupOps.MaxBucketSize,
-            "asset_id", Seq("asset_id", "chunk_idx"))
+            Seq("asset_id", "chunk_idx"), Seq("asset_id", "chunk_idx"))
         case "vhash" =>
           DedupOps.truncateBuckets(
             live.dropDuplicates("asset_id", "frame_idx", "band"),
             Seq("band", "band_key"), DedupOps.MaxBucketSize,
-            "asset_id", Seq("asset_id", "frame_idx"))
+            Seq("asset_id", "frame_idx"), Seq("asset_id", "frame_idx"))
         case _ => live.dropDuplicates("vec_id")
       }).localCheckpoint() // counted AND staged — one computation
       val dropped = live.count() - rows.count()

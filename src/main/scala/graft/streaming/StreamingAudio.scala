@@ -31,16 +31,19 @@ object StreamingAudio {
     * chunk rows ([[AudioDedupOps.fingerprintChunks]]) — the gate
     * accepts, dedups, and indexes them like any other asset; the
     * cross probe and intra pair drop both apply the majority-coverage
-    * verdict. Returns the gate's audit counters. */
-  def processBatch(store: GraftStore,
-      batch: DataFrame): PerceptualGate.GateStats =
+    * verdict, and the at-rest truncation keeps every CHUNK live so a
+    * replayed long clip's coverage self-match is total. Audit counters
+    * only when `collectStats` is on (extra per-batch actions). */
+  def processBatch(store: GraftStore, batch: DataFrame,
+      collectStats: Boolean = false): Option[PerceptualGate.GateStats] =
     PerceptualGate.processBatch(store, batch, "afp", AcceptedTable,
       AudioDedupOps.audioHashRows,
       AudioDedupOps.afpNearDupPairs,
       hashes => IndexStore.afpSearchFromHashes(store,
         batch.sparkSession, hashes, AudioDedupOps.MaxHamming),
       AudioDedupOps.afpBandRows,
-      bandOrder = Seq("asset_id", "chunk_idx"))
+      unitCols = Seq("asset_id", "chunk_idx"),
+      collectStats = collectStats)
 
   /** The full pipeline: a streaming (asset_id, payload) frame driven
     * through [[processBatch]] per micro-batch; the `afp` index is the

@@ -41,17 +41,20 @@ object StreamingImages {
   val AcceptedTable = "accepted_images"
 
   /** One micro-batch: gate, then commit survivors + their `phash`
-    * band rows in one atomic snapshot. Returns the gate's audit
-    * counters ([[PerceptualGate.GateStats]]). */
-  def processBatch(store: GraftStore,
-      batch: DataFrame): PerceptualGate.GateStats =
+    * band rows in one atomic snapshot. Audit counters
+    * ([[PerceptualGate.GateStats]]) are returned only when
+    * `collectStats` is on — they cost extra per-batch actions, so the
+    * hot path ([[runToAccepted]]) leaves them off. */
+  def processBatch(store: GraftStore, batch: DataFrame,
+      collectStats: Boolean = false): Option[PerceptualGate.GateStats] =
     PerceptualGate.processBatch(store, batch, "phash", AcceptedTable,
       ImageDedupOps.imageHashRows,
       ImageDedupOps.phashNearDupPairs,
       hashes => IndexStore.phashSearchFromHashes(store,
         batch.sparkSession, hashes, ImageDedupOps.MaxHamming),
       ImageDedupOps.bandRows,
-      bandOrder = Seq("asset_id"))
+      unitCols = Seq("asset_id"),
+      collectStats = collectStats)
 
   /** The full pipeline: a streaming (asset_id, payload) frame driven
     * through [[processBatch]] per micro-batch. The `phash` index is

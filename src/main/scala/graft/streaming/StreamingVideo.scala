@@ -32,17 +32,23 @@ object StreamingVideo {
   val AcceptedTable = "accepted_video_frames"
 
   /** One micro-batch: gate, then commit surviving videos' frames +
-    * their `vhash` band rows in one atomic snapshot. Returns the
-    * gate's audit counters. */
-  def processBatch(store: GraftStore,
-      batch: DataFrame): PerceptualGate.GateStats =
+    * their `vhash` band rows in one atomic snapshot. Only HASHABLE
+    * frames commit — the gate semi-joins the batch on the survivors'
+    * hash rows' (asset_id, frame_idx), so an undecodable frame of a
+    * surviving video (already excluded from its n_frames denominator
+    * and reported by [[VideoDedupOps.videoFrameRejects]]) never lands
+    * in the accepted table the vhash index cannot cover. Audit
+    * counters only when `collectStats` is on. */
+  def processBatch(store: GraftStore, batch: DataFrame,
+      collectStats: Boolean = false): Option[PerceptualGate.GateStats] =
     PerceptualGate.processBatch(store, batch, "vhash", AcceptedTable,
       VideoDedupOps.assetHashRows,
       VideoDedupOps.assetNearDupPairs,
       hashes => IndexStore.vhashSearchFromHashes(store,
         batch.sparkSession, hashes, ImageDedupOps.MaxHamming),
       VideoDedupOps.assetBandRows,
-      bandOrder = Seq("asset_id", "frame_idx"))
+      unitCols = Seq("asset_id", "frame_idx"),
+      collectStats = collectStats)
 
   /** The full pipeline: a streaming (asset_id, frame_idx, payload)
     * frame driven through [[processBatch]] per micro-batch; the

@@ -458,15 +458,16 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(none.columns.toSeq == full.columns.toSeq)
   }
 
-  test("compact re-applies the global band cap across appends that were " +
-      "each under it, merges leaf debris, and leaves non-degenerate " +
-      "probes unchanged") {
+  test("band compact (round-17 truncation policy): re-delivered rows " +
+      "collapse and leaf debris merges, but EVERY doc keeps at-rest " +
+      "rows — identical-fingerprint boilerplate past the cap is the " +
+      "keep-per-band liveness case the old whole-group drop erased, " +
+      "and boilerplate probes now FIND their honest matches") {
     import spark.implicits._
-    import graft.operators.DedupOps
     val root = tempDir("graft-idx-compact")
-    // boilerplate: byte-identical text under distinct doc_ids — every
-    // batch of 30 stays under MaxBucketSize (64), the union of 90 does
-    // not. Distinct docs ride along in each batch.
+    // boilerplate: byte-identical text under distinct doc_ids — 90
+    // boiler docs land in the same 8 band buckets, far past
+    // MaxBucketSize (64). Distinct docs ride along in each batch.
     val boiler = (0 until 60).map(j => s"boilerw$j").mkString(" ")
     def batch(ids: Range) = ids.map(i =>
       (i.toLong, if (i % 2 == 0) boiler else doc(i.toLong, "d")._2))
@@ -474,27 +475,31 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     IndexStore.build(s1, "band", batch(0 until 60).toDF("doc_id", "text"))
     IndexStore.append(s1, "band", batch(60 until 120).toDF("doc_id", "text"))
     IndexStore.append(s1, "band", batch(120 until 180).toDF("doc_id", "text"))
+    // an at-least-once upstream re-delivers the first batch verbatim
+    IndexStore.append(s1, "band", batch(0 until 60).toDF("doc_id", "text"))
     val leavesBefore = s1.leavesOf("band_index").size
-    // per-batch caps saw 30 boiler docs each — all under 64, all kept
     val before = IndexStore.read(s1, spark, "band")
-    val boilerRowsBefore = before.filter(col("doc_id") % 2 === 0).count()
-    assert(boilerRowsBefore > 0, "fixture: boiler rows must exist pre-compact")
-    val perBucket = before.groupBy("band", "band_key").count()
-      .agg(max("count")).head().getLong(0)
-    assert(perBucket > DedupOps.MaxBucketSize,
-      s"fixture: union bucket must exceed the cap, got $perBucket")
+    val rowsBefore = before.count()
+    val liveRows = before.dropDuplicates("doc_id", "band").count()
+    assert(rowsBefore > liveRows, "fixture: re-delivery must duplicate rows")
 
     val (dropped, leavesAfter) =
       IndexStore.compact(new GraftStore(root), spark, "band")
-    assert(dropped >= boilerRowsBefore, s"dropped only $dropped rows")
+    // exactly the re-delivered duplicates drop; truncation keeps the
+    // boiler flood (equal fingerprints rank identically in all their
+    // buckets — each keeps one row per band, the honest-match shape a
+    // probe wants; liveness beats the cap, TruncateBucketsSpec's pin)
+    assert(dropped == rowsBefore - liveRows,
+      s"dropped $dropped, want ${rowsBefore - liveRows}")
     assert(leavesAfter < leavesBefore,
       s"leaf debris not merged: $leavesBefore -> $leavesAfter")
     val s2 = new GraftStore(root)
-    // the degenerate buckets are gone: no bucket exceeds the cap, and
-    // probe fan-out is bounded again
     val after = IndexStore.read(s2, spark, "band")
-    assert(after.groupBy("band", "band_key").count()
-      .filter(col("count") > DedupOps.MaxBucketSize).count() == 0)
+    // the exactly-once replay contract compaction must never break:
+    // every indexed doc keeps at least one at-rest band row (the old
+    // whole-group drop erased ALL 90 boiler docs' rows here)
+    assert(after.select("doc_id").distinct().count() == 180L,
+      "compaction erased some doc's last at-rest band row")
     // a probe for a non-degenerate doc is unchanged: near-copy of doc 7
     val probe = Seq((900L, doc(7L, "d")._2.split(" ").take(52).mkString(" ")
       + " x0 x1 x2 x3 x4 x5 x6 x7")).toDF("doc_id", "text")
@@ -502,6 +507,12 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
       .select("new_id", "existing_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(hits.contains((900L, 7L)), s"non-degenerate probe broken: $hits")
+    // a boilerplate probe finds its honest at-rest matches — before
+    // round 17 the whole bucket was capped away and this came back empty
+    val boilerHits = IndexStore.search(s2, spark, "band",
+      Seq((901L, boiler)).toDF("doc_id", "text"))
+      .select("existing_id").distinct().count()
+    assert(boilerHits > 0, "boilerplate probe must see its dup class")
   }
 
   test("compact collapses re-delivered rows in the keyless kinds") {

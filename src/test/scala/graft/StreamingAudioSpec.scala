@@ -86,7 +86,7 @@ class StreamingAudioSpec extends AnyFunSuite with BeforeAndAfterAll
     import spark.implicits._
     val store = new GraftStore(tempDir("graft-saud-long"))
     val b1 = Seq(asset(4000L), asset(4001L), asset(0L)).toDF()
-    val s1 = StreamingAudio.processBatch(store, b1)
+    val s1 = StreamingAudio.processBatch(store, b1, collectStats = true).get
     assert(acceptedIds(store) == Set(4000L, 4001L, 0L),
       s"long clips must be accepted, not silently rejected: " +
         s"${acceptedIds(store)}")
@@ -101,7 +101,7 @@ class StreamingAudioSpec extends AnyFunSuite with BeforeAndAfterAll
     val b2 = Seq(
       AudioDedupOps.AudioAsset(700L, asset(5000L).payload),
       asset(1L)).toDF()
-    val s2 = StreamingAudio.processBatch(store, b2)
+    val s2 = StreamingAudio.processBatch(store, b2, collectStats = true).get
     assert(acceptedIds(store) == Set(4000L, 4001L, 0L, 1L),
       s"got ${acceptedIds(store)}")
     assert(s2.crossDropped == 1, s"$s2")
@@ -117,7 +117,8 @@ class StreamingAudioSpec extends AnyFunSuite with BeforeAndAfterAll
     // no pairs, and accepted the whole flood with no index rows
     val flood = (0 until 70).map(i =>
       AudioDedupOps.AudioAsset(100L + i, asset(0L).payload))
-    val stats = StreamingAudio.processBatch(store, flood.toDF())
+    val stats = StreamingAudio
+      .processBatch(store, flood.toDF(), collectStats = true).get
     assert(acceptedIds(store) == Set(100L),
       s"flood must collapse to its smallest id: ${acceptedIds(store)}")
     assert(stats.survivors == 1 && stats.exactDropped == 69, s"$stats")

@@ -73,15 +73,18 @@ class StreamingImagesSpec extends AnyFunSuite with BeforeAndAfterAll
   }
 
   test("an ALL-corrupt batch commits nothing — no accepted rows, no " +
-      "index rows, no snapshot, zeroed stats") {
+      "index rows, no snapshot; the stats now SEE the drop (r16 audit " +
+      "blind spot: assets with zero hash rows were invisible)") {
     import spark.implicits._
     val store = new GraftStore(tempDir("graft-simg-allcorrupt"))
     val snap0 = store.currentSnapshot()
     val garbage = (0 until 3).map(i =>
       ImageDedupOps.ImageAsset(900L + i, Array.fill[Byte](48)((i + 1).toByte)))
-    val stats = StreamingImages.processBatch(store, garbage.toDF())
-    assert(stats.survivors == 0 && stats.batchAssets == 0,
-      s"undecodable assets have no hash rows: $stats")
+    val stats = StreamingImages
+      .processBatch(store, garbage.toDF(), collectStats = true).get
+    assert(stats.survivors == 0 && stats.batchAssets == 3 &&
+      stats.undecodedDropped == 3,
+      s"undecodable assets must be counted from the raw batch: $stats")
     assert(store.currentSnapshot() == snap0,
       "an all-corrupt batch must not commit")
   }

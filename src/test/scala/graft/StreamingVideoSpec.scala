@@ -38,7 +38,7 @@ class StreamingVideoSpec extends AnyFunSuite with BeforeAndAfterAll
     val store = new GraftStore(tempDir("graft-svid"))
     val b1 = (video(0L, 0L) ++ video(1L, 1L) ++ video(2L, 2L))
       .toDF("asset_id", "frame_idx", "payload")
-    val s1 = StreamingVideo.processBatch(store, b1)
+    val s1 = StreamingVideo.processBatch(store, b1, collectStats = true).get
     assert(acceptedVideos(store) == Set(0L, 1L, 2L), s"$s1")
     assert(s1.survivors == 3, s"$s1")
     // accepted table holds EVERY frame of each survivor
@@ -53,7 +53,7 @@ class StreamingVideoSpec extends AnyFunSuite with BeforeAndAfterAll
     val b2 = (video(3L, 300L) ++ video(3L, 301L) ++
       video(2001L, 400L) ++ // 2001 = trimmed variant of 1
       video(4L, 4L)).toDF("asset_id", "frame_idx", "payload")
-    val s2 = StreamingVideo.processBatch(store, b2)
+    val s2 = StreamingVideo.processBatch(store, b2, collectStats = true).get
     assert(acceptedVideos(store) == Set(0L, 1L, 2L, 300L, 4L),
       s"got ${acceptedVideos(store)} ($s2)")
     assert(s2.crossDropped == 1 && s2.exactDropped == 1, s"$s2")
@@ -89,7 +89,8 @@ class StreamingVideoSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(acceptedVideos(store) == Set(500L))
     val s2 = StreamingVideo.processBatch(store,
       damaged.map { case (_, f, p) => (501L, f, p) }
-        .toDF("asset_id", "frame_idx", "payload"))
+        .toDF("asset_id", "frame_idx", "payload"),
+      collectStats = true).get
     assert(acceptedVideos(store) == Set(500L),
       s"re-delivered damaged video must drop: ${acceptedVideos(store)}")
     assert(s2.crossDropped == 1, s"$s2")

@@ -33,7 +33,7 @@ class TruncateBucketsSpec extends AnyFunSuite with BeforeAndAfterAll
       (a.toLong, 1, 100L + a, a.toLong * 10))) // private
       .toDF("asset_id", "band", "band_key", "hash")
     val kept = DedupOps.truncateBuckets(rows, Seq("band", "band_key"),
-      Cap, "asset_id", Seq("asset_id"))
+      Cap, Seq("asset_id"), Seq("asset_id"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     val hot = kept.filter(_._2 == 0)
     assert(hot.size == Cap, s"hot bucket must hold exactly $Cap: ${hot.size}")
@@ -43,7 +43,7 @@ class TruncateBucketsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(kept.map(_._1).distinct.size == 100)
     // determinism: a second evaluation yields the identical set
     val again = DedupOps.truncateBuckets(rows, Seq("band", "band_key"),
-      Cap, "asset_id", Seq("asset_id"))
+      Cap, Seq("asset_id"), Seq("asset_id"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(again.sorted == kept.sorted)
   }
@@ -55,7 +55,7 @@ class TruncateBucketsSpec extends AnyFunSuite with BeforeAndAfterAll
     val rows = (0 until 100).map(a => (a.toLong, 0, 0L, 7L))
       .toDF("asset_id", "band", "band_key", "hash")
     val kept = DedupOps.truncateBuckets(rows, Seq("band", "band_key"),
-      Cap, "asset_id", Seq("asset_id")).count()
+      Cap, Seq("asset_id"), Seq("asset_id")).count()
     assert(kept == 100L, s"liveness must keep all single-row assets: $kept")
   }
 
@@ -64,27 +64,45 @@ class TruncateBucketsSpec extends AnyFunSuite with BeforeAndAfterAll
     val rows = (0 until 50).map(a => (a.toLong, 0, a.toLong % 4, 1L))
       .toDF("asset_id", "band", "band_key", "hash")
     assert(DedupOps.truncateBuckets(rows, Seq("band", "band_key"),
-      Cap, "asset_id", Seq("asset_id")).count() == 50L)
+      Cap, Seq("asset_id"), Seq("asset_id")).count() == 50L)
   }
 
-  test("a multi-unit asset (chunked afp shape) keeps per-unit rows " +
-      "under the cap and at least its best row past it") {
+  test("multi-unit liveness key (chunked afp shape): a hot bucket " +
+      "truncates to the cap, but EVERY (asset, chunk) unit keeps its " +
+      "best row elsewhere — per-unit keys, not per-asset") {
     import spark.implicits._
-    // 70 assets x 2 chunks, all rows in ONE bucket; order by
-    // (asset_id, chunk_idx) ranks asset a's chunks at 2a+1, 2a+2
+    // 70 assets x 2 chunks; each unit has a row in the ONE hot bucket
+    // (band 0, key 0) and a row in a private bucket (band 1, unique key)
+    val rows = (0 until 70).flatMap { a =>
+      Seq(0, 1).flatMap(c => Seq(
+        (a.toLong, c, 0, 0L, 10L * a + c), // hot
+        (a.toLong, c, 1, 1000L + 2 * a + c, 10L * a + c))) // private
+    }.toDF("asset_id", "chunk_idx", "band", "band_key", "hash")
+    val kept = DedupOps.truncateBuckets(rows, Seq("band", "band_key"),
+      Cap, Seq("asset_id", "chunk_idx"), Seq("asset_id", "chunk_idx"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val hot = kept.filter(_._3 == 0)
+    assert(hot.length == Cap,
+      s"hot bucket must truncate to exactly $Cap: ${hot.length}")
+    // liveness at UNIT granularity: all 140 units retain >= 1 row
+    assert(kept.map(t => (t._1, t._2)).distinct.length == 140)
+  }
+
+  test("the r16 per-asset regression case: a minority chunk whose ONLY " +
+      "row sits past the cap in a hot bucket keeps it under per-unit " +
+      "keys (a per-asset key would drop it and break the replay " +
+      "self-match's majority-coverage verdict for 2-chunk clips)") {
+    import spark.implicits._
+    // chunk-0 rows in private buckets; ALL 70 chunk-1 rows in one hot
+    // bucket, ranked 1..70 by asset_id — ranks 65..70 are past the cap
+    // but each is its unit's only (hence best) row
     val rows = (0 until 70).flatMap(a => Seq(
-      (a.toLong, 0, 0, 0L, 1L), (a.toLong, 1, 0, 0L, 2L)))
+      (a.toLong, 0, 1, 1000L + a, 1L), // private
+      (a.toLong, 1, 0, 0L, 2L))) // hot
       .toDF("asset_id", "chunk_idx", "band", "band_key", "hash")
     val kept = DedupOps.truncateBuckets(rows, Seq("band", "band_key"),
-      Cap, "asset_id", Seq("asset_id", "chunk_idx"))
-      .collect().map(r => (r.getLong(0), r.getInt(1)))
-    // first 32 assets keep both chunks (ranks <= 64); later assets
-    // keep their best (chunk 0) row only
-    assert(kept.count(_._1 < 32L) == 64, s"$kept")
-    (32 until 70).foreach { a =>
-      val mine = kept.filter(_._1 == a.toLong)
-      assert(mine.toSeq == Seq((a.toLong, 0)),
-        s"asset $a must keep exactly its best (chunk 0) row: $mine")
-    }
+      Cap, Seq("asset_id", "chunk_idx"), Seq("asset_id", "chunk_idx"))
+    assert(kept.count() == 140L,
+      "every chunk-1 row is its unit's best and must survive the cap")
   }
 }
