@@ -52,10 +52,14 @@ object StreamingAudio {
   def runToAccepted(
       stream: DataFrame,
       store: GraftStore,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      onStats: Option[PerceptualGate.GateStats => Unit] = None)
+      : StreamingQuery =
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(store, batch): Unit
+        val stats =
+          processBatch(store, batch, collectStats = onStats.nonEmpty)
+        onStats.foreach(f => stats.foreach(f))
       }
       .option("checkpointLocation", checkpointDir)
       .start()

@@ -34,11 +34,41 @@ import org.apache.spark.sql.functions._
   */
 object StreamingCuration {
 
-  def curateBatch(
+  /** Per-batch audit counters for the TEXT gate — the
+    * [[PerceptualGate.GateStats]] shape transposed (batch size, each
+    * drop class in gate order — replayed-id backstop, quality floor,
+    * exact, intra near-dup, cross near-dup — survivors, and how many
+    * survivor band rows the at-rest truncation policy capped out), so
+    * a text flood is as observable as a perceptual one. Opt-in
+    * ([[processBatch]] `collectStats` / [[runToAccepted]] `onStats`):
+    * the counts cost real per-batch actions, including one re-scan of
+    * the batch text for the pre-gate stages, so the hot path leaves
+    * them off. */
+  final case class CurateStats(
+      batchDocs: Long,
+      replayDropped: Long,
+      qualityDropped: Long,
+      exactDropped: Long,
+      intraDropped: Long,
+      crossDropped: Long,
+      survivors: Long,
+      cappedIndexRows: Long)
+
+  /** The staged frames of one [[curateBatch]] run — kept private so
+    * the stage boundaries stay a single definition shared by the
+    * two-frame public API and the stats-collecting path. */
+  private final case class Staged(
+      kept: DataFrame,
+      exactKeep: DataFrame,
+      intra: DataFrame,
+      survivors: DataFrame,
+      indexRows: DataFrame)
+
+  private def stageBatch(
       batch: DataFrame,
       index: DataFrame,
-      qualityFloorBp: Long = 3000L,
-      threshold: Double = 0.4): (DataFrame, DataFrame) = {
+      qualityFloorBp: Long,
+      threshold: Double): Staged = {
     val kept = batch
       .withColumn("quality_bp", expr(TextOps.qualityBpSparkSql))
       .filter(col("quality_bp") >= qualityFloorBp)
@@ -59,8 +89,17 @@ object StreamingCuration {
       .select(col("new_id").as("doc_id")).distinct()
     val survivors = intra.join(crossLosers, Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    (survivors,
+    Staged(kept, exactKeep, intra, survivors,
       DedupOps.buildBandIndex(survivors.select(col("doc_id"), col("text"))))
+  }
+
+  def curateBatch(
+      batch: DataFrame,
+      index: DataFrame,
+      qualityFloorBp: Long = 3000L,
+      threshold: Double = 0.4): (DataFrame, DataFrame) = {
+    val st = stageBatch(batch, index, qualityFloorBp, threshold)
+    (st.survivors, st.indexRows)
   }
 
   /** Manifest table holding the accepted (curated) documents. */
@@ -81,23 +120,53 @@ object StreamingCuration {
     * against the at-rest band index, then the survivors AND their index
     * rows commit to the store in ONE atomic snapshot swap.
     *
-    * The single commit is what makes the pipeline EXACTLY-ONCE under
-    * foreachBatch's replay semantics: a reader can never observe an
-    * accepted doc without its index rows (or vice versa), and a replayed
-    * batch — foreachBatch re-runs a batch whose epoch didn't commit —
-    * self-matches against the index rows its first run committed
-    * (jaccard 1 on identical docs), so every doc drops in the
-    * cross-batch gate and the replay commits nothing. With the old
-    * two-append form, a crash between the appends left the accepted
-    * table ahead of the index, and the replay double-accepted the
-    * batch. */
+    * EXACTLY-ONCE under foreachBatch's replay semantics rests on two
+    * layers. The deterministic one (round 17): a doc_id already in the
+    * at-rest accepted table is dropped by an ID anti-join before any
+    * gate — a replayed batch (foreachBatch re-runs a batch whose epoch
+    * it cannot prove committed) delivers the same doc_ids, so if the
+    * first run's commit landed, the replay's survivor set is empty BY
+    * IDENTITY, independent of any band machinery; if it never landed,
+    * nothing is at rest and the replay is simply the first run. The
+    * read is manifest-bucket-pruned (the accepted table is keyed by
+    * xxhash64(doc_id) buckets), so the backstop lists only leaves that
+    * can contain the batch's ids. The band self-match layer (jaccard 1
+    * on identical docs) remains for CONTENT redelivery under fresh ids
+    * — but the exactly-once argument no longer depends on it, which
+    * matters because the probe side of [[DedupOps.incrementalNearDup]]
+    * is bucket-CAPPED: a replayed 65+ same-bucket flood would lose its
+    * own probe rows and self-match nothing (the r16 residual the ID
+    * layer closes for good). The single atomic commit is the third
+    * ingredient: a reader can never observe an accepted doc without
+    * its index rows (or vice versa) — with the old two-append form, a
+    * crash between the appends left the accepted table ahead of the
+    * index. */
   def processBatch(
       store: GraftStore,
       batch: DataFrame,
       qualityFloorBp: Long = 3000L,
       threshold: Double = 0.4,
-      exactSpans: Boolean = false): Unit = {
+      exactSpans: Boolean = false,
+      collectStats: Boolean = false): Option[CurateStats] = {
     val spark = batch.sparkSession
+    // the exactly-once ID backstop, first — replayed/redelivered ids
+    // never reach the span cut or the gates. Pruned-leaf read: only
+    // accepted-table leaves whose id-hash bucket matches some batch id
+    // are listed (none matching = nothing to drop).
+    val idGated =
+      if (store.leavesOf(AcceptedTable).isEmpty) batch
+      else {
+        val buckets = batch.select(
+          pmod(xxhash64(col("doc_id")), lit(IndexStore.Buckets.toLong))
+            .as("b")).distinct().collect().map(_.getLong(0)).toSet
+        val pruned = store.leavesOf(AcceptedTable)
+          .filter(l => buckets.contains(l.bucket))
+        if (pruned.isEmpty) batch
+        else batch.join(
+          store.readLeaves(spark, AcceptedTable, pruned)
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      }
     // Turning exactSpans ON over a store with pre-existing accepted
     // docs: those docs predate the flag, so they have NO espan
     // postings — certifying against the partial index would silently
@@ -126,20 +195,21 @@ object StreamingCuration {
     // The quality floor then judges the REMAINDER: a doc that is
     // mostly known boilerplate loses it here and stands on what is
     // left, which is the pipeline semantics span removal exists for.
-    // Replay determinism: the probe EXCLUDES the batch's own doc_ids
-    // from the index (a replayed batch sees exactly the first run's
-    // history, cuts identically, and then self-matches in the
-    // whole-doc cross-batch gate — nothing commits twice). Extents
-    // duplicated only WITHIN the batch are the batch operator's job,
-    // exactly like the incremental removal operator documents.
+    // Replay determinism: the ID backstop already removed replayed
+    // ids; for the ids that remain the probe additionally EXCLUDES the
+    // batch's own doc_ids from the index (belt and braces — a partial
+    // redelivery sees exactly the first run's history and cuts
+    // identically). Extents duplicated only WITHIN the batch are the
+    // batch operator's job, exactly like the incremental removal
+    // operator documents.
     val cleaned =
       if (!exactSpans ||
           store.leavesOf(IndexStore.tableOf("espan")).isEmpty)
-        batch.select(col("doc_id"), col("text"))
+        idGated.select(col("doc_id"), col("text"))
       else DedupOps.cutSpans(
-        batch.select(col("doc_id"), col("text")),
+        idGated.select(col("doc_id"), col("text")),
         IndexStore.searchExactSpansAtRest(store, spark,
-          batch.select(col("doc_id"), col("text")), AcceptedTable,
+          idGated.select(col("doc_id"), col("text")), AcceptedTable,
           excludeProbeIds = true))
         .drop("removed_tokens")
     // The cross-batch probe reads the index PRUNED for this batch's
@@ -154,8 +224,8 @@ object StreamingCuration {
       if (store.leavesOf(IndexStore.tableOf("band")).isEmpty)
         readIndex(store, spark) // empty-schema frame, first batch
       else IndexStore.prunedBandIndex(store, spark, cleaned)
-    val (survivors, newRows) =
-      curateBatch(cleaned, idx, qualityFloorBp, threshold)
+    val st = stageBatch(cleaned, idx, qualityFloorBp, threshold)
+    val (survivors, newRows) = (st.survivors, st.indexRows)
     val adds = store.stageKeyed(AcceptedTable,
       survivors.select(col("doc_id"), col("text"), col("quality_bp")),
       pmod(xxhash64(col("doc_id")), lit(IndexStore.Buckets.toLong)),
@@ -172,6 +242,30 @@ object StreamingCuration {
       store.commit(adds, meta = IndexStore.formatMeta("band") ++
         (if (exactSpans) IndexStore.formatMeta("espan")
          else Map.empty[String, String]))
+    if (!collectStats) None
+    else {
+      val batchDocs = batch.select(col("doc_id")).distinct().count()
+      val gatedDocs = cleaned.select(col("doc_id")).distinct().count()
+      val nKept = st.kept.count()
+      val nExact = st.exactKeep.count()
+      val nIntra = st.intra.count()
+      val nSurv = survivors.count()
+      // staged band rows vs the un-truncated explode: every survivor
+      // with a signature (>= ShingleN tokens) explodes to Bands rows
+      // before the at-rest truncation policy applies
+      val sigDocs = survivors.filter(
+        size(split(lower(col("text")), "\\s+")) >= DedupOps.ShingleN)
+        .count()
+      Some(CurateStats(
+        batchDocs = batchDocs,
+        replayDropped = batchDocs - gatedDocs,
+        qualityDropped = gatedDocs - nKept,
+        exactDropped = nKept - nExact,
+        intraDropped = nExact - nIntra,
+        crossDropped = nIntra - nSurv,
+        survivors = nSurv,
+        cappedIndexRows = sigDocs * DedupOps.Bands - newRows.count()))
+    }
   }
 
   /** The full streaming curate pipeline — the reference's
@@ -195,10 +289,13 @@ object StreamingCuration {
       checkpointDir: String,
       qualityFloorBp: Long = 3000L,
       threshold: Double = 0.4,
-      exactSpans: Boolean = false): StreamingQuery =
+      exactSpans: Boolean = false,
+      onStats: Option[CurateStats => Unit] = None): StreamingQuery =
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(store, batch, qualityFloorBp, threshold, exactSpans)
+        val stats = processBatch(store, batch, qualityFloorBp, threshold,
+          exactSpans, collectStats = onStats.nonEmpty)
+        onStats.foreach(f => stats.foreach(f))
       }
       .option("checkpointLocation", checkpointDir)
       .start()

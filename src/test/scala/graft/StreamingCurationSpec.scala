@@ -325,6 +325,102 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll
         s"(got $ctl) — fixture no longer demonstrates the stage")
   }
 
+  test("a 65+ distinct-near-dup text flood (the r16 `weak`): truncation " +
+      "fires yet EVERY committed survivor keeps at-rest band rows, " +
+      "replay commits nothing, and compact-then-replay commits nothing") {
+    import spark.implicits._
+    import graft.store.{GraftStore, IndexStore}
+    val store = new GraftStore(tempDir("graft-scur-flood"))
+    // 200 near-dup variants of one 80-token base (unique trailing token
+    // each): mutually distinct texts whose signatures mostly agree, so
+    // the base band buckets flood far past MaxBucketSize (64) — the
+    // shape whose staged index rows the pre-r17 whole-group cap erased
+    val base = (1 to 80).map(i => f"torrent$i%05d").mkString(" ")
+    val flood = (0 until 200).map(i => (5000L + i, s"$base uniq$i%05d"))
+    val floodDf = flood.toDF("doc_id", "text")
+    // fixture: the flood must actually overflow at least one bucket
+    val maxBucket = DedupOps.lshBands(DedupOps.minhashSignatures(floodDf))
+      .groupBy("band", "band_key").count().agg(max("count"))
+      .head().getLong(0)
+    assert(maxBucket > DedupOps.MaxBucketSize,
+      s"fixture: flood must overflow a band bucket, got max $maxBucket")
+    val stats = StreamingCuration
+      .processBatch(store, floodDf, collectStats = true).get
+    assert(stats.survivors > 0, s"$stats")
+    // the at-rest truncation FIRED (rows were capped out of hot
+    // buckets) — and still every accepted doc keeps >= 1 band row,
+    // which is exactly what the old whole-group drop violated
+    assert(stats.cappedIndexRows > 0,
+      s"fixture must exercise truncation: $stats")
+    val acceptedIds = store.read(spark, StreamingCuration.AcceptedTable)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val liveIdx = () => IndexStore.read(store, spark, "band")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(acceptedIds.subsetOf(liveIdx()),
+      s"survivors missing at-rest band rows: ${acceptedIds -- liveIdx()}")
+    // replay: the ID backstop drops the whole batch deterministically —
+    // no dependence on band self-match (whose probe side is capped and
+    // would lose the flood's own buckets)
+    val snap1 = store.currentSnapshot()
+    val replay = StreamingCuration
+      .processBatch(store, floodDf, collectStats = true).get
+    assert(store.currentSnapshot() == snap1,
+      "flood replay committed a new snapshot")
+    // exactly the committed ids fall to the ID backstop; nothing survives
+    assert(replay.replayDropped == stats.survivors &&
+      replay.survivors == 0, s"$replay")
+    // compact re-applies the global truncation: still no survivor loses
+    // its last row, and a second replay still commits nothing
+    IndexStore.compact(store, spark, "band")
+    assert(acceptedIds.subsetOf(liveIdx()),
+      "compact erased a committed survivor's last band row")
+    val snap2 = store.currentSnapshot()
+    StreamingCuration.processBatch(store, floodDf)
+    assert(store.currentSnapshot() == snap2,
+      "post-compact replay committed a new snapshot")
+    // cross-batch: a fresh near-copy of the flood's min-id survivor
+    // still drops (rank 1 in every bucket, so truncation kept ALL its
+    // rows — the deterministic victim)
+    val victim = flood.filter(f => acceptedIds.contains(f._1)).minBy(_._1)
+    val nc = victim._2.split(" ").zipWithIndex
+      .map { case (t, i) => if (i % 23 == 0) "xdupx" else t }.mkString(" ")
+    StreamingCuration.processBatch(store,
+      Seq((9000L, nc)).toDF("doc_id", "text"))
+    assert(store.read(spark, StreamingCuration.AcceptedTable)
+      .filter(col("doc_id") === 9000L).isEmpty,
+      "near-copy of a flood survivor must drop cross-batch")
+  }
+
+  test("CurateStats counters: one planted doc per drop class lands in " +
+      "its counter (replay-id, quality, exact, intra, cross), in gate " +
+      "order") {
+    import spark.implicits._
+    import graft.store.GraftStore
+    val store = new GraftStore(tempDir("graft-scur-stats"))
+    def mk(word: String) = (1 to 80).map(i => f"$word$i%05d").mkString(" ")
+    // seed: doc 1 accepted
+    StreamingCuration.processBatch(store,
+      Seq((1L, mk("quartz"))).toDF("doc_id", "text"))
+    val fresh = mk("zircon")
+    val other = mk("gneiss")
+    val batch = Seq(
+      (1L, mk("quartz")),               // replayed id -> ID backstop
+      (10L, "too short"),               // quality floor
+      (11L, other), (12L, other),       // exact pair: 12 drops
+      (13L, other.split(" ").zipWithIndex.map { case (t, i) =>
+        if (i % 23 == 0) "xdupx" else t }.mkString(" ")), // intra near-dup
+      (14L, mk("quartz").split(" ").zipWithIndex.map { case (t, i) =>
+        if (i % 23 == 0) "xdupx" else t }.mkString(" ")), // cross near-dup
+      (15L, fresh))                     // survivor
+    val s = StreamingCuration
+      .processBatch(store, batch.toDF("doc_id", "text"),
+        collectStats = true).get
+    assert(s == StreamingCuration.CurateStats(
+      batchDocs = 7, replayDropped = 1, qualityDropped = 1,
+      exactDropped = 1, intraDropped = 1, crossDropped = 1,
+      survivors = 2, cappedIndexRows = 0), s"$s")
+  }
+
   test("turning exactSpans ON over pre-existing accepted docs " +
       "BACKFILLS their espan postings first: extents duplicated from " +
       "pre-flag history are cut, not silently passed") {
