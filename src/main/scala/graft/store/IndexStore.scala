@@ -685,10 +685,16 @@ object IndexStore {
     * with `index compact` cadence and feed the pairs to a
     * keep-one-witness pass.
     *
-    * Honest bound: at-rest truncation guarantees ≥1 row per ASSET,
-    * not per chunk/frame — under extreme bucket skew a long asset's
-    * minority units can be absent at rest, and this report sees only
-    * the units present. Kinds: phash | afp | vhash. */
+    * Recall bound, CLOSED in round 17: at-rest truncation keeps ≥1
+    * row per UNIT (asset / chunk / frame — [[DedupOps
+    * .truncateBuckets]]'s per-unit liveness key), and this report
+    * reconstructs the full fingerprint from ANY surviving row before
+    * re-deriving all 4 bands — so the pair set equals the batch
+    * operator's over the full corpus even when bucket skew truncated
+    * the very bands two dups collide on (IndexStoreSpec pins it with
+    * a planted past-cap flood). Before round 17 the liveness key was
+    * the ASSET, and a long asset's minority units could vanish at
+    * rest. Kinds: phash | afp | vhash. */
   def perceptualDupes(store: GraftStore, spark: SparkSession,
       kind: String): DataFrame = kind match {
     case "phash" =>

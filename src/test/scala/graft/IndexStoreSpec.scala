@@ -515,6 +515,92 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(boilerHits > 0, "boilerplate probe must see its dup class")
   }
 
+  test("afp compact keeps a minority chunk's ONLY row past the cap " +
+      "(per-unit liveness) and the 2-chunk self-probe's coverage " +
+      "verdict stays total — the r16 per-asset residual closed") {
+    import spark.implicits._
+    import graft.operators.AudioDedupOps
+    val store = new GraftStore(tempDir("graft-idx-afp-unit"))
+    // 70 single-chunk flood assets with IDENTICAL fingerprints, plus a
+    // 2-chunk victim (id 9999 — ranked LAST in every hot bucket): its
+    // chunk-1 fingerprint shares ALL FOUR 16-bit bands with the flood,
+    // its chunk-0 fingerprint sits in private buckets. A per-ASSET
+    // liveness key kept only the victim's global-best (chunk-0) rows,
+    // erased chunk 1 entirely, and the majority-coverage self-match
+    // (2 of 2 chunks) could never fire again.
+    val hot = (0xAAAAL << 48) | (0xBBBBL << 32) | (0xCCCCL << 16) | 0xDDDDL
+    val priv =
+      (0x1111L << 48) | (0x2222L << 32) | (0x3333L << 16) | 0x4444L
+    val fps = (0 until 70).map(i => (100L + i, 0, 1, hot)) ++
+      Seq((9999L, 0, 2, priv), (9999L, 1, 2, hot))
+    val rows = AudioDedupOps.afpBandRows(
+      fps.toDF("asset_id", "chunk_idx", "n_chunks", "afp"))
+    store.commit(IndexStore.stageRows(store, "afp", rows),
+      meta = IndexStore.formatMeta("afp"))
+    IndexStore.compact(store, spark, "afp")
+    val atRest = IndexStore.read(store, spark, "afp")
+    assert(atRest.filter(col("asset_id") === 9999L &&
+      col("chunk_idx") === 1).count() > 0,
+      "compact erased the minority chunk's last at-rest row")
+    // replay self-match: both chunks find themselves at Hamming 0 —
+    // coverage 2/2 on both sides, the verdict fires
+    val self = IndexStore.afpSearchFromHashes(store, spark,
+      fps.filter(_._1 == 9999L)
+        .toDF("asset_id", "chunk_idx", "n_chunks", "afp"),
+      AudioDedupOps.MaxHamming)
+      .filter(col("new_id") === 9999L && col("existing_id") === 9999L)
+    assert(!self.isEmpty,
+      "2-chunk self-match must pass total coverage after compact")
+  }
+
+  test("perceptualDupes at rest EQUALS the batch pair operator under a " +
+      "planted past-cap flood — truncation drops the very band rows " +
+      "two dups collide on, and the report still finds the pair by " +
+      "reconstructing all 4 bands from the surviving rows") {
+    import spark.implicits._
+    import graft.operators.{AudioDedupOps, DedupOps}
+    val store = new GraftStore(tempDir("graft-idx-afp-recall"))
+    // 100 distinct single-chunk fps sharing the band-0 slice (one hot
+    // bucket of 102 rows), plus a planted 2-chunk dup pair (9000, 9001)
+    // at d=0 whose chunk-0 fp ALSO sits in the hot bucket ranked last
+    def fp(b0: Long, b1: Long, b2: Long, b3: Long): Long =
+      (b0 << 48) | (b1 << 32) | (b2 << 16) | b3
+    val flood = (0 until 100).map(i =>
+      (100L + i, 0, 1, fp(0xAAAAL, 1000L + i, 2000L + i, 3000L + i)))
+    val pair = Seq(
+      (9000L, 0, 2, fp(0xAAAAL, 0x7777L, 0x8888L, 0x9999L)),
+      (9000L, 1, 2, fp(0x1212L, 0x6666L, 0x5555L, 0x4444L)),
+      (9001L, 0, 2, fp(0xAAAAL, 0x7777L, 0x8888L, 0x9999L)),
+      (9001L, 1, 2, fp(0x1212L, 0x6666L, 0x5555L, 0x4444L)))
+    val fps = (flood ++ pair)
+      .toDF("asset_id", "chunk_idx", "n_chunks", "afp")
+    store.commit(
+      IndexStore.stageRows(store, "afp", AudioDedupOps.afpBandRows(fps)),
+      meta = IndexStore.formatMeta("afp"))
+    IndexStore.compact(store, spark, "afp") // at-rest truncation applies
+    val atRestRows = IndexStore.read(store, spark, "afp")
+    // fixture: truncation FIRED on the hot bucket, and it dropped the
+    // planted pair's band-0 rows (their best rank is in a private
+    // bucket, and they rank past the cap in the hot one)
+    assert(atRestRows.count() < flood.size * 4L + 16L,
+      "fixture must lose rows to truncation")
+    assert(atRestRows.filter(col("asset_id").isin(9000L, 9001L) &&
+      col("chunk_idx") === 0 && col("band") === 0).count() == 0,
+      "fixture: the pair's hot-bucket band-0 rows must be truncated away")
+    // every unit stays live (the per-unit guarantee)
+    assert(atRestRows.select("asset_id", "chunk_idx").distinct().count()
+      == flood.size + 4L, "a unit lost its last at-rest row")
+    val key = (d: org.apache.spark.sql.DataFrame) => d
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = key(AudioDedupOps.afpNearDupPairs(fps))
+    val atRest = key(IndexStore.perceptualDupes(store, spark, "afp"))
+    assert(batch.contains((9000L, 9001L)), s"fixture: batch must see $batch")
+    assert(atRest == batch,
+      s"at-rest pair set diverged: extra=${atRest -- batch} " +
+        s"missing=${batch -- atRest}")
+  }
+
   test("compact collapses re-delivered rows in the keyless kinds") {
     import spark.implicits._
     val dim = 16

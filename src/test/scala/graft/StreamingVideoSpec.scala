@@ -87,6 +87,15 @@ class StreamingVideoSpec extends AnyFunSuite with BeforeAndAfterAll
     StreamingVideo.processBatch(store,
       damaged.toDF("asset_id", "frame_idx", "payload"))
     assert(acceptedVideos(store) == Set(500L))
+    // only HASHABLE frames commit (round 17): the corrupt frame 5 was
+    // excluded from hashing, the n_frames denominator, and the vhash
+    // index — committing it would put a payload at rest the index can
+    // never cover. The frame rejects audit is where it is reported.
+    val frames = StreamingVideo.accepted(spark, store)
+      .filter(col("asset_id") === 500L)
+      .select("frame_idx").collect().map(_.getInt(0)).toSet
+    assert(!frames.contains(5) && frames.nonEmpty,
+      s"accepted frames must be the hashable set, got $frames")
     val s2 = StreamingVideo.processBatch(store,
       damaged.map { case (_, f, p) => (501L, f, p) }
         .toDF("asset_id", "frame_idx", "payload"),
