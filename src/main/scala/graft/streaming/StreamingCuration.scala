@@ -105,6 +105,20 @@ object StreamingCuration {
   /** Manifest table holding the accepted (curated) documents. */
   val AcceptedTable = "curated_docs"
 
+  /** Snapshot-meta key holding the highest foreachBatch epoch this
+    * store has committed — the transactional-sink idempotence cursor
+    * (the Spark foreachBatch exactly-once recipe: write the epoch id
+    * atomically WITH the data; skip epochs at or below it on replay).
+    * One curate stream per store: two concurrent streams would race
+    * the cursor (the same single-writer assumption the checkpoint
+    * directory already imposes upstream). The cursor is meaningful
+    * only within ONE checkpoint lineage — epochs restart at 0 under a
+    * fresh checkpoint directory, so a NEW stream over an already-
+    * curated store must resume the old checkpoint (the normal Spark
+    * practice) or drive [[processBatch]] without a batchId (the
+    * anti-join backstop path). */
+  val BatchIdKey = "curate_batch_id"
+
   /** The running band index read from the store manifest: the batch
     * schema of [[DedupOps.buildBandIndex]] (doc_id, band, band_key,
     * mh_arr, sh_hashes). No leaves yet = empty index (first batch of a
@@ -120,41 +134,59 @@ object StreamingCuration {
     * against the at-rest band index, then the survivors AND their index
     * rows commit to the store in ONE atomic snapshot swap.
     *
-    * EXACTLY-ONCE under foreachBatch's replay semantics rests on two
-    * layers. The deterministic one (round 17): a doc_id already in the
-    * at-rest accepted table is dropped by an ID anti-join before any
-    * gate — a replayed batch (foreachBatch re-runs a batch whose epoch
-    * it cannot prove committed) delivers the same doc_ids, so if the
-    * first run's commit landed, the replay's survivor set is empty BY
-    * IDENTITY, independent of any band machinery; if it never landed,
-    * nothing is at rest and the replay is simply the first run. The
-    * read is manifest-bucket-pruned (the accepted table is keyed by
-    * xxhash64(doc_id) buckets), so the backstop lists only leaves that
-    * can contain the batch's ids. The band self-match layer (jaccard 1
-    * on identical docs) remains for CONTENT redelivery under fresh ids
-    * — but the exactly-once argument no longer depends on it, which
-    * matters because the probe side of [[DedupOps.incrementalNearDup]]
-    * is bucket-CAPPED: a replayed 65+ same-bucket flood would lose its
-    * own probe rows and self-match nothing (the r16 residual the ID
-    * layer closes for good). The single atomic commit is the third
-    * ingredient: a reader can never observe an accepted doc without
-    * its index rows (or vice versa) — with the old two-append form, a
-    * crash between the appends left the accepted table ahead of the
-    * index. */
+    * EXACTLY-ONCE under foreachBatch's replay semantics is
+    * DETERMINISTIC since round 17, by two complementary layers, because
+    * the band self-match argument alone leaks: the probe side of
+    * [[DedupOps.incrementalNearDup]] is bucket-CAPPED, so a replayed
+    * 65+ same-bucket flood loses its own probe rows and self-matches
+    * nothing (the r16 residual).
+    *
+    *  - With a `batchId` (the [[runToAccepted]] path): the epoch
+    *    cursor. The id commits atomically WITH the data under
+    *    [[BatchIdKey]]; a batch at or below the cursor is skipped
+    *    outright — O(1), nothing scanned. Either the first run's
+    *    commit landed (cursor advanced → replay skips) or it did not
+    *    (cursor unmoved → the replay IS the first run). This is the
+    *    standard Spark transactional-sink recipe, and it keeps the
+    *    streaming hot path free of any per-batch corpus read.
+    *  - Without a `batchId` (direct callers, custom drivers): a
+    *    doc_id anti-join against the at-rest accepted table, before
+    *    any gate. Manifest-bucket-pruned (the accepted table is keyed
+    *    by xxhash64(doc_id) buckets), but a batch touching every
+    *    bucket reads the accepted table's doc_id column — O(accepted
+    *    rows in touched buckets) per call, fine for drivers and tests,
+    *    NOT for a 100 TB hot path; that is what the cursor is for.
+    *
+    * The band self-match layer (jaccard 1 on identical docs) remains
+    * for CONTENT redelivery under fresh ids/epochs. The single atomic
+    * commit is the final ingredient: a reader can never observe an
+    * accepted doc without its index rows (or vice versa) — with the
+    * old two-append form, a crash between the appends left the
+    * accepted table ahead of the index.
+    *
+    * Returns None when stats are off OR the batch was skipped by the
+    * epoch cursor. */
   def processBatch(
       store: GraftStore,
       batch: DataFrame,
       qualityFloorBp: Long = 3000L,
       threshold: Double = 0.4,
       exactSpans: Boolean = false,
-      collectStats: Boolean = false): Option[CurateStats] = {
+      collectStats: Boolean = false,
+      batchId: Option[Long] = None): Option[CurateStats] = {
     val spark = batch.sparkSession
-    // the exactly-once ID backstop, first — replayed/redelivered ids
-    // never reach the span cut or the gates. Pruned-leaf read: only
-    // accepted-table leaves whose id-hash bucket matches some batch id
-    // are listed (none matching = nothing to drop).
+    val committedEpoch = store.currentMeta()
+      .get(store.metaKey(BatchIdKey)).map(_.toLong)
+    if (batchId.exists(id => committedEpoch.exists(_ >= id)))
+      return None // this epoch's commit landed — replay skips, O(1)
+    // the exactly-once ID backstop for id-LESS callers — replayed or
+    // redelivered ids never reach the span cut or the gates. Pruned-
+    // leaf read: only accepted-table leaves whose id-hash bucket
+    // matches some batch id are listed. Skipped on the batchId path:
+    // the epoch cursor already guarantees exactly-once there, and this
+    // read is O(accepted rows in touched buckets) per call.
     val idGated =
-      if (store.leavesOf(AcceptedTable).isEmpty) batch
+      if (batchId.nonEmpty || store.leavesOf(AcceptedTable).isEmpty) batch
       else {
         val buckets = batch.select(
           pmod(xxhash64(col("doc_id")), lit(IndexStore.Buckets.toLong))
@@ -241,7 +273,12 @@ object StreamingCuration {
     if (adds.nonEmpty)
       store.commit(adds, meta = IndexStore.formatMeta("band") ++
         (if (exactSpans) IndexStore.formatMeta("espan")
-         else Map.empty[String, String]))
+         else Map.empty[String, String]) ++
+        // the epoch cursor rides THE data commit — it can never run
+        // ahead of (or behind) the rows it makes idempotent. An
+        // all-dropped batch commits nothing and leaves the cursor
+        // unmoved; its replay re-processes and re-drops, harmlessly.
+        batchId.map(id => BatchIdKey -> id.toString).toMap)
     if (!collectStats) None
     else {
       val batchDocs = batch.select(col("doc_id")).distinct().count()
@@ -292,9 +329,10 @@ object StreamingCuration {
       exactSpans: Boolean = false,
       onStats: Option[CurateStats => Unit] = None): StreamingQuery =
     stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val stats = processBatch(store, batch, qualityFloorBp, threshold,
-          exactSpans, collectStats = onStats.nonEmpty)
+          exactSpans, collectStats = onStats.nonEmpty,
+          batchId = Some(epoch))
         onStats.foreach(f => stats.foreach(f))
       }
       .option("checkpointLocation", checkpointDir)

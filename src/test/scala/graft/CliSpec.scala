@@ -352,6 +352,45 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
       s"got $ids")
   }
 
+  test("a frames table hand-written to the README ingest contract " +
+      "(dense 0-based frame_idx, one PNG still per row, a corrupt " +
+      "frame allowed) drives assets dedup AND assets rejects: the " +
+      "trimmed re-cut collapses, the corrupt frame is audited not " +
+      "fatal") {
+    import spark.implicits._
+    import graft.operators.{ImageDedupOps, VideoDedupOps}
+    val root = tempPath("graft-assets-contract")
+    val in = s"$root/frames.parquet"
+    // what a raw-video user would produce per the README contract:
+    // sample deterministically, number stills densely per video
+    def still(seed: Long) = ImageDedupOps.encodePng(
+      ImageDedupOps.renderSmooth(seed, 112, 96, 0))
+    val original = (0 until 6).map(f => (800L, f, still(81000L + f)))
+    // a trimmed re-cut: the original's stills 1..5 re-sampled under the
+    // same policy — frame_idx restarts at 0 (positions carry no
+    // alignment semantics)
+    val recut = (0 until 5).map(f => (801L, f, still(81001L + f)))
+    // an unrelated video with one corrupt still at frame 2
+    val other = (0 until 4).map(f => (802L, f,
+      if (f == 2) Array.fill[Byte](24)(0x5a) else still(82000L + f)))
+    (original ++ recut ++ other)
+      .toDF("video_id", "frame_idx", "payload").write.parquet(in)
+    val dedupOut = s"$root/survivors"
+    cli.Main.run(spark, Array("assets", "dedup",
+      "--kind", "video", "--input", in, "--output", dedupOut))
+    val ids = spark.read.parquet(dedupOut)
+      .select("video_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == Set(800L, 802L),
+      s"re-cut must collapse to its original, got $ids")
+    val rejOut = s"$root/rejects"
+    cli.Main.run(spark, Array("assets", "rejects",
+      "--kind", "video", "--input", in, "--output", rejOut))
+    val rej = spark.read.parquet(rejOut).collect()
+      .map(r => (r.getAs[Long]("video_id"), r.getAs[Int]("frame_idx"),
+        r.getAs[String]("reason"))).toSeq
+    assert(rej == Seq((802L, 2, "corrupt")), s"$rej")
+  }
+
   test("assets rejects writes the (asset_id, reason) drop audit") {
     import spark.implicits._
     import graft.operators.AudioDedupOps

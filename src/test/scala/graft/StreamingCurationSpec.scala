@@ -391,6 +391,47 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll
       "near-copy of a flood survivor must drop cross-batch")
   }
 
+  test("the epoch cursor (runToAccepted path): a replayed batchId is " +
+      "skipped O(1) — even a 65+ same-bucket flood — an all-dropped " +
+      "epoch leaves the cursor unmoved, and later epochs advance it") {
+    import spark.implicits._
+    import graft.store.GraftStore
+    val store = new GraftStore(tempDir("graft-scur-epoch"))
+    val base = (1 to 80).map(i => f"rapids$i%05d").mkString(" ")
+    val flood = (0 until 70).map(i => (7000L + i, s"$base uniq$i%05d"))
+      .toDF("doc_id", "text")
+    StreamingCuration.processBatch(store, flood, batchId = Some(0L))
+    val snap1 = store.currentSnapshot()
+    val accepted1 = store.read(spark, StreamingCuration.AcceptedTable)
+      .count()
+    assert(accepted1 > 0)
+    assert(store.currentMeta()(store.metaKey(
+      StreamingCuration.BatchIdKey)) == "0")
+    // replay of epoch 0: skipped outright — no commit, and None even
+    // with stats requested (the skip never runs the gates)
+    val replay = StreamingCuration.processBatch(store, flood,
+      collectStats = true, batchId = Some(0L))
+    assert(replay.isEmpty && store.currentSnapshot() == snap1,
+      "replayed epoch must be skipped without committing")
+    // epoch 1 all-dropped (below the quality floor): commits nothing,
+    // cursor stays at 0, and ITS replay re-processes harmlessly
+    val junk = Seq((8000L, "too short")).toDF("doc_id", "text")
+    StreamingCuration.processBatch(store, junk, batchId = Some(1L))
+    assert(store.currentMeta()(store.metaKey(
+      StreamingCuration.BatchIdKey)) == "0")
+    StreamingCuration.processBatch(store, junk, batchId = Some(1L))
+    assert(store.currentSnapshot() == snap1)
+    // epoch 2 with a fresh doc advances the cursor and commits
+    val fresh = Seq((8001L,
+      (1 to 80).map(i => f"lagoon$i%05d").mkString(" ")))
+      .toDF("doc_id", "text")
+    StreamingCuration.processBatch(store, fresh, batchId = Some(2L))
+    assert(store.currentMeta()(store.metaKey(
+      StreamingCuration.BatchIdKey)) == "2")
+    assert(store.read(spark, StreamingCuration.AcceptedTable)
+      .count() == accepted1 + 1)
+  }
+
   test("CurateStats counters: one planted doc per drop class lands in " +
       "its counter (replay-id, quality, exact, intra, cross), in gate " +
       "order") {
