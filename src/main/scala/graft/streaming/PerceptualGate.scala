@@ -45,6 +45,17 @@ import org.apache.spark.sql.functions._
   * when truncation fired. */
 private[streaming] object PerceptualGate {
 
+  /** Snapshot-meta key of the modality's foreachBatch epoch cursor —
+    * committed atomically WITH the batch's data
+    * ([[graft.streaming.StreamingCuration.BatchIdKey]]'s pattern): a
+    * replayed epoch at or below the cursor skips the whole batch,
+    * including its DECODE pass — correctness never needed the skip
+    * (self-match at Hamming 0 is total), but a replay was paying a
+    * full payload decode + probe to rediscover that nothing commits.
+    * Same caveats: one stream per (store, kind), one checkpoint
+    * lineage. */
+  def batchIdKey(kind: String): String = s"gate_batch_id_$kind"
+
   /** Per-batch audit counters, returned when a caller opts in
     * (`collectStats = true`) — batch size and each drop class, plus
     * how many survivor band rows the at-rest truncation policy capped
@@ -92,7 +103,12 @@ private[streaming] object PerceptualGate {
       searchFromHashes: DataFrame => DataFrame,
       bandRows: DataFrame => DataFrame,
       unitCols: Seq[String],
-      collectStats: Boolean = false): Option[GateStats] = {
+      collectStats: Boolean = false,
+      batchId: Option[Long] = None): Option[GateStats] = {
+    val committedEpoch = store.currentMeta()
+      .get(store.metaKey(batchIdKey(kind))).map(_.toLong)
+    if (batchId.exists(id => committedEpoch.exists(_ >= id)))
+      return None // epoch already committed — skip, no decode
     val hashes = hashRows(batch)
       .localCheckpoint() // ONE decode: collapse, pair join, probe, stage
     // 1. exact-fingerprint collapse: per-asset signature = the sorted
@@ -138,7 +154,8 @@ private[streaming] object PerceptualGate {
       Seq(col("asset_id"))) ++
       IndexStore.stageRows(store, kind, stagedBandRows)
     if (adds.nonEmpty)
-      store.commit(adds, meta = IndexStore.formatMeta(kind))
+      store.commit(adds, meta = IndexStore.formatMeta(kind) ++
+        batchId.map(id => batchIdKey(kind) -> id.toString).toMap)
     if (!collectStats) None
     else {
       val batchAssets =

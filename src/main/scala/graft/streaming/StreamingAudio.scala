@@ -35,7 +35,8 @@ object StreamingAudio {
     * replayed long clip's coverage self-match is total. Audit counters
     * only when `collectStats` is on (extra per-batch actions). */
   def processBatch(store: GraftStore, batch: DataFrame,
-      collectStats: Boolean = false): Option[PerceptualGate.GateStats] =
+      collectStats: Boolean = false,
+      batchId: Option[Long] = None): Option[PerceptualGate.GateStats] =
     PerceptualGate.processBatch(store, batch, "afp", AcceptedTable,
       AudioDedupOps.audioHashRows,
       AudioDedupOps.afpNearDupPairs,
@@ -43,7 +44,8 @@ object StreamingAudio {
         batch.sparkSession, hashes, AudioDedupOps.MaxHamming),
       AudioDedupOps.afpBandRows,
       unitCols = Seq("asset_id", "chunk_idx"),
-      collectStats = collectStats)
+      collectStats = collectStats,
+      batchId = batchId)
 
   /** The full pipeline: a streaming (asset_id, payload) frame driven
     * through [[processBatch]] per micro-batch; the `afp` index is the
@@ -56,9 +58,9 @@ object StreamingAudio {
       onStats: Option[PerceptualGate.GateStats => Unit] = None)
       : StreamingQuery =
     stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val stats =
-          processBatch(store, batch, collectStats = onStats.nonEmpty)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val stats = processBatch(store, batch,
+          collectStats = onStats.nonEmpty, batchId = Some(epoch))
         onStats.foreach(f => stats.foreach(f))
       }
       .option("checkpointLocation", checkpointDir)

@@ -46,7 +46,8 @@ object StreamingImages {
     * `collectStats` is on — they cost extra per-batch actions, so the
     * hot path ([[runToAccepted]]) leaves them off. */
   def processBatch(store: GraftStore, batch: DataFrame,
-      collectStats: Boolean = false): Option[PerceptualGate.GateStats] =
+      collectStats: Boolean = false,
+      batchId: Option[Long] = None): Option[PerceptualGate.GateStats] =
     PerceptualGate.processBatch(store, batch, "phash", AcceptedTable,
       ImageDedupOps.imageHashRows,
       ImageDedupOps.phashNearDupPairs,
@@ -54,7 +55,8 @@ object StreamingImages {
         batch.sparkSession, hashes, ImageDedupOps.MaxHamming),
       ImageDedupOps.bandRows,
       unitCols = Seq("asset_id"),
-      collectStats = collectStats)
+      collectStats = collectStats,
+      batchId = batchId)
 
   /** The full pipeline: a streaming (asset_id, payload) frame driven
     * through [[processBatch]] per micro-batch. The `phash` index is
@@ -68,9 +70,9 @@ object StreamingImages {
       onStats: Option[PerceptualGate.GateStats => Unit] = None)
       : StreamingQuery =
     stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val stats =
-          processBatch(store, batch, collectStats = onStats.nonEmpty)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val stats = processBatch(store, batch,
+          collectStats = onStats.nonEmpty, batchId = Some(epoch))
         onStats.foreach(f => stats.foreach(f))
       }
       .option("checkpointLocation", checkpointDir)

@@ -40,7 +40,8 @@ object StreamingVideo {
     * in the accepted table the vhash index cannot cover. Audit
     * counters only when `collectStats` is on. */
   def processBatch(store: GraftStore, batch: DataFrame,
-      collectStats: Boolean = false): Option[PerceptualGate.GateStats] =
+      collectStats: Boolean = false,
+      batchId: Option[Long] = None): Option[PerceptualGate.GateStats] =
     PerceptualGate.processBatch(store, batch, "vhash", AcceptedTable,
       VideoDedupOps.assetHashRows,
       VideoDedupOps.assetNearDupPairs,
@@ -48,7 +49,8 @@ object StreamingVideo {
         batch.sparkSession, hashes, ImageDedupOps.MaxHamming),
       VideoDedupOps.assetBandRows,
       unitCols = Seq("asset_id", "frame_idx"),
-      collectStats = collectStats)
+      collectStats = collectStats,
+      batchId = batchId)
 
   /** The full pipeline: a streaming (asset_id, frame_idx, payload)
     * frame driven through [[processBatch]] per micro-batch; the
@@ -61,9 +63,9 @@ object StreamingVideo {
       onStats: Option[PerceptualGate.GateStats => Unit] = None)
       : StreamingQuery =
     stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val stats =
-          processBatch(store, batch, collectStats = onStats.nonEmpty)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val stats = processBatch(store, batch,
+          collectStats = onStats.nonEmpty, batchId = Some(epoch))
         onStats.foreach(f => stats.foreach(f))
       }
       .option("checkpointLocation", checkpointDir)

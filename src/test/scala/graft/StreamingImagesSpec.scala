@@ -89,6 +89,36 @@ class StreamingImagesSpec extends AnyFunSuite with BeforeAndAfterAll
       "an all-corrupt batch must not commit")
   }
 
+  test("the epoch cursor skips a replayed batchId WITHOUT re-decoding " +
+      "(runToAccepted path), leaves the cursor unmoved on an " +
+      "all-dropped epoch, and advances it per committing epoch") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-simg-epoch"))
+    val b = assets.filter(_.asset_id < 4).toDF()
+    StreamingImages.processBatch(store, b, batchId = Some(0L))
+    val cursor = () => store.currentMeta()
+      .get(store.metaKey("gate_batch_id_phash")) // pins the key literal
+    assert(cursor().contains("0"))
+    val snap1 = store.currentSnapshot()
+    // replayed epoch: skipped outright — None even with stats on (the
+    // skip happens before the decode pass)
+    assert(StreamingImages
+      .processBatch(store, b, collectStats = true, batchId = Some(0L))
+      .isEmpty)
+    assert(store.currentSnapshot() == snap1)
+    // epoch 1 re-delivers the same assets under the SAME ids but a new
+    // epoch: the gates drop them all (self-match), nothing commits,
+    // cursor stays
+    StreamingImages.processBatch(store, b, batchId = Some(1L))
+    assert(cursor().contains("0") && store.currentSnapshot() == snap1)
+    // epoch 2 with fresh assets commits and advances the cursor
+    StreamingImages.processBatch(store,
+      assets.filter(a => a.asset_id >= 4 && a.asset_id < 6).toDF(),
+      batchId = Some(2L))
+    assert(cursor().contains("2"))
+    assert(acceptedIds(store) == (0L until 6L).toSet)
+  }
+
   test("a replayed micro-batch commits nothing (exactly-once)") {
     import spark.implicits._
     val store = new GraftStore(tempDir("graft-simg-replay"))
