@@ -213,7 +213,7 @@ object Scale {
       // duplicates — so the store is wiped and rebuilt untimed below
       val lifecycleOnly = !want("band_build") &&
         (want("band_append") || want("band_compact") ||
-          want("stream_curate"))
+          want("stream_curate") || want("curate_replay"))
       val rebuild = want("band_build") || want("ivf_build") || lifecycleOnly
       val sp = java.nio.file.Paths.get(storeRoot)
       if (rebuild && java.nio.file.Files.exists(sp))
@@ -259,6 +259,33 @@ object Scale {
             .filter(col("doc_id") < 25)
             .select((col("doc_id") + 8000000L).as("doc_id"), col("text")))
         graft.store.IndexStore.read(store, spark, "band").limit(0)
+      }
+      // epoch-cursor replay skip (round 17). An UNTIMED first run
+      // commits a fresh 25-doc batch under epoch 1 — token-REVERSED
+      // base docs: the quality metrics are order-invariant (same
+      // length/punct/stopword ratios, so they pass the floor exactly
+      // when the originals do) while 5-shingles are order-sensitive
+      // (Jaccard ~0 vs the indexed corpus, so the band probe keeps
+      // them) — then the timed phase replays the SAME epoch handing
+      // processBatch the FULL k× corpus. Claim: O(1) — one
+      // snapshot-meta read before anything else, so the replay cost
+      // is flat in BOTH history size and batch size, and the k×
+      // batch frame is never even evaluated.
+      if (want("curate_replay")) {
+        graft.streaming.StreamingCuration.processBatch(store,
+          spark.read.parquet(s"$baseDir/documents.parquet")
+            .filter(col("doc_id") < 25)
+            .select((col("doc_id") + 9000000L).as("doc_id"),
+              array_join(reverse(split(col("text"), "\\s+")), " ")
+                .as("text")),
+          batchId = Some(1L))
+        phase("curate_replay", k, 2) {
+          graft.streaming.StreamingCuration.processBatch(store,
+            spark.read.parquet(s"$dir/documents.parquet")
+              .select(col("doc_id"), col("text")),
+            batchId = Some(1L))
+          spark.range(1).toDF()
+        }
       }
       if (want("ivf_build")) phase("ivf_build", k, 1) {
         graft.store.IndexStore.build(store, "ivf", embK)
@@ -320,6 +347,28 @@ object Scale {
           graft.operators.ImageDedupOps.imageHashRows(
             graft.operators.ImageDedupOps.syntheticImageFrame(
               spark, assetN))))
+      // epoch-cursor replay skip for a perceptual gate (round 17).
+      // Runs BEFORE phash_build: against the still-empty index the
+      // untimed first run's 25-image commit is guaranteed (no cross
+      // losers; the min-id representative always survives), advancing
+      // gate_batch_id_phash to 1. The timed phase then replays epoch 1
+      // handing the gate the FULL k× synthetic corpus. Claim: O(1) —
+      // the skip fires before the decode pass, so a replayed batch
+      // costs one meta read no matter how many payloads it carries;
+      // the k× frame is never rendered or decoded.
+      if (want("gate_replay")) {
+        graft.streaming.StreamingImages.processBatch(store,
+          graft.operators.ImageDedupOps.syntheticImageFrame(spark, 25L)
+            .withColumn("asset_id", col("asset_id") + 9000000L),
+          batchId = Some(1L))
+        phase("gate_replay", k, 2) {
+          graft.streaming.StreamingImages.processBatch(store,
+            graft.operators.ImageDedupOps.syntheticImageFrame(spark,
+              assetN),
+            batchId = Some(1L))
+          spark.range(1).toDF()
+        }
+      }
       if (want("phash_build")) phase("phash_build", k, 1) {
         graft.store.IndexStore.build(store, "phash",
           graft.operators.ImageDedupOps.syntheticImageFrame(spark, assetN))
