@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.chain.ChainQueries
-import graft.operators.{AudioDedupOps, CorpusOps, CurationOps, DedupOps, ExtendedOps, ImageDedupOps, LayoutOps, MultimodalOps, RelationalOps, SimilarityOps, SkewOps, TemporalOps, TextOps, VideoDedupOps}
+import graft.operators.{AudioDedupOps, CorpusOps, CurationOps, DedupOps, ExtendedOps, ImageDedupOps, LayoutOps, MultimodalOps, PairedDedupOps, RelationalOps, SimilarityOps, SkewOps, TemporalOps, TextOps, VideoDedupOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,7 +11,7 @@ object SparkEntry {
   def allQueries: Seq[GraftQuery] =
     RelationalOps.all ++ ChainQueries.all ++ TextOps.all ++ DedupOps.all ++
       SimilarityOps.all ++ MultimodalOps.all ++ ImageDedupOps.all ++
-      AudioDedupOps.all ++ VideoDedupOps.all ++
+      AudioDedupOps.all ++ VideoDedupOps.all ++ PairedDedupOps.all ++
       ExtendedOps.all ++
       CurationOps.all ++ TemporalOps.all ++ CorpusOps.all ++ LayoutOps.all ++
       SkewOps.all
