@@ -437,9 +437,9 @@ object Main {
       case Some("assets") =>
         // perceptual batch dedup + drop auditing for the binary
         // modalities — the `curate` analogue for image/audio/video:
-        //   assets dedup --kind phash|afp|video --input a.parquet
+        //   assets dedup --kind phash|afp|video|pair --input a.parquet
         //       --output out [--report pairs|clusters]
-        //   assets rejects --kind phash|afp|video --input a.parquet
+        //   assets rejects --kind phash|afp|video|pair --input a.parquet
         //       --output out
         // dedup default (no --report): write the DEDUPED SURVIVORS —
         // one witness (the min id) per near-dup component plus every
@@ -451,12 +451,16 @@ object Main {
         // (corrupt / too_short / unsupported_depth for afp; corrupt /
         // too_small / oversized for phash). Decode+fingerprint runs
         // once, per partition; payload bytes reach only the writes.
+        // `pair` consumes a (pair_id, payload, caption) samples table
+        // and dedups at SAMPLE granularity (image near-dup AND caption
+        // near-dup — PairedDedupOps' conjunctive policy).
         import org.apache.spark.sql.functions.col
-        import graft.operators.{AudioDedupOps, ImageDedupOps, VideoDedupOps}
+        import graft.operators.{AudioDedupOps, ImageDedupOps,
+          PairedDedupOps, VideoDedupOps}
         args.lift(1) match {
           case Some("dedup") =>
             val kind = opt("kind")
-              .getOrElse(sys.error("--kind required (phash|afp|video)"))
+              .getOrElse(sys.error("--kind required (phash|afp|video|pair)"))
             val in = spark.read.parquet(opt("input")
               .getOrElse(sys.error("--input required")))
             val out = opt("output")
@@ -474,8 +478,11 @@ object Main {
               case "video" => (VideoDedupOps.videoNearDupPairs(
                 VideoDedupOps.videoHashRows(in).localCheckpoint()),
                 "video_id")
+              case "pair" => // checkpoints its own hash rows inside
+                (PairedDedupOps.pairedNearDupPairs(in), "pair_id")
               case other => sys.error(
-                s"assets dedup: unknown kind '$other' (phash|afp|video)")
+                s"assets dedup: unknown kind '$other' " +
+                  "(phash|afp|video|pair)")
             }
             val pairs = pairsRaw
               .localCheckpoint() // pairs feed report AND closure
@@ -508,7 +515,7 @@ object Main {
             }
           case Some("rejects") =>
             val kind = opt("kind")
-              .getOrElse(sys.error("--kind required (phash|afp|video)"))
+              .getOrElse(sys.error("--kind required (phash|afp|video|pair)"))
             val in = spark.read.parquet(opt("input")
               .getOrElse(sys.error("--input required")))
             val out = opt("output")
@@ -517,8 +524,12 @@ object Main {
               case "phash" => ImageDedupOps.imageRejects(in)
               case "afp" => AudioDedupOps.audioRejects(in)
               case "video" => VideoDedupOps.videoFrameRejects(in)
+              case "pair" => // image-side audit at pair granularity
+                ImageDedupOps.imageRejects(in.select(
+                  col("pair_id").as("asset_id"), col("payload")))
               case other => sys.error(
-                s"assets rejects: unknown kind '$other' (phash|afp|video)")
+                s"assets rejects: unknown kind '$other' " +
+                  "(phash|afp|video|pair)")
             }).localCheckpoint() // written and counted
             rejects.write.mode("overwrite").parquet(out)
             println(s"[assets] wrote ${rejects.count()} reject " +

@@ -110,6 +110,8 @@ object PairedDedupOps {
   def pairedNearDupPairs(samples: DataFrame): DataFrame = {
     val hashes = ImageDedupOps.imageHashRows(
       samples.select(col("pair_id").as("asset_id"), col("payload")))
+      .localCheckpoint() // ONE decode: the banded self-join reads
+                         // 16-byte rows, never a second decode pass
     pairedFromHashes(hashes, samples.select(col("pair_id"), col("caption")))
   }
 

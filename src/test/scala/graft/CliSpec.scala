@@ -332,6 +332,31 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
       assert(comps(i + 3000L) == i.toLong, s"${comps.get(i + 3000L)}")
   }
 
+  test("assets dedup --kind pair dedups at SAMPLE granularity: the " +
+      "image-dup-different-caption variant survives, the verbatim and " +
+      "near-caption variants drop") {
+    import spark.implicits._
+    import graft.operators.{ImageDedupOps, PairedDedupOps}
+    val root = tempPath("graft-assets-pair")
+    val in = s"$root/pairs.parquet"
+    val out = s"$root/deduped"
+    PairedDedupOps.pairedAssets(ImageDedupOps.NumImages)
+      .toDF("pair_id", "payload", "caption").write.parquet(in)
+    val printed = captured {
+      cli.Main.run(spark, Array("assets", "dedup",
+        "--kind", "pair", "--input", in, "--output", out))
+    }
+    assert(printed.contains("survivor row(s)"), printed)
+    val ids = spark.read.parquet(out)
+      .select("pair_id").collect().map(_.getLong(0)).toSet
+    // bases survive; +1000 (verbatim caption) and +3000 (one-word
+    // edit) drop; +2000 (disjoint caption) SURVIVES — an image dup
+    // under a different caption is a different training sample
+    val want = (0 until ImageDedupOps.NumImages).map(_.toLong).toSet ++
+      (0 until ImageDedupOps.DupSeeds).map(i => 2000L + i).toSet
+    assert(ids == want, s"got $ids")
+  }
+
   test("assets dedup --kind video keeps one witness per video cluster " +
       "(survivors are all frames of surviving videos)") {
     import spark.implicits._
