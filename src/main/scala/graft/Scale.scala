@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Empirical scale harness (round 10): runs the flagship composed paths
@@ -377,6 +377,47 @@ object Scale {
       if (want("phash_probe")) phase("phash_probe", k, 2)(
         graft.store.IndexStore.search(store, spark, "phash",
           graft.operators.ImageDedupOps.syntheticImageFrame(spark, 25L)))
+      // paired-sample (image + caption) dedup at k× (claim: the
+      // phash_dedup curve — one decode+hash scan, 16-byte band rows
+      // only across exchanges — plus a caption-gram verify join that
+      // is proportional to image CANDIDATES, not corpus size; caption
+      // text never enters the banded exchange)
+      def pairCaption(idCol: Column): Column = format_string(
+        "synthetic caption %d with words %d variant %d",
+        pmod(idCol, lit(1000L)), pmod(idCol, lit(7L)),
+        pmod(idCol, lit(13L)))
+      if (want("pair_dedup")) phase("pair_dedup", k, 1)(
+        graft.operators.PairedDedupOps.pairedNearDupPairs(
+          graft.operators.ImageDedupOps.syntheticImageFrame(spark, assetN)
+            .select(col("asset_id").as("pair_id"), col("payload"),
+              pairCaption(col("asset_id")).as("caption"))))
+      // streaming pair gate probe against k× at-rest state (claim:
+      // flat — the phash probe prunes to the batch's band keys and the
+      // accepted-caption fetch reads only candidate-id buckets). Needs
+      // phash_build in the same run (the probe's index); the accepted
+      // table stages untimed, once per store. The 25 probe pairs are
+      // the corpus's own first images under shifted ids with IDENTICAL
+      // captions, so the conjunctive gate drops all of them — nothing
+      // commits and the phase is idempotent across reps and points.
+      if (want("pair_probe")) {
+        if (store.leavesOf("accepted_pairs").isEmpty)
+          store.commit(store.stageKeyed("accepted_pairs",
+            graft.operators.ImageDedupOps.syntheticImageFrame(spark,
+              assetN)
+              .select(col("asset_id").as("pair_id"), col("payload"),
+                pairCaption(col("asset_id")).as("caption")),
+            pmod(xxhash64(col("pair_id")),
+              lit(graft.store.IndexStore.Buckets.toLong)),
+            Seq(col("pair_id"))))
+        phase("pair_probe", k, 2) {
+          graft.streaming.StreamingPairs.processBatch(store,
+            graft.operators.ImageDedupOps.syntheticImageFrame(spark, 25L)
+              .select((col("asset_id") + 9100000L).as("pair_id"),
+                col("payload"),
+                pairCaption(col("asset_id")).as("caption")))
+          spark.range(1).toDF()
+        }
+      }
       if (want("afp_dedup")) phase("afp_dedup", k, 1)(
         graft.operators.AudioDedupOps.afpNearDupPairs(
           graft.operators.AudioDedupOps.audioHashRows(
