@@ -568,13 +568,15 @@ object Main {
               }
           case Some("dupes") =>
             // dup pairs from AT-REST rows, no re-processing of any
-            // payload/text: semantic (pq/ivfpq — code arrays only) or
+            // payload/text: semantic (pq/ivfpq — code arrays only),
             // perceptual (phash/afp/vhash — stored fingerprints through
             // the batch pair operator; the retroactive flood-residual
-            // closer)
+            // closer), or pair (SAMPLE-level: stored phash pairs gated
+            // by the accepted captions)
             val pairs =
               if (Set("phash", "afp", "vhash").contains(kind))
                 IndexStore.perceptualDupes(store, spark, kind)
+              else if (kind == "pair") IndexStore.pairDupes(store, spark)
               else IndexStore.semanticDupes(store, spark, kind)
             opt("output") match {
               case Some(out) =>

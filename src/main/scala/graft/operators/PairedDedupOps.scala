@@ -118,9 +118,20 @@ object PairedDedupOps {
   /** The post-decode half of [[pairedNearDupPairs]] — callers that
     * already hold (materialized) hash rows reuse them here, keeping
     * the family's one-decode discipline. */
-  def pairedFromHashes(hashes: DataFrame, captions: DataFrame): DataFrame = {
-    val imgPairs = ImageDedupOps.phashNearDupPairs(hashes)
-      .localCheckpoint() // reused: ids prune + the verify join
+  def pairedFromHashes(hashes: DataFrame, captions: DataFrame): DataFrame =
+    captionVerify(
+      ImageDedupOps.phashNearDupPairs(hashes)
+        .localCheckpoint(), // reused: ids prune + the verify join
+      captions)
+
+  /** The caption-verify stage on its own: keep of `imgPairs`
+    * (id_a, id_b, hamming) only the pairs whose captions clear the
+    * gram-Jaccard floor. Gram arrays materialize ONLY for ids that
+    * appear in an image pair (broadcast semi-join prune) — callers
+    * hand the FULL captions frame and pay proportional to candidates.
+    * Shared by the batch operator, the streaming gate's intra stage,
+    * and the at-rest report ([[graft.store.IndexStore.pairDupes]]). */
+  def captionVerify(imgPairs: DataFrame, captions: DataFrame): DataFrame = {
     val candIds = imgPairs
       .select(explode(array(col("id_a"), col("id_b"))).as("pair_id"))
       .distinct()

@@ -714,6 +714,29 @@ object IndexStore {
         s"not '$other'")
   }
 
+  /** Table the pair gate ([[graft.streaming.StreamingPairs]]) commits
+    * accepted (pair_id, payload, caption) samples to — the constant
+    * lives here so the at-rest report below needs no dependency on the
+    * streaming package. */
+  val AcceptedPairsTable = "accepted_pairs"
+
+  /** SAMPLE-level dup pairs at rest — [[perceptualDupes]]' conjunctive
+    * sibling for a [[graft.streaming.StreamingPairs]] store: image
+    * pairs reconstruct from the stored `phash` fingerprints (the same
+    * closed per-unit recall bound), then
+    * [[graft.operators.PairedDedupOps.captionVerify]] gates them
+    * against the ACCEPTED captions — fetched for candidate ids only,
+    * and the payload column never reads (parquet prunes to pair_id +
+    * caption). Equals the batch operator over the accepted corpus; in
+    * particular an accepted image-dup-different-caption pair is NOT
+    * reported. */
+  def pairDupes(store: GraftStore, spark: SparkSession): DataFrame =
+    graft.operators.PairedDedupOps.captionVerify(
+      ImageDedupOps.phashNearDupPairs(read(store, spark, "phash")
+        .select(col("asset_id"), col("phash")).distinct()),
+      store.read(spark, AcceptedPairsTable)
+        .select(col("pair_id"), col("caption")))
+
   /** Semantic decontamination of a benchmark against the at-rest `pq`
     * index — [[graft.operators.SimilarityOps.semanticContamination]]
     * where its cost claim is literal: the corpus side needs NO training

@@ -43,8 +43,10 @@ import org.apache.spark.sql.functions._
   * emits >= 1 gram even for captions shorter than the gram width). */
 object StreamingPairs {
 
-  /** Manifest table holding accepted (pair_id, payload, caption) rows. */
-  val AcceptedTable = "accepted_pairs"
+  /** Manifest table holding accepted (pair_id, payload, caption) rows
+    * ([[IndexStore.AcceptedPairsTable]] — shared with the at-rest
+    * [[IndexStore.pairDupes]] report). */
+  val AcceptedTable: String = IndexStore.AcceptedPairsTable
 
   /** Epoch-cursor meta key (see [[PerceptualGate.batchIdKey]]). */
   val BatchIdKey: String = PerceptualGate.batchIdKey("pair")

@@ -231,6 +231,46 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
         s"planted pair ($v, ${v + off}) missing from CLI dupes: $pairs")
   }
 
+  test("index dupes --kind pair: SAMPLE-level dups from at-rest rows " +
+      "of an IMPORTED (un-gated) corpus — the conjunctive report, " +
+      "not the image-only one") {
+    import spark.implicits._
+    import graft.operators.{ImageDedupOps, PairedDedupOps}
+    import graft.store.{GraftStore, IndexStore}
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val root = tempDir("graft-index-cli-pdupes")
+    val storeDir = s"$root/store"
+    // an external loader's shape: phash index built from the images,
+    // captions staged straight into the accepted table — the corpus
+    // never passed the gate, so it still CONTAINS its duplicates and
+    // the at-rest report is the tool that finds them retroactively
+    val imagesPath = s"$root/images.parquet"
+    ImageDedupOps.imageAssets(ImageDedupOps.NumImages).toDF()
+      .write.parquet(imagesPath)
+    captured {
+      cli.Main.run(spark, Array("index", "build", "--store", storeDir,
+        "--kind", "phash", "--input", imagesPath))
+    }
+    val store = new GraftStore(storeDir)
+    store.commit(store.stageKeyed(IndexStore.AcceptedPairsTable,
+      PairedDedupOps.pairedAssets(ImageDedupOps.NumImages)
+        .toDF("pair_id", "payload", "caption"),
+      pmod(xxhash64(col("pair_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("pair_id"))))
+    val outPath = s"$root/pdupes.parquet"
+    captured {
+      cli.Main.run(spark, Array("index", "dupes", "--store", storeDir,
+        "--kind", "pair", "--output", outPath))
+    }
+    val pairs = spark.read.parquet(outPath).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // exactly the planted conjunctive triangles; the +2000
+    // image-dup-different-caption variants in NO pair
+    val want = (0L until ImageDedupOps.DupSeeds.toLong).flatMap(i =>
+      Seq((i, i + 1000L), (i, i + 3000L), (i + 1000L, i + 3000L))).toSet
+    assert(pairs == want, s"got $pairs")
+  }
+
   test("index decontaminate certifies benchmark contamination against " +
       "the at-rest pq index through the CLI") {
     import spark.implicits._

@@ -73,6 +73,23 @@ class StreamingPairsSpec extends AnyFunSuite with BeforeAndAfterAll
     val idxIds = IndexStore.read(store, spark, "phash")
       .select("asset_id").collect().map(_.getLong(0)).toSet
     assert(idxIds == after)
+
+    // at-rest report == the batch operator over the accepted corpus.
+    // The accepted set holds TWO image-dup groups under different
+    // captions (10/11 committed intra-batch, 1/21 cross-batch), so
+    // the conjunctive report must be EMPTY on both paths — an
+    // image-only at-rest report would flag both groups
+    val atRest = IndexStore.pairDupes(store, spark)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchOver = PairedDedupOps.pairedNearDupPairs(
+      StreamingPairs.accepted(spark, store))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atRest == batchOver, s"at-rest $atRest vs batch $batchOver")
+    assert(atRest.isEmpty,
+      s"accepted image-dups carry different captions — none is a " +
+        s"SAMPLE dup: $atRest")
   }
 
   test("id-less replay is idempotent by content self-match: the same " +
