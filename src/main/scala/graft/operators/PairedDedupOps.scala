@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * images, the text dedup family for captions) — this operator adds
   * the AND.
   *
+  * There is deliberately NO pair-level decontamination twin: eval-set
+  * leakage is DISJUNCTIVE (a benchmark image leaking under a fresh
+  * caption — or a benchmark caption under a fresh image — already
+  * contaminates), so the right screens are the existing single-modality
+  * ones ([[ImageDedupOps.phashContamination]] and the text
+  * decontaminate family), run on each side of the pair. A conjunctive
+  * decontaminate would miss exactly the leaks that matter.
+  *
   * SCALE SHAPE: the image side drives candidate generation — banded
   * 16-bit phash keys through the capped bucket join (payloads decode
   * per partition and never shuffle; only 16-byte hash rows cross an
