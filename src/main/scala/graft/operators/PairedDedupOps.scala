@@ -143,8 +143,14 @@ object PairedDedupOps {
     val candIds = imgPairs
       .select(explode(array(col("id_a"), col("id_b"))).as("pair_id"))
       .distinct()
+    // no broadcast HINT on the prune: per-batch callers (the gate) have
+    // batch-bounded candidates and AQE broadcasts them anyway, but the
+    // corpus-wide at-rest report ([[graft.store.IndexStore.pairDupes]])
+    // can surface corpus-linear candidate ids on a dup-heavy corpus —
+    // forcing those to the driver would be the scale defect; a shuffled
+    // semi-join is the safe shape at every size
     val grams = captions
-      .join(broadcast(candIds), Seq("pair_id"), "left_semi")
+      .join(candIds, Seq("pair_id"), "left_semi")
       .select(col("pair_id"),
         graft.functions.Vec.char_gram_hashes(col("caption"), 3)
           .as("grams"))
