@@ -874,11 +874,15 @@ object DedupOps {
       // gram arrays are built ONLY for docs that appear in a candidate
       // pair (semi-join prune): the gram column never materializes for
       // the untouched bulk of the corpus — at 100 TB the verify stage is
-      // proportional to candidates, not corpus
+      // proportional to candidates, not corpus. No broadcast HINT on
+      // the prune ([[PairedDedupOps.captionVerify]]'s rationale): the
+      // bucket cap bounds pairs per bucket, not corpus-wide, so a
+      // dup-heavy corpus surfaces corpus-linear candidate ids — AQE
+      // broadcasts the small cases and shuffles the big ones
       val candIds = cand
         .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
         .distinct()
-      val grams = d.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      val grams = d.join(candIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
           graft.functions.Vec.char_gram_hashes(col("text"), 3).as("grams"))
       cand
