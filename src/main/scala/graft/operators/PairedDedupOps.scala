@@ -34,8 +34,9 @@ import org.apache.spark.sql.functions._
   * 16-bit phash keys through the capped bucket join (payloads decode
   * per partition and never shuffle; only 16-byte hash rows cross an
   * exchange). Caption gram arrays then materialize ONLY for ids that
-  * appear in an image-candidate pair (broadcast semi-join prune, the
-  * [[DedupOps.ngramJaccard]] discipline) — at 100 TB the caption
+  * appear in an image-candidate pair (semi-join prune, un-hinted — AQE
+  * broadcasts it when small; the [[DedupOps.ngramJaccard]]
+  * discipline) — at 100 TB the caption
   * verify is proportional to image candidates, not corpus size, and
   * caption text never joins the banded exchange at all.
   *
@@ -135,7 +136,8 @@ object PairedDedupOps {
   /** The caption-verify stage on its own: keep of `imgPairs`
     * (id_a, id_b, hamming) only the pairs whose captions clear the
     * gram-Jaccard floor. Gram arrays materialize ONLY for ids that
-    * appear in an image pair (broadcast semi-join prune) — callers
+    * appear in an image pair (semi-join prune with no forced
+    * broadcast — AQE decides, see the in-code note) — callers
     * hand the FULL captions frame and pay proportional to candidates.
     * Shared by the batch operator, the streaming gate's intra stage,
     * and the at-rest report ([[graft.store.IndexStore.pairDupes]]). */

@@ -35,7 +35,11 @@ import org.apache.spark.sql.functions._
   *
   * EXACTLY-ONCE: the epoch cursor ([[PerceptualGate.batchIdKey]]
   * pattern, key `gate_batch_id_pair`) commits atomically with the
-  * data — a replayed epoch skips in O(1) before the decode pass. For
+  * data — a replayed epoch that COMMITTED at least one row skips in
+  * O(1) before the decode pass. An all-dropped epoch commits nothing
+  * and leaves the cursor unmoved (the [[StreamingCuration]] stance:
+  * the cursor only ever rides a data commit), so its replay re-pays
+  * the decode+probe and re-drops — idempotent, not O(1). For
   * id-less direct callers the argument is content self-match, and for
   * pairs it is TOTAL: a redelivered sample image-matches itself at
   * Hamming 0 (one hash per pair — no coverage caveat) and
