@@ -213,6 +213,7 @@ object Scale {
       // duplicates — so the store is wiped and rebuilt untimed below
       val lifecycleOnly = !want("band_build") &&
         (want("band_append") || want("band_compact") ||
+          want("band_dupes") ||
           want("stream_curate") || want("curate_replay"))
       val rebuild = want("band_build") || want("ivf_build") || lifecycleOnly
       val sp = java.nio.file.Paths.get(storeRoot)
@@ -247,6 +248,14 @@ object Scale {
         graft.store.IndexStore.compact(store, spark, "band")
         graft.store.IndexStore.read(store, spark, "band").limit(0)
       }
+      // at-rest text dup report over the k× band index (round 18 —
+      // the band kind's perceptualDupes sibling). Claim: tracks the
+      // dedup_minhash_lsh curve minus the shingling scan — one index
+      // read (3 of 5 columns), one per-doc distinct exchange, then the
+      // batch kernel's capped band join + verify; LINEAR in corpus,
+      // no text read
+      if (want("band_dupes")) phase("band_dupes", k, 1)(
+        graft.store.IndexStore.bandDupes(store, spark))
       // streaming curate hot path (claim: per-batch cost flat in
       // history size). The batch is 25 exact duplicates of indexed
       // history (base docs, shifted ids), so every gate runs — quality,
@@ -400,8 +409,19 @@ object Scale {
       // captions, so the conjunctive gate drops all of them — nothing
       // commits and the phase is idempotent across reps and points.
       if (want("pair_probe")) {
-        if (store.leavesOf("accepted_pairs").isEmpty)
-          store.commit(store.stageKeyed("accepted_pairs",
+        // idempotence precondition, loud: the probe pairs are dropped by
+        // the conjunctive gate ONLY because their images match the
+        // at-rest phash index — with no index, all 25 would COMMIT into
+        // accepted_pairs and the phash index, polluting later reps and
+        // points of the sweep
+        require(store.leavesOf(
+            graft.store.IndexStore.tableOf("phash")).nonEmpty,
+          "pair_probe needs phash_build selected in the same run (the " +
+            "probe's cross-batch gate is the at-rest phash index)")
+        if (store.leavesOf(
+            graft.store.IndexStore.AcceptedPairsTable).isEmpty)
+          store.commit(store.stageKeyed(
+            graft.store.IndexStore.AcceptedPairsTable,
             graft.operators.ImageDedupOps.syntheticImageFrame(spark,
               assetN)
               .select(col("asset_id").as("pair_id"), col("payload"),

@@ -571,17 +571,21 @@ object Main {
             // payload/text: semantic (pq/ivfpq — code arrays only),
             // perceptual (phash/afp/vhash — stored fingerprints through
             // the batch pair operator; the retroactive flood-residual
-            // closer), or pair (SAMPLE-level: stored phash pairs gated
-            // by the accepted captions)
+            // closer), pair (SAMPLE-level: stored phash pairs gated
+            // by the accepted captions), or band (text MinHash — the
+            // stored signatures through the batch pair kernel)
             val pairs =
               if (Set("phash", "afp", "vhash").contains(kind))
                 IndexStore.perceptualDupes(store, spark, kind)
               else if (kind == "pair") IndexStore.pairDupes(store, spark)
+              else if (kind == "band")
+                IndexStore.bandDupes(store, spark,
+                  opt("threshold").map(_.toDouble).getOrElse(0.4))
               else IndexStore.semanticDupes(store, spark, kind)
             opt("output") match {
               case Some(out) =>
                 pairs.write.mode("overwrite").parquet(out)
-                println(s"[index] wrote code-cell dup pairs to $out")
+                println(s"[index] wrote '$kind' dup pairs to $out")
               case None =>
                 pairs.orderBy("id_a", "id_b").show(50, truncate = false)
             }

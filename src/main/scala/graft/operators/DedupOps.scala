@@ -534,19 +534,20 @@ object DedupOps {
       .select("id_a", "id_b")
   }
 
-  /** MinHash kernel over a precomputed signature frame (the
-    * [[minhashSignatures]] shape: doc_id, sh_hashes, mh_arr). Callers
-    * that already paid the corpus scan — the composed curation pipeline
-    * computes quality + fingerprint + signatures in one pass — hand in
-    * their own (checkpointed) signatures; [[minhashNearDupPairs]] is the
-    * from-text form. Exact Jaccard runs for candidate survivors only. */
-  def minhashPairsFromSignatures(sig: DataFrame,
-      threshold: Double): DataFrame = {
-    val sa = sig.select(col("doc_id").as("id_a"),
-      col("sh_hashes").as("sh_a"))
-    val sb = sig.select(col("doc_id").as("id_b"),
-      col("sh_hashes").as("sh_b"))
-    candidatePairs(sig, threshold).join(sa, "id_a").join(sb, "id_b")
+  /** The exact shingle-Jaccard verify stage over candidate (id_a,
+    * id_b) pairs: attach each side's distinct shingle-hash set from
+    * `sh` ((doc_id, sh_hashes) rows) and keep pairs at/above
+    * `threshold`. Shared by [[minhashPairsFromSignatures]] (sh = the
+    * full signature frame) and [[pairsFromBandIndexRows]] (sh =
+    * candidate-pruned at-rest rows), so the two paths can never
+    * drift. */
+  private def jaccardVerify(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("id_a"),
+        col("sh_hashes").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"),
+        col("sh_hashes").as("sh_b")), "id_b")
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("uni",
@@ -558,7 +559,17 @@ object DedupOps {
       .filter(col("inter").cast("double") / col("uni") >= threshold)
       .select(col("id_a"), col("id_b"),
         expr("inter * 10000 div uni").as("jaccard_bp"))
-  }
+
+  /** MinHash kernel over a precomputed signature frame (the
+    * [[minhashSignatures]] shape: doc_id, sh_hashes, mh_arr). Callers
+    * that already paid the corpus scan — the composed curation pipeline
+    * computes quality + fingerprint + signatures in one pass — hand in
+    * their own (checkpointed) signatures; [[minhashNearDupPairs]] is the
+    * from-text form. Exact Jaccard runs for candidate survivors only. */
+  def minhashPairsFromSignatures(sig: DataFrame,
+      threshold: Double): DataFrame =
+    jaccardVerify(candidatePairs(sig, threshold),
+      sig.select(col("doc_id"), col("sh_hashes")), threshold)
 
   /** MinHash kernel: exact Jaccard over distinct shingle-hash sets for
     * candidate survivors only. */
@@ -775,6 +786,63 @@ object DedupOps {
       .join(sig.select(col("doc_id"), col("mh_arr"), col("sh_hashes")),
         "doc_id")
   }
+
+  /** Near-dup pairs reconstructed from AT-REST band-index rows ALONE —
+    * the text transposition of the perceptual kinds' retroactive dup
+    * report ([[graft.store.IndexStore.perceptualDupes]]): no source
+    * text is re-read, re-shingled, or even fetched. Every index row
+    * carries the doc's FULL signature (mh_arr + sh_hashes — the
+    * [[buildBandIndex]] schema), and the at-rest truncation policy
+    * guarantees every committed doc keeps ≥ 1 row, so ONE distinct row
+    * per doc reconstructs the complete signature set and the batch
+    * kernel ([[minhashPairsFromSignatures]]: band re-derivation from
+    * mh_arr, the whole-group pair-join cap, estimate prefilter, exact
+    * shingle-Jaccard verify) runs over it unchanged. The pair set
+    * therefore EQUALS [[minhashNearDupPairs]] over the indexed corpus
+    * even when bucket skew truncated the very band rows two dups
+    * collide on — bands come from mh_arr, not from which explode rows
+    * survived (the `dedup_band_dupes` driver query hash-oracles this
+    * equality; IndexStoreSpec pins the store round-trip and a planted
+    * past-cap flood).
+    *
+    * This is the retroactive closer for the streaming text gates' one
+    * documented intra-batch residual (65+ mutually-distinct same-bucket
+    * near-dups in one micro-batch dedup only partially — the probe
+    * side's whole-group cap): run it on `index compact` cadence and
+    * feed the pairs to a keep-one-witness pass.
+    *
+    * Scale shape: candidate generation runs over the NARROW per-doc
+    * signature (doc_id + the 16-slot mh_arr — one keyed distinct
+    * exchange; the wide shingle arrays stay out of it). The verify
+    * stage then joins the at-rest rows RAW — one sh_hashes copy per
+    * surviving band row, deliberately NOT deduplicated first: a
+    * per-doc distinct there would shuffle the wide shingle arrays
+    * corpus-wide, while the verify join needs them for candidate ids
+    * only (AQE broadcasts the candidate side when small; the
+    * duplicate-induced pair copies collapse in one narrow distinct at
+    * the end — jaccard_bp is a pure function of the pair, so copies
+    * are exact). Corpus-wide by design (a compaction-cadence report,
+    * like the perceptual siblings), not a probe. */
+  def pairsFromBandIndexRows(rows: DataFrame,
+      threshold: Double): DataFrame = {
+    val sig = rows.select(col("doc_id"), col("mh_arr"))
+      .dropDuplicates("doc_id")
+      .localCheckpoint() // band derivation + the estimate prefilter
+    jaccardVerify(candidatePairs(sig, threshold),
+      rows.select(col("doc_id"), col("sh_hashes")), threshold)
+      .distinct()
+  }
+
+  /** Green-gate for the at-rest reconstruction: build the band index
+    * (at-rest TRUNCATION applied), then report pairs from the index
+    * rows alone. The oracle is [[minhashLsh]]'s VERBATIM — the claim
+    * under driver hash is exactly "at-rest equals batch", pair for
+    * pair, basis point for basis point. */
+  val bandDupesQuery: GraftQuery = GraftQuery(
+    "dedup_band_dupes",
+    (s, dir) => pairsFromBandIndexRows(
+      buildBandIndex(withNearDups(docs(s, dir))).localCheckpoint(), 0.4),
+    minhashLsh.oracle)
 
   // ---------------------------------------------------------------------
   // SimHash
@@ -1977,5 +2045,6 @@ object DedupOps {
     Seq(exact, lineDedup, intraDocDedup, minhashLsh, lshRecall,
       incrementalDedup, simhashDedup, ngramJaccard, sharedSpans,
       exactSpans, spansRemoved, exactSpansIncremental,
-      spansRemovedIncremental, spansIncremental, embeddingNearDup)
+      spansRemovedIncremental, spansIncremental, embeddingNearDup,
+      bandDupesQuery)
 }

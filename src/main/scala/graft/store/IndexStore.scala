@@ -714,6 +714,23 @@ object IndexStore {
         s"not '$other'")
   }
 
+  /** Near-dup pairs from the AT-REST text band index — the text
+    * transposition of [[perceptualDupes]], closing the same symmetry:
+    * every perceptual kind has had a retroactive at-rest dup report
+    * since round 16; the text `band` kind now has its own. No corpus
+    * text is fetched: the at-rest rows carry each doc's full signature
+    * (mh_arr + sh_hashes), truncation keeps ≥ 1 row per doc, and
+    * [[graft.operators.DedupOps.pairsFromBandIndexRows]] re-derives
+    * all bands from mh_arr — so the pair set equals the batch
+    * MinHash-LSH operator's over the indexed corpus (hash-oracled by
+    * the `dedup_band_dupes` driver query against the batch operator's
+    * own oracle). Run on `index compact` cadence as the retroactive
+    * closer for the streaming text gates' documented intra-batch
+    * flood residual. */
+  def bandDupes(store: GraftStore, spark: SparkSession,
+      threshold: Double = 0.4): DataFrame =
+    DedupOps.pairsFromBandIndexRows(read(store, spark, "band"), threshold)
+
   /** Table the pair gate ([[graft.streaming.StreamingPairs]]) commits
     * accepted (pair_id, payload, caption) samples to — the constant
     * lives here so the at-rest report below needs no dependency on the

@@ -271,6 +271,34 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(pairs == want, s"got $pairs")
   }
 
+  test("index dupes --kind band: text near-dup pairs from at-rest " +
+      "signatures through the CLI — no corpus text re-read") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val root = tempDir("graft-index-cli-bdupes")
+    val storeDir = s"$root/store"
+    val docsPath = s"$root/docs.parquet"
+    DedupOps.withNearDups(
+      (0L until 30L).map(i =>
+        (i, (0 until 60).map(j => s"cb${i}w$j").mkString(" ")))
+        .toDF("doc_id", "text"))
+      .write.parquet(docsPath)
+    captured {
+      cli.Main.run(spark, Array("index", "build", "--store", storeDir,
+        "--kind", "band", "--input", docsPath))
+    }
+    val outPath = s"$root/bdupes.parquet"
+    captured {
+      cli.Main.run(spark, Array("index", "dupes", "--store", storeDir,
+        "--kind", "band", "--output", outPath))
+    }
+    val pairs = spark.read.parquet(outPath).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    for (i <- 0L until 25L)
+      assert(pairs.contains((i, i + 1000000L)),
+        s"planted near-copy pair ($i, ${i + 1000000L}) missing: $pairs")
+  }
+
   test("index decontaminate certifies benchmark contamination against " +
       "the at-rest pq index through the CLI") {
     import spark.implicits._

@@ -601,6 +601,73 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
         s"missing=${batch -- atRest}")
   }
 
+  test("bandDupes: the at-rest TEXT dup report equals the batch " +
+      "MinHash-LSH operator over a real corpus, across a store " +
+      "restart — no text re-read, no re-shingling") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val root = tempDir("graft-idx-band-dupes")
+    val corpus = DedupOps.withNearDups(
+      (0L until 30L).map(doc(_, "bd")).toDF("doc_id", "text"))
+      .localCheckpoint()
+    IndexStore.build(new GraftStore(root), "band", corpus)
+    val key = (d: org.apache.spark.sql.DataFrame) => d
+      .select("id_a", "id_b", "jaccard_bp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val atRest = key(IndexStore.bandDupes(new GraftStore(root), spark))
+    val batch = key(DedupOps.minhashNearDupPairs(corpus, 0.4))
+    assert(batch.nonEmpty, "fixture must contain near-dup pairs")
+    assert(atRest == batch,
+      s"extra=${atRest -- batch} missing=${batch -- atRest}")
+  }
+
+  test("bandDupes equals the kernel over PRE-truncation rows under a " +
+      "planted past-cap flood — compaction drops the very stored rows " +
+      "the planted pair collides on, and the report still finds it by " +
+      "re-deriving every band from the stored signature") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val store = new GraftStore(tempDir("graft-idx-band-recall"))
+    // synthetic at-rest rows in the buildBandIndex schema: 70 mutually-
+    // distinct docs share ONE hot stored bucket (band 0, key 777) and
+    // hold a private row each; the planted dup pair (9000, 9001 —
+    // identical signatures) also sits in the hot bucket, ranked LAST
+    // by doc_id, so truncation deletes exactly its shared rows
+    def row(id: Long, band: Int, bandKey: Long, sig: Long)
+        : (Long, Int, Long, Seq[Long], Seq[Long]) =
+      (id, band, bandKey, Seq.fill(16)(sig), Seq(sig))
+    val flood = (0 until 70).flatMap(i => Seq(
+      row(100L + i, 0, 777L, 10000L + i),
+      row(100L + i, 1, 5000L + i, 10000L + i)))
+    val pair = Seq(9000L, 9001L).flatMap(id => Seq(
+      row(id, 0, 777L, 424242L),
+      row(id, 1, id * 10L, 424242L)))
+    val rows = (flood ++ pair)
+      .toDF("doc_id", "band", "band_key", "mh_arr", "sh_hashes")
+      .localCheckpoint()
+    store.commit(IndexStore.stageRows(store, "band", rows),
+      meta = IndexStore.formatMeta("band"))
+    IndexStore.compact(store, spark, "band") // at-rest truncation applies
+    val atRestRows = IndexStore.read(store, spark, "band")
+    // fixture: truncation FIRED on the hot bucket and dropped the
+    // pair's rows there (their best rank lives in the private bucket)
+    assert(atRestRows.filter(col("doc_id").isin(9000L, 9001L) &&
+      col("band") === 0).count() == 0,
+      "fixture: the pair's hot-bucket rows must be truncated away")
+    // per-doc liveness: every doc keeps >= 1 at-rest row
+    assert(atRestRows.select("doc_id").distinct().count() == 72L,
+      "a doc lost its last at-rest row")
+    val key = (d: org.apache.spark.sql.DataFrame) => d
+      .select("id_a", "id_b", "jaccard_bp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = key(DedupOps.pairsFromBandIndexRows(rows, 0.4))
+    val atRest = key(IndexStore.bandDupes(store, spark))
+    assert(batch.contains((9000L, 9001L, 10000L)),
+      s"fixture: the kernel must see the planted pair: $batch")
+    assert(atRest == batch,
+      s"extra=${atRest -- batch} missing=${batch -- atRest}")
+  }
+
   test("compact collapses re-delivered rows in the keyless kinds") {
     import spark.implicits._
     val dim = 16
