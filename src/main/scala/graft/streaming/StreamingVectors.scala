@@ -27,11 +27,15 @@ import org.apache.spark.sql.functions._
   *     manifest-prune untouched leaves and push the distinct bucket ids
   *     as a scan filter, so history is never rescanned whole.
   *
-  * Exactly-once under foreachBatch replay, by the same argument as
-  * streaming curate: survivors and their index rows commit in ONE
-  * snapshot swap, and a replayed batch self-matches its first run's
-  * index rows at cosine 1 (identical vectors share every sign bit, so
-  * the identity bucket always probes), so the replay commits nothing.
+  * Exactly-once under foreachBatch replay, by the same layered
+  * argument as every gate in the family: the epoch cursor
+  * ([[BatchIdKey]], committed atomically WITH the data) skips a
+  * replayed committed epoch in O(1) before any scan; beneath it,
+  * survivors and their index rows commit in ONE snapshot swap, and a
+  * replayed batch self-matches its first run's index rows at cosine 1
+  * (identical vectors share every sign bit, so the identity bucket
+  * always probes), so an id-less or all-dropped replay still commits
+  * nothing.
   *
   * Scale shape per batch: one scan of the BATCH (unit + bucket), pair
   * joins bounded by the sphere-packing density the gate itself
@@ -51,6 +55,36 @@ object StreamingVectors {
 
   /** Manifest table holding the accepted (vec_id, unit) vectors. */
   val AcceptedTable = "accepted_vectors"
+
+  /** Epoch-cursor meta key ([[PerceptualGate.batchIdKey]] pattern, key
+    * `gate_batch_id_vec`) — round 18 closes the one gate that lacked
+    * it: a replayed vector epoch used to re-pay the full normalize +
+    * pair joins + at-rest probe to rediscover that nothing commits
+    * (correct via the cosine-1 self-match, but not O(1)). Same
+    * caveats as every cursor: one stream per (store, kind), one
+    * checkpoint lineage, and the cursor only advances on a DATA
+    * commit — an all-dropped epoch replays through the self-match
+    * path. */
+  val BatchIdKey: String = PerceptualGate.batchIdKey("vec")
+
+  /** Per-batch audit counters for the vector gate — the
+    * [[PerceptualGate.GateStats]] shape transposed, opt-in
+    * (`collectStats` / `onStats`; the counts cost one distinct count
+    * per stage, so the hot path leaves them off). `invalidDropped`
+    * counts rows whose embedding produced no unit vector (null, empty
+    * or zero-norm — before round 18 they vanished invisibly at the
+    * normalize filter); a WRONG-DIMENSION batch against a non-empty
+    * index is not a counter, it throws loudly (the requireDim ingest
+    * guard). The intra stage reports its two pair joins separately:
+    * same-direction (capped sign bucket) and boundary (margin-gated
+    * Hamming-1 flips). */
+  final case class VecGateStats(
+      batchVecs: Long,
+      invalidDropped: Long,
+      sameDirDropped: Long,
+      boundaryDropped: Long,
+      crossDropped: Long,
+      survivors: Long)
 
   /** Near-identical threshold: cosine at or above this is a duplicate.
     * 0.99 matches the batch `dedup_embedding_cosine` operator. */
@@ -86,8 +120,14 @@ object StreamingVectors {
       store: GraftStore,
       batch: DataFrame,
       threshold: Double = DupCos,
-      scopeCols: Seq[String] = Nil): Unit = {
+      scopeCols: Seq[String] = Nil,
+      collectStats: Boolean = false,
+      batchId: Option[Long] = None): Option[VecGateStats] = {
     val spark = batch.sparkSession
+    val committedEpoch = store.currentMeta()
+      .get(store.metaKey(BatchIdKey)).map(_.toLong)
+    if (batchId.exists(id => committedEpoch.exists(_ >= id)))
+      return None // epoch already committed — skip before any scan
     val attrCols = batch.columns
       .filterNot(c => c == "vec_id" || c == "embedding").toSeq
     require(scopeCols.forall(attrCols.contains),
@@ -216,7 +256,27 @@ object StreamingVectors {
       Seq(col("vec_id"))) ++
       IndexStore.stageRows(store, "vec", survivors)
     if (adds.nonEmpty)
-      store.commit(adds, meta = IndexStore.formatMeta("vec"))
+      store.commit(adds, meta = IndexStore.formatMeta("vec") ++
+        // the cursor rides THE data commit — never ahead of (or behind)
+        // the rows it makes idempotent (the shared gate recipe)
+        batchId.map(id => BatchIdKey -> id.toString).toMap)
+    if (!collectStats) None
+    else {
+      def ids(df: DataFrame): Long =
+        df.select(col("vec_id")).distinct().count()
+      val batchVecs = ids(batch)
+      val valid = ids(rows)
+      val nSameDir = ids(sameDirSurvivors)
+      val nIntra = ids(intra)
+      val nSurv = ids(survivors)
+      Some(VecGateStats(
+        batchVecs = batchVecs,
+        invalidDropped = batchVecs - valid,
+        sameDirDropped = valid - nSameDir,
+        boundaryDropped = nSameDir - nIntra,
+        crossDropped = nIntra - nSurv,
+        survivors = nSurv))
+    }
   }
 
   /** The full pipeline: a streaming (vec_id, embedding) frame driven
@@ -229,10 +289,13 @@ object StreamingVectors {
       store: GraftStore,
       checkpointDir: String,
       threshold: Double = DupCos,
-      scopeCols: Seq[String] = Nil): StreamingQuery =
+      scopeCols: Seq[String] = Nil,
+      onStats: Option[VecGateStats => Unit] = None): StreamingQuery =
     stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(store, batch, threshold, scopeCols)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val stats = processBatch(store, batch, threshold, scopeCols,
+          collectStats = onStats.nonEmpty, batchId = Some(epoch))
+        onStats.foreach(f => stats.foreach(f))
       }
       .option("checkpointLocation", checkpointDir)
       .start()

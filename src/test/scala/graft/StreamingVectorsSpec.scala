@@ -75,6 +75,66 @@ class StreamingVectorsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(s2.currentSnapshot() == snap1, "replay committed a snapshot")
   }
 
+  test("the epoch cursor skips a replayed batchId in O(1) — before any " +
+      "scan (runToAccepted path) — leaves the cursor unmoved on an " +
+      "all-dropped epoch, and advances it per committing epoch") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-svec-epoch"))
+    val b = (0L until 4L).map(fresh).toDF("vec_id", "embedding")
+    StreamingVectors.processBatch(store, b, batchId = Some(0L))
+    val cursor = () => store.currentMeta()
+      .get(store.metaKey("gate_batch_id_vec")) // pins the key literal
+    assert(cursor().contains("0"))
+    val snap1 = store.currentSnapshot()
+    // replayed epoch: skipped outright — None even with stats on (the
+    // skip happens before the normalize scan, pair joins, and probe)
+    assert(StreamingVectors
+      .processBatch(store, b, collectStats = true, batchId = Some(0L))
+      .isEmpty)
+    assert(store.currentSnapshot() == snap1)
+    // epoch 1 re-delivers the same vectors under the SAME ids but a new
+    // epoch: all self-match at cosine 1, nothing commits, cursor stays
+    StreamingVectors.processBatch(store, b, batchId = Some(1L))
+    assert(cursor().contains("0") && store.currentSnapshot() == snap1)
+    // epoch 2 with fresh vectors commits and advances the cursor
+    StreamingVectors.processBatch(store,
+      (10L until 12L).map(fresh).toDF("vec_id", "embedding"),
+      batchId = Some(2L))
+    assert(cursor().contains("2"))
+    assert(acceptedIds(store) == (0L until 4L).toSet ++ Set(10L, 11L))
+  }
+
+  test("gate stats: one planted drop per counter — invalid (null and " +
+      "zero-norm), same-direction, boundary (Hamming-1 split), cross, " +
+      "and the survivors") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-svec-stats"))
+    val base = (0L until 5L).map(fresh)
+    StreamingVectors.processBatch(store,
+      base.toDF("vec_id", "embedding"))
+    // a direction with one near-zero leading component, and its twin
+    // with that component's SIGN flipped — cosine ~1 but the 16-bit
+    // sign keys differ in exactly bit 1 (the boundary join's case)
+    val tail = Seq.fill(dim - 1)(rnd.nextGaussian().toFloat)
+    val sharedDir = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    val batch = Seq(
+      fresh(100L),                               // survivor
+      (200L, sharedDir),                         // same-dir pair: keeper
+      (201L, scaled(sharedDir, 1.001f)),         //   larger id drops
+      (300L, 0.001f +: tail),                    // boundary pair: keeper
+      (301L, -0.001f +: tail),                   //   larger id drops
+      (400L, scaled(base(0)._2, 1.002f)),        // cross dup of vec 0
+      (998L, null.asInstanceOf[Seq[Float]]),     // invalid: null
+      (999L, Seq.fill(dim)(0f)))                 // invalid: zero-norm
+    val stats = StreamingVectors.processBatch(store,
+      batch.toDF("vec_id", "embedding"), collectStats = true).get
+    assert(stats == StreamingVectors.VecGateStats(
+      batchVecs = 8, invalidDropped = 2, sameDirDropped = 1,
+      boundaryDropped = 1, crossDropped = 1, survivors = 3), s"$stats")
+    assert(acceptedIds(store) ==
+      (0L until 5L).toSet ++ Set(100L, 200L, 300L))
+  }
+
   test("probe prunes: a one-vector batch against a grown index LISTS " +
       "few leaves (content-keyed buckets)") {
     import spark.implicits._
