@@ -119,6 +119,36 @@ class StreamingImagesSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(acceptedIds(store) == (0L until 6L).toSet)
   }
 
+  test("PINNED CONSTRAINT, not a bug: ONE cursor lineage per (store, " +
+      "kind) — a second writer under a fresh epoch numbering is " +
+      "silently skipped once the cursor passed its epochs (the " +
+      "documented single-writer assumption, PerceptualGate.batchIdKey; " +
+      "resume the original checkpoint or drive without a batchId)") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-simg-twowriters"))
+    // writer A's lineage has advanced the cursor to epoch 2
+    StreamingImages.processBatch(store,
+      assets.filter(_.asset_id < 2).toDF(), batchId = Some(2L))
+    assert(acceptedIds(store) == Set(0L, 1L))
+    // writer B: a NEW stream over the same store under a FRESH
+    // checkpoint directory — foreachBatch epochs restart at 0. Its
+    // batch holds GENUINELY NEW assets, yet the cursor makes epoch 0
+    // look like a replay: the batch is dropped unprocessed. This is
+    // the failure mode the documented assumption exists to forbid.
+    val freshAssets = assets
+      .filter(a => a.asset_id >= 2 && a.asset_id < 4).toDF()
+    assert(StreamingImages.processBatch(store, freshAssets,
+      collectStats = true, batchId = Some(0L)).isEmpty)
+    assert(acceptedIds(store) == Set(0L, 1L),
+      "a second lineage's early epochs are skipped BY DESIGN — if this " +
+        "ever processes, the cursor semantics changed and the " +
+        "single-writer doc must change with it")
+    // the documented escape hatch for a genuinely-new driver: no
+    // batchId — the content self-match layer gates instead
+    StreamingImages.processBatch(store, freshAssets)
+    assert(acceptedIds(store) == (0L until 4L).toSet)
+  }
+
   test("a replayed micro-batch commits nothing (exactly-once)") {
     import spark.implicits._
     val store = new GraftStore(tempDir("graft-simg-replay"))
