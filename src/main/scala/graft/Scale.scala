@@ -213,7 +213,7 @@ object Scale {
       // duplicates — so the store is wiped and rebuilt untimed below
       val lifecycleOnly = !want("band_build") &&
         (want("band_append") || want("band_compact") ||
-          want("band_dupes") ||
+          want("band_dupes") || want("band_apply") ||
           want("stream_curate") || want("curate_replay"))
       val rebuild = want("band_build") || want("ivf_build") || lifecycleOnly
       val sp = java.nio.file.Paths.get(storeRoot)
@@ -294,6 +294,23 @@ object Scale {
               .select(col("doc_id"), col("text")),
             batchId = Some(1L))
           spark.range(1).toDF()
+        }
+      }
+      // keep-one-witness APPLY over the k× at-rest report (round 18).
+      // Runs LAST among the band phases: it MUTATES the store (losers
+      // leave the data table and the index), so earlier band phases
+      // must not see a deduped index. The data table stages untimed.
+      // Claim: the band_dupes curve + connected components (driver-
+      // looped narrow joins, converges in 1-2 rounds on pair-shaped
+      // clusters) + a compact-class rewrite — linear, flat task memory
+      if (want("band_apply")) {
+        store.commit(store.stageKeyed("docs", docsK,
+          pmod(xxhash64(col("doc_id")),
+            lit(graft.store.IndexStore.Buckets.toLong)),
+          Seq(col("doc_id"))))
+        phase("band_apply", k, 1) {
+          graft.store.IndexStore.applyDupes(store, spark, "band", "docs")
+          graft.store.IndexStore.read(store, spark, "band").limit(0)
         }
       }
       if (want("ivf_build")) phase("ivf_build", k, 1) {

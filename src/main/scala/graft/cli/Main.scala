@@ -573,7 +573,31 @@ object Main {
             // the batch pair operator; the retroactive flood-residual
             // closer), pair (SAMPLE-level: stored phash pairs gated
             // by the accepted captions), or band (text MinHash — the
-            // stored signatures through the batch pair kernel)
+            // stored signatures through the batch pair kernel).
+            // --apply turns the report into the keep-one-witness pass:
+            // non-witnesses are DELETED from the data table (--table,
+            // defaulting to the kind's gate table) and the index in one
+            // atomic snapshot; re-running the report then finds nothing
+            if (boolFlag("apply")) {
+              val table = opt("table").getOrElse(kind match {
+                case "band" =>
+                  graft.streaming.StreamingCuration.AcceptedTable
+                case "phash" =>
+                  graft.streaming.StreamingImages.AcceptedTable
+                case "afp" => graft.streaming.StreamingAudio.AcceptedTable
+                case "vhash" =>
+                  graft.streaming.StreamingVideo.AcceptedTable
+                case "pair" => IndexStore.AcceptedPairsTable
+                case other => sys.error(
+                  s"index dupes --apply: unknown kind '$other' " +
+                    "(band|phash|afp|vhash|pair)")
+              })
+              val (losers, nPairs) = IndexStore.applyDupes(store, spark,
+                kind, table,
+                opt("threshold").map(_.toDouble).getOrElse(0.4))
+              println(s"[index] applied '$kind' dup report to '$table': " +
+                s"$nPairs pair(s), deleted $losers non-witness row set(s)")
+            } else {
             val pairs =
               if (Set("phash", "afp", "vhash").contains(kind))
                 IndexStore.perceptualDupes(store, spark, kind)
@@ -588,7 +612,7 @@ object Main {
                 println(s"[index] wrote '$kind' dup pairs to $out")
               case None =>
                 pairs.orderBy("id_a", "id_b").show(50, truncate = false)
-            }
+            } }
           case Some("decontaminate") =>
             // benchmark-vs-corpus in code space against the at-rest pq
             // index: --input is the benchmark (eval_id, embedding);

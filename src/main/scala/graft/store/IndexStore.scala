@@ -754,6 +754,104 @@ object IndexStore {
       store.read(spark, AcceptedPairsTable)
         .select(col("pair_id"), col("caption")))
 
+  /** APPLY an at-rest dup report to the store — the keep-one-witness
+    * pass every report's doc ends with ("feed the pairs to a
+    * keep-one-witness pass"), as one atomic operation: compute the
+    * kind's at-rest pairs ([[bandDupes]] / [[perceptualDupes]] /
+    * [[pairDupes]]), take connected components over them
+    * ([[graft.operators.CurationOps.connectedComponents]] — the same
+    * min-id witness policy as `assets dedup --report clusters`), then
+    * DELETE every non-witness from `dataTable` AND from the kind's
+    * index rows in ONE snapshot swap. A reader sees the store before
+    * or after, never half-deduped; re-running the report afterwards
+    * finds ZERO pairs (two witnesses of different components can never
+    * pair — a pair would have merged their components; spec-pinned as
+    * a fixpoint).
+    *
+    * `dataTable` must be keyed by the family id-hash layout
+    * (pmod(xxhash64(id), [[Buckets]]), sorted by id — what every
+    * streaming gate commits and the CLI import examples stage): the
+    * data-side rewrite is pruned to the leaf buckets that can hold a
+    * loser, so payload bytes of untouched buckets are neither read nor
+    * rewritten. The INDEX rows are keyed by band-key hash (losers
+    * scatter across all buckets), so the index side rewrites whole —
+    * the [[compact]] cost class, which is also this operation's
+    * natural cadence. Concurrency: same optimistic retry as compact —
+    * a concurrent append's leaves are not in the drop set and survive
+    * (its rows just miss this round); a concurrent drop makes the
+    * commit throw and the pass recomputes from a fresh snapshot.
+    *
+    * Kinds: band (doc_id) | phash | afp | vhash (asset_id) | pair
+    * (pair_id; the index side is the `phash` table). NOT cascaded:
+    * other index kinds over the same table (espan postings of deleted
+    * docs) keep their rows — semantically inert, since the
+    * candidate-bounded text fetch no longer finds the deleted doc and
+    * its extents stop certifying; rebuild that index from the
+    * surviving table to reclaim the bytes. Returns (losers deleted,
+    * dup pairs found). */
+  def applyDupes(store: GraftStore, spark: SparkSession, kind: String,
+      dataTable: String, threshold: Double = 0.4,
+      maxAttempts: Int = 3): (Long, Long) = {
+    val idCol = kind match {
+      case "band" => "doc_id"
+      case "pair" => "pair_id"
+      case "phash" | "afp" | "vhash" => "asset_id"
+      case other => sys.error(
+        s"apply-dupes supports the at-rest report kinds " +
+          s"(band|phash|afp|vhash|pair), not '$other'")
+    }
+    val idxKind = if (kind == "pair") "phash" else kind
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(store.leavesOf(dataTable).nonEmpty,
+        s"no '$dataTable' leaves in store ${store.root}")
+      val pairs = (kind match {
+        case "band" => bandDupes(store, spark, threshold)
+        case "pair" => pairDupes(store, spark)
+        case _ => perceptualDupes(store, spark, kind)
+      }).select(col("id_a"), col("id_b")).localCheckpoint()
+      val nPairs = pairs.count()
+      if (nPairs == 0L) return (0L, 0L)
+      val losers = graft.operators.CurationOps.connectedComponents(pairs)
+        .filter(col("node") =!= col("comp"))
+        .select(col("node").as(idCol))
+        .localCheckpoint() // bucket collect + both anti-joins
+      val nLosers = losers.count()
+      // data side: pruned to the leaf buckets that can hold a loser
+      val loserBuckets = losers
+        .select(pmod(xxhash64(col(idCol)), lit(Buckets.toLong)).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val affected = store.leavesOf(dataTable)
+        .filter(l => loserBuckets.contains(l.bucket))
+      val dataAdds =
+        if (affected.isEmpty) Nil
+        else store.stageKeyed(dataTable,
+          store.readLeaves(spark, dataTable, affected)
+            .join(losers, Seq(idCol), "left_anti"),
+          pmod(xxhash64(col(idCol)), lit(Buckets.toLong)),
+          Seq(col(idCol)))
+      // index side: whole-table rewrite (rows keyed by band-key hash)
+      val idxTable = tableOf(idxKind)
+      val idxLeaves = store.leavesOf(idxTable)
+      val idxIdCol = if (kind == "band") "doc_id" else "asset_id"
+      val idxAdds = store.stageKeyed(idxTable,
+        store.readLeaves(spark, idxTable, idxLeaves)
+          .join(losers.select(col(idCol).as(idxIdCol)),
+            Seq(idxIdCol), "left_anti"),
+        bucketOf(idxKind), sortOf(idxKind))
+      try {
+        store.commit(dataAdds ++ idxAdds, drops = affected ++ idxLeaves,
+          meta = formatMeta(idxKind))
+        return (nLosers, nPairs)
+      } catch {
+        case _: GraftStore.StaleSnapshotException if attempt < maxAttempts =>
+        // recompute from a fresh snapshot; staged orphans are vacuum's
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Semantic decontamination of a benchmark against the at-rest `pq`
     * index — [[graft.operators.SimilarityOps.semanticContamination]]
     * where its cost claim is literal: the corpus side needs NO training

@@ -271,6 +271,50 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(pairs == want, s"got $pairs")
   }
 
+  test("index dupes --kind pair --apply: the keep-one-witness pass " +
+      "deletes non-witness SAMPLES from accepted_pairs and their rows " +
+      "from the phash index; the +2000 image-dup-different-caption " +
+      "variants survive and the re-run report is empty") {
+    import spark.implicits._
+    import graft.operators.{ImageDedupOps, PairedDedupOps}
+    import graft.store.{GraftStore, IndexStore}
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val root = tempDir("graft-index-cli-papply")
+    val storeDir = s"$root/store"
+    val imagesPath = s"$root/images.parquet"
+    ImageDedupOps.imageAssets(ImageDedupOps.NumImages).toDF()
+      .write.parquet(imagesPath)
+    captured {
+      cli.Main.run(spark, Array("index", "build", "--store", storeDir,
+        "--kind", "phash", "--input", imagesPath))
+    }
+    val store = new GraftStore(storeDir)
+    store.commit(store.stageKeyed(IndexStore.AcceptedPairsTable,
+      PairedDedupOps.pairedAssets(ImageDedupOps.NumImages)
+        .toDF("pair_id", "payload", "caption"),
+      pmod(xxhash64(col("pair_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("pair_id"))))
+    captured {
+      cli.Main.run(spark, Array("index", "dupes", "--store", storeDir,
+        "--kind", "pair", "--apply"))
+    }
+    val kept = store.read(spark, IndexStore.AcceptedPairsTable)
+      .select("pair_id").collect().map(_.getLong(0)).toSet
+    // each conjunctive triangle {i, i+1000, i+3000} keeps witness i;
+    // the +2000 variants are NOT sample dups and must all survive
+    val lost = (0L until ImageDedupOps.DupSeeds.toLong)
+      .flatMap(i => Seq(i + 1000L, i + 3000L)).toSet
+    assert((kept & lost).isEmpty, s"losers survived: ${kept & lost}")
+    assert((0L until ImageDedupOps.DupSeeds.toLong)
+      .forall(i => kept(i) && kept(i + 2000L)),
+      s"witnesses or +2000 variants were deleted: $kept")
+    assert(IndexStore.read(store, spark, "phash")
+      .filter(col("asset_id").isin(lost.toSeq: _*)).count() == 0,
+      "loser phash rows must be gone")
+    assert(IndexStore.pairDupes(store, spark).isEmpty,
+      "re-run report must be empty")
+  }
+
   test("index dupes --kind band: text near-dup pairs from at-rest " +
       "signatures through the CLI — no corpus text re-read") {
     import spark.implicits._

@@ -621,6 +621,44 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
       s"extra=${atRest -- batch} missing=${batch -- atRest}")
   }
 
+  test("applyDupes: the keep-one-witness pass at rest is ATOMIC and a " +
+      "FIXPOINT — losers leave the data table and the index in one " +
+      "snapshot, witnesses stay, and the re-run report finds nothing") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val store = new GraftStore(tempDir("graft-idx-band-apply"))
+    val corpus = DedupOps.withNearDups(
+      (0L until 30L).map(doc(_, "ap")).toDF("doc_id", "text"))
+      .localCheckpoint()
+    // the imported-store shape: docs staged under the family id-hash
+    // layout, the band index built from the same frame
+    store.commit(store.stageKeyed("docs", corpus,
+      pmod(xxhash64(col("doc_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("doc_id"))))
+    IndexStore.build(store, "band", corpus)
+    val snapsBefore = store.snapshots().size
+    val (losers, nPairs) = IndexStore.applyDupes(store, spark, "band",
+      "docs")
+    // 25 isolated (i, i+1000000) near-copy pairs: min-id witness keeps
+    // the original, the copy deletes
+    assert(nPairs == 25L && losers == 25L, s"($losers, $nPairs)")
+    assert(store.snapshots().size == snapsBefore + 1,
+      "apply must be ONE atomic commit")
+    val ids = store.read(spark, "docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 30L).toSet, s"got $ids")
+    assert(IndexStore.read(store, spark, "band")
+      .filter(col("doc_id") >= 1000000L).count() == 0,
+      "loser index rows must be gone")
+    // fixpoint: two witnesses of different components can never pair
+    assert(IndexStore.bandDupes(store, spark).isEmpty,
+      "the re-run report must find nothing")
+    // idempotent: a second apply is a no-op (no pairs, no commit)
+    assert(IndexStore.applyDupes(store, spark, "band", "docs")
+      == (0L, 0L))
+    assert(store.snapshots().size == snapsBefore + 1)
+  }
+
   test("bandDupes equals the kernel over PRE-truncation rows under a " +
       "planted past-cap flood — compaction drops the very stored rows " +
       "the planted pair collides on, and the report still finds it by " +
