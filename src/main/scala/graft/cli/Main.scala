@@ -582,6 +582,8 @@ object Main {
               val table = opt("table").getOrElse(kind match {
                 case "band" =>
                   graft.streaming.StreamingCuration.AcceptedTable
+                case "vec" =>
+                  graft.streaming.StreamingVectors.AcceptedTable
                 case "phash" =>
                   graft.streaming.StreamingImages.AcceptedTable
                 case "afp" => graft.streaming.StreamingAudio.AcceptedTable
@@ -590,11 +592,11 @@ object Main {
                 case "pair" => IndexStore.AcceptedPairsTable
                 case other => sys.error(
                   s"index dupes --apply: unknown kind '$other' " +
-                    "(band|phash|afp|vhash|pair)")
+                    "(band|vec|phash|afp|vhash|pair)")
               })
               val (losers, nPairs) = IndexStore.applyDupes(store, spark,
                 kind, table,
-                opt("threshold").map(_.toDouble).getOrElse(0.4))
+                opt("threshold").map(_.toDouble).getOrElse(Double.NaN))
               println(s"[index] applied '$kind' dup report to '$table': " +
                 s"$nPairs pair(s), deleted $losers non-witness row set(s)")
             } else {
@@ -605,6 +607,10 @@ object Main {
               else if (kind == "band")
                 IndexStore.bandDupes(store, spark,
                   opt("threshold").map(_.toDouble).getOrElse(0.4))
+              else if (kind == "vec")
+                IndexStore.vecDupes(store, spark,
+                  opt("threshold").map(_.toDouble)
+                    .getOrElse(graft.streaming.StreamingVectors.DupCos))
               else IndexStore.semanticDupes(store, spark, kind)
             opt("output") match {
               case Some(out) =>

@@ -754,6 +754,28 @@ object IndexStore {
       store.read(spark, AcceptedPairsTable)
         .select(col("pair_id"), col("caption")))
 
+  /** Near-identical vector pairs from the AT-REST `vec` index — the
+    * embedding modality's retroactive dup report, completing the
+    * family: every dup-bearing index kind now has one. A GATED store
+    * ([[graft.streaming.StreamingVectors]]) is dup-free at rest by
+    * construction — the gate drops near-identicals before they index —
+    * so this report exists for IMPORTED indexes (`index build --kind
+    * vec` over raw embeddings, which gates nothing) and as the audit
+    * that the gate invariant actually holds. The stored unit vectors
+    * feed the UNCHANGED batch kernel
+    * ([[graft.operators.DedupOps.embeddingNearDupPairs]]: adaptive
+    * capped sign buckets + margin-gated Hamming-1 multi-probe), so the
+    * pair set equals the batch operator's over the indexed vectors,
+    * with the same quantified residual (≥2-bit sign splits). One index
+    * scan, no re-normalization cost of note (units re-unitize to
+    * themselves). `threshold` is COSINE here (default 0.99, the
+    * near-identity dial of the batch operator and the gate). */
+  def vecDupes(store: GraftStore, spark: SparkSession,
+      threshold: Double = 0.99): DataFrame =
+    DedupOps.embeddingNearDupPairs(
+      read(store, spark, "vec")
+        .select(col("vec_id"), col("unit").as("embedding")), threshold)
+
   /** APPLY an at-rest dup report to the store — the keep-one-witness
     * pass every report's doc ends with ("feed the pairs to a
     * keep-one-witness pass"), as one atomic operation: compute the
@@ -781,25 +803,36 @@ object IndexStore {
     * (its rows just miss this round); a concurrent drop makes the
     * commit throw and the pass recomputes from a fresh snapshot.
     *
-    * Kinds: band (doc_id) | phash | afp | vhash (asset_id) | pair
-    * (pair_id; the index side is the `phash` table). NOT cascaded:
-    * other index kinds over the same table (espan postings of deleted
-    * docs) keep their rows — semantically inert, since the
-    * candidate-bounded text fetch no longer finds the deleted doc and
-    * its extents stop certifying; rebuild that index from the
-    * surviving table to reclaim the bytes. Returns (losers deleted,
-    * dup pairs found). */
+    * Kinds: band (doc_id, `threshold` = Jaccard) | vec (vec_id,
+    * `threshold` = cosine) | phash | afp | vhash (asset_id) | pair
+    * (pair_id; the index side is the `phash` table). The semantic
+    * kinds (pq/ivfpq) stay REPORT-only by design: their pairs are
+    * code-coarse (un-certified — deleting on them would destroy
+    * merely-similar samples), and a pq-backed store has no canonical
+    * data table; the certified path is the report feeding `assets
+    * dedup` on the source table. NOT cascaded: other index kinds over
+    * the same table (espan postings of deleted docs) keep their rows —
+    * semantically inert, since the candidate-bounded text fetch no
+    * longer finds the deleted doc and its extents stop certifying;
+    * rebuild that index from the surviving table to reclaim the
+    * bytes. Returns (losers deleted, dup pairs found). */
   def applyDupes(store: GraftStore, spark: SparkSession, kind: String,
-      dataTable: String, threshold: Double = 0.4,
+      dataTable: String, threshold: Double = Double.NaN,
       maxAttempts: Int = 3): (Long, Long) = {
     val idCol = kind match {
       case "band" => "doc_id"
+      case "vec" => "vec_id"
       case "pair" => "pair_id"
       case "phash" | "afp" | "vhash" => "asset_id"
       case other => sys.error(
         s"apply-dupes supports the at-rest report kinds " +
-          s"(band|phash|afp|vhash|pair), not '$other'")
+          s"(band|vec|phash|afp|vhash|pair), not '$other'")
     }
+    // kind-aware default, the [[search]] NaN-sentinel recipe: 0.4 is
+    // the band kind's JACCARD dial but would be corpus-destroying as
+    // the vec kind's COSINE floor
+    val th = if (!threshold.isNaN) threshold
+      else if (kind == "vec") 0.99 else 0.4
     val idxKind = if (kind == "pair") "phash" else kind
     var attempt = 0
     while (true) {
@@ -807,7 +840,8 @@ object IndexStore {
       require(store.leavesOf(dataTable).nonEmpty,
         s"no '$dataTable' leaves in store ${store.root}")
       val pairs = (kind match {
-        case "band" => bandDupes(store, spark, threshold)
+        case "band" => bandDupes(store, spark, th)
+        case "vec" => vecDupes(store, spark, th)
         case "pair" => pairDupes(store, spark)
         case _ => perceptualDupes(store, spark, kind)
       }).select(col("id_a"), col("id_b")).localCheckpoint()
@@ -834,7 +868,11 @@ object IndexStore {
       // index side: whole-table rewrite (rows keyed by band-key hash)
       val idxTable = tableOf(idxKind)
       val idxLeaves = store.leavesOf(idxTable)
-      val idxIdCol = if (kind == "band") "doc_id" else "asset_id"
+      val idxIdCol = kind match {
+        case "band" => "doc_id"
+        case "vec" => "vec_id"
+        case _ => "asset_id"
+      }
       val idxAdds = store.stageKeyed(idxTable,
         store.readLeaves(spark, idxTable, idxLeaves)
           .join(losers.select(col(idCol).as(idxIdCol)),

@@ -601,6 +601,45 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
         s"missing=${batch -- atRest}")
   }
 
+  test("vecDupes: the at-rest vector dup report equals the batch " +
+      "operator over an IMPORTED (un-gated) index, and applyDupes " +
+      "deletes the non-witnesses from table and index — fixpoint") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val store = new GraftStore(tempDir("graft-idx-vec-dupes"))
+    val dim = 12
+    val rnd = new scala.util.Random(23)
+    val base = (0L until 40L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val dups = (0 until 5).map(i =>
+      (1000L + i, base(i)._2.map(_ * 1.001f)))
+    val all = (base ++ dups).toDF("vec_id", "embedding")
+      .localCheckpoint()
+    store.commit(store.stageKeyed("vecs", all,
+      pmod(xxhash64(col("vec_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("vec_id"))))
+    IndexStore.build(store, "vec", all)
+    val key = (d: org.apache.spark.sql.DataFrame) => d
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val atRest = key(IndexStore.vecDupes(store, spark))
+    val batch = key(DedupOps.embeddingNearDupPairs(all, 0.99))
+    assert(batch == (0L until 5L).map(i => (i, 1000L + i)).toSet,
+      s"fixture: $batch")
+    assert(atRest == batch,
+      s"extra=${atRest -- batch} missing=${batch -- atRest}")
+    val (losers, nPairs) = IndexStore.applyDupes(store, spark, "vec",
+      "vecs")
+    assert(losers == 5L && nPairs == 5L, s"($losers, $nPairs)")
+    assert(store.read(spark, "vecs").select("vec_id")
+      .collect().map(_.getLong(0)).toSet == (0L until 40L).toSet)
+    assert(IndexStore.read(store, spark, "vec")
+      .filter(col("vec_id") >= 1000L).count() == 0,
+      "loser index rows must be gone")
+    assert(IndexStore.vecDupes(store, spark).isEmpty,
+      "the re-run report must find nothing")
+  }
+
   test("bandDupes: the at-rest TEXT dup report equals the batch " +
       "MinHash-LSH operator over a real corpus, across a store " +
       "restart — no text re-read, no re-shingling") {
