@@ -579,6 +579,17 @@ object Main {
             // defaulting to the kind's gate table) and the index in one
             // atomic snapshot; re-running the report then finds nothing
             if (boolFlag("apply")) {
+              // refuse silently-ignored flags loudly: the apply branch
+              // writes no report (run `index dupes` WITHOUT --apply
+              // first if the pair list is the audit trail), and only
+              // the band (Jaccard) / vec (cosine) kinds take a dial
+              require(opt("output").isEmpty,
+                "index dupes --apply writes no report — run the " +
+                  "report (no --apply) first if --output is wanted")
+              require(opt("threshold").isEmpty ||
+                kind == "band" || kind == "vec",
+                s"--threshold applies to band|vec, not '$kind' " +
+                  "(perceptual kinds use their Hamming radii)")
               val table = opt("table").getOrElse(kind match {
                 case "band" =>
                   graft.streaming.StreamingCuration.AcceptedTable
@@ -596,9 +607,13 @@ object Main {
               })
               val (losers, nPairs) = IndexStore.applyDupes(store, spark,
                 kind, table,
-                opt("threshold").map(_.toDouble).getOrElse(Double.NaN))
+                opt("threshold").map(_.toDouble).getOrElse(Double.NaN),
+                // --scope lang,split: the scoped gate's columns — a
+                // cross-scope near-identical is NOT a dup (vec kind)
+                opt("scope").map(_.split(',').toSeq).getOrElse(Nil))
               println(s"[index] applied '$kind' dup report to '$table': " +
-                s"$nPairs pair(s), deleted $losers non-witness row set(s)")
+                s"$nPairs pair(s), deleted $losers non-witness id(s) " +
+                "from the index (and from the table where present)")
             } else {
             val pairs =
               if (Set("phash", "afp", "vhash").contains(kind))
@@ -610,7 +625,8 @@ object Main {
               else if (kind == "vec")
                 IndexStore.vecDupes(store, spark,
                   opt("threshold").map(_.toDouble)
-                    .getOrElse(graft.streaming.StreamingVectors.DupCos))
+                    .getOrElse(graft.streaming.StreamingVectors.DupCos),
+                  opt("scope").map(_.split(',').toSeq).getOrElse(Nil))
               else IndexStore.semanticDupes(store, spark, kind)
             opt("output") match {
               case Some(out) =>

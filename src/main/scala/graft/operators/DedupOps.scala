@@ -819,10 +819,14 @@ object DedupOps {
     * per-doc distinct there would shuffle the wide shingle arrays
     * corpus-wide, while the verify join needs them for candidate ids
     * only (AQE broadcasts the candidate side when small; the
-    * duplicate-induced pair copies collapse in one narrow distinct at
-    * the end — jaccard_bp is a pure function of the pair, so copies
-    * are exact). Corpus-wide by design (a compaction-cadence report,
-    * like the perceptual siblings), not a probe. */
+    * duplicate-induced pair copies collapse in one narrow group-max at
+    * the end). The group-max also makes the report deterministic when
+    * a doc_id was re-appended with DIVERGENT text (two signature
+    * variants at rest — an index-contract violation compact collapses
+    * arbitrarily): the pair scores by its best-matching stored
+    * variant, one row, instead of emitting contradictory duplicates.
+    * Corpus-wide by design (a compaction-cadence report, like the
+    * perceptual siblings), not a probe. */
   def pairsFromBandIndexRows(rows: DataFrame,
       threshold: Double): DataFrame = {
     val sig = rows.select(col("doc_id"), col("mh_arr"))
@@ -830,7 +834,8 @@ object DedupOps {
       .localCheckpoint() // band derivation + the estimate prefilter
     jaccardVerify(candidatePairs(sig, threshold),
       rows.select(col("doc_id"), col("sh_hashes")), threshold)
-      .distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("jaccard_bp")).as("jaccard_bp"))
   }
 
   /** Green-gate for the at-rest reconstruction: build the band index

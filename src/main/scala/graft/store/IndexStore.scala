@@ -769,12 +769,41 @@ object IndexStore {
     * with the same quantified residual (≥2-bit sign splits). One index
     * scan, no re-normalization cost of note (units re-unitize to
     * themselves). `threshold` is COSINE here (default 0.99, the
-    * near-identity dial of the batch operator and the gate). */
+    * near-identity dial of the batch operator and the gate).
+    *
+    * `scopeCols`: a store fed by a SCOPED gate
+    * ([[graft.streaming.StreamingVectors]] `scopeCols` — per-language
+    * corpora, per-split eval protection) deliberately KEEPS cross-scope
+    * near-identicals; a scope-blind report would call them dups and a
+    * scope-blind APPLY would delete rows the gate's policy explicitly
+    * retained. Pass the SAME scope columns here: cross-scope pairs are
+    * filtered out on null-safe struct equality (the gate's scope-key
+    * recipe). Post-filtering is exact for a PAIR report — unlike a
+    * top-k, dropping a pair under-fills nothing. */
   def vecDupes(store: GraftStore, spark: SparkSession,
-      threshold: Double = 0.99): DataFrame =
-    DedupOps.embeddingNearDupPairs(
-      read(store, spark, "vec")
-        .select(col("vec_id"), col("unit").as("embedding")), threshold)
+      threshold: Double = 0.99,
+      scopeCols: Seq[String] = Nil): DataFrame = {
+    val idx = read(store, spark, "vec")
+    scopeCols.foreach(c => require(idx.columns.contains(c),
+      s"scope column '$c' is not carried by the vec index " +
+        s"(has: ${idx.columns.mkString(", ")})"))
+    val pairs = DedupOps.embeddingNearDupPairs(
+      idx.select(col("vec_id"), col("unit").as("embedding")), threshold)
+    if (scopeCols.isEmpty) pairs
+    else {
+      val attrs = idx
+        .select(col("vec_id"), struct(scopeCols.map(col): _*)
+          .as("scope_key"))
+        .dropDuplicates("vec_id")
+      pairs
+        .join(attrs.select(col("vec_id").as("id_a"),
+          col("scope_key").as("sk_a")), "id_a")
+        .join(attrs.select(col("vec_id").as("id_b"),
+          col("scope_key").as("sk_b")), "id_b")
+        .filter(col("sk_a") <=> col("sk_b"))
+        .drop("sk_a", "sk_b")
+    }
+  }
 
   /** APPLY an at-rest dup report to the store — the keep-one-witness
     * pass every report's doc ends with ("feed the pairs to a
@@ -784,11 +813,23 @@ object IndexStore {
     * ([[graft.operators.CurationOps.connectedComponents]] — the same
     * min-id witness policy as `assets dedup --report clusters`), then
     * DELETE every non-witness from `dataTable` AND from the kind's
-    * index rows in ONE snapshot swap. A reader sees the store before
-    * or after, never half-deduped; re-running the report afterwards
-    * finds ZERO pairs (two witnesses of different components can never
-    * pair — a pair would have merged their components; spec-pinned as
-    * a fixpoint).
+    * index rows in ONE snapshot swap per pass. A reader sees the store
+    * before or after a pass, never half-deduped.
+    *
+    * FIXPOINT, stated precisely: the operation LOOPS until a pass
+    * reports zero pairs (each productive pass deletes ≥1 id per
+    * component, so it terminates; `maxPasses` bounds pathology). One
+    * pass is provably enough for the pairs one report can SEE (two
+    * surviving witnesses can never pair — a pair would have merged
+    * their components), but deleting losers can shrink a skew-CAPPED
+    * band bucket below [[DedupOps.MaxBucketSize]] and reveal pairs the
+    * first report's whole-group cap hid — the loop drains those
+    * (spec-pinned on a planted 66-doc flood that takes three passes).
+    * What no pass can see is the batch operator's own documented cap
+    * blindness: a bucket of MUTUAL duplicates that stays over the cap
+    * after every visible deletion (65+ byte-identical docs collide in
+    * EVERY band) — identical floods are exact-dedup's job
+    * (`dedup_exact`), run it first.
     *
     * `dataTable` must be keyed by the family id-hash layout
     * (pmod(xxhash64(id), [[Buckets]]), sorted by id — what every
@@ -815,10 +856,17 @@ object IndexStore {
     * semantically inert, since the candidate-bounded text fetch no
     * longer finds the deleted doc and its extents stop certifying;
     * rebuild that index from the surviving table to reclaim the
-    * bytes. Returns (losers deleted, dup pairs found). */
+    * bytes. `scopeCols` (vec kind only): the scoped gate's columns —
+    * cross-scope near-identicals are NOT dups and are never deleted
+    * ([[vecDupes]]). Returns (non-witness ids deleted across all
+    * passes, dup pairs found across all passes); an id is removed from
+    * the INDEX always, and from `dataTable` where present (an id the
+    * index holds but the table never staged still counts — its index
+    * rows are gone). */
   def applyDupes(store: GraftStore, spark: SparkSession, kind: String,
       dataTable: String, threshold: Double = Double.NaN,
-      maxAttempts: Int = 3): (Long, Long) = {
+      scopeCols: Seq[String] = Nil,
+      maxAttempts: Int = 3, maxPasses: Int = 8): (Long, Long) = {
     val idCol = kind match {
       case "band" => "doc_id"
       case "vec" => "vec_id"
@@ -828,12 +876,35 @@ object IndexStore {
         s"apply-dupes supports the at-rest report kinds " +
           s"(band|vec|phash|afp|vhash|pair), not '$other'")
     }
+    require(scopeCols.isEmpty || kind == "vec",
+      "scope columns apply to the vec kind (the scoped gate); " +
+        s"'$kind' reports are scope-less")
     // kind-aware default, the [[search]] NaN-sentinel recipe: 0.4 is
     // the band kind's JACCARD dial but would be corpus-destroying as
     // the vec kind's COSINE floor
     val th = if (!threshold.isNaN) threshold
       else if (kind == "vec") 0.99 else 0.4
     val idxKind = if (kind == "pair") "phash" else kind
+    var totalLosers = 0L
+    var totalPairs = 0L
+    var pass = 0
+    while (pass < maxPasses) {
+      pass += 1
+      val (l, p) = applyDupesPass(store, spark, kind, dataTable, th,
+        scopeCols, idCol, idxKind, maxAttempts)
+      totalLosers += l
+      totalPairs += p
+      if (p == 0L) return (totalLosers, totalPairs)
+    }
+    (totalLosers, totalPairs) // maxPasses hit — pathological cap flood
+  }
+
+  /** One report → components → delete pass of [[applyDupes]]: its own
+    * atomic commit with the optimistic retry. */
+  private def applyDupesPass(store: GraftStore, spark: SparkSession,
+      kind: String, dataTable: String, th: Double,
+      scopeCols: Seq[String], idCol: String, idxKind: String,
+      maxAttempts: Int): (Long, Long) = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -841,7 +912,7 @@ object IndexStore {
         s"no '$dataTable' leaves in store ${store.root}")
       val pairs = (kind match {
         case "band" => bandDupes(store, spark, th)
-        case "vec" => vecDupes(store, spark, th)
+        case "vec" => vecDupes(store, spark, th, scopeCols)
         case "pair" => pairDupes(store, spark)
         case _ => perceptualDupes(store, spark, kind)
       }).select(col("id_a"), col("id_b")).localCheckpoint()

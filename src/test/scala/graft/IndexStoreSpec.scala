@@ -640,6 +640,80 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
       "the re-run report must find nothing")
   }
 
+  test("vecDupes and applyDupes honor the gate's scopes: a cross-scope " +
+      "near-identical pair is NOT a dup and is never deleted") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-idx-vec-scope"))
+    val dim = 12
+    val rnd = new scala.util.Random(29)
+    val dir = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    val other = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    val rows = Seq(
+      (1L, dir, "en"),
+      (2L, dir.map(_ * 1.001f), "fr"), // cross-scope twin of 1 — KEPT
+      (3L, dir.map(_ * 1.002f), "en"), // same-scope dup of 1 — loser
+      (4L, other, "en"))
+      .toDF("vec_id", "embedding", "lang").localCheckpoint()
+    store.commit(store.stageKeyed("vecs", rows,
+      pmod(xxhash64(col("vec_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("vec_id"))))
+    IndexStore.build(store, "vec", rows)
+    val key = (d: org.apache.spark.sql.DataFrame) => d
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // scope-blind: all three pairings of the shared direction
+    assert(key(IndexStore.vecDupes(store, spark)) ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // scoped: only the same-scope pair
+    assert(key(IndexStore.vecDupes(store, spark,
+      scopeCols = Seq("lang"))) == Set((1L, 3L)))
+    val (losers, nPairs) = IndexStore.applyDupes(store, spark, "vec",
+      "vecs", scopeCols = Seq("lang"))
+    assert(losers == 1L && nPairs == 1L, s"($losers, $nPairs)")
+    assert(store.read(spark, "vecs").select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L),
+      "the cross-scope twin must survive the apply")
+  }
+
+  test("applyDupes loops until the capped report drains: a planted " +
+      "66-doc flood hides most pairs behind the whole-group cap on " +
+      "pass 1, and the loop still converges to one witness") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-idx-band-flood-apply"))
+    // 66 docs, ALL mutual dups (identical sh_hashes). mh slots 0-3 are
+    // shared by every doc — the derived band-0/1 buckets hold 66 > cap
+    // and the whole-group pair cap hides them on pass 1 — while slots
+    // 4-15 are unique per doc EXCEPT three fully-identical-mh pairs
+    // visible through bands 2-7. Deleting those three losers shrinks
+    // the hot buckets to 63 <= cap, pass 2 sees the complete graph
+    // (estimate 4/16 = 0.25 over the shared slots, exact Jaccard 1),
+    // and pass 3 reports nothing.
+    def mh(id: Long, twin: Long): Seq[Long] =
+      Seq(7L, 7L, 7L, 7L) ++ (4 until 16).map(s => twin * 100L + s)
+    val ids = 100L until 166L
+    val rows = ids.map { id =>
+      val twin = if (id <= 105L) (id - 100L) / 2L else id
+      (id, 0, id, mh(id, twin), Seq(1L, 2L, 3L))
+    }.toDF("doc_id", "band", "band_key", "mh_arr", "sh_hashes")
+      .localCheckpoint()
+    store.commit(IndexStore.stageRows(store, "band", rows),
+      meta = IndexStore.formatMeta("band"))
+    store.commit(store.stageKeyed("docs",
+      ids.map(id => (id, "x")).toDF("doc_id", "text"),
+      pmod(xxhash64(col("doc_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("doc_id"))))
+    // pass-1 visibility really is capped: only the three identical-mh
+    // pairs are reportable
+    assert(IndexStore.bandDupes(store, spark).count() == 3L)
+    val (losers, nPairs) = IndexStore.applyDupes(store, spark, "band",
+      "docs")
+    assert(losers == 65L, s"losers=$losers pairs=$nPairs")
+    assert(store.read(spark, "docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(100L),
+      "the loop must converge to the single witness")
+    assert(IndexStore.bandDupes(store, spark).isEmpty)
+  }
+
   test("bandDupes: the at-rest TEXT dup report equals the batch " +
       "MinHash-LSH operator over a real corpus, across a store " +
       "restart — no text re-read, no re-shingling") {
