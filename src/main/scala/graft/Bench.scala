@@ -257,8 +257,16 @@ object Bench {
     }
 
     // Full per-query results always land next to the repo's BENCH_r*.json
-    // files, safe from the stdout tail budget.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    // files, safe from the stdout tail budget. BENCH_FULL.json is the
+    // COMMITTED calm anchor the judge ratios against — two rounds running
+    // it was silently clobbered by routine runs (driver round-end, local
+    // iteration) and had to be restored from git. Ordinary runs therefore
+    // write BENCH_LAST.json (gitignored scratch); the anchor file is only
+    // rewritten when SPARK_GRAFT_ANCHOR=1 declares a deliberate re-anchor.
+    val outFile =
+      if (sys.env.get("SPARK_GRAFT_ANCHOR").contains("1")) "BENCH_FULL.json"
+      else "BENCH_LAST.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       render(results).getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     // The printed line must fit the driver's 2000-byte tail window WITH

@@ -526,6 +526,24 @@ object Scale {
         graft.store.IndexStore.compact(store, spark, "espan")
         graft.store.IndexStore.read(store, spark, "espan").limit(0)
       }
+      // prune against a data table missing 10% of its docs — the
+      // post-apply reclaim shape (round 19). Runs LAST among the espan
+      // phases: it MUTATES the index. The keep table stages untimed.
+      // Claim: LINEAR in postings with flat task memory — one id
+      // semi-join (only the narrow id column crosses the exchange on
+      // the keep side) + the compact-class rewrite; no text re-read
+      if (want("espan_prune")) {
+        store.commit(store.stageKeyed("docs_prune",
+          docsK.filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
+          pmod(xxhash64(col("doc_id")),
+            lit(graft.store.IndexStore.Buckets.toLong)),
+          Seq(col("doc_id"))))
+        phase("espan_prune", k, 1) {
+          graft.store.IndexStore.prune(store, spark, "espan",
+            "docs_prune")
+          graft.store.IndexStore.read(store, spark, "espan").limit(0)
+        }
+      }
     }
 
     // a phase/point-filtered rerun writes a scratch file — it must never

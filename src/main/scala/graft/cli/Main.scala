@@ -557,6 +557,20 @@ object Main {
             val (dropped, leaves) = IndexStore.compact(store, spark, kind)
             println(s"[index] compacted '$kind' index: dropped $dropped " +
               s"rows over global caps, $leaves leaves now")
+          case Some("prune") =>
+            // reclaim rows whose id left the data table (a dupes
+            // --apply deliberately doesn't cascade into sibling kinds
+            // — their rows go inert, this deletes them): an id
+            // semi-join at compact cost, never a corpus re-read.
+            // --id-col names the table's id when it differs from the
+            // index's (accepted_pairs keys pair_id, phash asset_id)
+            val table = opt("table").getOrElse(sys.error(
+              "index prune needs --table <data table> — the ids to " +
+                "keep are the table's surviving rows"))
+            val (dropped, leaves) = IndexStore.prune(store, spark,
+              kind, table, opt("id-col").getOrElse(""))
+            println(s"[index] pruned '$kind' index against '$table': " +
+              s"dropped $dropped dead row(s), $leaves leaves now")
           case Some("report") =>
             // drift telemetry: distortion of the stored codes under the
             // committed models — alert + `index build` when it climbs
@@ -577,19 +591,26 @@ object Main {
             // --apply turns the report into the keep-one-witness pass:
             // non-witnesses are DELETED from the data table (--table,
             // defaulting to the kind's gate table) and the index in one
-            // atomic snapshot; re-running the report then finds nothing
+            // atomic snapshot per pass; re-running the report then
+            // finds nothing. --output with --apply writes the
+            // cumulative cross-pass pair list (the audit trail);
+            // non-convergence within --max-passes is a hard error,
+            // never a success-shaped line over a partial dedup
+            // refuse silently-ignored flags loudly, in BOTH branches:
+            // only the band (Jaccard) / vec (cosine) kinds take a
+            // dial, only the vec kind is scoped, and --max-passes is
+            // the apply loop's bound (a report has no passes)
+            require(opt("threshold").isEmpty ||
+              kind == "band" || kind == "vec",
+              s"--threshold applies to band|vec, not '$kind' " +
+                "(perceptual kinds use their Hamming radii)")
+            require(opt("scope").isEmpty || kind == "vec",
+              s"--scope applies to the vec kind (the scoped gate), " +
+                s"not '$kind' — its reports are scope-less")
+            require(opt("max-passes").isEmpty || boolFlag("apply"),
+              "--max-passes bounds the --apply pass loop; a report " +
+                "runs once")
             if (boolFlag("apply")) {
-              // refuse silently-ignored flags loudly: the apply branch
-              // writes no report (run `index dupes` WITHOUT --apply
-              // first if the pair list is the audit trail), and only
-              // the band (Jaccard) / vec (cosine) kinds take a dial
-              require(opt("output").isEmpty,
-                "index dupes --apply writes no report — run the " +
-                  "report (no --apply) first if --output is wanted")
-              require(opt("threshold").isEmpty ||
-                kind == "band" || kind == "vec",
-                s"--threshold applies to band|vec, not '$kind' " +
-                  "(perceptual kinds use their Hamming radii)")
               val table = opt("table").getOrElse(kind match {
                 case "band" =>
                   graft.streaming.StreamingCuration.AcceptedTable
@@ -605,14 +626,32 @@ object Main {
                   s"index dupes --apply: unknown kind '$other' " +
                     "(band|vec|phash|afp|vhash|pair)")
               })
-              val (losers, nPairs) = IndexStore.applyDupes(store, spark,
+              val res = IndexStore.applyDupes(store, spark,
                 kind, table,
                 opt("threshold").map(_.toDouble).getOrElse(Double.NaN),
                 // --scope lang,split: the scoped gate's columns — a
                 // cross-scope near-identical is NOT a dup (vec kind)
-                opt("scope").map(_.split(',').toSeq).getOrElse(Nil))
+                opt("scope").map(_.split(',').toSeq).getOrElse(Nil),
+                maxPasses = opt("max-passes").map(_.toInt).getOrElse(8))
+              // audit trail first — the pair list (with its pass tag)
+              // persists whether or not the loop converged
+              opt("output").foreach { out =>
+                res.pairList.write.mode("overwrite").parquet(out)
+                println(s"[index] wrote '$kind' apply audit " +
+                  s"(pair list + pass) to $out")
+              }
+              if (!res.converged) sys.error(
+                s"index dupes --apply '$kind' on '$table' did NOT " +
+                  s"converge in ${res.passes} pass(es): deleted " +
+                  s"${res.losers} id(s) over ${res.pairs} pair(s) and " +
+                  "the last pass still reported pairs — the store is " +
+                  "PARTIALLY deduped. Identical floods are " +
+                  "exact-dedup's job (`assets dedup` first); " +
+                  "otherwise raise --max-passes and re-run (the " +
+                  "apply is idempotent over what it already deleted)")
               println(s"[index] applied '$kind' dup report to '$table': " +
-                s"$nPairs pair(s), deleted $losers non-witness id(s) " +
+                s"${res.pairs} pair(s) over ${res.passes} pass(es), " +
+                s"deleted ${res.losers} non-witness id(s) " +
                 "from the index (and from the table where present)")
             } else {
             val pairs =
@@ -695,8 +734,8 @@ object Main {
                   .functions.col): _*).show(50, truncate = false)
             }
           case other =>
-            sys.error(s"usage: index build|append|search|compact|report" +
-              s"|dupes|decontaminate " +
+            sys.error(s"usage: index build|append|search|compact|prune" +
+              s"|report|dupes|decontaminate " +
               s"... (got $other)")
         }
 

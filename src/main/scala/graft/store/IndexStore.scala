@@ -475,6 +475,77 @@ object IndexStore {
     sys.error("unreachable")
   }
 
+  /** PRUNE an index against its data table: delete every index row
+    * whose id no longer exists in `dataTable` — the reclaim verb for
+    * rows a keep-one-witness apply leaves semantically INERT in
+    * sibling kinds ([[applyDupes]] deliberately does not cascade: a
+    * deleted doc's espan postings stay at rest and merely stop
+    * certifying, because the candidate-bounded text fetch no longer
+    * finds the doc — spec-pinned). One left-semi join against the
+    * table's DISTINCT ids (narrow — the id column only crosses the
+    * exchange) reclaims the bytes WITHOUT re-shingling, re-hashing,
+    * or re-encoding any payload (the `index build` rebuild
+    * alternative re-reads the whole corpus); the rewrite is the
+    * [[compact]] cost class on compact cadence, with the same
+    * optimistic retry. Read-path invariant by the inertness argument:
+    * a pruned row could never certify anything (spec pins probe-result
+    * equality before/after).
+    *
+    * `tableIdCol` names the data table's id column when it differs
+    * from the index's (a [[graft.streaming.StreamingPairs]] store
+    * keys `accepted_pairs` by pair_id while its phash index rows
+    * carry asset_id — same values, different name). Model tables
+    * (ivf centroids, pq/ivfpq codebooks) are untouched: models are
+    * id-less aggregates and stay valid over any subset of the
+    * vectors they were trained on (the same argument that lets
+    * [[append]] skip retraining). A clean index (nothing dead) is a
+    * NO-OP: no staging, no commit — a scheduled prune must not pay
+    * compact-class IO to discover there was nothing to do. Returns
+    * (rows dropped, leaves now). */
+  def prune(store: GraftStore, spark: SparkSession, kind: String,
+      dataTable: String, tableIdCol: String = "",
+      maxAttempts: Int = 3): (Long, Long) = {
+    val idxIdCol = kind match {
+      case "band" | "span" | "espan" => "doc_id"
+      case "phash" | "afp" | "vhash" => "asset_id"
+      case "vec" | "sketch" | "pq" | "ivfpq" | "ivf" => "vec_id"
+      case other => sys.error(s"unknown index kind '$other' " +
+        s"(expected one of ${Kinds.mkString("|")})")
+    }
+    val tCol = if (tableIdCol.nonEmpty) tableIdCol else idxIdCol
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val table = tableOf(kind)
+      val old = store.leavesOf(table) // the ONE snapshot resolution
+      require(old.nonEmpty,
+        s"no '$table' leaves in store ${store.root} — run `index build` first")
+      require(store.leavesOf(dataTable).nonEmpty,
+        s"no '$dataTable' leaves in store ${store.root} — pruning an " +
+          "index against an EMPTY table would delete every row; " +
+          "drop the index instead if that is intended")
+      checkFormat(store, kind)
+      val live = store.readLeaves(spark, table, old)
+      val keep = store.read(spark, dataTable)
+        .select(col(tCol).as(idxIdCol)).distinct()
+      val rows = live.join(keep, Seq(idxIdCol), "left_semi")
+        .localCheckpoint() // counted AND staged — one computation
+      val dropped = live.count() - rows.count()
+      // nothing dead → no commit: a scheduled prune that finds the
+      // index clean must not rewrite it (compact-class IO for nothing)
+      if (dropped == 0L) return (0L, old.size.toLong)
+      val adds = store.stageKeyed(table, rows, bucketOf(kind), sortOf(kind))
+      try {
+        store.commit(adds, drops = old, meta = formatMeta(kind))
+        return (dropped, adds.size.toLong)
+      } catch {
+        case _: GraftStore.StaleSnapshotException if attempt < maxAttempts =>
+        // recompute from a fresh snapshot; staged orphans are vacuum's
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Append index rows for a NEW batch — existing leaves untouched,
     * history never re-processed. For ivf the MODEL stays fixed (the
     * standard IVF ingest: new vectors land in their nearest existing
@@ -779,7 +850,10 @@ object IndexStore {
     * retained. Pass the SAME scope columns here: cross-scope pairs are
     * filtered out on null-safe struct equality (the gate's scope-key
     * recipe). Post-filtering is exact for a PAIR report — unlike a
-    * top-k, dropping a pair under-fills nothing. */
+    * top-k, dropping a pair under-fills nothing. A vec_id whose rows
+    * carry DIVERGENT scope values is refused loudly (no well-defined
+    * scope — an arbitrary pick could mis-route a scoped apply); scope
+    * attrs are constant per vec_id under every gate commit. */
   def vecDupes(store: GraftStore, spark: SparkSession,
       threshold: Double = 0.99,
       scopeCols: Seq[String] = Nil): DataFrame = {
@@ -794,7 +868,26 @@ object IndexStore {
       val attrs = idx
         .select(col("vec_id"), struct(scopeCols.map(col): _*)
           .as("scope_key"))
-        .dropDuplicates("vec_id")
+        .distinct()
+        .localCheckpoint() // divergence probe + both pair joins
+      // A vec_id carrying DIVERGENT scope values at rest has no
+      // well-defined scope: an arbitrary pick could classify a pair as
+      // same-scope and let a scoped APPLY delete a row the gate's
+      // policy retained. The gate commits scope attrs once per vec_id,
+      // so divergence means a corrupted import — refuse loudly (the
+      // index-contract stance) instead of collapsing silently.
+      val divergent = attrs.groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("variants"))
+        .filter(col("variants") > 1)
+        .select(col("vec_id")).limit(5)
+        .collect().map(_.getLong(0))
+      require(divergent.isEmpty,
+        s"vec index carries DIVERGENT (${scopeCols.mkString(",")}) " +
+          s"values for vec_id(s) ${divergent.mkString(", ")}" +
+          (if (divergent.length == 5) ", …" else "") +
+          " — scope attrs must be constant per vec_id (every gate " +
+          "commit guarantees this); rebuild the index from a " +
+          "deduplicated import before a scoped report/apply")
       pairs
         .join(attrs.select(col("vec_id").as("id_a"),
           col("scope_key").as("sk_a")), "id_a")
@@ -854,19 +947,31 @@ object IndexStore {
     * dedup` on the source table. NOT cascaded: other index kinds over
     * the same table (espan postings of deleted docs) keep their rows —
     * semantically inert, since the candidate-bounded text fetch no
-    * longer finds the deleted doc and its extents stop certifying;
-    * rebuild that index from the surviving table to reclaim the
-    * bytes. `scopeCols` (vec kind only): the scoped gate's columns —
+    * longer finds the deleted doc and its extents stop certifying
+    * (spec-pinned); [[prune]] that index against the surviving table
+    * to reclaim the bytes — an id anti-join, never a corpus re-read. `scopeCols` (vec kind only): the scoped gate's columns —
     * cross-scope near-identicals are NOT dups and are never deleted
-    * ([[vecDupes]]). Returns (non-witness ids deleted across all
-    * passes, dup pairs found across all passes); an id is removed from
+    * ([[vecDupes]]). Returns an [[ApplyDupesResult]]: cumulative
+    * deleted-id / pair totals, the pass count, the CONVERGED flag, and
+    * the cumulative pair list as the audit trail (every pair each pass
+    * reported, tagged with its 1-based `pass` — the report a user
+    * would otherwise have to run twice to keep). An id is removed from
     * the INDEX always, and from `dataTable` where present (an id the
     * index holds but the table never staged still counts — its index
-    * rows are gone). */
+    * rows are gone).
+    *
+    * NON-CONVERGENCE IS LOUD: if the pass loop exhausts `maxPasses`
+    * while the last pass was still productive, the store is left
+    * PARTIALLY deduped (each completed pass committed atomically —
+    * nothing is rolled back), `converged` comes back false, and a
+    * warning lands on stderr. A destructive operator that can exit
+    * partially-applied must say so — a caller that ignores the flag
+    * had to destructure past it. The CLI refuses to print a
+    * success-shaped message on a false flag. */
   def applyDupes(store: GraftStore, spark: SparkSession, kind: String,
       dataTable: String, threshold: Double = Double.NaN,
       scopeCols: Seq[String] = Nil,
-      maxAttempts: Int = 3, maxPasses: Int = 8): (Long, Long) = {
+      maxAttempts: Int = 3, maxPasses: Int = 8): ApplyDupesResult = {
     val idCol = kind match {
       case "band" => "doc_id"
       case "vec" => "vec_id"
@@ -884,40 +989,75 @@ object IndexStore {
     // the vec kind's COSINE floor
     val th = if (!threshold.isNaN) threshold
       else if (kind == "vec") 0.99 else 0.4
+    require(maxPasses >= 1,
+      s"applyDupes needs at least one pass (got maxPasses=$maxPasses)")
     val idxKind = if (kind == "pair") "phash" else kind
     var totalLosers = 0L
     var totalPairs = 0L
     var pass = 0
+    val audit = Seq.newBuilder[DataFrame]
     while (pass < maxPasses) {
       pass += 1
-      val (l, p) = applyDupesPass(store, spark, kind, dataTable, th,
-        scopeCols, idCol, idxKind, maxAttempts)
+      val (l, p, report) = applyDupesPass(store, spark, kind, dataTable,
+        th, scopeCols, idCol, idxKind, maxAttempts)
+      audit += report.withColumn("pass", lit(pass))
       totalLosers += l
       totalPairs += p
-      if (p == 0L) return (totalLosers, totalPairs)
+      if (p == 0L)
+        return ApplyDupesResult(totalLosers, totalPairs, pass,
+          converged = true, audit.result().reduce(_ unionByName _))
     }
-    (totalLosers, totalPairs) // maxPasses hit — pathological cap flood
+    // maxPasses exhausted with the LAST pass still reporting pairs: dup
+    // pairs remain at rest and the store is partially deduped (each
+    // completed pass committed atomically). Say so — on stderr here,
+    // in the flag for every caller, and the CLI turns it into a hard
+    // error instead of a success-shaped line.
+    Console.err.println(
+      s"[index] WARNING: apply-dupes '$kind' on '$dataTable' did NOT " +
+        s"converge in $maxPasses pass(es) — $totalLosers id(s) deleted " +
+        s"over $totalPairs pair(s) so far, and the last pass still " +
+        "reported pairs. The store is PARTIALLY deduped; identical " +
+        "floods that hold a bucket over the skew cap are exact-dedup's " +
+        "job (run `assets dedup` first), otherwise raise maxPasses.")
+    ApplyDupesResult(totalLosers, totalPairs, pass, converged = false,
+      audit.result().reduce(_ unionByName _))
   }
 
+  /** What [[applyDupes]] returns: cumulative totals, the pass count,
+    * whether the report DRAINED (a final pass saw zero pairs) or the
+    * `maxPasses` bound cut the loop while still productive, and the
+    * cumulative audit trail — every pass's full dup report (the kind's
+    * native columns: ids plus its jaccard/cosine/hamming evidence)
+    * tagged with the 1-based `pass` that found it. The frame is built
+    * from per-pass localCheckpoints, so it stays valid after the store
+    * has moved on. */
+  final case class ApplyDupesResult(losers: Long, pairs: Long,
+      passes: Int, converged: Boolean, pairList: DataFrame)
+
   /** One report → components → delete pass of [[applyDupes]]: its own
-    * atomic commit with the optimistic retry. */
+    * atomic commit with the optimistic retry. Returns the pass's
+    * (losers, pairs, full dup report — checkpointed, possibly empty). */
   private def applyDupesPass(store: GraftStore, spark: SparkSession,
       kind: String, dataTable: String, th: Double,
       scopeCols: Seq[String], idCol: String, idxKind: String,
-      maxAttempts: Int): (Long, Long) = {
+      maxAttempts: Int): (Long, Long, DataFrame) = {
     var attempt = 0
     while (true) {
       attempt += 1
       require(store.leavesOf(dataTable).nonEmpty,
         s"no '$dataTable' leaves in store ${store.root}")
-      val pairs = (kind match {
+      // checkpoint the FULL report (ids + the kind's evidence columns —
+      // all narrow): the id pair drives components + both anti-joins,
+      // the rest is the caller's audit trail at no extra scan
+      val report = (kind match {
         case "band" => bandDupes(store, spark, th)
         case "vec" => vecDupes(store, spark, th, scopeCols)
         case "pair" => pairDupes(store, spark)
         case _ => perceptualDupes(store, spark, kind)
-      }).select(col("id_a"), col("id_b")).localCheckpoint()
-      val nPairs = pairs.count()
-      if (nPairs == 0L) return (0L, 0L)
+      }).localCheckpoint()
+      val nPairs = report.count()
+      if (nPairs == 0L) return (0L, 0L, report)
+      val pairs = report.select(col("id_a"), col("id_b"))
       val losers = graft.operators.CurationOps.connectedComponents(pairs)
         .filter(col("node") =!= col("comp"))
         .select(col("node").as(idCol))
@@ -952,7 +1092,7 @@ object IndexStore {
       try {
         store.commit(dataAdds ++ idxAdds, drops = affected ++ idxLeaves,
           meta = formatMeta(idxKind))
-        return (nLosers, nPairs)
+        return (nLosers, nPairs, report)
       } catch {
         case _: GraftStore.StaleSnapshotException if attempt < maxAttempts =>
         // recompute from a fresh snapshot; staged orphans are vacuum's

@@ -315,6 +315,111 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
       "re-run report must be empty")
   }
 
+  test("index dupes --apply: non-convergence is a hard error (never a " +
+      "success-shaped line over a partial dedup), the --output audit " +
+      "trail persists either way, and silently-ignored flags are " +
+      "refused in the report branch too") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    import graft.store.{GraftStore, IndexStore}
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val root = tempDir("graft-index-cli-nonconv")
+    val storeDir = s"$root/store"
+    val docsPath = s"$root/docs.parquet"
+    val corpus = DedupOps.withNearDups(
+      (0L until 30L).map(i =>
+        (i, (0 until 60).map(j => s"nc${i}w$j").mkString(" ")))
+        .toDF("doc_id", "text")).localCheckpoint()
+    corpus.write.parquet(docsPath)
+    captured {
+      cli.Main.run(spark, Array("index", "build", "--store", storeDir,
+        "--kind", "band", "--input", docsPath))
+    }
+    // a SIBLING espan index over the same corpus: the apply below
+    // leaves its loser postings inert; `index prune` reclaims them
+    captured {
+      cli.Main.run(spark, Array("index", "build", "--store", storeDir,
+        "--kind", "espan", "--input", docsPath))
+    }
+    val store = new GraftStore(storeDir)
+    store.commit(store.stageKeyed("docs", corpus,
+      pmod(xxhash64(col("doc_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("doc_id"))))
+    // --max-passes 1 exits after a PRODUCTIVE pass (the drain pass
+    // never runs): hard error naming the condition, not success
+    val expected = IndexStore.bandDupes(store, spark).count()
+    assert(expected > 0L, "fixture must plant at-rest pairs")
+    val auditPath = s"$root/audit.parquet"
+    val err = intercept[RuntimeException] {
+      captured {
+        cli.Main.run(spark, Array("index", "dupes", "--store", storeDir,
+          "--kind", "band", "--apply", "--table", "docs",
+          "--output", auditPath, "--max-passes", "1"))
+      }
+    }
+    assert(err.getMessage.contains("did NOT converge"), err.getMessage)
+    // the audit trail was written BEFORE the error: exactly pass 1's
+    // report (== the pre-apply at-rest report), pass-tagged
+    val audit = spark.read.parquet(auditPath)
+    assert(audit.columns.contains("pass") && audit.count() == expected)
+    // pass 1's deletes stuck (each pass commits atomically): every
+    // REPORTED pair's copy is gone; a planted copy the banding didn't
+    // surface at this salt legitimately survives
+    assert(store.read(spark, "docs")
+      .filter(col("doc_id") >= 1000000L).count() == 25L - expected)
+    // the follow-up apply drains and prints the success line
+    val out = captured {
+      cli.Main.run(spark, Array("index", "dupes", "--store", storeDir,
+        "--kind", "band", "--apply", "--table", "docs"))
+    }
+    assert(out.contains("applied 'band' dup report"), out)
+    // the sibling espan index is now carrying INERT postings for every
+    // deleted copy; the prune verb reclaims exactly those rows
+    val liveIds = store.read(spark, "docs").select("doc_id")
+    def deadPostings() = IndexStore.read(store, spark, "espan")
+      .join(liveIds, Seq("doc_id"), "left_anti").count()
+    assert(deadPostings() > 0L, "apply must strand sibling postings")
+    val out2 = captured {
+      cli.Main.run(spark, Array("index", "prune", "--store", storeDir,
+        "--kind", "espan", "--table", "docs"))
+    }
+    assert(out2.contains("pruned 'espan' index against 'docs'"), out2)
+    assert(deadPostings() == 0L, "prune must reclaim every dead row")
+    // prune without --table is loud (an empty keep-set would be a
+    // whole-index delete)
+    val e0 = intercept[RuntimeException] {
+      captured {
+        cli.Main.run(spark, Array("index", "prune", "--store", storeDir,
+          "--kind", "espan"))
+      }
+    }
+    assert(e0.getMessage.contains("--table"), e0.getMessage)
+    // report-branch flag refusals mirror the apply branch: a dial on
+    // a Hamming kind, a scope on a scope-less kind, a pass bound on
+    // a single-run report — each loud, none silently ignored
+    val e1 = intercept[IllegalArgumentException] {
+      captured {
+        cli.Main.run(spark, Array("index", "dupes", "--store", storeDir,
+          "--kind", "phash", "--threshold", "0.5"))
+      }
+    }
+    assert(e1.getMessage.contains("--threshold"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      captured {
+        cli.Main.run(spark, Array("index", "dupes", "--store", storeDir,
+          "--kind", "band", "--scope", "lang"))
+      }
+    }
+    assert(e2.getMessage.contains("--scope"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      captured {
+        cli.Main.run(spark, Array("index", "dupes", "--store", storeDir,
+          "--kind", "band", "--max-passes", "2"))
+      }
+    }
+    assert(e3.getMessage.contains("--max-passes"), e3.getMessage)
+  }
+
   test("index dupes --kind band: text near-dup pairs from at-rest " +
       "signatures through the CLI — no corpus text re-read") {
     import spark.implicits._

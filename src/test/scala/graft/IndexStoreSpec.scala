@@ -628,9 +628,9 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
       s"fixture: $batch")
     assert(atRest == batch,
       s"extra=${atRest -- batch} missing=${batch -- atRest}")
-    val (losers, nPairs) = IndexStore.applyDupes(store, spark, "vec",
-      "vecs")
-    assert(losers == 5L && nPairs == 5L, s"($losers, $nPairs)")
+    val res = IndexStore.applyDupes(store, spark, "vec", "vecs")
+    assert(res.losers == 5L && res.pairs == 5L && res.converged,
+      s"$res")
     assert(store.read(spark, "vecs").select("vec_id")
       .collect().map(_.getLong(0)).toSet == (0L until 40L).toSet)
     assert(IndexStore.read(store, spark, "vec")
@@ -667,12 +667,36 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     // scoped: only the same-scope pair
     assert(key(IndexStore.vecDupes(store, spark,
       scopeCols = Seq("lang"))) == Set((1L, 3L)))
-    val (losers, nPairs) = IndexStore.applyDupes(store, spark, "vec",
+    val res = IndexStore.applyDupes(store, spark, "vec",
       "vecs", scopeCols = Seq("lang"))
-    assert(losers == 1L && nPairs == 1L, s"($losers, $nPairs)")
+    assert(res.losers == 1L && res.pairs == 1L && res.converged,
+      s"$res")
     assert(store.read(spark, "vecs").select("vec_id")
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L),
       "the cross-scope twin must survive the apply")
+  }
+
+  test("vecDupes refuses DIVERGENT scope values per vec_id loudly: " +
+      "an arbitrary pick could let a scoped apply delete a row the " +
+      "gate's policy retained") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-idx-vec-divergent"))
+    val dim = 12
+    val rnd = new scala.util.Random(31)
+    // a corrupted import: vec_id 1 indexed twice under different langs
+    val rows = Seq(
+      (1L, Seq.fill(dim)(rnd.nextGaussian().toFloat), "en"),
+      (1L, Seq.fill(dim)(rnd.nextGaussian().toFloat), "fr"),
+      (2L, Seq.fill(dim)(rnd.nextGaussian().toFloat), "en"))
+      .toDF("vec_id", "embedding", "lang")
+    IndexStore.build(store, "vec", rows)
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.vecDupes(store, spark, scopeCols = Seq("lang"))
+    }
+    assert(e.getMessage.contains("DIVERGENT") &&
+      e.getMessage.contains("1"), e.getMessage)
+    // the scope-less report over the same index stays available
+    IndexStore.vecDupes(store, spark).count()
   }
 
   test("applyDupes loops until the capped report drains: a planted " +
@@ -705,13 +729,148 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     // pass-1 visibility really is capped: only the three identical-mh
     // pairs are reportable
     assert(IndexStore.bandDupes(store, spark).count() == 3L)
-    val (losers, nPairs) = IndexStore.applyDupes(store, spark, "band",
-      "docs")
-    assert(losers == 65L, s"losers=$losers pairs=$nPairs")
+    val res = IndexStore.applyDupes(store, spark, "band", "docs")
+    assert(res.losers == 65L && res.converged, s"$res")
     assert(store.read(spark, "docs").select("doc_id")
       .collect().map(_.getLong(0)).toSet == Set(100L),
       "the loop must converge to the single witness")
     assert(IndexStore.bandDupes(store, spark).isEmpty)
+  }
+
+  test("applyDupes is LOUD about non-convergence: a maxPasses bound " +
+      "that cuts the loop while still productive returns " +
+      "converged=false with the partial totals and the pass-tagged " +
+      "audit trail; a re-run finishes the job") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-idx-band-nonconv"))
+    // the drain test's planted flood: pass 1 can only see the three
+    // identical-mh pairs behind the whole-group cap
+    def mh(id: Long, twin: Long): Seq[Long] =
+      Seq(7L, 7L, 7L, 7L) ++ (4 until 16).map(s => twin * 100L + s)
+    val ids = 100L until 166L
+    val rows = ids.map { id =>
+      val twin = if (id <= 105L) (id - 100L) / 2L else id
+      (id, 0, id, mh(id, twin), Seq(1L, 2L, 3L))
+    }.toDF("doc_id", "band", "band_key", "mh_arr", "sh_hashes")
+      .localCheckpoint()
+    store.commit(IndexStore.stageRows(store, "band", rows),
+      meta = IndexStore.formatMeta("band"))
+    store.commit(store.stageKeyed("docs",
+      ids.map(id => (id, "x")).toDF("doc_id", "text"),
+      pmod(xxhash64(col("doc_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("doc_id"))))
+    val partial = IndexStore.applyDupes(store, spark, "band", "docs",
+      maxPasses = 1)
+    // productive exit at the bound: NOT a drained fixpoint, and the
+    // result says so — the partial totals are pass 1's three pairs
+    assert(!partial.converged && partial.passes == 1, s"$partial")
+    assert(partial.losers == 3L && partial.pairs == 3L, s"$partial")
+    val audit = partial.pairList
+      .select("id_a", "id_b", "pass").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(audit == Set((100L, 101L, 1), (102L, 103L, 1),
+      (104L, 105L, 1)), s"audit=$audit")
+    // the store is honestly partial: dup pairs remain at rest
+    assert(IndexStore.bandDupes(store, spark).count() > 0,
+      "non-converged exit must leave the revealed pairs visible")
+    // the re-run is idempotent over pass 1's deletes and converges:
+    // the shrunk buckets expose the complete 63-doc graph, then drain
+    val rest = IndexStore.applyDupes(store, spark, "band", "docs")
+    assert(rest.converged && rest.losers == 62L, s"$rest")
+    assert(rest.pairList.count() == rest.pairs,
+      "the audit trail must carry every reported pair")
+    assert(store.read(spark, "docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(100L))
+  }
+
+  test("applyDupes leaves sibling espan postings SEMANTICALLY INERT, " +
+      "not live: the deleted doc's postings stay at rest, but the " +
+      "candidate-bounded certification no longer finds its text and " +
+      "no span is sourced from it; prune reclaims them with every " +
+      "probe result unchanged") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-idx-espan-inert"))
+    // loser 1000003 duplicates doc 3's text AND carries a unique
+    // 20-token tail no survivor shares
+    val base = (0L until 30L).map(doc(_, "ei"))
+    val tail = (0 until 20).map(j => s"onlyloser$j").mkString(" ")
+    val corpus = (base :+ (1000003L, s"${base(3)._2} $tail"))
+      .toDF("doc_id", "text").localCheckpoint()
+    store.commit(store.stageKeyed("docs", corpus,
+      pmod(xxhash64(col("doc_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("doc_id"))))
+    IndexStore.build(store, "band", corpus)
+    IndexStore.build(store, "espan", corpus)
+    val probe = Seq((900L, s"probe head $tail probe tail words"))
+      .toDF("doc_id", "text")
+    // fixture guard: before the apply, the unique tail certifies
+    // against the loser's text at rest
+    assert(IndexStore.searchExactSpansAtRest(store, spark, probe,
+      "docs").count() > 0, "tail must certify while the loser lives")
+    val res = IndexStore.applyDupes(store, spark, "band", "docs")
+    assert(res.converged && res.losers == 1L && res.pairs == 1L,
+      s"$res")
+    // NOT cascaded: the loser's espan postings are still at rest ...
+    assert(IndexStore.read(store, spark, "espan")
+      .filter(col("doc_id") === 1000003L).count() > 0,
+      "apply must not touch sibling index kinds")
+    // ... but inert: the hash screen still finds candidates, the
+    // candidate-bounded text fetch finds no doc, nothing certifies
+    assert(IndexStore.searchExactSpansAtRest(store, spark, probe,
+      "docs").isEmpty,
+      "a deleted doc's postings must stop certifying spans")
+    // contrast: text the WITNESS shares still certifies via doc 3
+    val shared = base(3)._2.split(" ").slice(5, 25).mkString(" ")
+    val probe2 = Seq((901L, s"fresh head $shared fresh tail"))
+      .toDF("doc_id", "text")
+    def sharedHits() = IndexStore.searchExactSpansAtRest(store, spark,
+      probe2, "docs").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"))).toSet
+    val before = sharedHits()
+    assert(before.nonEmpty, "surviving docs must keep certifying")
+    // PRUNE reclaims the inert rows: the deleted doc's postings leave
+    // the index, the witness's stay, and probe results are UNCHANGED
+    // (the read-path-invariance the inertness argument promises)
+    val (pruned, leaves) = IndexStore.prune(store, spark, "espan",
+      "docs")
+    assert(pruned > 0L && leaves > 0L, s"($pruned, $leaves)")
+    assert(IndexStore.read(store, spark, "espan")
+      .filter(col("doc_id") === 1000003L).count() == 0,
+      "prune must reclaim the dead doc's postings")
+    assert(IndexStore.searchExactSpansAtRest(store, spark, probe,
+      "docs").isEmpty, "the unique tail stays uncertified after prune")
+    assert(sharedHits() == before,
+      "prune must not change any probe result")
+    // idempotent: a second prune finds nothing dead
+    assert(IndexStore.prune(store, spark, "espan", "docs")._1 == 0L)
+  }
+
+  test("prune with tableIdCol: index ids semi-join a table keyed " +
+      "under a DIFFERENT id column (the pairs-store shape), and the " +
+      "unmapped default fails loudly instead of guessing") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-idx-prune-idcol"))
+    val rnd = new scala.util.Random(37)
+    val vecs = (0L until 20L).map(i =>
+      (i, Seq.fill(12)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    IndexStore.build(store, "vec", vecs)
+    // the keep table is keyed item_id and holds only the even ids
+    store.commit(store.stageKeyed("items",
+      (0L until 20L by 2).map(i => (i, "x")).toDF("item_id", "meta"),
+      pmod(xxhash64(col("item_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("item_id"))))
+    val (dropped, leaves) = IndexStore.prune(store, spark, "vec",
+      "items", tableIdCol = "item_id")
+    assert(dropped > 0L && leaves > 0L, s"($dropped, $leaves)")
+    assert(IndexStore.read(store, spark, "vec").select("vec_id")
+      .collect().map(_.getLong(0)).toSet ==
+      (0L until 20L by 2).toSet)
+    // without the override the table has no vec_id — loud, not a guess
+    intercept[Exception] {
+      IndexStore.prune(store, spark, "vec", "items")
+    }
   }
 
   test("bandDupes: the at-rest TEXT dup report equals the batch " +
@@ -750,11 +909,11 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
       Seq(col("doc_id"))))
     IndexStore.build(store, "band", corpus)
     val snapsBefore = store.snapshots().size
-    val (losers, nPairs) = IndexStore.applyDupes(store, spark, "band",
-      "docs")
+    val res = IndexStore.applyDupes(store, spark, "band", "docs")
     // 25 isolated (i, i+1000000) near-copy pairs: min-id witness keeps
     // the original, the copy deletes
-    assert(nPairs == 25L && losers == 25L, s"($losers, $nPairs)")
+    assert(res.pairs == 25L && res.losers == 25L && res.converged,
+      s"$res")
     assert(store.snapshots().size == snapsBefore + 1,
       "apply must be ONE atomic commit")
     val ids = store.read(spark, "docs")
@@ -767,8 +926,9 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(IndexStore.bandDupes(store, spark).isEmpty,
       "the re-run report must find nothing")
     // idempotent: a second apply is a no-op (no pairs, no commit)
-    assert(IndexStore.applyDupes(store, spark, "band", "docs")
-      == (0L, 0L))
+    val again = IndexStore.applyDupes(store, spark, "band", "docs")
+    assert(again.losers == 0L && again.pairs == 0L && again.converged
+      && again.passes == 1 && again.pairList.isEmpty, s"$again")
     assert(store.snapshots().size == snapsBefore + 1)
   }
 
