@@ -309,7 +309,12 @@ object Scale {
             lit(graft.store.IndexStore.Buckets.toLong)),
           Seq(col("doc_id"))))
         phase("band_apply", k, 1) {
-          graft.store.IndexStore.applyDupes(store, spark, "band", "docs")
+          val res = graft.store.IndexStore.applyDupes(store, spark,
+            "band", "docs")
+          // a non-converged (truncated) apply is a DIFFERENT workload —
+          // it must never land as a normal linear-claim data point
+          require(res.converged,
+            s"band_apply did not converge at k=$k: $res")
           graft.store.IndexStore.read(store, spark, "band").limit(0)
         }
       }
@@ -533,11 +538,19 @@ object Scale {
       // semi-join (only the narrow id column crosses the exchange on
       // the keep side) + the compact-class rewrite; no text re-read
       if (want("espan_prune")) {
+        // a filtered rerun without espan_build would prune an ALREADY
+        // pruned store from the previous sweep — a ~0-cost no-op that
+        // would land looking like real linear-claim evidence. Rebuild
+        // untimed (the lifecycleOnly discipline), and REPLACE any
+        // previous docs_prune leaves rather than accreting keep-sets
+        if (!want("espan_build"))
+          graft.store.IndexStore.build(store, "espan", docsK)
         store.commit(store.stageKeyed("docs_prune",
           docsK.filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
           pmod(xxhash64(col("doc_id")),
             lit(graft.store.IndexStore.Buckets.toLong)),
-          Seq(col("doc_id"))))
+          Seq(col("doc_id"))),
+          drops = store.leavesOf("docs_prune"))
         phase("espan_prune", k, 1) {
           graft.store.IndexStore.prune(store, spark, "espan",
             "docs_prune")

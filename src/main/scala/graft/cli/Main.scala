@@ -610,6 +610,9 @@ object Main {
             require(opt("max-passes").isEmpty || boolFlag("apply"),
               "--max-passes bounds the --apply pass loop; a report " +
                 "runs once")
+            require(opt("table").isEmpty || boolFlag("apply"),
+              "--table names the data table --apply deletes from; a " +
+                "report reads index rows only")
             if (boolFlag("apply")) {
               val table = opt("table").getOrElse(kind match {
                 case "band" =>

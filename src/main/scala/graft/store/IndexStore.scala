@@ -140,6 +140,22 @@ object IndexStore {
     Map(formatKey(kind) -> HashFormat,
       schemaKey(kind) -> SchemaVersion.toString)
 
+  /** Meta for a commit that FILTERS a kind's rows without rewriting
+    * them into the engine's newest table schema ([[prune]], the
+    * apply's index anti-join): echo the store's CURRENT schema stamp
+    * (default 1 — the pre-versioning floor [[checkSchemaVersion]]
+    * assumes) instead of re-stamping [[SchemaVersion]]. An upgrade
+    * stamp from a row filter would launder a legacy store past the
+    * versioned probe refusals: a pre-v3 afp index pruned and
+    * re-stamped v3 would pass the chunk-aware probe's gate and die
+    * mid-plan on the missing chunk columns — the exact opaque failure
+    * the stamp exists to prevent. */
+  private def preservingMeta(store: GraftStore, kind: String)
+      : Map[String, String] =
+    Map(formatKey(kind) -> HashFormat,
+      schemaKey(kind) -> store.currentMeta()
+        .get(store.metaKey(schemaKey(kind))).getOrElse("1"))
+
   /** Reject a `kind` whose at-rest table schema predates `need` before
     * a reader joins columns that would not exist — loud and versioned,
     * not an AnalysisException from the middle of a plan. */
@@ -528,15 +544,21 @@ object IndexStore {
       val live = store.readLeaves(spark, table, old)
       val keep = store.read(spark, dataTable)
         .select(col(tCol).as(idxIdCol)).distinct()
-      val rows = live.join(keep, Seq(idxIdCol), "left_semi")
-        .localCheckpoint() // counted AND staged — one computation
-      val dropped = live.count() - rows.count()
-      // nothing dead → no commit: a scheduled prune that finds the
-      // index clean must not rewrite it (compact-class IO for nothing)
+      // dead-probe FIRST, on the id column alone: the steady-state
+      // scheduled prune finds a clean index, and must discover that
+      // from one narrow scan — not by materializing the whole kept
+      // index (checkpoint + stage) to learn there was nothing to do
+      val dropped = live.select(col(idxIdCol))
+        .join(keep, Seq(idxIdCol), "left_anti").count()
       if (dropped == 0L) return (0L, old.size.toLong)
+      val rows = live.join(keep, Seq(idxIdCol), "left_semi")
+        .localCheckpoint() // staged below; count forces materialization
+      rows.count()
       val adds = store.stageKeyed(table, rows, bucketOf(kind), sortOf(kind))
       try {
-        store.commit(adds, drops = old, meta = formatMeta(kind))
+        // preservingMeta, NOT formatMeta: a filter-only rewrite must
+        // not upgrade the schema stamp of rows it never transformed
+        store.commit(adds, drops = old, meta = preservingMeta(store, kind))
         return (dropped, adds.size.toLong)
       } catch {
         case _: GraftStore.StaleSnapshotException if attempt < maxAttempts =>
@@ -876,15 +898,17 @@ object IndexStore {
       // policy retained. The gate commits scope attrs once per vec_id,
       // so divergence means a corrupted import — refuse loudly (the
       // index-contract stance) instead of collapsing silently.
+      // limit 6, show 5: the extra row is only there to know whether
+      // the sample is truncated (exactly-5 must not print "…")
       val divergent = attrs.groupBy(col("vec_id"))
         .agg(count(lit(1)).as("variants"))
         .filter(col("variants") > 1)
-        .select(col("vec_id")).limit(5)
+        .select(col("vec_id")).limit(6)
         .collect().map(_.getLong(0))
       require(divergent.isEmpty,
         s"vec index carries DIVERGENT (${scopeCols.mkString(",")}) " +
-          s"values for vec_id(s) ${divergent.mkString(", ")}" +
-          (if (divergent.length == 5) ", …" else "") +
+          s"values for vec_id(s) ${divergent.take(5).mkString(", ")}" +
+          (if (divergent.length == 6) ", …" else "") +
           " — scope attrs must be constant per vec_id (every gate " +
           "commit guarantees this); rebuild the index from a " +
           "deduplicated import before a scoped report/apply")
@@ -1090,8 +1114,10 @@ object IndexStore {
             Seq(idxIdCol), "left_anti"),
         bucketOf(idxKind), sortOf(idxKind))
       try {
+        // preservingMeta: the apply anti-joins index rows out, it does
+        // not rewrite them into the newest table schema — no upgrade
         store.commit(dataAdds ++ idxAdds, drops = affected ++ idxLeaves,
-          meta = formatMeta(idxKind))
+          meta = preservingMeta(store, idxKind))
         return (nLosers, nPairs, report)
       } catch {
         case _: GraftStore.StaleSnapshotException if attempt < maxAttempts =>

@@ -418,6 +418,13 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
       }
     }
     assert(e3.getMessage.contains("--max-passes"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      captured {
+        cli.Main.run(spark, Array("index", "dupes", "--store", storeDir,
+          "--kind", "band", "--table", "docs"))
+      }
+    }
+    assert(e4.getMessage.contains("--table"), e4.getMessage)
   }
 
   test("index dupes --kind band: text near-dup pairs from at-rest " +

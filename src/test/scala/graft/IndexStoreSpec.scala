@@ -846,6 +846,31 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(IndexStore.prune(store, spark, "espan", "docs")._1 == 0L)
   }
 
+  test("prune and applyDupes PRESERVE the at-rest schema stamp: a " +
+      "filter-only rewrite must not launder a legacy store past the " +
+      "versioned probe refusals") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-idx-prune-stamp"))
+    val corpus = (0L until 10L).map(doc(_, "st")).toDF("doc_id", "text")
+    store.commit(store.stageKeyed("docs",
+      corpus.filter(col("doc_id") < 5L),
+      pmod(xxhash64(col("doc_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("doc_id"))))
+    IndexStore.build(store, "espan", corpus)
+    val key = store.metaKey("index_schema_version.espan")
+    assert(store.currentMeta().get(key)
+      .contains(IndexStore.SchemaVersion.toString))
+    // simulate a legacy store: downgrade the stamp post-build
+    store.commit(Seq(), meta = Map("index_schema_version.espan" -> "2"))
+    assert(store.currentMeta().get(key).contains("2"))
+    // prune filters rows, it upgrades nothing — the stamp must echo
+    val (dropped, _) = IndexStore.prune(store, spark, "espan", "docs")
+    assert(dropped > 0L, "fixture: docs 5-9 postings must be dead")
+    assert(store.currentMeta().get(key).contains("2"),
+      "prune re-stamped the schema version — versioned refusals " +
+        "downstream would now pass a legacy store")
+  }
+
   test("prune with tableIdCol: index ids semi-join a table keyed " +
       "under a DIFFERENT id column (the pairs-store shape), and the " +
       "unmapped default fails loudly instead of guessing") {
