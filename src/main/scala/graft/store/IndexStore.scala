@@ -479,7 +479,12 @@ object IndexStore {
       val dropped = live.count() - rows.count()
       val adds = store.stageKeyed(table, rows, bucketOf(kind), sortOf(kind))
       try {
-        store.commit(adds, drops = old, meta = formatMeta(kind))
+        // preservingMeta: compaction collapses/caps rows, it does not
+        // rewrite them into the newest table schema — re-stamping a
+        // legacy store (e.g. a pre-sq/cq pq codebook) would launder it
+        // past the versioned refusals downstream
+        store.commit(adds, drops = old,
+          meta = preservingMeta(store, kind))
         return (dropped, adds.size.toLong)
       } catch {
         case _: GraftStore.StaleSnapshotException if attempt < maxAttempts =>
@@ -578,6 +583,15 @@ object IndexStore {
     // append into an empty table acts as the first build and stamps
     val existing = store.leavesOf(tableOf(kind)).nonEmpty
     if (existing) checkFormat(store, kind)
+    // appending CURRENT-shape rows into an older-shape table would mix
+    // row shapes in one table (a v2 afp table has no chunk columns;
+    // the chunk-aware rows below do) — refuse loudly before any work;
+    // `index build` is the rewrite. Kinds whose row shape never
+    // changed across schema versions append fine and keep their stamp
+    // (see the preservingMeta commit below).
+    if (kind == "afp" && existing)
+      checkSchemaVersion(store, "afp", 3,
+        "appending chunk-aware afp rows into an existing table")
     // ingest-side dimension guards (the probe-side guards' twin): a
     // wrong-dimension append would assign cells / sketch bits from
     // truncated-prefix folds and COMMIT the garbage permanently. The
@@ -624,7 +638,11 @@ object IndexStore {
     }
     val adds = store.stageKeyed(tableOf(kind), rows, bucketOf(kind),
       sortOf(kind))
-    store.commit(adds, meta = formatMeta(kind))
+    // first write stamps the engine's version; an append into an
+    // EXISTING table echoes the store's stamp — only `index build`
+    // (the full rewrite) may upgrade it
+    store.commit(adds, meta =
+      if (existing) preservingMeta(store, kind) else formatMeta(kind))
     adds.size.toLong
   }
 

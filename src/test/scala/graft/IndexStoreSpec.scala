@@ -869,6 +869,40 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(store.currentMeta().get(key).contains("2"),
       "prune re-stamped the schema version — versioned refusals " +
         "downstream would now pass a legacy store")
+    // compact and append-into-existing are filter/echo commits too
+    IndexStore.compact(store, spark, "espan")
+    assert(store.currentMeta().get(key).contains("2"),
+      "compact re-stamped the schema version")
+    IndexStore.append(store, "espan",
+      Seq((50L, doc(50L, "st")._2)).toDF("doc_id", "text"))
+    assert(store.currentMeta().get(key).contains("2"),
+      "append into an existing table re-stamped the schema version")
+    // only the full rewrite may upgrade
+    IndexStore.build(store, "espan", corpus)
+    assert(store.currentMeta().get(key)
+      .contains(IndexStore.SchemaVersion.toString),
+      "index build must re-stamp the engine's version")
+  }
+
+  test("append refuses an afp table whose stamped shape predates the " +
+      "chunk-aware rows: mixing row shapes in one table is never an " +
+      "option, index build is") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-idx-afp-append-guard"))
+    import graft.operators.AudioDedupOps
+    val fps = Seq((1L, 0, 1, 12345L))
+      .toDF("asset_id", "chunk_idx", "n_chunks", "afp")
+    store.commit(
+      IndexStore.stageRows(store, "afp", AudioDedupOps.afpBandRows(fps)),
+      meta = IndexStore.formatMeta("afp"))
+    // simulate a legacy (pre-chunk) afp store
+    store.commit(Seq(), meta = Map("index_schema_version.afp" -> "2"))
+    val e = intercept[RuntimeException] {
+      IndexStore.append(store, "afp",
+        Seq((2L, Array.emptyByteArray)).toDF("asset_id", "payload"))
+    }
+    assert(e.getMessage.contains("v2") && e.getMessage.contains("v3"),
+      e.getMessage)
   }
 
   test("prune with tableIdCol: index ids semi-join a table keyed " +
