@@ -214,6 +214,7 @@ object Scale {
       val lifecycleOnly = !want("band_build") &&
         (want("band_append") || want("band_compact") ||
           want("band_dupes") || want("band_apply") ||
+          want("band_apply_dry") ||
           want("stream_curate") || want("curate_replay"))
       val rebuild = want("band_build") || want("ivf_build") || lifecycleOnly
       val sp = java.nio.file.Paths.get(storeRoot)
@@ -303,12 +304,24 @@ object Scale {
       // Claim: the band_dupes curve + connected components (driver-
       // looped narrow joins, converges in 1-2 rounds on pair-shaped
       // clusters) + a compact-class rewrite — linear, flat task memory
-      if (want("band_apply")) {
+      if (want("band_apply") || want("band_apply_dry")) {
         store.commit(store.stageKeyed("docs", docsK,
           pmod(xxhash64(col("doc_id")),
             lit(graft.store.IndexStore.Buckets.toLong)),
           Seq(col("doc_id"))))
-        phase("band_apply", k, 1) {
+        // DRY-RUN sizing pass first (round 19): the simulation must
+        // see the un-deduped store, and it must not mutate it — so it
+        // composes with band_apply in one sweep. Claim: the
+        // band_apply curve MINUS the compact-class rewrite term (same
+        // report + components cost, zero bytes staged or committed)
+        if (want("band_apply_dry")) phase("band_apply_dry", k, 1) {
+          val res = graft.store.IndexStore.applyDupes(store, spark,
+            "band", "docs", dryRun = true)
+          require(res.converged,
+            s"band_apply_dry did not converge at k=$k: $res")
+          graft.store.IndexStore.read(store, spark, "band").limit(0)
+        }
+        if (want("band_apply")) phase("band_apply", k, 1) {
           val res = graft.store.IndexStore.applyDupes(store, spark,
             "band", "docs")
           // a non-converged (truncated) apply is a DIFFERENT workload —

@@ -595,7 +595,10 @@ object Main {
             // finds nothing. --output with --apply writes the
             // cumulative cross-pass pair list (the audit trail);
             // non-convergence within --max-passes is a hard error,
-            // never a success-shaped line over a partial dedup
+            // never a success-shaped line over a partial dedup.
+            // --apply --dry-run simulates the same pass loop (pass N
+            // excludes the simulated losers) and commits nothing —
+            // per-pass pair/loser counts size the destructive pass
             // refuse silently-ignored flags loudly, in BOTH branches:
             // only the band (Jaccard) / vec (cosine) kinds take a
             // dial, only the vec kind is scoped, and --max-passes is
@@ -613,7 +616,16 @@ object Main {
             require(opt("table").isEmpty || boolFlag("apply"),
               "--table names the data table --apply deletes from; a " +
                 "report reads index rows only")
+            require(!boolFlag("dry-run") || boolFlag("apply"),
+              "--dry-run simulates the --apply pass loop; a report " +
+                "is already non-destructive")
             if (boolFlag("apply")) {
+              // --dry-run: size the destructive pass before running it.
+              // The report alone shows pass-1 pairs only (cap floods
+              // hide later-pass pairs by construction); the simulation
+              // runs the full fixpoint loop — pass N reads the index
+              // minus the simulated losers — and commits NOTHING.
+              val dry = boolFlag("dry-run")
               val table = opt("table").getOrElse(kind match {
                 case "band" =>
                   graft.streaming.StreamingCuration.AcceptedTable
@@ -635,14 +647,37 @@ object Main {
                 // --scope lang,split: the scoped gate's columns — a
                 // cross-scope near-identical is NOT a dup (vec kind)
                 opt("scope").map(_.split(',').toSeq).getOrElse(Nil),
-                maxPasses = opt("max-passes").map(_.toInt).getOrElse(8))
+                maxPasses = opt("max-passes").map(_.toInt).getOrElse(8),
+                dryRun = dry)
               // audit trail first — the pair list (with its pass tag)
               // persists whether or not the loop converged
               opt("output").foreach { out =>
                 res.pairList.write.mode("overwrite").parquet(out)
-                println(s"[index] wrote '$kind' apply audit " +
-                  s"(pair list + pass) to $out")
+                println(s"[index] wrote '$kind' " +
+                  (if (dry) "dry-run " else "") +
+                  s"apply audit (pair list + pass) to $out")
               }
+              if (dry) {
+                res.passStats.foreach(s =>
+                  println(s"[index]   pass ${s.pass}: ${s.pairs} " +
+                    s"pair(s), ${s.losers} loser(s)"))
+                // non-convergence here is a successful PREDICTION, not
+                // a partial apply — nothing was committed, so no error
+                if (res.converged)
+                  println(s"[index] DRY RUN '$kind' on '$table': would " +
+                    s"delete ${res.losers} non-witness id(s) over " +
+                    s"${res.pairs} pair(s) in ${res.passes} pass(es); " +
+                    "nothing committed")
+                else
+                  println(s"[index] DRY RUN '$kind' on '$table': " +
+                    s"fixpoint NOT reached within ${res.passes} " +
+                    s"pass(es) — ${res.losers} id(s) over ${res.pairs} " +
+                    "pair(s) so far and the last pass still reported " +
+                    "pairs; nothing committed. A real apply with these " +
+                    "settings would exit PARTIALLY deduped — raise " +
+                    "--max-passes, or run `assets dedup` first for " +
+                    "identical floods")
+              } else {
               if (!res.converged) sys.error(
                 s"index dupes --apply '$kind' on '$table' did NOT " +
                   s"converge in ${res.passes} pass(es): deleted " +
@@ -655,7 +690,7 @@ object Main {
               println(s"[index] applied '$kind' dup report to '$table': " +
                 s"${res.pairs} pair(s) over ${res.passes} pass(es), " +
                 s"deleted ${res.losers} non-witness id(s) " +
-                "from the index (and from the table where present)")
+                "from the index (and from the table where present)") }
             } else {
             val pairs =
               if (Set("phash", "afp", "vhash").contains(kind))

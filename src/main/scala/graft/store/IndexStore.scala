@@ -807,19 +807,37 @@ object IndexStore {
     * the ASSET, and a long asset's minority units could vanish at
     * rest. Kinds: phash | afp | vhash. */
   def perceptualDupes(store: GraftStore, spark: SparkSession,
-      kind: String): DataFrame = kind match {
+      kind: String): DataFrame =
+    perceptualDupesOn(store, spark, kind, None)
+
+  /** Anti-join an index read against an optional loser-id frame — how
+    * a DRY-RUN apply pass sees the index AS IF earlier simulated
+    * passes had committed: the real apply's index-side effect is
+    * exactly this `left_anti` on ids, so excluding the cumulative
+    * simulated losers reproduces the committed state each real pass
+    * would read. `None` (every ordinary report) is the identity. */
+  private def minusIds(idx: DataFrame, idCol: String,
+      exclude: Option[DataFrame]): DataFrame =
+    exclude.fold(idx)(e =>
+      idx.join(e.select(col(idCol)), Seq(idCol), "left_anti"))
+
+  private def perceptualDupesOn(store: GraftStore, spark: SparkSession,
+      kind: String, exclude: Option[DataFrame]): DataFrame = kind match {
     case "phash" =>
-      ImageDedupOps.phashNearDupPairs(read(store, spark, "phash")
-        .select(col("asset_id"), col("phash")).distinct())
+      ImageDedupOps.phashNearDupPairs(
+        minusIds(read(store, spark, "phash"), "asset_id", exclude)
+          .select(col("asset_id"), col("phash")).distinct())
     case "afp" =>
       checkSchemaVersion(store, "afp", 3, "the chunk-aware dup report")
-      AudioDedupOps.afpNearDupPairs(read(store, spark, "afp")
-        .select(col("asset_id"), col("chunk_idx"), col("n_chunks"),
-          col("afp")).distinct())
+      AudioDedupOps.afpNearDupPairs(
+        minusIds(read(store, spark, "afp"), "asset_id", exclude)
+          .select(col("asset_id"), col("chunk_idx"), col("n_chunks"),
+            col("afp")).distinct())
     case "vhash" =>
-      VideoDedupOps.assetNearDupPairs(read(store, spark, "vhash")
-        .select(col("asset_id"), col("frame_idx"), col("n_frames"),
-          col("phash")).distinct())
+      VideoDedupOps.assetNearDupPairs(
+        minusIds(read(store, spark, "vhash"), "asset_id", exclude)
+          .select(col("asset_id"), col("frame_idx"), col("n_frames"),
+            col("phash")).distinct())
     case other => sys.error(
       s"perceptual dupes need stored fingerprints (phash|afp|vhash), " +
         s"not '$other'")
@@ -840,7 +858,12 @@ object IndexStore {
     * flood residual. */
   def bandDupes(store: GraftStore, spark: SparkSession,
       threshold: Double = 0.4): DataFrame =
-    DedupOps.pairsFromBandIndexRows(read(store, spark, "band"), threshold)
+    bandDupesOn(store, spark, threshold, None)
+
+  private def bandDupesOn(store: GraftStore, spark: SparkSession,
+      threshold: Double, exclude: Option[DataFrame]): DataFrame =
+    DedupOps.pairsFromBandIndexRows(
+      minusIds(read(store, spark, "band"), "doc_id", exclude), threshold)
 
   /** Table the pair gate ([[graft.streaming.StreamingPairs]]) commits
     * accepted (pair_id, payload, caption) samples to — the constant
@@ -859,9 +882,20 @@ object IndexStore {
     * particular an accepted image-dup-different-caption pair is NOT
     * reported. */
   def pairDupes(store: GraftStore, spark: SparkSession): DataFrame =
+    pairDupesOn(store, spark, None)
+
+  /** `exclude` holds pair_ids (the kind's id); phash index rows key
+    * asset_id = pair_id for a pairs store. The captions side needs no
+    * exclusion: a candidate pair can only reference surviving ids
+    * (its phash rows survived the anti-join), so fetching an excluded
+    * id's caption can never happen. */
+  private def pairDupesOn(store: GraftStore, spark: SparkSession,
+      exclude: Option[DataFrame]): DataFrame =
     graft.operators.PairedDedupOps.captionVerify(
-      ImageDedupOps.phashNearDupPairs(read(store, spark, "phash")
-        .select(col("asset_id"), col("phash")).distinct()),
+      ImageDedupOps.phashNearDupPairs(
+        minusIds(read(store, spark, "phash"), "asset_id",
+          exclude.map(_.select(col("pair_id").as("asset_id"))))
+          .select(col("asset_id"), col("phash")).distinct()),
       store.read(spark, AcceptedPairsTable)
         .select(col("pair_id"), col("caption")))
 
@@ -896,8 +930,13 @@ object IndexStore {
     * attrs are constant per vec_id under every gate commit. */
   def vecDupes(store: GraftStore, spark: SparkSession,
       threshold: Double = 0.99,
-      scopeCols: Seq[String] = Nil): DataFrame = {
-    val idx = read(store, spark, "vec")
+      scopeCols: Seq[String] = Nil): DataFrame =
+    vecDupesOn(store, spark, threshold, scopeCols, None)
+
+  private def vecDupesOn(store: GraftStore, spark: SparkSession,
+      threshold: Double, scopeCols: Seq[String],
+      exclude: Option[DataFrame]): DataFrame = {
+    val idx = minusIds(read(store, spark, "vec"), "vec_id", exclude)
     scopeCols.foreach(c => require(idx.columns.contains(c),
       s"scope column '$c' is not carried by the vec index " +
         s"(has: ${idx.columns.mkString(", ")})"))
@@ -1009,11 +1048,26 @@ object IndexStore {
     * warning lands on stderr. A destructive operator that can exit
     * partially-applied must say so — a caller that ignores the flag
     * had to destructure past it. The CLI refuses to print a
-    * success-shaped message on a false flag. */
+    * success-shaped message on a false flag.
+    *
+    * `dryRun = true` SIMULATES the full pass loop without committing
+    * anything — the sizing step before a destructive pass (the report
+    * alone shows pass-1 pairs only; cap floods hide later-pass pairs
+    * by construction). It is not "run the report N times": pass N's
+    * report reads the index MINUS the cumulative simulated losers —
+    * exactly the anti-join a real pass N would have committed — so
+    * skew-capped buckets shrink and reveal their hidden pairs just as
+    * they would under real deletes. Totals, pass count, `converged`,
+    * the audit trail, and `passStats` all come back identical to what
+    * a real apply over the same snapshot would produce (spec-pinned
+    * on the planted cap flood), while `leavesOf` before == after. The
+    * data-side staging, commit, and optimistic retry are skipped
+    * (nothing can go stale when nothing writes). */
   def applyDupes(store: GraftStore, spark: SparkSession, kind: String,
       dataTable: String, threshold: Double = Double.NaN,
       scopeCols: Seq[String] = Nil,
-      maxAttempts: Int = 3, maxPasses: Int = 8): ApplyDupesResult = {
+      maxAttempts: Int = 3, maxPasses: Int = 8,
+      dryRun: Boolean = false): ApplyDupesResult = {
     val idCol = kind match {
       case "band" => "doc_id"
       case "vec" => "vec_id"
@@ -1038,16 +1092,26 @@ object IndexStore {
     var totalPairs = 0L
     var pass = 0
     val audit = Seq.newBuilder[DataFrame]
+    val stats = Seq.newBuilder[ApplyPassStat]
+    // dry-run state: the cumulative simulated losers. A real pass
+    // reads committed state, so `exclude` stays None there.
+    var simulated: Option[DataFrame] = None
     while (pass < maxPasses) {
       pass += 1
-      val (l, p, report) = applyDupesPass(store, spark, kind, dataTable,
-        th, scopeCols, idCol, idxKind, maxAttempts)
-      audit += report.withColumn("pass", lit(pass))
-      totalLosers += l
-      totalPairs += p
-      if (p == 0L)
+      val out = applyDupesPass(store, spark, kind, dataTable,
+        th, scopeCols, idCol, idxKind, maxAttempts,
+        exclude = simulated, dryRun = dryRun)
+      audit += out.report.withColumn("pass", lit(pass))
+      stats += ApplyPassStat(pass, out.pairs, out.losers)
+      totalLosers += out.losers
+      totalPairs += out.pairs
+      if (dryRun && out.losers > 0L)
+        simulated = Some(simulated
+          .fold(out.loserIds)(_ unionByName out.loserIds))
+      if (out.pairs == 0L)
         return ApplyDupesResult(totalLosers, totalPairs, pass,
-          converged = true, audit.result().reduce(_ unionByName _))
+          converged = true, audit.result().reduce(_ unionByName _),
+          stats.result())
     }
     // maxPasses exhausted with the LAST pass still reporting pairs: dup
     // pairs remain at rest and the store is partially deduped (each
@@ -1055,34 +1119,59 @@ object IndexStore {
     // in the flag for every caller, and the CLI turns it into a hard
     // error instead of a success-shaped line.
     Console.err.println(
-      s"[index] WARNING: apply-dupes '$kind' on '$dataTable' did NOT " +
-        s"converge in $maxPasses pass(es) — $totalLosers id(s) deleted " +
-        s"over $totalPairs pair(s) so far, and the last pass still " +
-        "reported pairs. The store is PARTIALLY deduped; identical " +
-        "floods that hold a bucket over the skew cap are exact-dedup's " +
-        "job (run `assets dedup` first), otherwise raise maxPasses.")
+      if (dryRun)
+        s"[index] WARNING: apply-dupes DRY RUN '$kind' on '$dataTable' " +
+          s"did NOT converge in $maxPasses simulated pass(es) — " +
+          s"$totalLosers id(s) over $totalPairs pair(s) so far and the " +
+          "last pass still reported pairs. Nothing was committed; a " +
+          "real apply with these settings would exit PARTIALLY deduped."
+      else
+        s"[index] WARNING: apply-dupes '$kind' on '$dataTable' did NOT " +
+          s"converge in $maxPasses pass(es) — $totalLosers id(s) deleted " +
+          s"over $totalPairs pair(s) so far, and the last pass still " +
+          "reported pairs. The store is PARTIALLY deduped; identical " +
+          "floods that hold a bucket over the skew cap are exact-dedup's " +
+          "job (run `assets dedup` first), otherwise raise maxPasses.")
     ApplyDupesResult(totalLosers, totalPairs, pass, converged = false,
-      audit.result().reduce(_ unionByName _))
+      audit.result().reduce(_ unionByName _), stats.result())
   }
+
+  /** One pass-loop line of [[ApplyDupesResult.passStats]]: what pass
+    * `pass` (1-based) reported and deleted (or, dry-run, would have
+    * deleted). The per-pass anatomy matters because a capped report
+    * reveals pairs incrementally — pass 1's counts alone undersize a
+    * flood by construction. */
+  final case class ApplyPassStat(pass: Int, pairs: Long, losers: Long)
 
   /** What [[applyDupes]] returns: cumulative totals, the pass count,
     * whether the report DRAINED (a final pass saw zero pairs) or the
-    * `maxPasses` bound cut the loop while still productive, and the
+    * `maxPasses` bound cut the loop while still productive, the
     * cumulative audit trail — every pass's full dup report (the kind's
     * native columns: ids plus its jaccard/cosine/hamming evidence)
-    * tagged with the 1-based `pass` that found it. The frame is built
-    * from per-pass localCheckpoints, so it stays valid after the store
-    * has moved on. */
+    * tagged with the 1-based `pass` that found it — and the per-pass
+    * (pairs, losers) counts. The audit frame is built from per-pass
+    * localCheckpoints, so it stays valid after the store has moved
+    * on. */
   final case class ApplyDupesResult(losers: Long, pairs: Long,
-      passes: Int, converged: Boolean, pairList: DataFrame)
+      passes: Int, converged: Boolean, pairList: DataFrame,
+      passStats: Seq[ApplyPassStat])
+
+  /** What one pass returns: its counts, the checkpointed full report
+    * (possibly empty), and the checkpointed loser-id frame (the
+    * dry-run loop feeds it back as the next pass's exclusion). */
+  private final case class PassOutcome(losers: Long, pairs: Long,
+      report: DataFrame, loserIds: DataFrame)
 
   /** One report → components → delete pass of [[applyDupes]]: its own
-    * atomic commit with the optimistic retry. Returns the pass's
-    * (losers, pairs, full dup report — checkpointed, possibly empty). */
+    * atomic commit with the optimistic retry. `exclude` (dry-run only)
+    * is the cumulative simulated-loser frame the report must not see;
+    * `dryRun` stops the pass after the components step — report and
+    * losers are computed, nothing is staged or committed. */
   private def applyDupesPass(store: GraftStore, spark: SparkSession,
       kind: String, dataTable: String, th: Double,
       scopeCols: Seq[String], idCol: String, idxKind: String,
-      maxAttempts: Int): (Long, Long, DataFrame) = {
+      maxAttempts: Int, exclude: Option[DataFrame],
+      dryRun: Boolean): PassOutcome = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -1092,19 +1181,22 @@ object IndexStore {
       // all narrow): the id pair drives components + both anti-joins,
       // the rest is the caller's audit trail at no extra scan
       val report = (kind match {
-        case "band" => bandDupes(store, spark, th)
-        case "vec" => vecDupes(store, spark, th, scopeCols)
-        case "pair" => pairDupes(store, spark)
-        case _ => perceptualDupes(store, spark, kind)
+        case "band" => bandDupesOn(store, spark, th, exclude)
+        case "vec" => vecDupesOn(store, spark, th, scopeCols, exclude)
+        case "pair" => pairDupesOn(store, spark, exclude)
+        case _ => perceptualDupesOn(store, spark, kind, exclude)
       }).localCheckpoint()
       val nPairs = report.count()
-      if (nPairs == 0L) return (0L, 0L, report)
+      if (nPairs == 0L)
+        return PassOutcome(0L, 0L, report,
+          report.select(col("id_a").as(idCol)).limit(0))
       val pairs = report.select(col("id_a"), col("id_b"))
       val losers = graft.operators.CurationOps.connectedComponents(pairs)
         .filter(col("node") =!= col("comp"))
         .select(col("node").as(idCol))
         .localCheckpoint() // bucket collect + both anti-joins
       val nLosers = losers.count()
+      if (dryRun) return PassOutcome(nLosers, nPairs, report, losers)
       // data side: pruned to the leaf buckets that can hold a loser
       val loserBuckets = losers
         .select(pmod(xxhash64(col(idCol)), lit(Buckets.toLong)).as("b"))
@@ -1136,7 +1228,7 @@ object IndexStore {
         // not rewrite them into the newest table schema — no upgrade
         store.commit(dataAdds ++ idxAdds, drops = affected ++ idxLeaves,
           meta = preservingMeta(store, idxKind))
-        return (nLosers, nPairs, report)
+        return PassOutcome(nLosers, nPairs, report, losers)
       } catch {
         case _: GraftStore.StaleSnapshotException if attempt < maxAttempts =>
         // recompute from a fresh snapshot; staged orphans are vacuum's

@@ -294,6 +294,19 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
         .toDF("pair_id", "payload", "caption"),
       pmod(xxhash64(col("pair_id")), lit(IndexStore.Buckets.toLong)),
       Seq(col("pair_id"))))
+    // dry-run first: the pair kind's exclusion maps pair_id onto the
+    // phash index's asset_id — pass 2 must DRAIN on the simulated
+    // survivors (a broken mapping either errors or never converges)
+    // and nothing commits
+    val before = store.read(spark, IndexStore.AcceptedPairsTable).count()
+    val dryOut = captured {
+      cli.Main.run(spark, Array("index", "dupes", "--store", storeDir,
+        "--kind", "pair", "--apply", "--dry-run"))
+    }
+    assert(dryOut.contains("DRY RUN 'pair'") &&
+      dryOut.contains("nothing committed"), dryOut)
+    assert(store.read(spark, IndexStore.AcceptedPairsTable).count()
+      == before, "dry run must not delete samples")
     captured {
       cli.Main.run(spark, Array("index", "dupes", "--store", storeDir,
         "--kind", "pair", "--apply"))
@@ -425,6 +438,66 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
       }
     }
     assert(e4.getMessage.contains("--table"), e4.getMessage)
+  }
+
+  test("index dupes --apply --dry-run: per-pass pair/loser counts size " +
+      "the destructive pass, the audit persists, and NOTHING commits; " +
+      "--dry-run without --apply is refused") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    import graft.store.{GraftStore, IndexStore}
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val root = tempDir("graft-index-cli-dryrun")
+    val storeDir = s"$root/store"
+    val docsPath = s"$root/docs.parquet"
+    val corpus = DedupOps.withNearDups(
+      (0L until 30L).map(i =>
+        (i, (0 until 60).map(j => s"dr${i}w$j").mkString(" ")))
+        .toDF("doc_id", "text")).localCheckpoint()
+    corpus.write.parquet(docsPath)
+    captured {
+      cli.Main.run(spark, Array("index", "build", "--store", storeDir,
+        "--kind", "band", "--input", docsPath))
+    }
+    val store = new GraftStore(storeDir)
+    store.commit(store.stageKeyed("docs", corpus,
+      pmod(xxhash64(col("doc_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("doc_id"))))
+    val expected = IndexStore.bandDupes(store, spark).count()
+    assert(expected > 0L, "fixture must plant at-rest pairs")
+    val docsBefore = store.read(spark, "docs").count()
+    val auditPath = s"$root/dryaudit.parquet"
+    val out = captured {
+      cli.Main.run(spark, Array("index", "dupes", "--store", storeDir,
+        "--kind", "band", "--apply", "--dry-run", "--table", "docs",
+        "--output", auditPath))
+    }
+    // the sizing the report alone can't give: per-pass counts plus the
+    // would-delete summary, explicit that nothing was committed
+    assert(out.contains(s"pass 1: $expected pair(s)"), out)
+    assert(out.contains("DRY RUN 'band' on 'docs'") &&
+      out.contains("nothing committed"), out)
+    // the simulated audit persisted, pass-tagged like a real apply's
+    val audit = spark.read.parquet(auditPath)
+    assert(audit.columns.contains("pass") && audit.count() == expected)
+    // NOTHING moved: same rows, same at-rest report
+    assert(store.read(spark, "docs").count() == docsBefore)
+    assert(IndexStore.bandDupes(store, spark).count() == expected)
+    // the real apply then deletes what the dry run predicted
+    val out2 = captured {
+      cli.Main.run(spark, Array("index", "dupes", "--store", storeDir,
+        "--kind", "band", "--apply", "--table", "docs"))
+    }
+    assert(out2.contains("applied 'band' dup report"), out2)
+    assert(store.read(spark, "docs").count() == docsBefore - expected)
+    // a report is already non-destructive: --dry-run needs --apply
+    val e = intercept[IllegalArgumentException] {
+      captured {
+        cli.Main.run(spark, Array("index", "dupes", "--store", storeDir,
+          "--kind", "band", "--dry-run"))
+      }
+    }
+    assert(e.getMessage.contains("--dry-run"), e.getMessage)
   }
 
   test("index dupes --kind band: text near-dup pairs from at-rest " +

@@ -628,6 +628,18 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
       s"fixture: $batch")
     assert(atRest == batch,
       s"extra=${atRest -- batch} missing=${batch -- atRest}")
+    // dry-run first: the vec kind's exclusion plumbing — pass 2 reads
+    // the index minus the 5 simulated losers and must DRAIN (a no-op
+    // exclusion would re-report the same pairs and never converge);
+    // nothing moves
+    val dry = IndexStore.applyDupes(store, spark, "vec", "vecs",
+      dryRun = true)
+    assert(dry.losers == 5L && dry.pairs == 5L && dry.converged &&
+      dry.passes == 2, s"$dry")
+    assert(store.read(spark, "vecs").count() == 45L &&
+      IndexStore.read(store, spark, "vec")
+        .filter(col("vec_id") >= 1000L).count() > 0,
+      "dry run must not delete anything")
     val res = IndexStore.applyDupes(store, spark, "vec", "vecs")
     assert(res.losers == 5L && res.pairs == 5L && res.converged,
       s"$res")
@@ -779,6 +791,63 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(rest.converged && rest.losers == 62L, s"$rest")
     assert(rest.pairList.count() == rest.pairs,
       "the audit trail must carry every reported pair")
+    assert(store.read(spark, "docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(100L))
+  }
+
+  test("applyDupes dryRun simulates the FULL fixpoint loop — pass N " +
+      "excludes the simulated losers, so cap-hidden pairs surface " +
+      "exactly as under real deletes — with per-pass anatomy equal to " +
+      "the real apply's, and commits NOTHING") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-idx-band-dryrun"))
+    // the drain test's planted 66-doc flood: pass 1 sees 3 pairs, the
+    // deletes shrink the hot buckets under the cap, pass 2 sees the
+    // complete 63-doc graph, pass 3 drains
+    def mh(id: Long, twin: Long): Seq[Long] =
+      Seq(7L, 7L, 7L, 7L) ++ (4 until 16).map(s => twin * 100L + s)
+    val ids = 100L until 166L
+    val rows = ids.map { id =>
+      val twin = if (id <= 105L) (id - 100L) / 2L else id
+      (id, 0, id, mh(id, twin), Seq(1L, 2L, 3L))
+    }.toDF("doc_id", "band", "band_key", "mh_arr", "sh_hashes")
+      .localCheckpoint()
+    store.commit(IndexStore.stageRows(store, "band", rows),
+      meta = IndexStore.formatMeta("band"))
+    store.commit(store.stageKeyed("docs",
+      ids.map(id => (id, "x")).toDF("doc_id", "text"),
+      pmod(xxhash64(col("doc_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("doc_id"))))
+    val bandBefore = store.leavesOf("band").toSet
+    val docsBefore = store.leavesOf("docs").toSet
+    val dry = IndexStore.applyDupes(store, spark, "band", "docs",
+      dryRun = true)
+    // the simulation drains the flood a lone report can't size: pass 1
+    // reports the 3 cap-visible pairs, pass 2 the revealed complete
+    // graph of the 63 survivors, pass 3 nothing
+    assert(dry.converged && dry.passes == 3, s"$dry")
+    assert(dry.losers == 65L, s"$dry")
+    assert(dry.passStats == Seq(
+      IndexStore.ApplyPassStat(1, 3L, 3L),
+      IndexStore.ApplyPassStat(2, 63L * 62L / 2L, 62L),
+      IndexStore.ApplyPassStat(3, 0L, 0L)), s"${dry.passStats}")
+    // the audit trail carries every simulated pass's pairs
+    val byPass = dry.pairList.groupBy("pass").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(byPass == Map(1 -> 3L, 2 -> 63L * 62L / 2L), s"$byPass")
+    // NOTHING was committed: same leaves, same rows, same lone report
+    assert(store.leavesOf("band").toSet == bandBefore &&
+      store.leavesOf("docs").toSet == docsBefore,
+      "dry run must not move the manifest")
+    assert(store.read(spark, "docs").count() == 66L)
+    assert(IndexStore.bandDupes(store, spark).count() == 3L,
+      "the at-rest report must still see only the cap-visible pairs")
+    // the prediction is exact: the real apply reproduces the anatomy
+    val real = IndexStore.applyDupes(store, spark, "band", "docs")
+    assert(real.converged && real.passes == dry.passes &&
+      real.losers == dry.losers && real.pairs == dry.pairs, s"$real")
+    assert(real.passStats == dry.passStats,
+      s"real=${real.passStats} dry=${dry.passStats}")
     assert(store.read(spark, "docs").select("doc_id")
       .collect().map(_.getLong(0)).toSet == Set(100L))
   }
