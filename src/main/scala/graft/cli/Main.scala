@@ -567,10 +567,19 @@ object Main {
             val table = opt("table").getOrElse(sys.error(
               "index prune needs --table <data table> — the ids to " +
                 "keep are the table's surviving rows"))
+            // --dry-run: the dead-probe alone (what WOULD drop),
+            // nothing staged or committed — symmetric with the dupes
+            // apply's dry run
+            val dry = boolFlag("dry-run")
             val (dropped, leaves) = IndexStore.prune(store, spark,
-              kind, table, opt("id-col").getOrElse(""))
-            println(s"[index] pruned '$kind' index against '$table': " +
-              s"dropped $dropped dead row(s), $leaves leaves now")
+              kind, table, opt("id-col").getOrElse(""), dryRun = dry)
+            if (dry)
+              println(s"[index] DRY RUN prune '$kind' against " +
+                s"'$table': would drop $dropped dead row(s) " +
+                s"($leaves leaves); nothing committed")
+            else
+              println(s"[index] pruned '$kind' index against '$table': " +
+                s"dropped $dropped dead row(s), $leaves leaves now")
           case Some("report") =>
             // drift telemetry: distortion of the stored codes under the
             // committed models — alert + `index build` when it climbs
@@ -678,6 +687,11 @@ object Main {
                     "--max-passes, or run `assets dedup` first for " +
                     "identical floods")
               } else {
+              // same per-pass anatomy as the dry run: which pass found
+              // what is the audit a flood's operator reads first
+              res.passStats.foreach(s =>
+                println(s"[index]   pass ${s.pass}: ${s.pairs} " +
+                  s"pair(s), ${s.losers} loser(s)"))
               if (!res.converged) sys.error(
                 s"index dupes --apply '$kind' on '$table' did NOT " +
                   s"converge in ${res.passes} pass(es): deleted " +

@@ -522,10 +522,16 @@ object IndexStore {
     * [[append]] skip retraining). A clean index (nothing dead) is a
     * NO-OP: no staging, no commit — a scheduled prune must not pay
     * compact-class IO to discover there was nothing to do. Returns
-    * (rows dropped, leaves now). */
+    * (rows dropped, leaves now).
+    *
+    * `dryRun = true` stops after the dead-probe (the narrow anti-join
+    * the no-op path pays anyway) and returns (rows that WOULD drop,
+    * leaves as they stand) — the sizing step before the destructive
+    * rewrite, symmetric with [[applyDupes]]' dry run. Nothing is
+    * staged or committed. */
   def prune(store: GraftStore, spark: SparkSession, kind: String,
       dataTable: String, tableIdCol: String = "",
-      maxAttempts: Int = 3): (Long, Long) = {
+      maxAttempts: Int = 3, dryRun: Boolean = false): (Long, Long) = {
     val idxIdCol = kind match {
       case "band" | "span" | "espan" => "doc_id"
       case "phash" | "afp" | "vhash" => "asset_id"
@@ -556,6 +562,9 @@ object IndexStore {
       val dropped = live.select(col(idxIdCol))
         .join(keep, Seq(idxIdCol), "left_anti").count()
       if (dropped == 0L) return (0L, old.size.toLong)
+      // the dry run IS the dead-probe: the count above is exact (one
+      // snapshot), and the rewrite is the only thing skipped
+      if (dryRun) return (dropped, old.size.toLong)
       val rows = live.join(keep, Seq(idxIdCol), "left_semi")
         .localCheckpoint() // staged below; count forces materialization
       rows.count()

@@ -392,6 +392,16 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
     def deadPostings() = IndexStore.read(store, spark, "espan")
       .join(liveIds, Seq("doc_id"), "left_anti").count()
     assert(deadPostings() > 0L, "apply must strand sibling postings")
+    // size the reclaim first: the dry run reports the exact dead
+    // count from the probe alone and commits nothing
+    val dead = deadPostings()
+    val outDry = captured {
+      cli.Main.run(spark, Array("index", "prune", "--store", storeDir,
+        "--kind", "espan", "--table", "docs", "--dry-run"))
+    }
+    assert(outDry.contains(s"would drop $dead dead row(s)") &&
+      outDry.contains("nothing committed"), outDry)
+    assert(deadPostings() == dead, "dry-run prune must not delete")
     val out2 = captured {
       cli.Main.run(spark, Array("index", "prune", "--store", storeDir,
         "--kind", "espan", "--table", "docs"))
@@ -483,6 +493,18 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
     // NOTHING moved: same rows, same at-rest report
     assert(store.read(spark, "docs").count() == docsBefore)
     assert(IndexStore.bandDupes(store, spark).count() == expected)
+    // a bounded simulation that exits still-productive is a LOUD
+    // PREDICTION, not an error: nothing was committed, so the dry run
+    // succeeded at its sizing job — unlike the real apply, where the
+    // same exit is a hard error over a partially-deduped store
+    val out1 = captured {
+      cli.Main.run(spark, Array("index", "dupes", "--store", storeDir,
+        "--kind", "band", "--apply", "--dry-run", "--table", "docs",
+        "--max-passes", "1"))
+    }
+    assert(out1.contains("fixpoint NOT reached") &&
+      out1.contains("nothing committed"), out1)
+    assert(store.read(spark, "docs").count() == docsBefore)
     // the real apply then deletes what the dry run predicted
     val out2 = captured {
       cli.Main.run(spark, Array("index", "dupes", "--store", storeDir,

@@ -102,8 +102,12 @@ class WsHeadsSpec extends AnyFunSuite with BeforeAndAfterAll
         .take(10).flatten.take(3).toSeq
       assert(first.size == 3, s"expected 3 heads before the drop")
       // subsequent polls must notice the dead connection, reconnect and
-      // resubscribe (connection 1 pushes heads 3-4 on subscribe)
-      val deadline = System.currentTimeMillis() + 10000
+      // resubscribe (connection 1 pushes heads 3-4 on subscribe). The
+      // deadline is generous — the loop exits on success, so its only
+      // cost is on genuine failure — because a loaded box (parallel
+      // suites + external load) can starve the reconnect for seconds
+      // and a wall-clock flake here would misreport the retry logic
+      val deadline = System.currentTimeMillis() + 30000
       var rest = Seq.empty[JValue]
       while (rest.size < 2 && System.currentTimeMillis() < deadline)
         rest = rest ++ ws.pollHeaders(waitMs = 500)
