@@ -574,9 +574,12 @@ object Main {
             val (dropped, leaves) = IndexStore.prune(store, spark,
               kind, table, opt("id-col").getOrElse(""), dryRun = dry)
             if (dry)
+              // "currently": the count is the PRE-prune leaf tally (a
+              // dry run moves nothing) — the real message's "leaves
+              // now" is the post-rewrite count, a different number
               println(s"[index] DRY RUN prune '$kind' against " +
-                s"'$table': would drop $dropped dead row(s) " +
-                s"($leaves leaves); nothing committed")
+                s"'$table': would drop $dropped dead row(s) (index " +
+                s"currently $leaves leaves); nothing committed")
             else
               println(s"[index] pruned '$kind' index against '$table': " +
                 s"dropped $dropped dead row(s), $leaves leaves now")
@@ -666,10 +669,14 @@ object Main {
                   (if (dry) "dry-run " else "") +
                   s"apply audit (pair list + pass) to $out")
               }
+              // the per-pass anatomy prints identically in both modes
+              // (operators diff a dry run against the real one): which
+              // pass found what is the first thing a flood's operator
+              // asks of the audit
+              res.passStats.foreach(s =>
+                println(s"[index]   pass ${s.pass}: ${s.pairs} " +
+                  s"pair(s), ${s.losers} loser(s)"))
               if (dry) {
-                res.passStats.foreach(s =>
-                  println(s"[index]   pass ${s.pass}: ${s.pairs} " +
-                    s"pair(s), ${s.losers} loser(s)"))
                 // non-convergence here is a successful PREDICTION, not
                 // a partial apply — nothing was committed, so no error
                 if (res.converged)
@@ -687,11 +694,6 @@ object Main {
                     "--max-passes, or run `assets dedup` first for " +
                     "identical floods")
               } else {
-              // same per-pass anatomy as the dry run: which pass found
-              // what is the audit a flood's operator reads first
-              res.passStats.foreach(s =>
-                println(s"[index]   pass ${s.pass}: ${s.pairs} " +
-                  s"pair(s), ${s.losers} loser(s)"))
               if (!res.converged) sys.error(
                 s"index dupes --apply '$kind' on '$table' did NOT " +
                   s"converge in ${res.passes} pass(es): deleted " +

@@ -1114,9 +1114,14 @@ object IndexStore {
       stats += ApplyPassStat(pass, out.pairs, out.losers)
       totalLosers += out.losers
       totalPairs += out.pairs
-      if (dryRun && out.losers > 0L)
+      // checkpoint each cumulative union so pass N's exclusion frame
+      // stays flat instead of an N-deep union plan re-evaluated per
+      // index read (only matters for a large --max-passes sizing run,
+      // but the real apply never pays that shape so neither should we)
+      if (dryRun) out.loserIds.foreach { l =>
         simulated = Some(simulated
-          .fold(out.loserIds)(_ unionByName out.loserIds))
+          .fold(l)(prev => (prev unionByName l).localCheckpoint()))
+      }
       if (out.pairs == 0L)
         return ApplyDupesResult(totalLosers, totalPairs, pass,
           converged = true, audit.result().reduce(_ unionByName _),
@@ -1167,9 +1172,10 @@ object IndexStore {
 
   /** What one pass returns: its counts, the checkpointed full report
     * (possibly empty), and the checkpointed loser-id frame (the
-    * dry-run loop feeds it back as the next pass's exclusion). */
+    * dry-run loop feeds it back as the next pass's exclusion; None on
+    * a drain pass, which has no losers to feed back). */
   private final case class PassOutcome(losers: Long, pairs: Long,
-      report: DataFrame, loserIds: DataFrame)
+      report: DataFrame, loserIds: Option[DataFrame])
 
   /** One report → components → delete pass of [[applyDupes]]: its own
     * atomic commit with the optimistic retry. `exclude` (dry-run only)
@@ -1196,16 +1202,14 @@ object IndexStore {
         case _ => perceptualDupesOn(store, spark, kind, exclude)
       }).localCheckpoint()
       val nPairs = report.count()
-      if (nPairs == 0L)
-        return PassOutcome(0L, 0L, report,
-          report.select(col("id_a").as(idCol)).limit(0))
+      if (nPairs == 0L) return PassOutcome(0L, 0L, report, None)
       val pairs = report.select(col("id_a"), col("id_b"))
       val losers = graft.operators.CurationOps.connectedComponents(pairs)
         .filter(col("node") =!= col("comp"))
         .select(col("node").as(idCol))
         .localCheckpoint() // bucket collect + both anti-joins
       val nLosers = losers.count()
-      if (dryRun) return PassOutcome(nLosers, nPairs, report, losers)
+      if (dryRun) return PassOutcome(nLosers, nPairs, report, Some(losers))
       // data side: pruned to the leaf buckets that can hold a loser
       val loserBuckets = losers
         .select(pmod(xxhash64(col(idCol)), lit(Buckets.toLong)).as("b"))
@@ -1237,7 +1241,7 @@ object IndexStore {
         // not rewrite them into the newest table schema — no upgrade
         store.commit(dataAdds ++ idxAdds, drops = affected ++ idxLeaves,
           meta = preservingMeta(store, idxKind))
-        return PassOutcome(nLosers, nPairs, report, losers)
+        return PassOutcome(nLosers, nPairs, report, Some(losers))
       } catch {
         case _: GraftStore.StaleSnapshotException if attempt < maxAttempts =>
         // recompute from a fresh snapshot; staged orphans are vacuum's
