@@ -809,10 +809,19 @@ object Main {
               println(s"$s$mark")
             }
           case Some("vacuum") =>
+            // --dry-run: same reference-set walk under the same locks,
+            // reports the would-reclaim count, deletes nothing — size
+            // a retention sweep before running it
+            val dry = boolFlag("dry-run")
             val deleted = store.vacuum(
               opt("keep").map(_.toInt).getOrElse(1),
-              opt("grace-ms").map(_.toLong).getOrElse(300000L))
-            println(s"[store] vacuum reclaimed $deleted leaf dir(s)")
+              opt("grace-ms").map(_.toLong).getOrElse(300000L),
+              dryRun = dry)
+            if (dry)
+              println(s"[store] DRY RUN vacuum: would reclaim " +
+                s"$deleted leaf dir(s); nothing deleted")
+            else
+              println(s"[store] vacuum reclaimed $deleted leaf dir(s)")
           case Some("compact") =>
             // merge the small-leaf tails an incremental ingest accretes
             // (every tail commit = one leaf per touched bucket); retries

@@ -549,8 +549,16 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
     * so a commit from a co-hosted PROCESS cannot publish between the
     * reference-set computation and the deletes. The snapshot `_current`
     * points to is always retained, whatever its position in name order.
-    * Returns deleted leaf-dir count. */
-  def vacuum(keepSnapshots: Int = 1, graceMs: Long = 300000L): Long =
+    * Returns deleted leaf-dir count.
+    *
+    * `dryRun = true` performs the identical reference-set computation
+    * and walk (under the same locks, so the answer is consistent with
+    * a commit racing it) and returns the leaf-dir count a real vacuum
+    * would reclaim, deleting NOTHING — no leaf dirs, no empty seg
+    * shells, no old snapshot files. The sizing step before a retention
+    * sweep, same contract as the index verbs' dry runs. */
+  def vacuum(keepSnapshots: Int = 1, graceMs: Long = 300000L,
+      dryRun: Boolean = false): Long =
     withCommitLock {
       require(keepSnapshots >= 1, "must keep at least the current snapshot")
       val all = snapshots()
@@ -588,7 +596,7 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
                 val rel = rootPath.relativize(leafDir).toString
                 if (Files.isDirectory(leafDir) && !referenced.contains(rel) &&
                     agedPast(leafDir)) {
-                  deleteRecursively(leafDir)
+                  if (!dryRun) deleteRecursively(leafDir)
                   deleted += 1
                 }
               }
@@ -599,9 +607,12 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
               // truly orphaned shell ages past the grace and the next
               // vacuum removes it). deleteIfExists + the not-empty catch
               // tolerate a writer touching the shell mid-removal — the
-              // next vacuum retries.
+              // next vacuum retries. (Skipped under dryRun along with
+              // every other delete below: the shell test reads the
+              // post-reclaim state, which a dry run never creates.)
               val rest = listDir(segDir)
-              if (!segFresh && rest.forall(p => !Files.isDirectory(p))) {
+              if (!dryRun && !segFresh &&
+                  rest.forall(p => !Files.isDirectory(p))) {
                 try {
                   rest.foreach(Files.deleteIfExists(_))
                   Files.deleteIfExists(segDir)
@@ -611,21 +622,24 @@ final class GraftStore(val root: String, val bucketSize: Long = 10000L,
               }
             }
         }
-      old.filterNot(kept.contains)
-        .foreach(s => Files.deleteIfExists(rootPath.resolve(s)))
-      // tmp debris from commits that died between write and atomic move
-      // (`_current.tmp-*` pointer bodies, `_snaptmp-*` snapshot bodies):
-      // never referenced by anything, but they accumulate forever without
-      // this. Grace-windowed like leaves — an in-flight commit's tmp file
-      // lives for microseconds, so anything older than the grace is dead.
-      listDir(rootPath)
-        .filter { p =>
-          val n = p.getFileName.toString
-          !Files.isDirectory(p) &&
-            (n.startsWith("_current.tmp-") || n.startsWith("_snaptmp-")) &&
-            Files.getLastModifiedTime(p).toMillis < cutoff
-        }
-        .foreach(Files.deleteIfExists(_))
+      if (!dryRun) {
+        old.filterNot(kept.contains)
+          .foreach(s => Files.deleteIfExists(rootPath.resolve(s)))
+        // tmp debris from commits that died between write and atomic
+        // move (`_current.tmp-*` pointer bodies, `_snaptmp-*` snapshot
+        // bodies): never referenced by anything, but they accumulate
+        // forever without this. Grace-windowed like leaves — an
+        // in-flight commit's tmp file lives for microseconds, so
+        // anything older than the grace is dead.
+        listDir(rootPath)
+          .filter { p =>
+            val n = p.getFileName.toString
+            !Files.isDirectory(p) &&
+              (n.startsWith("_current.tmp-") || n.startsWith("_snaptmp-")) &&
+              Files.getLastModifiedTime(p).toMillis < cutoff
+          }
+          .foreach(Files.deleteIfExists(_))
+      }
       deleted
     }
 

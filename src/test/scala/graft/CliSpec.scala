@@ -1077,11 +1077,26 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
       cli.Main.run(spark, Array("store", "compact", "--store", root))
     }
     assert(compacted.contains("[store] compacted"))
+    // dry run first: the would-reclaim count is exact (same walk,
+    // same locks), nothing is deleted — history snapshots survive
+    val dried = captured {
+      cli.Main.run(spark, Array("store", "vacuum", "--store", root,
+        "--keep", "1", "--grace-ms", "0", "--dry-run"))
+    }
+    val wouldReclaim = "would reclaim (\\d+) leaf".r
+      .findFirstMatchIn(dried).map(_.group(1).toLong)
+      .getOrElse(sys.error(s"no dry-run count in: $dried"))
+    assert(wouldReclaim > 0L && dried.contains("nothing deleted"), dried)
+    val stillThere = captured {
+      cli.Main.run(spark, Array("store", "snapshots", "--store", root))
+    }.linesIterator.count(_.startsWith("snapshot-"))
+    assert(stillThere >= 2, "dry-run vacuum must not drop snapshots")
     val vacuumed = captured {
       cli.Main.run(spark, Array("store", "vacuum", "--store", root,
         "--keep", "1", "--grace-ms", "0"))
     }
-    assert(vacuumed.contains("vacuum reclaimed"))
+    assert(vacuumed.contains(s"vacuum reclaimed $wouldReclaim leaf"),
+      s"real reclaim must match the dry prediction: $vacuumed")
     val after = captured {
       cli.Main.run(spark, Array("store", "snapshots", "--store", root))
     }.linesIterator.toSeq
