@@ -852,6 +852,42 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
       .collect().map(_.getLong(0)).toSet == Set(100L))
   }
 
+  test("applyDupes on a PERCEPTUAL kind (phash): the dry run predicts " +
+      "the real apply's per-pass anatomy exactly and mutates nothing " +
+      "(its drain pass runs the exclusion branch: a no-op exclusion " +
+      "would never converge); the apply keeps one witness per planted " +
+      "transform component") {
+    import spark.implicits._
+    import graft.operators.ImageDedupOps
+    val store = new GraftStore(tempDir("graft-idx-phash-apply"))
+    // 32 base images; seeds 0-7 each add re-encode (+1000), brightness
+    // (+2000), resize (+3000) near-dups — 8 four-member components,
+    // witness = the seed, 3 losers each
+    val assets = ImageDedupOps.imageAssets(ImageDedupOps.NumImages)
+      .toDF().localCheckpoint()
+    store.commit(store.stageKeyed("accepted_images", assets,
+      pmod(xxhash64(col("asset_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("asset_id"))))
+    IndexStore.build(store, "phash", assets)
+    val dry = IndexStore.applyDupes(store, spark, "phash",
+      "accepted_images", dryRun = true)
+    assert(dry.converged &&
+      dry.losers == 3L * ImageDedupOps.DupSeeds, s"$dry")
+    assert(store.read(spark, "accepted_images").count()
+      == assets.count(), "dry run must not delete assets")
+    val real = IndexStore.applyDupes(store, spark, "phash",
+      "accepted_images")
+    assert(real.converged && real.passStats == dry.passStats,
+      s"real=${real.passStats} dry=${dry.passStats}")
+    val kept = store.read(spark, "accepted_images").select("asset_id")
+      .collect().map(_.getLong(0)).toSet
+    assert((0 until ImageDedupOps.DupSeeds).forall(i =>
+      kept(i.toLong) && !kept(i + 1000L) && !kept(i + 2000L) &&
+        !kept(i + 3000L)), s"kept=$kept")
+    assert(IndexStore.perceptualDupes(store, spark, "phash").isEmpty,
+      "the re-run report must find nothing")
+  }
+
   test("applyDupes leaves sibling espan postings SEMANTICALLY INERT, " +
       "not live: the deleted doc's postings stay at rest, but the " +
       "candidate-bounded certification no longer finds its text and " +
