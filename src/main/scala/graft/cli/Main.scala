@@ -554,9 +554,19 @@ object Main {
           opt("input").getOrElse(sys.error("--input required")))
         args.lift(1) match {
           case Some("compact") =>
-            val (dropped, leaves) = IndexStore.compact(store, spark, kind)
-            println(s"[index] compacted '$kind' index: dropped $dropped " +
-              s"rows over global caps, $leaves leaves now")
+            // --dry-run: compact drops rows (over-cap truncation is
+            // only recoverable by `index build`), so it sizes first
+            // like every other deleting verb
+            val dryC = boolFlag("dry-run")
+            val (dropped, leaves) = IndexStore.compact(store, spark,
+              kind, dryRun = dryC)
+            if (dryC)
+              println(s"[index] DRY RUN compact '$kind': would drop " +
+                s"$dropped rows over global caps (index currently " +
+                s"$leaves leaves); nothing committed")
+            else
+              println(s"[index] compacted '$kind' index: dropped " +
+                s"$dropped rows over global caps, $leaves leaves now")
           case Some("prune") =>
             // reclaim rows whose id left the data table (a dupes
             // --apply deliberately doesn't cascade into sibling kinds

@@ -420,9 +420,15 @@ object IndexStore {
     * that DROPS leaves mid-compact (a rebuild, another compact) makes
     * the stale commit throw, and compact recomputes from a fresh
     * snapshot — the same retry loop as [[graft.etl.Export.compact]].
-    * Returns (rows dropped by the global policies, leaves after). */
+    * Returns (rows dropped by the global policies, leaves after).
+    *
+    * `dryRun = true` computes the same dedup + global-cap result and
+    * returns (rows that WOULD drop, leaves as they stand), staging and
+    * committing nothing — compact deletes rows (over-cap truncation is
+    * recoverable only by `index build`), so it sizes before it runs
+    * like every other deleting verb. */
   def compact(store: GraftStore, spark: SparkSession, kind: String,
-      maxAttempts: Int = 3): (Long, Long) = {
+      maxAttempts: Int = 3, dryRun: Boolean = false): (Long, Long) = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -477,6 +483,7 @@ object IndexStore {
         case _ => live.dropDuplicates("vec_id")
       }).localCheckpoint() // counted AND staged — one computation
       val dropped = live.count() - rows.count()
+      if (dryRun) return (dropped, old.size.toLong)
       val adds = store.stageKeyed(table, rows, bucketOf(kind), sortOf(kind))
       try {
         // preservingMeta: compaction collapses/caps rows, it does not

@@ -77,7 +77,16 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
       s"near-copy of appended doc not found: $hits")
     assert(!hits.exists(_._1 == 902L), s"novel doc matched: $hits")
     // a fourth invocation compacts (global caps + leaf merge) and the
-    // same search still answers from the compacted index
+    // same search still answers from the compacted index; the dry run
+    // first sizes it and commits nothing (the search after the REAL
+    // compact below still matching proves the sequence moved exactly
+    // one compaction's worth)
+    val driedC = captured {
+      cli.Main.run(spark, Array("index", "compact", "--store", storeDir,
+        "--kind", "band", "--dry-run"))
+    }
+    assert(driedC.contains("DRY RUN compact 'band'") &&
+      driedC.contains("nothing committed"), driedC)
     val compacted = captured {
       cli.Main.run(spark, Array("index", "compact", "--store", storeDir,
         "--kind", "band"))

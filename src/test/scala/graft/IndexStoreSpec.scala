@@ -100,11 +100,18 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(cut(700L) == (("fresh head fresh tail here", 20)),
       s"cut probe: ${cut(700L)}")
     assert(cut(701L)._2 == 0, s"novel doc cut: ${cut(701L)}")
-    // re-delivered append collapses under compact
+    // re-delivered append collapses under compact — sized first by the
+    // dry run; the real compact then dropping the SAME count proves
+    // the dry run deleted nothing (a mutating dry run would leave the
+    // real pass with zero to drop)
     IndexStore.append(new GraftStore(root), "espan", extra)
+    val (wouldDrop, _) = IndexStore.compact(
+      new GraftStore(root), spark, "espan", dryRun = true)
+    assert(wouldDrop > 0L, "dry compact must see the re-delivery")
     val (dropped, leaves) = IndexStore.compact(
       new GraftStore(root), spark, "espan")
-    assert(dropped > 0L && leaves > 0L, s"($dropped, $leaves)")
+    assert(dropped == wouldDrop && leaves > 0L,
+      s"real ($dropped) must match the dry prediction ($wouldDrop)")
     // the generic search entry refuses with the pointer, never a
     // silent wrong answer
     val err = intercept[RuntimeException] {
