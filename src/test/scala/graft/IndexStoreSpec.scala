@@ -895,6 +895,52 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
       "the re-run report must find nothing")
   }
 
+  test("applyDupes on the CHUNK-AWARE kind (afp): dry run == real " +
+      "anatomy over short transform components AND long two-chunk " +
+      "clips; every chunk row of a loser leaves the index") {
+    import spark.implicits._
+    import graft.operators.AudioDedupOps
+    val store = new GraftStore(tempDir("graft-idx-afp-apply"))
+    // 32 base clips; seeds 0-7 add re-encode/gain/decimation variants
+    // (4-member components, 3 losers each); 2 LONG clips add re-encode
+    // + gain (3-member components, 2 losers each) — the coverage
+    // verdict must fire across BOTH chunks for those pairs
+    val assets = AudioDedupOps.audioAssets(AudioDedupOps.NumClips)
+      .toDF().localCheckpoint()
+    store.commit(store.stageKeyed("accepted_audio", assets,
+      pmod(xxhash64(col("asset_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("asset_id"))))
+    IndexStore.build(store, "afp", assets)
+    val wantLosers = 3L * AudioDedupOps.DupSeeds +
+      2L * AudioDedupOps.LongSeeds
+    val dry = IndexStore.applyDupes(store, spark, "afp",
+      "accepted_audio", dryRun = true)
+    assert(dry.converged && dry.losers == wantLosers, s"$dry")
+    assert(store.read(spark, "accepted_audio").count()
+      == assets.count(), "dry run must not delete clips")
+    val real = IndexStore.applyDupes(store, spark, "afp",
+      "accepted_audio")
+    assert(real.converged && real.passStats == dry.passStats,
+      s"real=${real.passStats} dry=${dry.passStats}")
+    val kept = store.read(spark, "accepted_audio").select("asset_id")
+      .collect().map(_.getLong(0)).toSet
+    assert((0 until AudioDedupOps.DupSeeds).forall(i =>
+      kept(i.toLong) && !kept(i + 1000L) && !kept(i + 2000L) &&
+        !kept(i + 3000L)), s"kept=$kept")
+    assert((0 until AudioDedupOps.LongSeeds).forall(j =>
+      kept(j + 4000L) && !kept(j + 5000L) && !kept(j + 6000L)),
+      s"long components mis-applied: kept=$kept")
+    // chunk-awareness of the delete: NO chunk row of any loser
+    // survives at rest (a per-chunk anti-join miss would leave a
+    // ghost chunk that could certify a future probe)
+    assert(IndexStore.read(store, spark, "afp")
+      .filter(col("asset_id").isin(
+        (0 until AudioDedupOps.LongSeeds)
+          .flatMap(j => Seq(j + 5000L, j + 6000L)): _*)).count() == 0,
+      "loser chunk rows must all be gone")
+    assert(IndexStore.perceptualDupes(store, spark, "afp").isEmpty)
+  }
+
   test("applyDupes leaves sibling espan postings SEMANTICALLY INERT, " +
       "not live: the deleted doc's postings stay at rest, but the " +
       "candidate-bounded certification no longer finds its text and " +
