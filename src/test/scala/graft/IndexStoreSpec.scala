@@ -941,6 +941,47 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(IndexStore.perceptualDupes(store, spark, "afp").isEmpty)
   }
 
+  test("applyDupes on the FRAME-GRANULAR kind (vhash): dry run == " +
+      "real anatomy; a loser's EVERY frame row leaves the data table " +
+      "and the index (trimmed re-cuts ARE dups and are applied away)") {
+    import spark.implicits._
+    import graft.operators.VideoDedupOps
+    val store = new GraftStore(tempDir("graft-idx-vhash-apply"))
+    // 10 base videos x 6 frames; seeds 0-2 add re-encode (+1000),
+    // TRIMMED 4-frame re-cut (+2000), resize (+3000) — 3 four-member
+    // components, witness = the base video
+    val frames = VideoDedupOps.videoFrames(VideoDedupOps.NumVideos)
+      .map(f => (f.video_id, f.frame_idx, f.payload))
+      .toDF("asset_id", "frame_idx", "payload").localCheckpoint()
+    store.commit(store.stageKeyed("accepted_video", frames,
+      pmod(xxhash64(col("asset_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("asset_id"))))
+    IndexStore.build(store, "vhash", frames)
+    val dry = IndexStore.applyDupes(store, spark, "vhash",
+      "accepted_video", dryRun = true)
+    assert(dry.converged &&
+      dry.losers == 3L * VideoDedupOps.DupSeeds, s"$dry")
+    assert(store.read(spark, "accepted_video").count()
+      == frames.count(), "dry run must not delete frames")
+    val real = IndexStore.applyDupes(store, spark, "vhash",
+      "accepted_video")
+    assert(real.converged && real.passStats == dry.passStats,
+      s"real=${real.passStats} dry=${dry.passStats}")
+    val kept = store.read(spark, "accepted_video").select("asset_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until VideoDedupOps.NumVideos.toLong).toSet,
+      s"kept=$kept")
+    // frame granularity of the delete, both sides: a surviving frame
+    // row of a deleted video would re-admit it on a future probe
+    assert(store.read(spark, "accepted_video").count() ==
+      VideoDedupOps.NumVideos.toLong * VideoDedupOps.FramesPerVideo,
+      "every loser frame row must leave the data table")
+    assert(IndexStore.read(store, spark, "vhash")
+      .filter(col("asset_id") >= 1000L).count() == 0,
+      "every loser frame row must leave the index")
+    assert(IndexStore.perceptualDupes(store, spark, "vhash").isEmpty)
+  }
+
   test("applyDupes leaves sibling espan postings SEMANTICALLY INERT, " +
       "not live: the deleted doc's postings stay at rest, but the " +
       "candidate-bounded certification no longer finds its text and " +
