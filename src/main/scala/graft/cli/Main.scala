@@ -62,6 +62,34 @@ object Main {
     "block", "blocks", "watch-tokens", "address-filter",
     "retention-duration", "cleanup-interval", "lazy")
 
+  /** Default data table per index kind — ONE mapping shared by the two
+    * verbs that take `--table` (`index dupes --apply` deletes
+    * non-witnesses from it; `index prune` keeps its surviving ids), so
+    * an operator running them back-to-back never has to re-derive the
+    * target: each gate kind defaults to its streaming gate's accepted
+    * table, and the sibling kinds a prune also serves map to the gate
+    * of the modality they index (span/espan certify the same curated
+    * docs the band kind gates; sketch/pq/ivfpq/ivf index the vector
+    * gate's rows). `verb` only names the failing verb in the loud
+    * unknown-kind error. The worst-case blast radius of a defaulted
+    * prune is bounded by [[graft.store.IndexStore.prune]]'s own
+    * refusals: an absent or empty default table refuses instead of
+    * deleting the index. */
+  private def defaultTableOf(verb: String, kind: String): String =
+    kind match {
+      case "band" | "span" | "espan" =>
+        graft.streaming.StreamingCuration.AcceptedTable
+      case "vec" | "sketch" | "pq" | "ivfpq" | "ivf" =>
+        graft.streaming.StreamingVectors.AcceptedTable
+      case "phash" => graft.streaming.StreamingImages.AcceptedTable
+      case "afp" => graft.streaming.StreamingAudio.AcceptedTable
+      case "vhash" => graft.streaming.StreamingVideo.AcceptedTable
+      case "pair" => graft.store.IndexStore.AcceptedPairsTable
+      case other => sys.error(
+        s"index $verb: unknown kind '$other' " +
+          "(band|vec|phash|afp|vhash|pair|span|espan|sketch|pq|ivfpq|ivf)")
+    }
+
   /** Reference `retention_duration`/`cleanup_interval` are plain seconds
     * (export.rs:30-38); humantime-style suffixes accepted for operator
     * convenience. */
@@ -560,39 +588,53 @@ object Main {
             val dryC = boolFlag("dry-run")
             val (dropped, leaves) = IndexStore.compact(store, spark,
               kind, dryRun = dryC)
+            // "dup collapse + global caps": the count folds BOTH terms
+            // of the compaction — re-delivered duplicate rows that
+            // dropDuplicates collapses AND rows the at-rest cap policy
+            // truncates — naming only the caps would misattribute a
+            // replay-heavy store's drop count
             if (dryC)
               println(s"[index] DRY RUN compact '$kind': would drop " +
-                s"$dropped rows over global caps (index currently " +
-                s"$leaves leaves); nothing committed")
+                s"$dropped rows (dup collapse + global caps; index " +
+                s"currently $leaves leaves); nothing committed")
             else
               println(s"[index] compacted '$kind' index: dropped " +
-                s"$dropped rows over global caps, $leaves leaves now")
+                s"$dropped rows (dup collapse + global caps), " +
+                s"$leaves leaves now")
           case Some("prune") =>
             // reclaim rows whose id left the data table (a dupes
             // --apply deliberately doesn't cascade into sibling kinds
             // — their rows go inert, this deletes them): an id
-            // semi-join at compact cost, never a corpus re-read.
-            // --id-col names the table's id when it differs from the
-            // index's (accepted_pairs keys pair_id, phash asset_id)
-            val table = opt("table").getOrElse(sys.error(
-              "index prune needs --table <data table> — the ids to " +
-                "keep are the table's surviving rows"))
-            // --dry-run: the dead-probe alone (what WOULD drop),
-            // nothing staged or committed — symmetric with the dupes
-            // apply's dry run
+            // semi-join rewriting ONLY the leaves that hold dead rows,
+            // never a corpus re-read. --table defaults to the kind's
+            // gate table — the SAME mapping `index dupes --apply`
+            // uses, so the back-to-back apply-then-prune flow needs no
+            // re-derivation (prune's own refusals bound the blast
+            // radius: an absent/empty default table refuses rather
+            // than emptying the index). --id-col names the table's id
+            // when it differs from the index's (accepted_pairs keys
+            // pair_id, phash asset_id)
+            val table = opt("table")
+              .getOrElse(defaultTableOf("prune", kind))
+            // --dry-run: the dead-probe alone (what WOULD drop, and
+            // the exact rewrite footprint), nothing staged or
+            // committed — symmetric with the dupes apply's dry run
             val dry = boolFlag("dry-run")
-            val (dropped, leaves) = IndexStore.prune(store, spark,
+            val res = IndexStore.prune(store, spark,
               kind, table, opt("id-col").getOrElse(""), dryRun = dry)
             if (dry)
-              // "currently": the count is the PRE-prune leaf tally (a
+              // "currently": the tally is the PRE-prune leaf count (a
               // dry run moves nothing) — the real message's "leaves
               // now" is the post-rewrite count, a different number
               println(s"[index] DRY RUN prune '$kind' against " +
-                s"'$table': would drop $dropped dead row(s) (index " +
-                s"currently $leaves leaves); nothing committed")
+                s"'$table': would drop ${res.dropped} dead row(s), " +
+                s"rewriting ${res.rewrote} of ${res.leaves} leaves " +
+                s"(${res.carried} carried untouched); nothing committed")
             else
               println(s"[index] pruned '$kind' index against '$table': " +
-                s"dropped $dropped dead row(s), $leaves leaves now")
+                s"dropped ${res.dropped} dead row(s), rewrote " +
+                s"${res.rewrote} dirty leaves (${res.carried} carried " +
+                s"by reference), ${res.leaves} leaves now")
           case Some("report") =>
             // drift telemetry: distortion of the stored codes under the
             // committed models — alert + `index build` when it climbs
@@ -648,21 +690,12 @@ object Main {
               // runs the full fixpoint loop — pass N reads the index
               // minus the simulated losers — and commits NOTHING.
               val dry = boolFlag("dry-run")
-              val table = opt("table").getOrElse(kind match {
-                case "band" =>
-                  graft.streaming.StreamingCuration.AcceptedTable
-                case "vec" =>
-                  graft.streaming.StreamingVectors.AcceptedTable
-                case "phash" =>
-                  graft.streaming.StreamingImages.AcceptedTable
-                case "afp" => graft.streaming.StreamingAudio.AcceptedTable
-                case "vhash" =>
-                  graft.streaming.StreamingVideo.AcceptedTable
-                case "pair" => IndexStore.AcceptedPairsTable
-                case other => sys.error(
-                  s"index dupes --apply: unknown kind '$other' " +
-                    "(band|vec|phash|afp|vhash|pair)")
-              })
+              // SAME default mapping as `index prune` (the back-to-back
+              // verbs must agree on the target); non-report kinds that
+              // resolve a default here are still refused by applyDupes
+              // itself, which names the supported kinds
+              val table = opt("table")
+                .getOrElse(defaultTableOf("dupes --apply", kind))
               val res = IndexStore.applyDupes(store, spark,
                 kind, table,
                 opt("threshold").map(_.toDouble).getOrElse(Double.NaN),

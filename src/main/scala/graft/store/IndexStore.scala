@@ -503,6 +503,18 @@ object IndexStore {
     sys.error("unreachable")
   }
 
+  /** Typed result of [[prune]]. `dropped` rows left the index (or
+    * WOULD, under `dryRun`); `leaves` is the live leaf tally after the
+    * commit (the pre-prune tally under `dryRun` — nothing moved);
+    * `rewrote` leaves contained dead rows and were rewritten (would
+    * be); `carried` leaves were untouched and ride into the new
+    * snapshot BY REFERENCE — same dirs, same files, byte-identical
+    * (spec-pinned). `rewrote + carried` is always the pre-prune
+    * tally; the rewrite's IO is proportional to `rewrote`, never to
+    * the index. */
+  final case class PruneResult(dropped: Long, leaves: Long,
+      rewrote: Long, carried: Long)
+
   /** PRUNE an index against its data table: delete every index row
     * whose id no longer exists in `dataTable` — the reclaim verb for
     * rows a keep-one-witness apply leaves semantically INERT in
@@ -513,11 +525,24 @@ object IndexStore {
     * table's DISTINCT ids (narrow — the id column only crosses the
     * exchange) reclaims the bytes WITHOUT re-shingling, re-hashing,
     * or re-encoding any payload (the `index build` rebuild
-    * alternative re-reads the whole corpus); the rewrite is the
-    * [[compact]] cost class on compact cadence, with the same
-    * optimistic retry. Read-path invariant by the inertness argument:
-    * a pruned row could never certify anything (spec pins probe-result
-    * equality before/after).
+    * alternative re-reads the whole corpus). Read-path invariant by
+    * the inertness argument: a pruned row could never certify
+    * anything (spec pins probe-result equality before/after).
+    *
+    * The rewrite is DIRTY-LEAF-GRANULAR, not whole-index: the
+    * dead-probe traces each dead row to the leaf it lives in (scan
+    * metadata — the probe stays one narrow id-column pass), and only
+    * leaves that actually hold dead rows are rewritten; every clean
+    * leaf is carried into the new snapshot by reference, its files
+    * untouched. Content-bucketed kinds concentrate an id's rows in
+    * few buckets (band: [[DedupOps.Bands]] of [[Buckets]]; ivf /
+    * ivfpq / sketch: one), so a scheduled prune reclaiming a small
+    * dead fraction pays a proportionally small rewrite — never the
+    * whole-index [[compact]] cost the verb previously shared.
+    * Scatter kinds (espan/span bucket per shingle hash) degrade
+    * honestly: a dead doc's postings touch most buckets, most leaves
+    * are dirty, and the rewrite approaches the old compact-class
+    * bound. Same optimistic retry as every destructive verb.
     *
     * `tableIdCol` names the data table's id column when it differs
     * from the index's (a [[graft.streaming.StreamingPairs]] store
@@ -528,17 +553,16 @@ object IndexStore {
     * vectors they were trained on (the same argument that lets
     * [[append]] skip retraining). A clean index (nothing dead) is a
     * NO-OP: no staging, no commit — a scheduled prune must not pay
-    * compact-class IO to discover there was nothing to do. Returns
-    * (rows dropped, leaves now).
+    * rewrite IO to discover there was nothing to do.
     *
     * `dryRun = true` stops after the dead-probe (the narrow anti-join
-    * the no-op path pays anyway) and returns (rows that WOULD drop,
-    * leaves as they stand) — the sizing step before the destructive
-    * rewrite, symmetric with [[applyDupes]]' dry run. Nothing is
-    * staged or committed. */
+    * the no-op path pays anyway) and returns what WOULD drop plus the
+    * exact rewrite footprint (`rewrote` dirty leaves of `leaves`) —
+    * the sizing step before the destructive rewrite, symmetric with
+    * [[applyDupes]]' dry run. Nothing is staged or committed. */
   def prune(store: GraftStore, spark: SparkSession, kind: String,
       dataTable: String, tableIdCol: String = "",
-      maxAttempts: Int = 3, dryRun: Boolean = false): (Long, Long) = {
+      maxAttempts: Int = 3, dryRun: Boolean = false): PruneResult = {
     val idxIdCol = kind match {
       case "band" | "span" | "espan" => "doc_id"
       case "phash" | "afp" | "vhash" => "asset_id"
@@ -562,25 +586,49 @@ object IndexStore {
       val live = store.readLeaves(spark, table, old)
       val keep = store.read(spark, dataTable)
         .select(col(tCol).as(idxIdCol)).distinct()
-      // dead-probe FIRST, on the id column alone: the steady-state
-      // scheduled prune finds a clean index, and must discover that
-      // from one narrow scan — not by materializing the whole kept
-      // index (checkpoint + stage) to learn there was nothing to do
-      val dropped = live.select(col(idxIdCol))
-        .join(keep, Seq(idxIdCol), "left_anti").count()
-      if (dropped == 0L) return (0L, old.size.toLong)
-      // the dry run IS the dead-probe: the count above is exact (one
+      // dead-probe FIRST, on the id column alone — plus the LEAF each
+      // dead row came from (input_file_name is scan metadata, the read
+      // stays narrow): the steady-state scheduled prune finds a clean
+      // index from this one pass, and a dirty index comes back with
+      // the exact dirty-leaf set in the same job, so the rewrite
+      // below never has to re-derive it. The per-leaf aggregate is
+      // bounded by the manifest's leaf count, never by rows.
+      val leafOf = regexp_extract(input_file_name(),
+        "([^/]+/seg-[^/]+/__bucket=[^/]+)/[^/]+$", 1)
+      val perLeaf = live.select(col(idxIdCol), leafOf.as("__leaf"))
+        .join(keep, Seq(idxIdCol), "left_anti")
+        .groupBy("__leaf").count().collect()
+      val dropped = perLeaf.map(_.getLong(1)).sum
+      if (dropped == 0L)
+        return PruneResult(0L, old.size.toLong, 0L, old.size.toLong)
+      val dirtyDirs = perLeaf.map(_.getString(0)).toSet
+      // every traced dir must be a leaf of THIS snapshot — a mismatch
+      // (foreign layout, path surgery) must refuse, not half-rewrite
+      val unknown = dirtyDirs -- old.map(_.dir).toSet
+      require(unknown.isEmpty,
+        s"dead rows traced to paths outside the snapshot's leaf list " +
+          s"(${unknown.take(3).mkString(", ")}) — refusing a partial " +
+          "rewrite; run `index build` to re-lay the table")
+      val dirty = old.filter(l => dirtyDirs.contains(l.dir))
+      val clean = (old.size - dirty.size).toLong
+      // the dry run IS the dead-probe: counts are exact (one
       // snapshot), and the rewrite is the only thing skipped
-      if (dryRun) return (dropped, old.size.toLong)
-      val rows = live.join(keep, Seq(idxIdCol), "left_semi")
+      if (dryRun)
+        return PruneResult(dropped, old.size.toLong, dirty.size.toLong,
+          clean)
+      // rewrite ONLY the dirty leaves; clean ones carry by reference
+      val rows = store.readLeaves(spark, table, dirty)
+        .join(keep, Seq(idxIdCol), "left_semi")
         .localCheckpoint() // staged below; count forces materialization
       rows.count()
       val adds = store.stageKeyed(table, rows, bucketOf(kind), sortOf(kind))
       try {
         // preservingMeta, NOT formatMeta: a filter-only rewrite must
         // not upgrade the schema stamp of rows it never transformed
-        store.commit(adds, drops = old, meta = preservingMeta(store, kind))
-        return (dropped, adds.size.toLong)
+        store.commit(adds, drops = dirty,
+          meta = preservingMeta(store, kind))
+        return PruneResult(dropped, clean + adds.size,
+          dirty.size.toLong, clean)
       } catch {
         case _: GraftStore.StaleSnapshotException if attempt < maxAttempts =>
         // recompute from a fresh snapshot; staged orphans are vacuum's
@@ -1112,6 +1160,12 @@ object IndexStore {
     // dry-run state: the cumulative simulated losers. A real pass
     // reads committed state, so `exclude` stays None there.
     var simulated: Option[DataFrame] = None
+    // block ids of the CURRENT cumulative-union checkpoint (created by
+    // the fold below — never a pass's own frames or the audit's), so a
+    // superseded union can be released instead of pinning every
+    // intermediate exclusion frame until session end on a deep
+    // --max-passes sizing run
+    var unionRddIds: Set[Int] = Set.empty
     while (pass < maxPasses) {
       pass += 1
       val out = applyDupesPass(store, spark, kind, dataTable,
@@ -1124,10 +1178,23 @@ object IndexStore {
       // checkpoint each cumulative union so pass N's exclusion frame
       // stays flat instead of an N-deep union plan re-evaluated per
       // index read (only matters for a large --max-passes sizing run,
-      // but the real apply never pays that shape so neither should we)
+      // but the real apply never pays that shape so neither should we);
+      // then RELEASE the superseded union's blocks — the eager
+      // checkpoint has already copied what it needs, and holding every
+      // intermediate exclusion frame would grow storage linearly in
+      // passes. Audit frames and the passes' own loser frames are not
+      // touched (only ids this fold itself registered are released).
       if (dryRun) out.loserIds.foreach { l =>
-        simulated = Some(simulated
-          .fold(l)(prev => (prev unionByName l).localCheckpoint()))
+        simulated = Some(simulated.fold(l) { prev =>
+          val sc = spark.sparkContext
+          val before = sc.getPersistentRDDs.keySet.toSet
+          val next = (prev unionByName l).localCheckpoint() // eager
+          val created = sc.getPersistentRDDs.keySet.toSet -- before
+          unionRddIds.foreach(id =>
+            sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+          unionRddIds = created
+          next
+        })
       }
       if (out.pairs == 0L)
         return ApplyDupesResult(totalLosers, totalPairs, pass,

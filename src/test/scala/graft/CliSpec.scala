@@ -417,15 +417,38 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
     }
     assert(out2.contains("pruned 'espan' index against 'docs'"), out2)
     assert(deadPostings() == 0L, "prune must reclaim every dead row")
-    // prune without --table is loud (an empty keep-set would be a
-    // whole-index delete)
+    // prune without --table DEFAULTS to the kind's gate table — the
+    // same mapping `index dupes --apply` resolves, so the back-to-back
+    // flow needs no re-derivation. espan maps to the curation gate,
+    // which this store never staged: the prune refusal fires loudly
+    // (an absent keep table is never treated as an empty keep-set —
+    // that would be a whole-index delete)
+    val gate = graft.streaming.StreamingCuration.AcceptedTable
     val e0 = intercept[RuntimeException] {
       captured {
         cli.Main.run(spark, Array("index", "prune", "--store", storeDir,
           "--kind", "espan"))
       }
     }
-    assert(e0.getMessage.contains("--table"), e0.getMessage)
+    assert(e0.getMessage.contains(gate) &&
+      e0.getMessage.contains("EMPTY"), e0.getMessage)
+    // once the gate table EXISTS (one doc fewer than the survivors),
+    // the defaulted prune resolves to it and reclaims exactly that
+    // doc's postings — proving the default is live, not just a new
+    // error path
+    val gated = store.read(spark, "docs")
+      .filter(col("doc_id") =!= 0L)
+    store.commit(store.stageKeyed(gate, gated,
+      pmod(xxhash64(col("doc_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("doc_id"))))
+    val outDef = captured {
+      cli.Main.run(spark, Array("index", "prune", "--store", storeDir,
+        "--kind", "espan"))
+    }
+    assert(outDef.contains(s"against '$gate'"), outDef)
+    assert(IndexStore.read(store, spark, "espan")
+      .filter(col("doc_id") === 0L).count() == 0L,
+      "the defaulted prune must reclaim doc 0's postings")
     // report-branch flag refusals mirror the apply branch: a dial on
     // a Hamming kind, a scope on a scope-less kind, a pass bound on
     // a single-run report — each loud, none silently ignored

@@ -1031,9 +1031,8 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     // PRUNE reclaims the inert rows: the deleted doc's postings leave
     // the index, the witness's stay, and probe results are UNCHANGED
     // (the read-path-invariance the inertness argument promises)
-    val (pruned, leaves) = IndexStore.prune(store, spark, "espan",
-      "docs")
-    assert(pruned > 0L && leaves > 0L, s"($pruned, $leaves)")
+    val pr = IndexStore.prune(store, spark, "espan", "docs")
+    assert(pr.dropped > 0L && pr.leaves > 0L, s"$pr")
     assert(IndexStore.read(store, spark, "espan")
       .filter(col("doc_id") === 1000003L).count() == 0,
       "prune must reclaim the dead doc's postings")
@@ -1042,7 +1041,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(sharedHits() == before,
       "prune must not change any probe result")
     // idempotent: a second prune finds nothing dead
-    assert(IndexStore.prune(store, spark, "espan", "docs")._1 == 0L)
+    assert(IndexStore.prune(store, spark, "espan", "docs").dropped == 0L)
   }
 
   test("prune and applyDupes PRESERVE the at-rest schema stamp: a " +
@@ -1063,7 +1062,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     store.commit(Seq(), meta = Map("index_schema_version.espan" -> "2"))
     assert(store.currentMeta().get(key).contains("2"))
     // prune filters rows, it upgrades nothing — the stamp must echo
-    val (dropped, _) = IndexStore.prune(store, spark, "espan", "docs")
+    val dropped = IndexStore.prune(store, spark, "espan", "docs").dropped
     assert(dropped > 0L, "fixture: docs 5-9 postings must be dead")
     assert(store.currentMeta().get(key).contains("2"),
       "prune re-stamped the schema version — versioned refusals " +
@@ -1119,9 +1118,9 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
       (0L until 20L by 2).map(i => (i, "x")).toDF("item_id", "meta"),
       pmod(xxhash64(col("item_id")), lit(IndexStore.Buckets.toLong)),
       Seq(col("item_id"))))
-    val (dropped, leaves) = IndexStore.prune(store, spark, "vec",
+    val pr = IndexStore.prune(store, spark, "vec",
       "items", tableIdCol = "item_id")
-    assert(dropped > 0L && leaves > 0L, s"($dropped, $leaves)")
+    assert(pr.dropped > 0L && pr.leaves > 0L, s"$pr")
     assert(IndexStore.read(store, spark, "vec").select("vec_id")
       .collect().map(_.getLong(0)).toSet ==
       (0L until 20L by 2).toSet)
@@ -1129,6 +1128,86 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     intercept[Exception] {
       IndexStore.prune(store, spark, "vec", "items")
     }
+  }
+
+  test("prune rewrites ONLY the dirty leaves: clean leaves carry into " +
+      "the new snapshot by reference with their files byte-identical, " +
+      "the dry run sizes the exact rewrite footprint, and probe " +
+      "results are unchanged") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = tempDir("graft-idx-prune-leafgran")
+    val store = new GraftStore(root)
+    val corpus = (0L until 40L).map(doc(_, "pl"))
+    IndexStore.build(store, "band", corpus.toDF("doc_id", "text"))
+    // keep table: every doc except 7 — a band-kind id concentrates in
+    // at most Bands (8) of the 64 content buckets, so most leaves hold
+    // no dead row and must never be rewritten
+    store.commit(store.stageKeyed("docs",
+      corpus.filter(_._1 != 7L).toDF("doc_id", "text"),
+      pmod(xxhash64(col("doc_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("doc_id"))))
+    val table = IndexStore.tableOf("band")
+    val old = store.leavesOf(table)
+    // MD5 every file of every leaf BEFORE the prune — "carried by
+    // reference" must mean the bytes on disk, not just the dir name
+    def fingerprint(dir: String): Map[String, String] = {
+      val base = Paths.get(root, dir)
+      val stream = Files.walk(base)
+      try stream.iterator().asScala
+        .filter(f => Files.isRegularFile(f)).map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          base.relativize(f).toString ->
+            md.digest(Files.readAllBytes(f)).map("%02x".format(_))
+              .mkString
+        }.toMap
+      finally stream.close()
+    }
+    val fp0 = old.map(l => l.dir -> fingerprint(l.dir)).toMap
+    val probe = Seq(
+      (800L, corpus(3)._2.split(" ").zipWithIndex
+        .map { case (t, i) => if (i % 29 == 0) "xq" else t }
+        .mkString(" "))).toDF("doc_id", "text")
+    def hits() = IndexStore.search(store, spark, "band", probe)
+      .select("new_id", "existing_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = hits()
+    assert(before.exists(_._2 == 3L), "fixture: the probe must hit doc 3")
+    val deadRows = IndexStore.read(store, spark, "band")
+      .filter(col("doc_id") === 7L).count()
+    assert(deadRows > 0L, "fixture: doc 7's band rows must be at rest")
+    // the dry run sizes the EXACT rewrite footprint and moves nothing
+    val dry = IndexStore.prune(store, spark, "band", "docs",
+      dryRun = true)
+    assert(dry.dropped == deadRows && dry.leaves == old.size &&
+      dry.rewrote + dry.carried == old.size, s"$dry")
+    assert(dry.rewrote > 0 && dry.rewrote < old.size,
+      s"a one-doc prune must dirty SOME but not all leaves: $dry")
+    assert(store.leavesOf(table).map(_.dir) == old.map(_.dir),
+      "dry-run prune must not commit")
+    // the real prune matches its own dry run's prediction
+    val pr = IndexStore.prune(store, spark, "band", "docs")
+    assert(pr.dropped == dry.dropped && pr.rewrote == dry.rewrote &&
+      pr.carried == dry.carried, s"dry=$dry real=$pr")
+    val now = store.leavesOf(table)
+    assert(pr.leaves == now.size, s"$pr vs ${now.size}")
+    // carried leaves: SAME dirs in the new snapshot, bytes untouched
+    val oldDirs = old.map(_.dir).toSet
+    val carried = now.map(_.dir).filter(oldDirs)
+    assert(carried.size.toLong == pr.carried, s"$pr")
+    carried.foreach(d => assert(fingerprint(d) == fp0(d),
+      s"carried leaf $d was rewritten — it held no dead row"))
+    assert((oldDirs -- now.map(_.dir).toSet).size.toLong == pr.rewrote,
+      "exactly the dirty leaves must leave the snapshot")
+    // the reclaim itself: doc 7 gone, every other row intact, probe
+    // results unchanged, second prune a no-op
+    val idx = IndexStore.read(store, spark, "band")
+    assert(idx.filter(col("doc_id") === 7L).count() == 0L)
+    assert(idx.count() == 40L * graft.operators.DedupOps.Bands - deadRows,
+      "every surviving doc's band rows must ride through the prune")
+    assert(hits() == before, "prune must not change any probe result")
+    assert(IndexStore.prune(store, spark, "band", "docs").dropped == 0L)
   }
 
   test("bandDupes: the at-rest TEXT dup report equals the batch " +
