@@ -46,12 +46,17 @@ object Scale {
   private final class Metrics extends SparkListener {
     val shw = new java.util.concurrent.atomic.AtomicLong
     val shr = new java.util.concurrent.atomic.AtomicLong
+    val outw = new java.util.concurrent.atomic.AtomicLong
     val peak = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         shw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         shr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        // task output bytes (parquet staging) — the REWRITE term of the
+        // destructive verbs, invisible to the shuffle counters (a
+        // zero-shuffle prune still pays its staged leaves here)
+        outw.addAndGet(m.outputMetrics.bytesWritten)
         peak.accumulateAndGet(m.peakExecutionMemory, (a, b) => math.max(a, b))
       }
     }
@@ -128,6 +133,7 @@ object Scale {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       val s0 = sentinel()
       val (shw0, shr0) = (metrics.shw.get(), metrics.shr.get())
+      val outw0 = metrics.outw.get()
       metrics.peak.set(0L)
       var best = Double.MaxValue
       var rows = 0L
@@ -154,6 +160,8 @@ object Scale {
           (metrics.shw.get() - shw0) / reps / (1024 * 1024)},""" +
         s""""shuffle_read_mb":${
           (metrics.shr.get() - shr0) / reps / (1024 * 1024)},""" +
+        s""""output_write_mb":${
+          (metrics.outw.get() - outw0) / reps / (1024 * 1024)},""" +
         s""""peak_task_mem_mb":${metrics.peak.get() / (1024 * 1024)},""" +
         s""""driver_heap_mb":${heapMb()},"sentinel_ms":${
           math.round(s0 * 1000)}}"""
@@ -328,6 +336,38 @@ object Scale {
           // it must never land as a normal linear-claim data point
           require(res.converged,
             s"band_apply did not converge at k=$k: $res")
+          graft.store.IndexStore.read(store, spark, "band").limit(0)
+        }
+      }
+      // leaf-granular prune (round 20): rewrite bytes must track the
+      // DIRTY-LEAF fraction, never the index size. Two prunes over a
+      // fresh band index at each k — ONE dead doc (its Bands rows
+      // dirty at most 8 of the 64 content buckets) vs 10% dead docs
+      // (dirtying every bucket: the old whole-index bound). Claim:
+      // output bytes of the small prune ≈ the dirty-leaf fraction of
+      // the bulk prune's at every k; both stay linear in k at their
+      // own fraction, flat task memory. The index rebuilds untimed —
+      // the apply phases above deleted rows, and a filtered rerun may
+      // land on an already-pruned store.
+      if (want("band_prune_small") || want("band_prune_bulk")) {
+        graft.store.IndexStore.build(store, "band", docsK)
+        def keepTable(name: String, df: DataFrame): Unit =
+          store.commit(store.stageKeyed(name, df,
+            pmod(xxhash64(col("doc_id")),
+              lit(graft.store.IndexStore.Buckets.toLong)),
+            Seq(col("doc_id"))),
+            drops = store.leavesOf(name))
+        keepTable("docs_keep1", docsK.filter(col("doc_id") =!= 3L))
+        if (want("band_prune_small")) phase("band_prune_small", k, 1) {
+          graft.store.IndexStore.prune(store, spark, "band",
+            "docs_keep1")
+          graft.store.IndexStore.read(store, spark, "band").limit(0)
+        }
+        keepTable("docs_keep90",
+          docsK.filter(pmod(col("doc_id"), lit(10L)) =!= 0L))
+        if (want("band_prune_bulk")) phase("band_prune_bulk", k, 1) {
+          graft.store.IndexStore.prune(store, spark, "band",
+            "docs_keep90")
           graft.store.IndexStore.read(store, spark, "band").limit(0)
         }
       }
@@ -568,6 +608,41 @@ object Scale {
           graft.store.IndexStore.prune(store, spark, "espan",
             "docs_prune")
           graft.store.IndexStore.read(store, spark, "espan").limit(0)
+        }
+      }
+      // the DEGRADED prune path (round 20): §23 measured 0 shuffle
+      // because the keep-side ids broadcast at every k — force the
+      // shuffled semi-join (both broadcast thresholds off) to pin the
+      // past-broadcast claim the same way every other scale claim is
+      // pinned. Claim: shuffle W linear in ids + postings, flat task
+      // memory; results identical by the join's semantics. Rebuilds
+      // untimed for the same reasons as espan_prune.
+      if (want("espan_prune_shuffled")) {
+        graft.store.IndexStore.build(store, "espan", docsK)
+        store.commit(store.stageKeyed("docs_prune",
+          docsK.filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
+          pmod(xxhash64(col("doc_id")),
+            lit(graft.store.IndexStore.Buckets.toLong)),
+          Seq(col("doc_id"))),
+          drops = store.leavesOf("docs_prune"))
+        val conf = spark.conf
+        val auto = conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val adAuto =
+          conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try phase("espan_prune_shuffled", k, 1) {
+          graft.store.IndexStore.prune(store, spark, "espan",
+            "docs_prune")
+          graft.store.IndexStore.read(store, spark, "espan").limit(0)
+        } finally {
+          conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+          adAuto match {
+            case Some(v) => conf
+              .set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+            case None => conf
+              .unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+          }
         }
       }
     }

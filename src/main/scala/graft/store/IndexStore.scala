@@ -591,24 +591,42 @@ object IndexStore {
       // stays narrow): the steady-state scheduled prune finds a clean
       // index from this one pass, and a dirty index comes back with
       // the exact dirty-leaf set in the same job, so the rewrite
-      // below never has to re-derive it. The per-leaf aggregate is
-      // bounded by the manifest's leaf count, never by rows.
+      // below never has to re-derive it. The leaf rides the exchange
+      // as its 8-byte xxhash64, NOT the path string — past broadcast
+      // scale the anti-join shuffles both sides, and the probe's
+      // documented cost contract (narrow columns only) must survive
+      // that. The driver resolves hash → dir over the manifest's own
+      // leaf list (a leaf-count-sized micro-job through the SAME
+      // hash function); the per-leaf aggregate is bounded by the
+      // manifest's leaf count, never by rows.
       val leafOf = regexp_extract(input_file_name(),
         "([^/]+/seg-[^/]+/__bucket=[^/]+)/[^/]+$", 1)
-      val perLeaf = live.select(col(idxIdCol), leafOf.as("__leaf"))
+      val perLeaf = live
+        .select(col(idxIdCol), xxhash64(leafOf).as("__leafh"))
         .join(keep, Seq(idxIdCol), "left_anti")
-        .groupBy("__leaf").count().collect()
+        .groupBy("__leafh").count().collect()
       val dropped = perLeaf.map(_.getLong(1)).sum
       if (dropped == 0L)
         return PruneResult(0L, old.size.toLong, 0L, old.size.toLong)
-      val dirtyDirs = perLeaf.map(_.getString(0)).toSet
-      // every traced dir must be a leaf of THIS snapshot — a mismatch
+      val dirByHash = {
+        import spark.implicits._
+        val m = old.map(_.dir).toDF("dir")
+          .select(xxhash64(col("dir")), col("dir")).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        require(m.size == old.size,
+          s"xxhash64 collision across ${old.size} leaf dirs of " +
+            s"'$table' — run `index build` to re-lay the table")
+        m
+      }
+      val dirtyHashes = perLeaf.map(_.getLong(0)).toSet
+      // every traced leaf must be one of THIS snapshot's — a mismatch
       // (foreign layout, path surgery) must refuse, not half-rewrite
-      val unknown = dirtyDirs -- old.map(_.dir).toSet
+      val unknown = dirtyHashes -- dirByHash.keySet
       require(unknown.isEmpty,
-        s"dead rows traced to paths outside the snapshot's leaf list " +
-          s"(${unknown.take(3).mkString(", ")}) — refusing a partial " +
-          "rewrite; run `index build` to re-lay the table")
+        s"${unknown.size} dead row group(s) traced to paths outside " +
+          s"the snapshot's leaf list — refusing a partial rewrite; " +
+          "run `index build` to re-lay the table")
+      val dirtyDirs = dirtyHashes.map(dirByHash)
       val dirty = old.filter(l => dirtyDirs.contains(l.dir))
       val clean = (old.size - dirty.size).toLong
       // the dry run IS the dead-probe: counts are exact (one
