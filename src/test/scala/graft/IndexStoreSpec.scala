@@ -1210,6 +1210,45 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(IndexStore.prune(store, spark, "band", "docs").dropped == 0L)
   }
 
+  test("prune over a MULTI-SEG index (build + append): the leaf " +
+      "tracing resolves both segs' dir shapes from one probe — dead " +
+      "rows reclaim from each seg's dirty leaves, clean leaves of " +
+      "BOTH segs carry by reference") {
+    import spark.implicits._
+    val root = tempDir("graft-idx-prune-multiseg")
+    val store = new GraftStore(root)
+    val a = (0L until 30L).map(doc(_, "msA"))
+    val b = (100L until 130L).map(doc(_, "msB"))
+    IndexStore.build(store, "band", a.toDF("doc_id", "text"))
+    // a second SEG: appended leaves share buckets with build leaves
+    // but live under a different seg dir — the leaf tracing must
+    // resolve both shapes from one probe
+    IndexStore.append(store, "band", b.toDF("doc_id", "text"))
+    val table = IndexStore.tableOf("band")
+    val old = store.leavesOf(table)
+    assert(old.map(_.dir.split("/")(1)).distinct.size == 2,
+      s"fixture: two segs expected, got ${old.map(_.dir).take(3)}")
+    // one dead doc per seg
+    store.commit(store.stageKeyed("docs",
+      (a ++ b).filter(d => d._1 != 7L && d._1 != 113L)
+        .toDF("doc_id", "text"),
+      pmod(xxhash64(col("doc_id")), lit(IndexStore.Buckets.toLong)),
+      Seq(col("doc_id"))))
+    val pr = IndexStore.prune(store, spark, "band", "docs")
+    assert(pr.dropped == 2L * graft.operators.DedupOps.Bands, s"$pr")
+    assert(pr.rewrote > 0 && pr.carried > 0 &&
+      pr.rewrote + pr.carried == old.size, s"$pr")
+    val now = store.leavesOf(table).map(_.dir).toSet
+    // carried leaves from BOTH segs ride through untouched
+    val carried = old.map(_.dir).filter(now)
+    assert(carried.map(_.split("/")(1)).distinct.size == 2,
+      s"both segs must contribute carried leaves: $carried")
+    val idx = IndexStore.read(store, spark, "band")
+    assert(idx.filter(col("doc_id").isin(7L, 113L)).count() == 0L)
+    assert(idx.count() == 58L * graft.operators.DedupOps.Bands,
+      "every surviving doc's rows from both segs must ride through")
+  }
+
   test("bandDupes: the at-rest TEXT dup report equals the batch " +
       "MinHash-LSH operator over a real corpus, across a store " +
       "restart — no text re-read, no re-shingling") {
