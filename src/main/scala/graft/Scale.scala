@@ -371,6 +371,42 @@ object Scale {
           graft.store.IndexStore.read(store, spark, "band").limit(0)
         }
       }
+      // incremental compact (round 20): the scheduled form. Three
+      // points over a fresh band index with 10% replay debris — the
+      // FULL compact as the rewrite reference, an incremental compact
+      // after ONE appended doc (its Bands rows accrete ≤8 of the 64
+      // buckets: output bytes must track that fraction), and the
+      // quiet-index no-op (claim: manifest-only, ~zero bytes,
+      // sentinel-scale wall). The full compact runs untimed when its
+      // phase is filtered out — the incremental point needs the
+      // compacted base state either way.
+      if (want("band_compact_full") || want("band_compact_inc") ||
+          want("band_compact_noop")) {
+        graft.store.IndexStore.build(store, "band", docsK)
+        graft.store.IndexStore.append(store, "band",
+          docsK.filter(pmod(col("doc_id"), lit(10L)) === 0L))
+        if (want("band_compact_full")) phase("band_compact_full", k, 1) {
+          graft.store.IndexStore.compact(store, spark, "band")
+          graft.store.IndexStore.read(store, spark, "band").limit(0)
+        } else
+          graft.store.IndexStore.compact(store, spark, "band")
+        graft.store.IndexStore.append(store, "band",
+          docsK.filter(col("doc_id") === 5L))
+        if (want("band_compact_inc")) phase("band_compact_inc", k, 1) {
+          graft.store.IndexStore.compact(store, spark, "band",
+            incremental = true)
+          graft.store.IndexStore.read(store, spark, "band").limit(0)
+        } else if (want("band_compact_noop"))
+          // the noop point must see a QUIET index even on a filtered
+          // rerun that skips the inc phase
+          graft.store.IndexStore.compact(store, spark, "band",
+            incremental = true)
+        if (want("band_compact_noop")) phase("band_compact_noop", k, 1) {
+          graft.store.IndexStore.compact(store, spark, "band",
+            incremental = true)
+          graft.store.IndexStore.read(store, spark, "band").limit(0)
+        }
+      }
       if (want("ivf_build")) phase("ivf_build", k, 1) {
         graft.store.IndexStore.build(store, "ivf", embK)
         graft.store.IndexStore.read(store, spark, "ivf-centroids").limit(0)

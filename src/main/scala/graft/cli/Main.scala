@@ -584,23 +584,34 @@ object Main {
           case Some("compact") =>
             // --dry-run: compact drops rows (over-cap truncation is
             // only recoverable by `index build`), so it sizes first
-            // like every other deleting verb
+            // like every other deleting verb. --incremental compacts
+            // only the ACCRETED buckets (>1 leaf — appended to since
+            // the last compact), carrying single-leaf buckets by
+            // reference; a quiet index is a manifest-only no-op, so
+            // the verb can run on a schedule. The documented corner
+            // (changed-content re-delivery under one id crossing
+            // buckets) stays the full compact's job.
             val dryC = boolFlag("dry-run")
-            val (dropped, leaves) = IndexStore.compact(store, spark,
-              kind, dryRun = dryC)
+            val inc = boolFlag("incremental")
+            val res = IndexStore.compact(store, spark,
+              kind, dryRun = dryC, incremental = inc)
+            val mode = if (inc) " (incremental)" else ""
             // "dup collapse + global caps": the count folds BOTH terms
             // of the compaction — re-delivered duplicate rows that
             // dropDuplicates collapses AND rows the at-rest cap policy
             // truncates — naming only the caps would misattribute a
             // replay-heavy store's drop count
             if (dryC)
-              println(s"[index] DRY RUN compact '$kind': would drop " +
-                s"$dropped rows (dup collapse + global caps; index " +
-                s"currently $leaves leaves); nothing committed")
+              println(s"[index] DRY RUN compact$mode '$kind': would " +
+                s"drop ${res.dropped} rows (dup collapse + global " +
+                s"caps), rewriting ${res.rewrote} of ${res.leaves} " +
+                s"leaves (${res.carried} carried untouched); nothing " +
+                "committed")
             else
-              println(s"[index] compacted '$kind' index: dropped " +
-                s"$dropped rows (dup collapse + global caps), " +
-                s"$leaves leaves now")
+              println(s"[index] compacted$mode '$kind' index: dropped " +
+                s"${res.dropped} rows (dup collapse + global caps), " +
+                s"rewrote ${res.rewrote} leaves (${res.carried} " +
+                s"carried by reference), ${res.leaves} leaves now")
           case Some("prune") =>
             // reclaim rows whose id left the data table (a dupes
             // --apply deliberately doesn't cascade into sibling kinds

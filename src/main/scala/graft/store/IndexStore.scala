@@ -420,15 +420,46 @@ object IndexStore {
     * that DROPS leaves mid-compact (a rebuild, another compact) makes
     * the stale commit throw, and compact recomputes from a fresh
     * snapshot — the same retry loop as [[graft.etl.Export.compact]].
-    * Returns (rows dropped by the global policies, leaves after).
+    * Returns a [[CompactResult]]: rows dropped by the global
+    * policies, leaves after, leaves rewritten, leaves carried by
+    * reference (0 for the full compact — it rewrites everything).
     *
     * `dryRun = true` computes the same dedup + global-cap result and
-    * returns (rows that WOULD drop, leaves as they stand), staging and
-    * committing nothing — compact deletes rows (over-cap truncation is
-    * recoverable only by `index build`), so it sizes before it runs
-    * like every other deleting verb. */
+    * returns what WOULD drop with the exact rewrite footprint, staging
+    * and committing nothing — compact deletes rows (over-cap
+    * truncation is recoverable only by `index build`), so it sizes
+    * before it runs like every other deleting verb.
+    *
+    * `incremental = true` compacts ONLY the accreted buckets — the
+    * buckets holding more than one leaf, derivable purely from the
+    * manifest (compact itself emits one leaf per bucket, so a
+    * multi-leaf bucket is exactly "appended to since the last
+    * compact"); single-leaf buckets carry into the new snapshot BY
+    * REFERENCE, and an index with no accretion is a manifest-only
+    * NO-OP (no scan, no commit) — a SCHEDULED compact must not pay a
+    * whole-index rewrite to discover there was nothing to do (the
+    * [[prune]] no-op discipline applied to compaction). Soundness of
+    * skipping single-leaf buckets rests on the stage-path policy
+    * contract: every production write path stages batch-policy-clean
+    * rows ([[build]]/[[append]] through [[rowsFor]]'s dedup+truncation;
+    * the streaming gates truncate before [[stageRows]]), and the
+    * dedup/cap GROUPS (band+band_key, fp, ...) never span buckets, so
+    * a bucket whose rows all came from one stage has nothing left to
+    * collapse or cap. Equivalence with the full compact is
+    * unconditional for the kinds whose dedup key determines the
+    * bucket (span: fp; sketch/pq: vec_id) and holds for the rest
+    * under IDENTICAL-content re-delivery (the replay case the gates
+    * produce — same content, same band_key/h/cell, same bucket). The
+    * one documented divergence: a CHANGED-content re-delivery under
+    * one id lands rows in different buckets; the incremental pass
+    * keeps both (each still probe-able), where the full compact's
+    * global dropDuplicates collapses them arbitrarily — run the full
+    * compact (or `index build`) to collapse those, and run one FULL
+    * compact over any store fed raw rows through the [[stageRows]]
+    * escape hatch (its caller owns batch policy). */
   def compact(store: GraftStore, spark: SparkSession, kind: String,
-      maxAttempts: Int = 3, dryRun: Boolean = false): (Long, Long) = {
+      maxAttempts: Int = 3, dryRun: Boolean = false,
+      incremental: Boolean = false): CompactResult = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -439,7 +470,16 @@ object IndexStore {
       checkFormat(store, kind)
       if (kind == "afp") checkSchemaVersion(store, "afp", 3,
         "chunk-aware afp compaction")
-      val live = store.readLeaves(spark, table, old)
+      val victims =
+        if (!incremental) old
+        else {
+          val perBucket = old.groupBy(_.bucket)
+          old.filter(l => perBucket(l.bucket).size > 1)
+        }
+      val carried = (old.size - victims.size).toLong
+      if (victims.isEmpty) // nothing accreted: manifest-only no-op
+        return CompactResult(0L, old.size.toLong, 0L, carried)
+      val live = store.readLeaves(spark, table, victims)
       val rows = (kind match {
         // text band rows share the perceptual kinds' at-rest TRUNCATION
         // policy (keyed on doc_id): compaction may shrink a hot bucket
@@ -483,16 +523,19 @@ object IndexStore {
         case _ => live.dropDuplicates("vec_id")
       }).localCheckpoint() // counted AND staged — one computation
       val dropped = live.count() - rows.count()
-      if (dryRun) return (dropped, old.size.toLong)
+      if (dryRun)
+        return CompactResult(dropped, old.size.toLong,
+          victims.size.toLong, carried)
       val adds = store.stageKeyed(table, rows, bucketOf(kind), sortOf(kind))
       try {
         // preservingMeta: compaction collapses/caps rows, it does not
         // rewrite them into the newest table schema — re-stamping a
         // legacy store (e.g. a pre-sq/cq pq codebook) would launder it
         // past the versioned refusals downstream
-        store.commit(adds, drops = old,
+        store.commit(adds, drops = victims,
           meta = preservingMeta(store, kind))
-        return (dropped, adds.size.toLong)
+        return CompactResult(dropped, carried + adds.size,
+          victims.size.toLong, carried)
       } catch {
         case _: GraftStore.StaleSnapshotException if attempt < maxAttempts =>
         // loop: a concurrent commit dropped one of our victims —
@@ -502,6 +545,16 @@ object IndexStore {
     }
     sys.error("unreachable")
   }
+
+  /** Typed result of [[compact]], shaped like [[PruneResult]]:
+    * `dropped` rows left the index (or WOULD, under `dryRun`);
+    * `leaves` is the live tally after the commit (pre-compact tally
+    * under `dryRun`); `rewrote` leaves were read and rewritten (the
+    * whole index for a full compact; the accreted buckets' leaves for
+    * an incremental one); `carried` leaves rode into the new snapshot
+    * by reference, files untouched. */
+  final case class CompactResult(dropped: Long, leaves: Long,
+      rewrote: Long, carried: Long)
 
   /** Typed result of [[prune]]. `dropped` rows left the index (or
     * WOULD, under `dryRun`); `leaves` is the live leaf tally after the

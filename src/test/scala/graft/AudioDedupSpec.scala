@@ -334,7 +334,8 @@ class AudioDedupSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(hits2.toSet == Set((9100L, 0)),
       s"appended clip must self-match only: ${hits2.mkString(",")}")
     // compact is afp-aware (global truncation re-application keeps rows)
-    val (dropped, leaves) = IndexStore.compact(store, spark, "afp")
+    val cr = IndexStore.compact(store, spark, "afp")
+    val (dropped, leaves) = (cr.dropped, cr.leaves)
     assert(dropped == 0L && leaves > 0L, s"($dropped, $leaves)")
     // post-compact: the long probe still verdicts (chunk rows intact)
     val hits3 = IndexStore.search(store, spark, "afp",

@@ -4,7 +4,7 @@ import java.io.{ByteArrayOutputStream, PrintStream}
 
 import graft.chain.ChainFixture
 import graft.etl.{Backfill, FixtureSource}
-import graft.store.GraftStore
+import graft.store.{GraftStore, IndexStore}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -92,6 +92,19 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
         "--kind", "band"))
     }
     assert(compacted.contains("compacted 'band' index"))
+    // --incremental right after a full compact: every bucket holds
+    // one leaf, so the scheduled form is a manifest-only no-op — the
+    // message says so and the snapshot does not move
+    val gs = new GraftStore(storeDir)
+    val quiet = gs.leavesOf(IndexStore.tableOf("band")).map(_.dir)
+    val incOut = captured {
+      cli.Main.run(spark, Array("index", "compact", "--store", storeDir,
+        "--kind", "band", "--incremental"))
+    }
+    assert(incOut.contains("compacted (incremental) 'band' index") &&
+      incOut.contains("rewrote 0 leaves"), incOut)
+    assert(gs.leavesOf(IndexStore.tableOf("band")).map(_.dir) == quiet,
+      "a quiet incremental compact must not commit")
     captured {
       cli.Main.run(spark, Array("index", "search", "--store", storeDir,
         "--kind", "band", "--input", probePath, "--output", outPath))

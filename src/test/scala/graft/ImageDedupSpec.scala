@@ -178,7 +178,8 @@ class ImageDedupSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(hits2.toSet == Set((9100L, 0)),
       s"appended image must self-match only: ${hits2.mkString(",")}")
     // compact is phash-aware (global cap re-application keeps rows)
-    val (dropped, leaves) = IndexStore.compact(store, spark, "phash")
+    val cr = IndexStore.compact(store, spark, "phash")
+    val (dropped, leaves) = (cr.dropped, cr.leaves)
     assert(dropped == 0L && leaves > 0L, s"($dropped, $leaves)")
   }
 

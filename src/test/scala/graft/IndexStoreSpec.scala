@@ -105,11 +105,11 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     // the dry run deleted nothing (a mutating dry run would leave the
     // real pass with zero to drop)
     IndexStore.append(new GraftStore(root), "espan", extra)
-    val (wouldDrop, _) = IndexStore.compact(
-      new GraftStore(root), spark, "espan", dryRun = true)
+    val wouldDrop = IndexStore.compact(
+      new GraftStore(root), spark, "espan", dryRun = true).dropped
     assert(wouldDrop > 0L, "dry compact must see the re-delivery")
-    val (dropped, leaves) = IndexStore.compact(
-      new GraftStore(root), spark, "espan")
+    val crE = IndexStore.compact(new GraftStore(root), spark, "espan")
+    val (dropped, leaves) = (crE.dropped, crE.leaves)
     assert(dropped == wouldDrop && leaves > 0L,
       s"real ($dropped) must match the dry prediction ($wouldDrop)")
     // the generic search entry refuses with the pointer, never a
@@ -490,8 +490,8 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     val liveRows = before.dropDuplicates("doc_id", "band").count()
     assert(rowsBefore > liveRows, "fixture: re-delivery must duplicate rows")
 
-    val (dropped, leavesAfter) =
-      IndexStore.compact(new GraftStore(root), spark, "band")
+    val crB = IndexStore.compact(new GraftStore(root), spark, "band")
+    val (dropped, leavesAfter) = (crB.dropped, crB.leaves)
     // exactly the re-delivered duplicates drop; truncation keeps the
     // boiler flood (equal fingerprints rank identically in all their
     // buckets — each keeps one row per band, the honest-match shape a
@@ -1249,6 +1249,115 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
       "every surviving doc's rows from both segs must ride through")
   }
 
+  test("incremental compact collapses ONLY the accreted buckets: " +
+      "replay debris drops exactly as under the full compact, " +
+      "single-leaf buckets carry by reference byte-identical, a " +
+      "quiet index is a manifest-only no-op, and the dry run " +
+      "predicts the rewrite") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val corpus = (0L until 30L).map(doc(_, "ic"))
+    // two stores through IDENTICAL operations: build, then an
+    // at-least-once re-delivery of docs 3 and 7 (the replay case —
+    // identical content, identical band rows, same buckets accrete)
+    def mk(tag: String): (String, GraftStore) = {
+      val root = tempDir(s"graft-idx-compact-$tag")
+      val store = new GraftStore(root)
+      IndexStore.build(store, "band", corpus.toDF("doc_id", "text"))
+      IndexStore.append(store, "band",
+        corpus.filter(d => d._1 == 3L || d._1 == 7L)
+          .toDF("doc_id", "text"))
+      (root, store)
+    }
+    val (rootA, a) = mk("inc")
+    val (_, b) = mk("full")
+    val table = IndexStore.tableOf("band")
+    val old = a.leavesOf(table)
+    def fingerprint(dir: String): Map[String, String] = {
+      val base = Paths.get(rootA, dir)
+      val stream = Files.walk(base)
+      try stream.iterator().asScala
+        .filter(f => Files.isRegularFile(f)).map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          base.relativize(f).toString ->
+            md.digest(Files.readAllBytes(f)).map("%02x".format(_))
+              .mkString
+        }.toMap
+      finally stream.close()
+    }
+    val single = old.groupBy(_.bucket).filter(_._2.size == 1)
+      .values.flatten.toSeq
+    assert(single.nonEmpty && single.size < old.size,
+      s"fixture: need both quiet and accreted buckets (${old.size})")
+    val fp0 = single.map(l => l.dir -> fingerprint(l.dir)).toMap
+    // dry run sizes the exact rewrite and moves nothing
+    val dry = IndexStore.compact(a, spark, "band", dryRun = true,
+      incremental = true)
+    assert(dry.dropped == 2L * graft.operators.DedupOps.Bands &&
+      dry.rewrote == (old.size - single.size).toLong &&
+      dry.carried == single.size.toLong, s"$dry")
+    assert(a.leavesOf(table).map(_.dir) == old.map(_.dir),
+      "dry-run compact must not commit")
+    val inc = IndexStore.compact(a, spark, "band", incremental = true)
+    assert(inc.dropped == dry.dropped && inc.rewrote == dry.rewrote &&
+      inc.carried == dry.carried, s"dry=$dry real=$inc")
+    // quiet buckets' leaves rode through, bytes untouched
+    val now = a.leavesOf(table).map(_.dir).toSet
+    single.foreach { l =>
+      assert(now.contains(l.dir), s"quiet leaf ${l.dir} must carry")
+      assert(fingerprint(l.dir) == fp0(l.dir),
+        s"quiet leaf ${l.dir} was rewritten")
+    }
+    // equivalence: the full compact on the twin store drops the same
+    // rows and converges to the same surviving row set
+    val full = IndexStore.compact(b, spark, "band")
+    assert(full.dropped == inc.dropped && full.carried == 0L, s"$full")
+    def rows(s: GraftStore) = IndexStore.read(s, spark, "band")
+      .select("doc_id", "band", "band_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows(a) == rows(b),
+      "incremental and full compact must converge to one row set")
+    // a quiet index is a manifest-only NO-OP: same snapshot, no commit
+    val preNoop = a.leavesOf(table).map(_.dir)
+    val noop = IndexStore.compact(a, spark, "band", incremental = true)
+    assert(noop.dropped == 0L && noop.rewrote == 0L &&
+      noop.carried == preNoop.size.toLong, s"$noop")
+    assert(a.leavesOf(table).map(_.dir) == preNoop,
+      "a no-op incremental compact must not commit")
+  }
+
+  test("the incremental compact's documented corner: a changed-content " +
+      "re-delivery under one id lands rows in DIFFERENT buckets — no " +
+      "accretion, so the incremental pass keeps both (each still " +
+      "probe-able) and the FULL compact remains the collapsing verb") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-idx-compact-corner"))
+    // same (doc_id, band), different band_key → different content
+    // versions of one doc; pick keys whose buckets differ so each
+    // lands a single-leaf bucket
+    def bucketOf(key: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(0), lit(key)),
+        lit(IndexStore.Buckets.toLong))).head().getLong(0)
+    val k1 = 111L
+    val k2 = (112L to 200L).find(bucketOf(_) != bucketOf(k1)).get
+    val rows = Seq(
+      (1L, 0, k1, Seq(11L, 12L), Seq(1L, 2L)),
+      (1L, 0, k2, Seq(21L, 22L), Seq(3L, 4L)))
+      .toDF("doc_id", "band", "band_key", "mh_arr", "sh_hashes")
+    store.commit(IndexStore.stageRows(store, "band", rows),
+      meta = IndexStore.formatMeta("band"))
+    val inc = IndexStore.compact(store, spark, "band",
+      incremental = true)
+    assert(inc.dropped == 0L && inc.rewrote == 0L, s"$inc")
+    assert(IndexStore.read(store, spark, "band").count() == 2L,
+      "both content versions must stay probe-able")
+    val full = IndexStore.compact(store, spark, "band")
+    assert(full.dropped == 1L, s"$full")
+    assert(IndexStore.read(store, spark, "band").count() == 1L,
+      "the full compact collapses the cross-bucket pair")
+  }
+
   test("bandDupes: the at-rest TEXT dup report equals the batch " +
       "MinHash-LSH operator over a real corpus, across a store " +
       "restart — no text re-read, no re-shingling") {
@@ -1367,7 +1476,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     // the same batch re-delivered (an at-least-once upstream)
     IndexStore.append(s1, "sketch", vecs.toDF("vec_id", "embedding"))
     assert(IndexStore.read(s1, spark, "sketch").count() == 100L)
-    val (dropped, _) = IndexStore.compact(s1, spark, "sketch")
+    val dropped = IndexStore.compact(s1, spark, "sketch").dropped
     assert(dropped == 50L)
     val after = IndexStore.read(new GraftStore(root), spark, "sketch")
     assert(after.count() == 50L)
@@ -1380,7 +1489,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
       IndexStore.build(ks, kind, vecs.toDF("vec_id", "embedding"))
       IndexStore.append(ks, kind, vecs.toDF("vec_id", "embedding"))
       assert(IndexStore.read(ks, spark, kind).count() == 100L, kind)
-      val (kdropped, _) = IndexStore.compact(ks, spark, kind)
+      val kdropped = IndexStore.compact(ks, spark, kind).dropped
       assert(kdropped == 50L, kind)
       val kafter = IndexStore.read(new GraftStore(kroot), spark, kind)
       assert(kafter.count() == 50L, kind)
@@ -1419,7 +1528,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
     val threads = Seq(
       new Thread(() => try {
         startGate.await()
-        dropped.set(IndexStore.compact(new GraftStore(root), spark, "ivf")._1)
+        dropped.set(IndexStore.compact(new GraftStore(root), spark, "ivf").dropped)
       } catch { case t: Throwable => errs.add(t) }),
       new Thread(() => try {
         startGate.await()

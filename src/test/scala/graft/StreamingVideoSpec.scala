@@ -158,7 +158,8 @@ class StreamingVideoSpec extends AnyFunSuite with BeforeAndAfterAll
       .collect()
       .map(r => (r.getAs[Long]("existing_id"), r.getAs[Int]("hamming")))
     assert(hits2.toSet == Set((9200L, 0)), s"${hits2.mkString(",")}")
-    val (dropped, leaves) = IndexStore.compact(store, spark, "vhash")
+    val cr = IndexStore.compact(store, spark, "vhash")
+    val (dropped, leaves) = (cr.dropped, cr.leaves)
     assert(dropped == 0L && leaves > 0L, s"($dropped, $leaves)")
     val hits3 = IndexStore.search(store, spark, "vhash",
       video(2001L, 9001L).toDF("asset_id", "frame_idx", "payload"))
