@@ -577,6 +577,14 @@ object Main {
         // the chain tables; search probes the at-rest index — history is
         // never re-shingled across process restarts
         val kind = opt("kind").getOrElse(sys.error("--kind required"))
+        // silently-ignored flags are refused loudly (the dupes-branch
+        // rule, applied here too): --incremental is compact's
+        // scheduled form — no other index verb skips quiet buckets
+        require(!boolFlag("incremental") ||
+          args.lift(1).contains("compact"),
+          "--incremental is `index compact`'s scheduled form (skip " +
+            "quiet buckets); it does not apply to " +
+            s"`index ${args.lift(1).getOrElse("?")}`")
         // compact works purely on the at-rest index — no --input
         lazy val input = spark.read.parquet(
           opt("input").getOrElse(sys.error("--input required")))

@@ -436,7 +436,12 @@ object IndexStore {
     * multi-leaf bucket is exactly "appended to since the last
     * compact"); single-leaf buckets carry into the new snapshot BY
     * REFERENCE, and an index with no accretion is a manifest-only
-    * NO-OP (no scan, no commit) — a SCHEDULED compact must not pay a
+    * NO-OP (no scan, no commit). This is the crowded-bucket
+    * discipline the CHAIN tables have always compacted under
+    * ([[graft.etl.Export.compact]]'s `maxLeavesPerBucket` filter),
+    * brought to the index side — where, unlike the chain tables, a
+    * rewritten bucket also re-applies the kind's dedup/cap POLICY,
+    * which is why the skip needs the policy contract below — a SCHEDULED compact must not pay a
     * whole-index rewrite to discover there was nothing to do (the
     * [[prune]] no-op discipline applied to compaction). Soundness of
     * skipping single-leaf buckets rests on the stage-path policy

@@ -486,6 +486,15 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
       }
     }
     assert(e3.getMessage.contains("--max-passes"), e3.getMessage)
+    // --incremental is compact's scheduled form — any other index
+    // verb refuses it instead of silently ignoring it
+    val eInc = intercept[IllegalArgumentException] {
+      captured {
+        cli.Main.run(spark, Array("index", "prune", "--store", storeDir,
+          "--kind", "espan", "--incremental"))
+      }
+    }
+    assert(eInc.getMessage.contains("--incremental"), eInc.getMessage)
     val e4 = intercept[IllegalArgumentException] {
       captured {
         cli.Main.run(spark, Array("index", "dupes", "--store", storeDir,
