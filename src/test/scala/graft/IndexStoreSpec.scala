@@ -1327,6 +1327,41 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
       "a no-op incremental compact must not commit")
   }
 
+  test("incremental compact on a MODEL kind (ivf): a re-delivered " +
+      "batch accretes only its cells — the pass collapses exactly " +
+      "there, quiet cells carry, the centroid model is untouched, " +
+      "and a follow-up pass is a manifest-only no-op") {
+    import spark.implicits._
+    val store = new GraftStore(tempDir("graft-idx-compact-ivf-inc"))
+    val rnd = new scala.util.Random(37)
+    val vecs = (0L until 100L).map(i =>
+      (i, Seq.fill(12)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    IndexStore.build(store, "ivf", vecs)
+    // at-least-once re-delivery of 10 vectors: the FIXED model
+    // assigns each to its original cell, so only those cells accrete
+    IndexStore.append(store, "ivf",
+      vecs.filter(col("vec_id") < 10L))
+    val table = IndexStore.tableOf("ivf")
+    val models = store.leavesOf("ivf-centroids").map(_.dir)
+    val inc = IndexStore.compact(store, spark, "ivf",
+      incremental = true)
+    assert(inc.dropped == 10L, s"$inc")
+    assert(inc.rewrote > 0 && inc.carried > 0, s"$inc")
+    val after = IndexStore.read(store, spark, "ivf")
+    assert(after.count() == 100L &&
+      after.select("vec_id").distinct().count() == 100L)
+    assert(store.leavesOf("ivf-centroids").map(_.dir) == models,
+      "compact must never touch the model tables")
+    // quiet again: manifest-only no-op, snapshot unmoved
+    val pre = store.leavesOf(table).map(_.dir)
+    val noop = IndexStore.compact(store, spark, "ivf",
+      incremental = true)
+    assert(noop.dropped == 0L && noop.rewrote == 0L, s"$noop")
+    assert(store.leavesOf(table).map(_.dir) == pre,
+      "a quiet incremental compact must not commit")
+  }
+
   test("the incremental compact's documented corner: a changed-content " +
       "re-delivery under one id lands rows in DIFFERENT buckets — no " +
       "accretion, so the incremental pass keeps both (each still " +
