@@ -105,6 +105,13 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll
       incOut.contains("rewrote 0 leaves"), incOut)
     assert(gs.leavesOf(IndexStore.tableOf("band")).map(_.dir) == quiet,
       "a quiet incremental compact must not commit")
+    // the two flags compose: the scheduled form's sizing pass
+    val incDry = captured {
+      cli.Main.run(spark, Array("index", "compact", "--store", storeDir,
+        "--kind", "band", "--incremental", "--dry-run"))
+    }
+    assert(incDry.contains("DRY RUN compact (incremental) 'band'") &&
+      incDry.contains("nothing committed"), incDry)
     captured {
       cli.Main.run(spark, Array("index", "search", "--store", storeDir,
         "--kind", "band", "--input", probePath, "--output", outPath))
