@@ -157,8 +157,8 @@ object Bench {
         : org.apache.spark.sql.DataFrame = {
       val units = SimilarityOps.unitVectors(Tables.t(s, dir, "embeddings"))
         .localCheckpoint()
-      val (subsDf, cb) = SimilarityOps.buildPqCodebooks(units)
-      SimilarityOps.pqEncode(subsDf, cb).write.mode("overwrite")
+      val (_, cb) = SimilarityOps.buildPqCodebooks(units)
+      SimilarityOps.pqEncodeUnits(units, cb).write.mode("overwrite")
         .parquet(s"$pqDir/codes")
       units.write.mode("overwrite").parquet(s"$pqDir/units")
       cb.write.mode("overwrite").parquet(s"$pqDir/cb")

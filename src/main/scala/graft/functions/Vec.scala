@@ -153,6 +153,243 @@ object Vec {
     s
   }
 
+  // ---- Literal-model assignment kernels (round 20) ----
+  //
+  // The IVF/PQ trainers and encoders assign rows to model cells/codes.
+  // The models are driver-resident by construction (k×dim centroids,
+  // M×ks×dsub codebooks — a few KB), so the assignment is a pure
+  // per-row function of (vector, model literal): one codegen'd
+  // projection, no crossJoin fan-out, no groupBy exchange. Every fold
+  // below reuses the exact arithmetic of [[dot]]/[[l2sq]] (same
+  // left-to-right order over the common prefix), and the tie-breaks
+  // mirror the aggregate forms they replace term-for-term:
+  //   - [[ivfCell]]: max(struct(dot, cell)) ⇒ higher dot, ties → higher
+  //     cell (iterate cells ascending, replace on dot >= best);
+  //   - [[pqCodes]]: min(struct(d2, code)) ⇒ lower d2, ties → lower
+  //     code (iterate codes ascending, replace on d2 < best strictly);
+  //   - [[ivfTopCells]]: row_number over (aff DESC, cell ASC) ⇒ select
+  //     the max remaining with strict >, keeping the lowest cell on
+  //     ties.
+  // The DuckDB oracles are unchanged — they recompute the same folds.
+
+  /** Argmax cell of a unit vector under a centroid matrix indexed by
+    * cell id — the [[graft.operators.SimilarityOps.ivfAssign]] kernel. */
+  def ivfCell(v: ArrayData, cents: Array[Array[Double]]): Int = {
+    var best = Double.NegativeInfinity
+    var bestCell = -1
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      val n = math.min(v.numElements(), ct.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * ct(i); i += 1 }
+      if (s >= best) { best = s; bestCell = c }
+      c += 1
+    }
+    bestCell
+  }
+
+  /** Top-`nprobe` cells by (affinity DESC, cell ASC) — the probe-list
+    * kernel. Returns an int array in rank order. */
+  def ivfTopCells(v: ArrayData, cents: Array[Array[Double]],
+      nprobe: Int): ArrayData = {
+    val k = cents.length
+    val affs = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val ct = cents(c)
+      val n = math.min(v.numElements(), ct.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * ct(i); i += 1 }
+      affs(c) = s
+      c += 1
+    }
+    val take = math.min(nprobe, k)
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](k)
+    var r = 0
+    while (r < take) {
+      var best = -1
+      c = 0
+      while (c < k) {
+        if (!used(c) && (best < 0 || affs(c) > affs(best))) best = c
+        c += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** v − cents(cell) over the common prefix — the residual against a
+    * literal centroid matrix (same arithmetic as [[sub]]). */
+  def centroidResidual(v: ArrayData, cell: Int,
+      cents: Array[Array[Double]]): ArrayData = {
+    val ct = cents(cell)
+    val n = math.min(v.numElements(), ct.length)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = v.getDouble(i) - ct(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** All M PQ codes of a vector in one pass: code s = argmin over the
+    * sub-s centroids of the [[l2sq]] fold over the s-th dsub-wide slice
+    * (slice semantics mirror `slice(unit, s·dsub+1, dsub)` + the
+    * common-prefix fold: a short tail slices short). */
+  def pqCodes(v: ArrayData, cb: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cb.length
+    val vn = v.numElements()
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val codes = cb(s)
+      val dsub = if (codes.length > 0) codes(0).length else 0
+      val off = s * dsub
+      val avail = math.max(vn - off, 0)
+      var bestD = Double.PositiveInfinity
+      var bestC = 0
+      var ci = 0
+      while (ci < codes.length) {
+        val ct = codes(ci)
+        val n = math.min(avail, ct.length)
+        var d2 = 0.0
+        var j = 0
+        while (j < n) {
+          val d = v.getDouble(off + j) - ct(j)
+          d2 += d * d
+          j += 1
+        }
+        if (d2 < bestD) { bestD = d2; bestC = ci }
+        ci += 1
+      }
+      out(s) = bestC
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Flattened M×ks quantized ADC table of a query vector: entry
+    * s·ks + c = floor(‖slice_s − centroid(s,c)‖²·quant + ½) as a long —
+    * exactly the floor(d2·Q + ½) the join-aggregate form computed. */
+  def pqTable(v: ArrayData, cb: Array[Array[Array[Double]]],
+      quant: Double): ArrayData = {
+    val m = cb.length
+    val ks = if (m > 0) cb(0).length else 0
+    val vn = v.numElements()
+    val out = new Array[Long](m * ks)
+    var s = 0
+    while (s < m) {
+      val codes = cb(s)
+      val dsub = if (codes.length > 0) codes(0).length else 0
+      val off = s * dsub
+      val avail = math.max(vn - off, 0)
+      var ci = 0
+      while (ci < codes.length) {
+        val ct = codes(ci)
+        val n = math.min(avail, ct.length)
+        var d2 = 0.0
+        var j = 0
+        while (j < n) {
+          val d = v.getDouble(off + j) - ct(j)
+          d2 += d * d
+          j += 1
+        }
+        out(s * ks + ci) = math.floor(d2 * quant + 0.5).toLong
+        ci += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One IVF Lloyd-round row set for a vector: structs (cell, pos, xq)
+    * with cell = [[ivfCell]] argmax and xq = floor(vⱼ·quant + ½) — the
+    * explode-ready tuples of the round's quantized sum, emitted by ONE
+    * kernel call per row so the argmax can never be re-evaluated per
+    * exploded element by projection collapse. */
+  def ivfRoundRows(v: ArrayData, cents: Array[Array[Double]],
+      quant: Double): ArrayData = {
+    val cell = ivfCell(v, cents)
+    val n = v.numElements()
+    val out = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      val xq = math.floor(v.getDouble(j) * quant + 0.5).toLong
+      out(j) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](cell, j, xq))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One PQ Lloyd-round row set for a vector: structs (sub, code, pos,
+    * xq) with code = the sub's [[pqCodes]] argmin, pos the in-subvector
+    * position, xq = floor(vⱼ·quant + ½) — same rationale as
+    * [[ivfRoundRows]]. */
+  def pqRoundRows(v: ArrayData, cb: Array[Array[Array[Double]]],
+      quant: Double): ArrayData = {
+    val codes = pqCodes(v, cb)
+    val m = cb.length
+    val n = v.numElements()
+    val dsub = if (m > 0 && cb(0).length > 0) cb(0)(0).length else 1
+    val out = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      val sub = j / dsub
+      val xq = math.floor(v.getDouble(j) * quant + 0.5).toLong
+      val code = if (sub < m) codes.getInt(sub) else 0
+      out(j) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](sub, code, j - sub * dsub, xq))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-sub integer distortion of a vector against its ASSIGNED codes'
+    * exact centroid pairs — [[distq]] applied slice-by-slice in one
+    * pass (sq indexed [sub][code][dpos], cq indexed [sub][code]; same
+    * guards, same arithmetic). Returns an M-long array. */
+  def pqDistQAll(v: ArrayData, codes: ArrayData,
+      sq: Array[Array[Array[Long]]], cq: Array[Array[Long]]): ArrayData = {
+    val m = codes.numElements()
+    val vn = v.numElements()
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      val code = codes.getInt(s)
+      val sqv = sq(s)(code)
+      val c = cq(s)(code)
+      if (c <= 0L || c >= (1L << 28) - (1L << 9))
+        throw new IllegalArgumentException(
+          s"pq_dist_q: centroid member count $c outside (0, 2^28 - 2^9) — " +
+            "the rounding numerator 2|c*xq - S| + c*2^16 would overflow " +
+            "int64 (residual-space components reach |x| = 2)")
+      val dsub = sqv.length
+      val off = s * dsub
+      val avail = math.max(vn - off, 0)
+      val n = math.min(avail, dsub)
+      val dn = c * 65536L
+      val dn2 = dn * 2L
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        val xq = math.floor(v.getDouble(off + j) * 4294967296.0 + 0.5).toLong
+        val a = math.abs(Math.subtractExact(Math.multiplyExact(c, xq),
+          sqv(j)))
+        val q = Math.addExact(Math.multiplyExact(a, 2L), dn) / dn2
+        acc += q * q
+        j += 1
+      }
+      out(s) = acc
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Σ popcount(aᵢ xor bᵢ) over two long-array sketches. */
   def hamming(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
@@ -501,6 +738,52 @@ object Vec {
   def pq_dist_q(x: Column, sq: Column, cq: Column): Column =
     columnOf(PqDistQ(exprOf(x), exprOf(sq), exprOf(cq)))
 
+  /** Argmax cell (int) of a unit-vector column under a driver-resident
+    * centroid matrix indexed by cell — see [[ivfCell]]. */
+  def ivf_cell(c: Column, cents: Array[Array[Double]]): Column =
+    columnOf(IvfCellExpr(exprOf(c), cents))
+
+  /** Top-`nprobe` cells (array<int>, rank order) of a query vector
+    * under a driver-resident centroid matrix — see [[ivfTopCells]]. */
+  def ivf_top_cells(c: Column, cents: Array[Array[Double]],
+      nprobe: Int): Column =
+    columnOf(IvfTopCellsExpr(exprOf(c), cents, nprobe))
+
+  /** Residual (array<double>) of a vector against its cell's centroid
+    * in a driver-resident matrix — see [[centroidResidual]]. */
+  def ivf_residual(v: Column, cell: Column,
+      cents: Array[Array[Double]]): Column =
+    columnOf(IvfResidualExpr(exprOf(v), exprOf(cell), cents))
+
+  /** All M PQ codes (array<int>) of a unit-vector column under a
+    * driver-resident [m][ks][dsub] codebook — see [[pqCodes]]. */
+  def pq_codes(c: Column, cb: Array[Array[Array[Double]]]): Column =
+    columnOf(PqCodesExpr(exprOf(c), cb))
+
+  /** Flattened M×ks quantized ADC table (array<bigint>) of a query
+    * vector under a driver-resident codebook — see [[pqTable]]. */
+  def pq_table(c: Column, cb: Array[Array[Array[Double]]],
+      quant: Double): Column =
+    columnOf(PqTableExpr(exprOf(c), cb, quant))
+
+  /** Per-sub integer distortion (array<bigint>) of a vector against its
+    * assigned codes' exact pairs — see [[pqDistQAll]]. */
+  def pq_dist_q_all(v: Column, codes: Column,
+      sq: Array[Array[Array[Long]]], cq: Array[Array[Long]]): Column =
+    columnOf(PqDistQAllExpr(exprOf(v), exprOf(codes), sq, cq))
+
+  /** Explode-ready IVF Lloyd-round tuples (array<struct<cell, pos,
+    * xq>>) — see [[ivfRoundRows]]. */
+  def ivf_round_rows(c: Column, cents: Array[Array[Double]],
+      quant: Double): Column =
+    columnOf(IvfRoundRowsExpr(exprOf(c), cents, quant))
+
+  /** Explode-ready PQ Lloyd-round tuples (array<struct<sub, code, pos,
+    * xq>>) — see [[pqRoundRows]]. */
+  def pq_round_rows(c: Column, cb: Array[Array[Array[Double]]],
+      quant: Double): Column =
+    columnOf(PqRoundRowsExpr(exprOf(c), cb, quant))
+
   /** Packed sign sketch (array<bigint>) of a unit vector column. */
   def sign_sketch(c: Column, seed: Long, bits: Int): Column =
     columnOf(SignSketchExpr(exprOf(c), seed, bits))
@@ -722,6 +1005,133 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.Vec.simhash($c);")
   override protected def withNewChildInternal(c: Expression): SimHash64 =
     copy(child = c)
+}
+
+case class IvfCellExpr(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any): Any =
+    Vec.ivfCell(v.asInstanceOf[ArrayData], cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Vec.ivfCell($c, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): IvfCellExpr =
+    copy(child = c)
+}
+
+case class IvfTopCellsExpr(child: Expression, cents: Array[Array[Double]],
+    nprobe: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    Vec.ivfTopCells(v.asInstanceOf[ArrayData], cents, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Vec.ivfTopCells($c, $ref, $nprobe);")
+  }
+  override protected def withNewChildInternal(c: Expression): IvfTopCellsExpr =
+    copy(child = c)
+}
+
+case class IvfResidualExpr(left: Expression, right: Expression,
+    cents: Array[Array[Double]]) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any, cell: Any): Any =
+    Vec.centroidResidual(v.asInstanceOf[ArrayData], cell.asInstanceOf[Int],
+      cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, cell) =>
+      s"${ev.value} = graft.functions.Vec.centroidResidual($v, $cell, $ref);")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): IvfResidualExpr = copy(l, r)
+}
+
+case class PqCodesExpr(child: Expression, cb: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    Vec.pqCodes(v.asInstanceOf[ArrayData], cb)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCb", cb, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Vec.pqCodes($c, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): PqCodesExpr =
+    copy(child = c)
+}
+
+case class PqTableExpr(child: Expression, cb: Array[Array[Array[Double]]],
+    quant: Double) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    Vec.pqTable(v.asInstanceOf[ArrayData], cb, quant)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCb", cb, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Vec.pqTable($c, $ref, $quant);")
+  }
+  override protected def withNewChildInternal(c: Expression): PqTableExpr =
+    copy(child = c)
+}
+
+case class IvfRoundRowsExpr(child: Expression, cents: Array[Array[Double]],
+    quant: Double) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell", IntegerType, false),
+      org.apache.spark.sql.types.StructField("pos", IntegerType, false),
+      org.apache.spark.sql.types.StructField("xq", LongType, false))),
+    containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    Vec.ivfRoundRows(v.asInstanceOf[ArrayData], cents, quant)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Vec.ivfRoundRows($c, $ref, $quant);")
+  }
+  override protected def withNewChildInternal(c: Expression): IvfRoundRowsExpr =
+    copy(child = c)
+}
+
+case class PqRoundRowsExpr(child: Expression, cb: Array[Array[Array[Double]]],
+    quant: Double) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sub", IntegerType, false),
+      org.apache.spark.sql.types.StructField("code", IntegerType, false),
+      org.apache.spark.sql.types.StructField("pos", IntegerType, false),
+      org.apache.spark.sql.types.StructField("xq", LongType, false))),
+    containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    Vec.pqRoundRows(v.asInstanceOf[ArrayData], cb, quant)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCb", cb, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Vec.pqRoundRows($c, $ref, $quant);")
+  }
+  override protected def withNewChildInternal(c: Expression): PqRoundRowsExpr =
+    copy(child = c)
+}
+
+case class PqDistQAllExpr(left: Expression, right: Expression,
+    sq: Array[Array[Array[Long]]], cq: Array[Array[Long]])
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any, codes: Any): Any =
+    Vec.pqDistQAll(v.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+      sq, cq)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sqRef = ctx.addReferenceObj("pqSq", sq, "long[][][]")
+    val cqRef = ctx.addReferenceObj("pqCq", cq, "long[][]")
+    nullSafeCodeGen(ctx, ev, (v, codes) =>
+      s"${ev.value} = graft.functions.Vec.pqDistQAll($v, $codes, $sqRef, $cqRef);")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqDistQAllExpr = copy(l, r)
 }
 
 case class Hamming64(left: Expression, right: Expression)

@@ -66,6 +66,36 @@ object SimilarityOps {
     df.withColumn("unit", vec_unit(col("embedding")))
       .filter(col("unit").isNotNull)
 
+  /** Run a model-sized driver round-trip (a Lloyd-round sum collect, a
+    * trainer init) without AQE and with a single reduce partition. The
+    * exchange inside such an action carries O(model) rows (k·dim
+    * partial sums per map task — partial aggregation has already
+    * reduced the data) at ANY corpus scale, so adaptive re-planning
+    * buys nothing (one extra job + planning pass per query stage, which
+    * dominates the iterative trainers' wall clock) and fanning the
+    * model-sized final merge across the full shuffle-partition count
+    * only schedules empty tasks. Scale-safe by construction: this
+    * scopes only actions whose shuffled payload is model parameters,
+    * never data — the map side stays partition-parallel. */
+  private def withoutAqe[T](spark: SparkSession)(body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    val prevPart = spark.conf.getOption(partKey)
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(partKey, "1")
+    try body finally {
+      prevAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+      prevPart match {
+        case Some(v) => spark.conf.set(partKey, v)
+        case None => spark.conf.unset(partKey)
+      }
+    }
+  }
+
   private def cosine = vec_dot(col("q_unit"), col("unit"))
 
   /** sketch: array of SketchBits/64 longs; bit i is the sign of
@@ -395,16 +425,74 @@ object SimilarityOps {
     * normalize(sum). */
   val IvfQuant: Double = (1L << 40).toDouble
 
+  /** The centroid model as a driver array indexed by cell — the literal
+    * the assignment expressions close over ([[graft.functions.Vec
+    * .ivf_cell]]). Model-sized by construction (k rows); collecting an
+    * at-rest centroid table is one tiny read, and a trainer-local
+    * LocalTableScan collects without a job at all. */
+  private[graft] def collectCents(centroids: DataFrame): Array[Array[Double]] = {
+    val rows = centroids.select(col("cell"), col("centroid")).collect()
+    require(rows.nonEmpty, "centroid model is empty")
+    val arr = new Array[Array[Double]](rows.map(_.getInt(0)).max + 1)
+    rows.foreach(r => arr(r.getInt(0)) = r.getSeq[Double](1).toArray)
+    require(arr.forall(_ != null),
+      "centroid model has holes — cells must be dense 0..k-1")
+    arr
+  }
+
+  /** The PQ codebook as a driver [m][ks][dsub] array — the literal the
+    * code-assignment expressions close over ([[graft.functions.Vec
+    * .pq_codes]] / [[graft.functions.Vec.pq_table]]). Model-sized (M·ks
+    * rows). */
+  private[graft] def collectCodebook(
+      codebook: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = codebook.select(col("sub"), col("code"), col("centroid"))
+      .collect()
+    require(rows.nonEmpty, "pq codebook is empty")
+    val m = rows.map(_.getInt(0)).max + 1
+    val ks = rows.map(_.getInt(1)).max + 1
+    val arr = Array.ofDim[Array[Double]](m, ks)
+    rows.foreach(r => arr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    require(arr.forall(_.forall(_ != null)),
+      "pq codebook has holes — (sub, code) must be dense")
+    arr
+  }
+
+  /** The codebook's exact integer pairs as driver arrays — sq indexed
+    * [sub][code][dpos], cq indexed [sub][code] — for the literal-closure
+    * distortion kernel ([[graft.functions.Vec.pq_dist_q_all]]). */
+  private[graft] def collectExactPairs(codebook: DataFrame)
+      : (Array[Array[Array[Long]]], Array[Array[Long]]) = {
+    val rows = codebook.select(col("sub"), col("code"), col("sq"),
+      col("cq")).collect()
+    require(rows.nonEmpty, "pq codebook is empty")
+    val m = rows.map(_.getInt(0)).max + 1
+    val ks = rows.map(_.getInt(1)).max + 1
+    val sq = Array.ofDim[Array[Long]](m, ks)
+    val cq = Array.ofDim[Long](m, ks)
+    rows.foreach { r =>
+      sq(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray
+      cq(r.getInt(0))(r.getInt(1)) = r.getLong(3)
+    }
+    require(sq.forall(_.forall(_ != null)),
+      "pq codebook has holes — (sub, code) must be dense")
+    (sq, cq)
+  }
+
   /** Spherical k-means coarse quantizer over (vec_id, unit) rows.
     * Returns (cells, centroids): cells = (vec_id, unit, cell) — persist
     * this partitioned BY cell so a probe prunes partitions; centroids =
     * (cell, centroid), O(k·dim) — the model, not data.
     *
-    * Distribution: assignment and the per-dimension sum are DataFrame
-    * jobs (crossJoin with k broadcast centroids + codegen'd dot;
-    * posexplode + partial-agg sum). Only the k·dim centroid matrix ever
-    * reaches the driver (collect of model PARAMETERS between rounds —
-    * ~4 KB here; the corpus itself never leaves the executors).
+    * Distribution (round 20): the model is driver-resident between
+    * rounds anyway, so assignment is a literal-closure argmax
+    * projection ([[graft.functions.Vec.ivf_cell]] — same dot fold, same
+    * max(struct(dot, cell)) tie-break) instead of a crossJoin with k
+    * broadcast centroids followed by a groupBy(vec_id) exchange: each
+    * Lloyd round is now ONE scan → partial-agg sum → k·dim collect,
+    * with no unit bytes ever shuffled. Only the k·dim centroid matrix
+    * reaches the driver (model PARAMETERS between rounds — ~4 KB here;
+    * the corpus itself never leaves the executors).
     * Deterministic end-to-end AND portable (round-9): seeded init = k
     * smallest portable pair-hash of 'ivf:vec_id', fixed iteration
     * count, [[IvfQuant]]-integer sums (exact at any partitioning; the
@@ -412,13 +500,14 @@ object SimilarityOps {
     * step is plain integer arithmetic or a fixed-order double fold, so
     * the `ann_topk_ivf` oracle unrolls the whole trainer in DuckDB. */
   def buildIvfIndex(units: DataFrame, k: Int = IvfCells,
-      iters: Int = IvfIters): (DataFrame, DataFrame) = {
+      iters: Int = IvfIters, checkpointCells: Boolean = true)
+      : (DataFrame, DataFrame) = {
     val spark = units.sparkSession
-    var centroids: Seq[(Int, Seq[Double])] = units
+    var centroids: Seq[(Int, Seq[Double])] = withoutAqe(spark)(units
       .orderBy(graft.functions.Vec.portable_hash64(
         concat(lit("ivf:"), col("vec_id").cast("string"))), col("vec_id"))
       .limit(k)
-      .select(col("unit")).collect()
+      .select(col("unit")).collect())
       .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }.toSeq
     require(centroids.nonEmpty, "buildIvfIndex: empty corpus")
     val dim = centroids.head._2.length
@@ -427,22 +516,31 @@ object SimilarityOps {
       import spark.implicits._
       centroids.toDF("cell", "centroid")
     }
-    // Argmax assignment that keeps the unit vector in the aggregate
-    // (every row of a vec_id group carries the same unit), so neither
-    // the Lloyd sum step nor the final cells output re-joins `units` —
-    // one corpus scan per round instead of scan + shuffle join.
-    def assign(c: DataFrame): DataFrame = ivfAssign(units, c)
+    // Argmax assignment as a literal-closure projection over the
+    // driver-resident centroid matrix — no crossJoin fan-out, no
+    // groupBy(vec_id) exchange, no unit bytes shuffled per round.
+    def centArr: Array[Array[Double]] = {
+      val arr = new Array[Array[Double]](centroids.length)
+      centroids.foreach { case (cell, v) => arr(cell) = v.toArray }
+      arr
+    }
+    def assign(): DataFrame = ivfAssignArr(units, centArr)
 
     for (round <- 1 to iters) {
-      val sums = assign(centDf)
-        .select(col("cell"), posexplode(col("unit")))
-        // floor(x·Q + 0.5): explicit round-half-up on both engines
-        // (JVM Math.round and SQL round() disagree on negative halves)
+      // floor(x·Q + 0.5) (explicit round-half-up on both engines — JVM
+      // Math.round and SQL round() disagree on negative halves) happens
+      // INSIDE the round-rows kernel, which emits (cell, pos, xq)
+      // structs in one call per row: the argmax cannot be re-evaluated
+      // per exploded element by projection collapse.
+      val sums = withoutAqe(spark)(units
+        .select(explode(graft.functions.Vec.ivf_round_rows(col("unit"),
+          centArr, IvfQuant)).as("r"))
+        .select(col("r.cell").as("cell"), col("r.pos").as("pos"),
+          col("r.xq").as("xq"))
         .groupBy(col("cell"), col("pos"))
-        .agg(sum(floor(col("col") * lit(IvfQuant) + lit(0.5))
-          .cast("decimal(38,0)")).as("s"),
+        .agg(sum(col("xq").cast("decimal(38,0)")).as("s"),
           count(lit(1)).as("c"))
-        .collect()
+        .collect())
       val byCell = sums.groupBy(_.getInt(0))
       // Fixed-dimension precondition, checked from the round-1 sums (no
       // extra corpus pass — posexplode already visited every component).
@@ -472,10 +570,14 @@ object SimilarityOps {
         }
       }
     }
-    val cents = centDf.localCheckpoint()
-    (assign(cents)
-      .select(col("vec_id"), col("unit"), col("cell")).localCheckpoint(),
-      cents)
+    // centDf is a LocalTableScan over driver data — free to re-evaluate,
+    // no checkpoint job needed. The cells output is checkpointed when
+    // the caller scans it more than once (ivfSearch: probe list + cell
+    // scan); residual-based callers consume it exactly once into their
+    // own checkpoint and pass checkpointCells = false to skip the
+    // wasted materialization job.
+    val cells = assign().select(col("vec_id"), col("unit"), col("cell"))
+    (if (checkpointCells) cells.localCheckpoint() else cells, centDf)
   }
 
   /** IVF search: rank cells by query-centroid affinity, scan the top
@@ -498,13 +600,13 @@ object SimilarityOps {
     * manifest. */
   def ivfProbes(queries: DataFrame, centroids: DataFrame,
       nprobe: Int): DataFrame = {
-    val byAff = Window.partitionBy(col("query_id"))
-      .orderBy(col("aff").desc, col("cell"))
-    queries.crossJoin(broadcast(centroids))
-      .withColumn("aff", vec_dot(col("q_unit"), col("centroid")))
-      .withColumn("prnk", row_number().over(byAff))
-      .filter(col("prnk") <= nprobe)
-      .select(col("query_id"), col("q_unit"), col("cell"))
+    // literal-closure top-cells selection (aff DESC, cell ASC — the
+    // row_number tie-break) over the collected model: one projection,
+    // no crossJoin, no per-query window exchange
+    val cents = collectCents(centroids)
+    queries.select(col("query_id"), col("q_unit"),
+      explode(graft.functions.Vec.ivf_top_cells(col("q_unit"), cents,
+        nprobe)).as("cell"))
   }
 
   /** Scan stage of the IVF search: exact top-[[K]] by cosine inside the
@@ -530,15 +632,19 @@ object SimilarityOps {
 
   /** Assign unit vectors to their nearest EXISTING centroid — the IVF
     * ingest path for new batches: the model (centroids) stays fixed, the
-    * new vectors just land in their cells. One scan of the batch against
-    * k broadcast centroids. */
+    * new vectors just land in their cells. One shuffle-free projection
+    * of the batch against the collected (model-sized) centroid matrix —
+    * same dot fold and max(struct(dot, cell)) tie-break as the
+    * crossJoin + groupBy form it replaces ([[graft.functions.Vec
+    * .ivfCell]]). */
   def ivfAssign(units: DataFrame, centroids: DataFrame): DataFrame =
-    units.crossJoin(broadcast(centroids))
-      .withColumn("dot", vec_dot(col("unit"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("dot"), col("cell"))).as("m"),
-        first(col("unit")).as("unit"))
-      .select(col("vec_id"), col("m.cell").as("cell"), col("unit"))
+    ivfAssignArr(units, collectCents(centroids))
+
+  private def ivfAssignArr(units: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    units.select(col("vec_id"),
+      graft.functions.Vec.ivf_cell(col("unit"), cents).as("cell"),
+      col("unit"))
 
   /** Argmax-assignment SQL body shared by every trainer round and the
     * final `cells` CTE (one copy, so the engine's struct-max tie-break —
@@ -819,11 +925,11 @@ object SimilarityOps {
   def buildPqCodebooks(units: DataFrame, m: Int = PqSubs,
       ks: Int = PqCodes, iters: Int = PqIters): (DataFrame, DataFrame) = {
     val spark = units.sparkSession
-    val initRows = units
+    val initRows = withoutAqe(spark)(units
       .orderBy(graft.functions.Vec.portable_hash64(
         concat(lit("pq:"), col("vec_id").cast("string"))), col("vec_id"))
       .limit(ks)
-      .select(col("unit")).collect()
+      .select(col("unit")).collect())
       .map(_.getSeq[Double](0))
     require(initRows.nonEmpty, "buildPqCodebooks: empty corpus")
     val dim = initRows.head.length
@@ -861,24 +967,37 @@ object SimilarityOps {
     // pin the whole corpus's dimension before slicing (one array-length
     // agg; subvector sizes after the explode could not catch the
     // longer-row case, since slices cap at dsub).
-    val dims = units.agg(min(size(col("unit"))).as("mn"),
-      max(size(col("unit"))).as("mx")).head()
+    val dims = withoutAqe(spark)(units.agg(min(size(col("unit"))).as("mn"),
+      max(size(col("unit"))).as("mx")).head())
     require(dims.getInt(0) == dim && dims.getInt(1) == dim,
       s"buildPqCodebooks: embeddings must share dimension " +
         s"(saw ${dims.getInt(0)}..${dims.getInt(1)}, init expects $dim)")
-    val subs = pqSubvectors(units, dsub, m).localCheckpoint()
-
-    def assign(c: DataFrame): DataFrame = pqAssign(subs, c)
+    // Code assignment as a literal-closure projection over the
+    // driver-resident codebook ([[graft.functions.Vec.pq_codes]] — same
+    // l2sq fold and min(struct(d2, code)) tie-break as the broadcast
+    // join + groupBy(vec_id, sub) form): each Lloyd round is ONE scan
+    // of `units` (no subvector explode materialized, no exchange before
+    // the partial-agg sums). sub/pos derive from the flat position:
+    // sub = pos div dsub, in-subvector pos = pos mod dsub.
+    def cbArr: Array[Array[Array[Double]]] = {
+      val ksA = initRows.length
+      Array.tabulate(m)(s => Array.tabulate(ksA)(c => cents((s, c)).toArray))
+    }
 
     for (_ <- 1 to iters) {
-      val sums = assign(centDf)
-        .select(col("sub"), col("code"), posexplode(col("subvec"))
-          .as(Seq("pos", "x")))
+      // (sub, code, pos, xq) structs from ONE kernel call per row —
+      // argmin and the floor(x·Q + ½) quantization both inside it (same
+      // rationale as the ivf round: projection collapse cannot
+      // re-evaluate the assignment per exploded element)
+      val sums = withoutAqe(spark)(units
+        .select(explode(graft.functions.Vec.pq_round_rows(col("unit"),
+          cbArr, PqQuant)).as("r"))
+        .select(col("r.sub").as("sub"), col("r.code").as("code"),
+          col("r.pos").as("pos"), col("r.xq").as("xq"))
         .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(sum(floor(col("x") * lit(PqQuant) + lit(0.5))
-          .cast("decimal(38,0)")).as("s"),
+        .agg(sum(col("xq").cast("decimal(38,0)")).as("s"),
           count(lit(1)).as("c"))
-        .collect()
+        .collect())
       val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
       cents = cents.map { case (key, old) =>
         byCell.get(key) match {
@@ -912,7 +1031,10 @@ object SimilarityOps {
         }
       }
     }
-    (subs, centDf.localCheckpoint())
+    // subs returns LAZY (callers only slice query rows out of it, or
+    // re-derive it in specs); centDf is a LocalTableScan over driver
+    // data — free to re-evaluate and to collect, no checkpoint job.
+    (pqSubvectors(units, dsub, m), centDf)
   }
 
   /** Nearest-code assignment of subvectors under a fixed codebook —
@@ -930,13 +1052,24 @@ object SimilarityOps {
         col("m.d2").as("d2"), col("subvec"))
 
   /** Encode a corpus: (vec_id, codes) with codes = array of M code ids
-    * ordered by sub — the at-rest PQ index row (M·4 bits of payload). */
+    * ordered by sub — the at-rest PQ index row (M·4 bits of payload).
+    * Kept on the exploded-subvector shape for API compatibility; the
+    * hot paths use [[pqEncodeUnits]] (one shuffle-free projection). */
   def pqEncode(subs: DataFrame, codebook: DataFrame): DataFrame =
     pqAssign(subs, codebook)
       .groupBy(col("vec_id"))
       .agg(sort_array(collect_list(struct(col("sub"), col("code"))))
         .as("sc"))
       .select(col("vec_id"), expr("transform(sc, p -> p.code)").as("codes"))
+
+  /** Encode (vec_id, unit) rows in ONE shuffle-free projection: all M
+    * codes per row from the literal-closure argmin kernel
+    * ([[graft.functions.Vec.pq_codes]] — same per-sub l2sq fold and
+    * min(struct(d2, code)) tie-break as [[pqEncode]]'s join + two
+    * groupBy exchanges). */
+  def pqEncodeUnits(unitsDf: DataFrame, codebook: DataFrame): DataFrame =
+    unitsDf.select(col("vec_id"), graft.functions.Vec
+      .pq_codes(col("unit"), collectCodebook(codebook)).as("codes"))
 
   /** Per-query quantized ADC tables: (query_id, tblq) with tblq =
     * flattened M·ks BIGINT array, entry s·ks+c = floor(Q·‖q_sub −
@@ -968,9 +1101,16 @@ object SimilarityOps {
     * O(queries) work, no corpus access. */
   def pqQueryTables(queryUnits: DataFrame, codebook: DataFrame,
       m: Int = PqSubs): DataFrame = {
-    val dsub = pqDsubOf(codebook)
+    // literal-closure table build ([[graft.functions.Vec.pq_table]] —
+    // the same floor(d2·Q + ½) entries in the same (sub, code) order as
+    // the join + collect_list form): one projection over the queries
+    val cb = collectCodebook(codebook)
+    require(cb.length == m,
+      s"codebook has ${cb.length} subspaces, caller expects $m")
+    val dsub = cb(0)(0).length
     requireDim(queryUnits, "unit", m * dsub, "codebook")
-    pqDistanceTables(pqSubvectors(queryUnits, dsub, m), codebook)
+    queryUnits.select(col("vec_id").as("query_id"), graft.functions.Vec
+      .pq_table(col("unit"), cb, PqQuant).as("tblq"))
   }
 
   /** Loud dimension check for a query/probe/ingest batch: slicing and
@@ -1055,13 +1195,15 @@ object SimilarityOps {
     * the bytes) and the deferred rescore fetch (unit column, survivors
     * only). */
   def pqEncodeWith(unitsDf: DataFrame, codebook: DataFrame): DataFrame = {
-    val dsub = pqDsubOf(codebook)
+    val cb = collectCodebook(codebook)
+    val dsub = cb(0)(0).length
     // ingest-side guard: a wrong-dimension batch would slice tail
     // subspaces empty (their l2sq over the empty prefix is 0 to every
     // centroid → code 0) and COMMIT meaningless codes permanently
     requireDim(unitsDf, "unit", PqSubs * dsub, "codebook")
-    pqEncode(pqSubvectors(unitsDf, dsub), codebook)
-      .join(unitsDf, "vec_id")
+    // one shuffle-free projection — no explode, no join back to units
+    unitsDf.select(col("vec_id"), graft.functions.Vec
+      .pq_codes(col("unit"), cb).as("codes"), col("unit"))
   }
 
   /** Search an at-rest PQ index (`vec_id`, `codes`, `unit` columns)
@@ -1281,10 +1423,11 @@ object SimilarityOps {
     (s, dir) => {
       val units = unit(emb(s, dir))
         .select(col("vec_id"), col("unit")).localCheckpoint()
-      val (subs, codebook) = buildPqCodebooks(units)
-      pqSearch(pqEncode(subs, codebook), units,
-        pqDistanceTables(subs.filter(col("vec_id") < NumQueries), codebook),
-        pqKsOf(codebook))
+      val (_, codebook) = buildPqCodebooks(units)
+      val cb = collectCodebook(codebook)
+      pqSearch(pqEncodeUnits(units, codebook), units,
+        pqQueryTables(units.filter(col("vec_id") < NumQueries), codebook),
+        cb(0).length)
     },
     Some(pqOracleSql))
 
@@ -1303,12 +1446,17 @@ object SimilarityOps {
     (s, dir) => {
       val units = unit(emb(s, dir))
         .select(col("vec_id"), col("unit")).localCheckpoint()
-      val (subs, codebook) = buildPqCodebooks(units)
-      val perSub = pqAssign(subs, codebook)
-        .join(broadcast(codebook.select(col("sub"), col("code"),
-          col("sq"), col("cq"))), Seq("sub", "code"))
-        .withColumn("d2q", graft.functions.Vec
-          .pq_dist_q(col("subvec"), col("sq"), col("cq")))
+      val (_, codebook) = buildPqCodebooks(units)
+      val cb = collectCodebook(codebook)
+      val (sq, cq) = collectExactPairs(codebook)
+      // one scan: assign all M codes and compute all M per-sub integer
+      // distortions per row in a single projection (same argmin and
+      // distq arithmetic as the exploded join-aggregate form), then a
+      // tiny 8-group partial-agg — no subvector explode, no model joins
+      val perSub = units
+        .select(posexplode(graft.functions.Vec.pq_dist_q_all(col("unit"),
+          graft.functions.Vec.pq_codes(col("unit"), cb), sq, cq))
+          .as(Seq("sub", "d2q")))
         .groupBy(col("sub"))
         .agg(count(lit(1)).as("n_vecs"), sum(col("d2q")).as("distortion_q"))
         .localCheckpoint()
@@ -1400,10 +1548,11 @@ object SimilarityOps {
         .localCheckpoint()
       val units = unit(emb(s, dir))
         .select(col("vec_id"), col("unit")).localCheckpoint()
-      val (subs, codebook) = buildPqCodebooks(units)
-      val pq = pqSearch(pqEncode(subs, codebook), units,
-        pqDistanceTables(subs.filter(col("vec_id") < NumQueries), codebook),
-        pqKsOf(codebook))
+      val (_, codebook) = buildPqCodebooks(units)
+      val cb = collectCodebook(codebook)
+      val pq = pqSearch(pqEncodeUnits(units, codebook), units,
+        pqQueryTables(units.filter(col("vec_id") < NumQueries), codebook),
+        cb(0).length)
         .select(col("query_id"), col("neighbor_id"))
       recallFrame(exact, pq)
     },
@@ -1429,15 +1578,22 @@ object SimilarityOps {
     * neighbor_id, rank, cos_bp). */
   def ivfPqSearch(units: DataFrame, nprobe: Int = IvfProbes,
       numQueries: Int = NumQueries): DataFrame = {
-    val (cells, cents) = buildIvfIndex(units)
-    val residuals = cells.join(broadcast(cents), "cell")
-      .select(col("vec_id"), col("cell"), graft.functions.Vec
-        .vec_sub(col("unit"), col("centroid")).as("unit"))
+    // cells flows once into the residual checkpoint — skip its own
+    val (cells, cents) = buildIvfIndex(units, checkpointCells = false)
+    // residual against the literal centroid matrix — a projection over
+    // the checkpointed cells, no broadcast join
+    val centsArr = collectCents(cents)
+    val residuals = cells.select(col("vec_id"), col("cell"),
+      graft.functions.Vec.ivf_residual(col("unit"), col("cell"), centsArr)
+        .as("unit"))
       .localCheckpoint()
-    val (rsubs, cb) = buildPqCodebooks(
+    val (_, cb) = buildPqCodebooks(
       residuals.select(col("vec_id"), col("unit")))
-    val codes = pqEncode(rsubs, cb)
-      .join(residuals.select(col("vec_id"), col("cell")), "vec_id")
+    // codes in one projection over the checkpointed residuals — the
+    // encode + two joins the exploded form paid are gone
+    val codes = residuals.select(col("vec_id"), col("cell"),
+      graft.functions.Vec.pq_codes(col("unit"), collectCodebook(cb))
+        .as("codes"))
     val queries = units.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("unit").as("q_unit"))
     ivfPqSearchWithProbes(codes, units, cents, cb,
@@ -1450,18 +1606,20 @@ object SimilarityOps {
     * (vec_id, codes, cell, unit). */
   def ivfPqEncodeWith(unitsDf: DataFrame, cents: DataFrame,
       cb: DataFrame): DataFrame = {
+    val centsArr = collectCents(cents)
+    val cbArr = collectCodebook(cb)
     // ingest-side guard (same rationale as [[pqEncodeWith]]): cells and
     // residuals from truncated-prefix distances would commit silently
-    requireDim(unitsDf, "unit",
-      cents.select(size(col("centroid"))).head().getInt(0), "coarse model")
-    val cells = ivfAssign(unitsDf, cents)
-    val residuals = cells.join(broadcast(cents), "cell")
-      .select(col("vec_id"), col("cell"), graft.functions.Vec
-        .vec_sub(col("unit"), col("centroid")).as("unit"))
-    pqEncode(pqSubvectors(residuals.select(col("vec_id"), col("unit")),
-        pqDsubOf(cb)), cb)
-      .join(residuals.select(col("vec_id"), col("cell")), "vec_id")
-      .join(unitsDf, "vec_id")
+    requireDim(unitsDf, "unit", centsArr(0).length, "coarse model")
+    // cell → residual → codes as ONE shuffle-free projection over the
+    // batch (the exploded form paid an assignment exchange, an encode
+    // exchange and two joins back)
+    val cellCol = graft.functions.Vec.ivf_cell(col("unit"), centsArr)
+    unitsDf.select(col("vec_id"),
+      graft.functions.Vec.pq_codes(
+        graft.functions.Vec.ivf_residual(col("unit"), cellCol, centsArr),
+        cbArr).as("codes"),
+      cellCol.as("cell"), col("unit"))
   }
 
   /** Scan + rescore stage of the IVF-PQ search, over explicit probes
@@ -1472,26 +1630,18 @@ object SimilarityOps {
   def ivfPqSearchWithProbes(codes: DataFrame, units: DataFrame,
       cents: DataFrame, cb: DataFrame, probes: DataFrame,
       queries: DataFrame): DataFrame = {
-    // per-(query, cell) tables over the QUERY residual for that cell
-    val dsub = pqDsubOf(cb)
-    requireDim(queries, "q_unit",
-      cents.select(size(col("centroid"))).head().getInt(0), "coarse model")
-    val qsubs = probes.join(broadcast(cents), "cell")
-      .select(col("query_id"), col("cell"), graft.functions.Vec
-        .vec_sub(col("q_unit"), col("centroid")).as("unit"))
-      .select(col("query_id"), col("cell"), posexplode(expr(
-        s"transform(sequence(0, ${PqSubs - 1}), " +
-          s"s -> slice(unit, s*$dsub+1, $dsub))"))
-        .as(Seq("sub", "subvec")))
-    val tables = qsubs.join(broadcast(cb), "sub")
-      .withColumn("d2q", floor(graft.functions.Vec
-        .vec_l2sq(col("subvec"), col("centroid")) * lit(PqQuant) + lit(0.5))
-        .cast("long"))
-      .groupBy(col("query_id"), col("cell"))
-      .agg(sort_array(collect_list(struct(col("sub"), col("code"),
-        col("d2q")))).as("tc"))
-      .select(col("query_id"), col("cell"),
-        expr("transform(tc, p -> p.d2q)").as("tblq"))
+    // per-(query, cell) tables over the QUERY residual for that cell —
+    // one literal-closure projection over the (queries × nprobe)-sized
+    // probe list: residual, slices, floor(d2·Q + ½) entries all inside
+    // [[graft.functions.Vec.pq_table]], no model joins, no per-query
+    // collect_list exchange
+    val cbArr = collectCodebook(cb)
+    val centsArr = collectCents(cents)
+    requireDim(queries, "q_unit", centsArr(0).length, "coarse model")
+    val tables = probes.select(col("query_id"), col("cell"),
+      graft.functions.Vec.pq_table(
+        graft.functions.Vec.ivf_residual(col("q_unit"), col("cell"),
+          centsArr), cbArr, PqQuant).as("tblq"))
     val byAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("vec_id"))
     val byCos = Window.partitionBy(col("query_id"))
@@ -1500,7 +1650,7 @@ object SimilarityOps {
     val survivors = codes.join(broadcast(tables), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adist", graft.functions.Vec
-        .pq_adc(col("codes"), col("tblq"), pqKsOf(cb)))
+        .pq_adc(col("codes"), col("tblq"), cbArr(0).length))
       .withColumn("crk", row_number().over(byAdc))
       .filter(col("crk") <= RescoreBudget)
       .select(col("query_id"), col("vec_id"))
@@ -1525,14 +1675,13 @@ object SimilarityOps {
     * model — the re-build trigger a deployment watches
     * ([[graft.store.IndexStore.driftReport]]). */
   def pqStoredDistortion(rows: DataFrame, codebook: DataFrame): DataFrame = {
-    val dsub = pqDsubOf(codebook)
-    val subs = pqSubvectors(rows.select(col("vec_id"), col("unit")), dsub)
-    val codesBySub = rows.select(col("vec_id"),
-      posexplode(col("codes")).as(Seq("sub", "code")))
-    val perSub = subs.join(codesBySub, Seq("vec_id", "sub"))
-      .join(broadcast(codebook), Seq("sub", "code"))
-      .withColumn("d2q", graft.functions.Vec
-        .pq_dist_q(col("subvec"), col("sq"), col("cq")))
+    val (sq, cq) = collectExactPairs(codebook)
+    // all M per-sub distortions per row in one projection against the
+    // collected exact pairs (same distq arithmetic) — the exploded form
+    // paid two explodes and two joins before its aggregation
+    val perSub = rows
+      .select(posexplode(graft.functions.Vec.pq_dist_q_all(col("unit"),
+        col("codes"), sq, cq)).as(Seq("sub", "d2q")))
       .groupBy(col("sub"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("d2q")).as("distortion_q"))
       .localCheckpoint()
@@ -1674,8 +1823,8 @@ object SimilarityOps {
             .as("embedding"))
       val units = unit(base.unionAll(dups))
         .select(col("vec_id"), col("unit")).localCheckpoint()
-      val (subs, cb) = buildPqCodebooks(units)
-      pqEncode(subs, cb)
+      val (_, cb) = buildPqCodebooks(units)
+      pqEncodeUnits(units, cb)
         .groupBy(col("codes"))
         .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
         .filter(size(col("ids")).between(2, SemanticGroupCap))
@@ -1765,9 +1914,9 @@ object SimilarityOps {
       .localCheckpoint()
     val bu = unit(benchEmb.withColumnRenamed("eval_id", "vec_id"))
       .select(col("vec_id"), col("unit"))
-    val (subs, cb) = buildPqCodebooks(cu)
+    val (_, cb) = buildPqCodebooks(cu)
     contaminationFromCodes(
-      pqEncode(subs, cb), cu,
+      pqEncodeUnits(cu, cb), cu,
       pqEncodeWith(bu, cb)
         .select(col("vec_id").as("eval_id"), col("codes")),
       bu.select(col("vec_id").as("eval_id"), col("unit")), certBp)

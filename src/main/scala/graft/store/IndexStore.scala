@@ -352,25 +352,33 @@ object IndexStore {
           store.stageKeyed(IvfCentroidsTable, cents, lit(0L), Seq(col("cell")))
       } else if (kind == "pq") {
         val units = SimilarityOps.unitVectors(input).localCheckpoint()
-        val (subs, cb) = SimilarityOps.buildPqCodebooks(units)
+        val (_, cb) = SimilarityOps.buildPqCodebooks(units)
+        // one shuffle-free encode projection (codes + unit in place) —
+        // the exploded encode paid two exchanges and a join back
         store.stageKeyed(tableOf(kind),
-          withAttrs(SimilarityOps.pqEncode(subs, cb).join(units, "vec_id"),
-            input),
+          withAttrs(SimilarityOps.pqEncodeWith(units, cb), input),
           bucketOf(kind), sortOf(kind)) ++
           store.stageKeyed(PqCodebookTable, cb, lit(0L),
             Seq(col("sub"), col("code")))
       } else if (kind == "ivfpq") {
         val units = SimilarityOps.unitVectors(input).localCheckpoint()
-        val (cells, cents) = SimilarityOps.buildIvfIndex(units)
-        val residuals = cells.join(broadcast(cents), "cell")
-          .select(col("vec_id"), col("cell"), graft.functions.Vec
-            .vec_sub(col("unit"), col("centroid")).as("unit"))
+        // cells flows once into the residual checkpoint — skip its own
+        val (cells, cents) = SimilarityOps.buildIvfIndex(units,
+          checkpointCells = false)
+        // carry the ORIGINAL unit through the residual frame so the
+        // final rows need no join back to `units`; the residual and the
+        // codes are literal-closure projections
+        val centsArr = SimilarityOps.collectCents(cents)
+        val residuals = cells.select(col("vec_id"), col("cell"),
+          col("unit"), graft.functions.Vec
+            .ivf_residual(col("unit"), col("cell"), centsArr).as("runit"))
           .localCheckpoint()
-        val (rsubs, cb) = SimilarityOps.buildPqCodebooks(
-          residuals.select(col("vec_id"), col("unit")))
-        val rows = SimilarityOps.pqEncode(rsubs, cb)
-          .join(residuals.select(col("vec_id"), col("cell")), "vec_id")
-          .join(units, "vec_id")
+        val (_, cb) = SimilarityOps.buildPqCodebooks(
+          residuals.select(col("vec_id"), col("runit").as("unit")))
+        val rows = residuals.select(col("vec_id"),
+          graft.functions.Vec.pq_codes(col("runit"),
+            SimilarityOps.collectCodebook(cb)).as("codes"),
+          col("cell"), col("unit"))
         store.stageKeyed(tableOf(kind), withAttrs(rows, input),
           bucketOf(kind), sortOf(kind)) ++
           store.stageKeyed(IvfPqCentroidsTable, cents, lit(0L),

@@ -48,6 +48,41 @@ object Diag {
         f"in $sec%.2f s (${n / sec / 1e6}%.1f M rows/s)")
       spark.stop(); return
     }
+    // `jobs <query>`: run one query twice (cold discarded) and print the
+    // warm run's per-job wall times + stage/task counts from a listener —
+    // locates scheduling overhead vs real compute in multi-job trainers.
+    if (args.headOption.contains("jobs")) {
+      val name = args(1)
+      import org.apache.spark.scheduler._
+      import scala.collection.mutable
+      case class J(var start: Long = 0L, var end: Long = 0L,
+        var stages: Int = 0, var tasks: Int = 0)
+      val jobs = mutable.LinkedHashMap.empty[Int, J]
+      val listener = new SparkListener {
+        override def onJobStart(e: SparkListenerJobStart): Unit = {
+          val j = jobs.getOrElseUpdate(e.jobId, J())
+          j.start = e.time
+          j.stages = e.stageInfos.size
+          j.tasks = e.stageInfos.map(_.numTasks).sum
+        }
+        override def onJobEnd(e: SparkListenerJobEnd): Unit =
+          jobs.get(e.jobId).foreach(_.end = e.time)
+      }
+      time(name) // warmup (codegen, scans)
+      spark.sparkContext.addSparkListener(listener)
+      val t = time(name)
+      spark.sparkContext.removeSparkListener(listener)
+      Thread.sleep(500)
+      var prevEnd = 0L
+      jobs.foreach { case (id, j) =>
+        val gap = if (prevEnd == 0) 0 else j.start - prevEnd
+        prevEnd = j.end
+        println(f"[diag] job $id%3d: ${(j.end - j.start) / 1e3}%6.3f s  " +
+          f"gap ${gap / 1e3}%6.3f s  stages ${j.stages}%2d tasks ${j.tasks}%4d")
+      }
+      println(f"[diag] warm $name: $t%.2f s over ${jobs.size} jobs")
+      spark.stop(); return
+    }
     // args = query names; each runs twice (cold, warm). No args → the
     // historical probe set.
     val queries =
