@@ -98,6 +98,28 @@ object SimilarityOps {
 
   private def cosine = vec_dot(col("q_unit"), col("unit"))
 
+  /** Materialize a frame on a background driver thread (optimization
+    * guide §2.6 — overlap independent jobs): the recall reports' exact
+    * ground truth is independent of the approx side, whose trainer's
+    * driver-synchronous Lloyd rounds leave executors idle between
+    * model-sized jobs; submitting the brute-force jobs from a second
+    * thread back-fills that idle capacity instead of running strictly
+    * before it (FIFO scheduling — the trainer's small jobs are not
+    * starved). Results are unchanged: the checkpoint holds exactly the
+    * rows the eager inline form held, only its wall-clock position
+    * moves. The physical plan is pinned on the calling thread BEFORE
+    * the thread starts, so a trainer's temporary session-conf flips
+    * ([[withoutAqe]]) can never leak into this frame's planning.
+    * Returns a handle that blocks until the checkpoint is live. */
+  private def checkpointAsync(df: DataFrame): () => DataFrame = {
+    df.queryExecution.executedPlan // pin the plan under the caller's conf
+    @volatile var out: scala.util.Try[DataFrame] = null
+    val t = new Thread(() => out = scala.util.Try(df.localCheckpoint()))
+    t.setDaemon(true)
+    t.start()
+    () => { t.join(); out.get }
+  }
+
   /** sketch: array of SketchBits/64 longs; bit i is the sign of
     * ⟨unit, hyperplane_i⟩. A codegen'd [[graft.functions.Vec]] kernel —
     * computed in the scan stage, no interpreted lambdas. */
@@ -766,12 +788,13 @@ object SimilarityOps {
   val recallReport: GraftQuery = GraftQuery(
     "ann_recall_report",
     (s, dir) => {
-      val exact = bruteForce.fn(s, dir)
-        .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint()
+      // ground truth on a background thread (guide §2.6): its jobs
+      // back-fill the executors while the sketch index materializes
+      val exactF = checkpointAsync(bruteForce.fn(s, dir)
+        .select(col("query_id"), col("neighbor_id")))
       val lsh = sketchSearch(buildSketchIndex(emb(s, dir)).localCheckpoint())
         .select(col("query_id"), col("neighbor_id"))
-      val perQuery = exact
+      val perQuery = exactF()
         .join(lsh.withColumn("hit", lit(1L)),
           Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))
@@ -1543,9 +1566,11 @@ object SimilarityOps {
   val pqRecallReport: GraftQuery = GraftQuery(
     "ann_pq_recall",
     (s, dir) => {
-      val exact = bruteForce.fn(s, dir)
-        .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint()
+      // ground truth on a background thread (guide §2.6): its jobs
+      // back-fill the executors while the PQ trainer's model-sized
+      // rounds hold the driver
+      val exactF = checkpointAsync(bruteForce.fn(s, dir)
+        .select(col("query_id"), col("neighbor_id")))
       val units = unit(emb(s, dir))
         .select(col("vec_id"), col("unit")).localCheckpoint()
       val (_, codebook) = buildPqCodebooks(units)
@@ -1554,7 +1579,7 @@ object SimilarityOps {
         pqQueryTables(units.filter(col("vec_id") < NumQueries), codebook),
         cb(0).length)
         .select(col("query_id"), col("neighbor_id"))
-      recallFrame(exact, pq)
+      recallFrame(exactF(), pq)
     },
     Some(
       s"""WITH $unitCteSql,
@@ -1776,14 +1801,16 @@ object SimilarityOps {
   val ivfPqRecallReport: GraftQuery = GraftQuery(
     "ann_ivfpq_recall",
     (s, dir) => {
-      val exact = bruteForce.fn(s, dir)
-        .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint()
+      // ground truth on a background thread (guide §2.6): its jobs
+      // back-fill the executors while the two trainers' model-sized
+      // rounds hold the driver
+      val exactF = checkpointAsync(bruteForce.fn(s, dir)
+        .select(col("query_id"), col("neighbor_id")))
       val approx = ivfPqSearch(
         unit(emb(s, dir)).select(col("vec_id"), col("unit"))
           .localCheckpoint())
         .select(col("query_id"), col("neighbor_id"))
-      recallFrame(exact, approx)
+      recallFrame(exactF(), approx)
     },
     Some(
       s"""WITH $ivfPqCtesSql,
