@@ -111,7 +111,7 @@ object SimilarityOps {
     * the thread starts, so a trainer's temporary session-conf flips
     * ([[withoutAqe]]) can never leak into this frame's planning.
     * Returns a handle that blocks until the checkpoint is live. */
-  private def checkpointAsync(df: DataFrame): () => DataFrame = {
+  private[graft] def checkpointAsync(df: DataFrame): () => DataFrame = {
     df.queryExecution.executedPlan // pin the plan under the caller's conf
     @volatile var out: scala.util.Try[DataFrame] = null
     val t = new Thread(() => out = scala.util.Try(df.localCheckpoint()))

@@ -19,6 +19,28 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll
 
   override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 
+  test("checkpointAsync returns the inline checkpoint's exact rows and " +
+      "surfaces execution failures at the handle") {
+    // row equality: the background materialization must hold exactly
+    // what an inline localCheckpoint would (the recall reports join
+    // against it — a silent drift would skew every recall_bp)
+    val df = spark.range(0, 1000).selectExpr("id", "id * 7 as v")
+    val viaAsync = SimilarityOps.checkpointAsync(df)()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val inline = df.localCheckpoint()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(viaAsync.sameElements(inline))
+    // failure path: an exception on the background thread must re-throw
+    // at the handle call, not vanish into the thread
+    val bad = spark.range(0, 10).selectExpr("raise_error('boom') as x")
+    val handle = SimilarityOps.checkpointAsync(bad)
+    val e = intercept[Exception] { handle() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("boom")))
+  }
+
   test("exact dedup groups every injected copy with its source") {
     val dupGroups = DedupOps.exact.fn(spark, dir)
       .filter(col("dup_cnt") > 1).collect()
