@@ -166,12 +166,18 @@ object Bench {
     }
     def pqSearchAtRest(s: SparkSession): org.apache.spark.sql.DataFrame = {
       val units = s.read.parquet(s"$pqDir/units")
-      val cb = s.read.parquet(s"$pqDir/cb")
+      // ONE driver job reads the at-rest codebook; query tables, the ADC
+      // stride (ks) and the dimension guard all derive from the same
+      // array — round-20's shape paid three eager driver jobs here
+      // (collect + requireDim agg + pqKsOf agg) inside the timed region.
+      // Same logical work per run: the model is still read from parquet
+      // on every invocation, nothing is memoized across runs.
+      val cbArr = SimilarityOps.collectCodebook(s.read.parquet(s"$pqDir/cb"))
       SimilarityOps.pqSearch(s.read.parquet(s"$pqDir/codes"), units,
-        SimilarityOps.pqQueryTables(units
+        SimilarityOps.pqQueryTablesArr(units
           .filter(org.apache.spark.sql.functions.col("vec_id") <
-            SimilarityOps.NumQueries), cb),
-        SimilarityOps.pqKsOf(cb))
+            SimilarityOps.NumQueries), cbArr),
+        cbArr(0).length)
     }
     val wantPqBuild = only.forall(_.contains("ann_pq_build"))
     val wantPqSearch = only.forall(_.contains("ann_pq_search"))

@@ -191,9 +191,19 @@ object Vec {
   }
 
   /** Top-`nprobe` cells by (affinity DESC, cell ASC) — the probe-list
-    * kernel. Returns an int array in rank order. */
+    * kernel. Returns an int array in rank order.
+    *
+    * Guarded: a query whose dimension differs from the model's would
+    * rank cells by a truncated-prefix affinity and return plausible
+    * garbage probes — fail loudly instead (the row-level twin of the
+    * eager [[graft.operators.SimilarityOps.requireDim]] batch guard,
+    * moved into the kernel so probe paths need no extra driver job). */
   def ivfTopCells(v: ArrayData, cents: Array[Array[Double]],
       nprobe: Int): ArrayData = {
+    if (v.numElements() != cents(0).length)
+      throw new IllegalArgumentException(
+        s"probe dimension ${v.numElements()} does not match the " +
+          s"centroid model's ${cents(0).length}")
     val k = cents.length
     val affs = new Array[Double](k)
     var c = 0
@@ -280,6 +290,13 @@ object Vec {
     val m = cb.length
     val ks = if (m > 0) cb(0).length else 0
     val vn = v.numElements()
+    // loud dimension guard (same rationale as [[ivfTopCells]]): a
+    // wrong-dimension query would slice tail subspaces empty and build
+    // a garbage ADC table
+    val expected = if (m > 0 && ks > 0) m * cb(0)(0).length else vn
+    if (vn != expected)
+      throw new IllegalArgumentException(
+        s"query dimension $vn does not match the codebook's $expected")
     val out = new Array[Long](m * ks)
     var s = 0
     while (s < m) {

@@ -109,16 +109,59 @@ object SimilarityOps {
     * rows the eager inline form held, only its wall-clock position
     * moves. The physical plan is pinned on the calling thread BEFORE
     * the thread starts, so a trainer's temporary session-conf flips
-    * ([[withoutAqe]]) can never leak into this frame's planning.
-    * Returns a handle that blocks until the checkpoint is live. */
-  private[graft] def checkpointAsync(df: DataFrame): () => DataFrame = {
+    * ([[withoutAqe]]) cannot reach this frame's INITIAL planning — note
+    * the precise scope: under AQE the plan re-optimizes at runtime and
+    * execution-start conf propagation could still observe a flip that
+    * happens mid-execution, which for the two keys [[withoutAqe]]
+    * touches (AQE on/off, shuffle partition count) is a perf-only
+    * effect, never a correctness one. Callers hold the
+    * single-threaded-trainer invariant: one trainer drives the session
+    * conf at a time, with only this helper's background thread running
+    * concurrently.
+    * Returns a handle that blocks until the checkpoint is live; a
+    * failure on the background thread (including fatal ones — OOM,
+    * linkage) re-throws at the handle, never a bare NPE. The background
+    * jobs run under their own job group so a caller's failure path can
+    * [[CkptHandle.cancel]] them instead of orphaning them. */
+  private[graft] def checkpointAsync(df: DataFrame): CkptHandle = {
     df.queryExecution.executedPlan // pin the plan under the caller's conf
-    @volatile var out: scala.util.Try[DataFrame] = null
-    val t = new Thread(() => out = scala.util.Try(df.localCheckpoint()))
+    val sc = df.sparkSession.sparkContext
+    val group = s"graft-ckpt-async-${java.util.UUID.randomUUID()}"
+    @volatile var out: scala.util.Try[DataFrame] =
+      scala.util.Failure(new IllegalStateException(
+        "checkpointAsync thread died before recording a result"))
+    val t = new Thread(() => {
+      // job group is thread-local — tag only the background jobs
+      sc.setJobGroup(group, "checkpointAsync background materialization",
+        interruptOnCancel = true)
+      out =
+        try scala.util.Success(df.localCheckpoint())
+        catch { case e: Throwable => scala.util.Failure(e) }
+    })
     t.setDaemon(true)
     t.start()
-    () => { t.join(); out.get }
+    new CkptHandle(t, sc, group, () => out)
   }
+
+  /** Handle for [[checkpointAsync]]: `apply()` blocks until the
+    * background checkpoint is live (re-throwing its failure, if any);
+    * `cancel()` cancels the background job group — the caller's failure
+    * path between spawn and join, so an aborted trainer never leaves an
+    * orphaned thread scheduling jobs. */
+  private[graft] final class CkptHandle(t: Thread,
+      sc: org.apache.spark.SparkContext, group: String,
+      result: () => scala.util.Try[DataFrame]) extends (() => DataFrame) {
+    def apply(): DataFrame = { t.join(); result().get }
+    def cancel(): Unit = sc.cancelJobGroup(group)
+  }
+
+  /** Run `body` (the approx side's trainer + report construction) with
+    * the background ground truth in flight; if it throws (a trainer
+    * precondition, an OOM), cancel the orphaned background jobs before
+    * propagating — closes the spawn-to-join cancellation gap. */
+  private def withGroundTruth[T](exactF: CkptHandle)(body: => T): T =
+    try body
+    catch { case e: Throwable => exactF.cancel(); throw e }
 
   /** sketch: array of SketchBits/64 longs; bit i is the sign of
     * ⟨unit, hyperplane_i⟩. A codegen'd [[graft.functions.Vec]] kernel —
@@ -621,15 +664,24 @@ object SimilarityOps {
     * before reading any cell data, and prune the rest from the
     * manifest. */
   def ivfProbes(queries: DataFrame, centroids: DataFrame,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    ivfProbesArr(queries, collectCents(centroids), nprobe)
+
+  /** [[ivfProbes]] against an ALREADY-COLLECTED centroid matrix — the
+    * form for callers that need the model array anyway (at-rest
+    * searches), so the model parquet is read by exactly ONE driver job
+    * per query instead of once per consumer (round-21: the eager
+    * per-consumer collects were ~1 scheduled job each inside the timed
+    * search region). Wrong-dimension queries fail loudly inside the
+    * [[graft.functions.Vec.ivf_top_cells]] kernel. */
+  def ivfProbesArr(queries: DataFrame, cents: Array[Array[Double]],
+      nprobe: Int): DataFrame =
     // literal-closure top-cells selection (aff DESC, cell ASC — the
     // row_number tie-break) over the collected model: one projection,
     // no crossJoin, no per-query window exchange
-    val cents = collectCents(centroids)
     queries.select(col("query_id"), col("q_unit"),
       explode(graft.functions.Vec.ivf_top_cells(col("q_unit"), cents,
         nprobe)).as("cell"))
-  }
 
   /** Scan stage of the IVF search: exact top-[[K]] by cosine inside the
     * probed cells only (`probes` from [[ivfProbes]]). */
@@ -792,6 +844,7 @@ object SimilarityOps {
       // back-fill the executors while the sketch index materializes
       val exactF = checkpointAsync(bruteForce.fn(s, dir)
         .select(col("query_id"), col("neighbor_id")))
+      withGroundTruth(exactF) {
       val lsh = sketchSearch(buildSketchIndex(emb(s, dir)).localCheckpoint())
         .select(col("query_id"), col("neighbor_id"))
       val perQuery = exactF()
@@ -810,6 +863,7 @@ object SimilarityOps {
           .agg(sum(col("hits")).as("hits"), sum(col("n")).as("n"))
           .select(lit("all").as("query"),
             expr("hits * 10000 div n").as("recall_bp")))
+      }
     },
     Some(
       // brute ranks with the same fixed-order unit-dot fold as the
@@ -1091,8 +1145,13 @@ object SimilarityOps {
     * min(struct(d2, code)) tie-break as [[pqEncode]]'s join + two
     * groupBy exchanges). */
   def pqEncodeUnits(unitsDf: DataFrame, codebook: DataFrame): DataFrame =
+    pqEncodeUnitsArr(unitsDf, collectCodebook(codebook))
+
+  /** [[pqEncodeUnits]] against an ALREADY-COLLECTED codebook. */
+  def pqEncodeUnitsArr(unitsDf: DataFrame,
+      cb: Array[Array[Array[Double]]]): DataFrame =
     unitsDf.select(col("vec_id"), graft.functions.Vec
-      .pq_codes(col("unit"), collectCodebook(codebook)).as("codes"))
+      .pq_codes(col("unit"), cb).as("codes"))
 
   /** Per-query quantized ADC tables: (query_id, tblq) with tblq =
     * flattened M·ks BIGINT array, entry s·ks+c = floor(Q·‖q_sub −
@@ -1123,15 +1182,24 @@ object SimilarityOps {
     * query vectors with the codebook's own subspace geometry —
     * O(queries) work, no corpus access. */
   def pqQueryTables(queryUnits: DataFrame, codebook: DataFrame,
-      m: Int = PqSubs): DataFrame = {
+      m: Int = PqSubs): DataFrame =
+    pqQueryTablesArr(queryUnits, collectCodebook(codebook), m)
+
+  /** [[pqQueryTables]] against an ALREADY-COLLECTED codebook — the form
+    * for callers that hold the model array (at-rest searches collect the
+    * codebook parquet exactly once per query and derive tables, ks and
+    * the dimension guard from it; round-20's shape paid one driver job
+    * per consumer: collect + an eager requireDim agg + a pqKsOf agg, all
+    * inside the timed region). The dimension guard now lives in the
+    * [[graft.functions.Vec.pq_table]] kernel — per-row, loud, no extra
+    * job. */
+  def pqQueryTablesArr(queryUnits: DataFrame,
+      cb: Array[Array[Array[Double]]], m: Int = PqSubs): DataFrame = {
     // literal-closure table build ([[graft.functions.Vec.pq_table]] —
     // the same floor(d2·Q + ½) entries in the same (sub, code) order as
     // the join + collect_list form): one projection over the queries
-    val cb = collectCodebook(codebook)
     require(cb.length == m,
       s"codebook has ${cb.length} subspaces, caller expects $m")
-    val dsub = cb(0)(0).length
-    requireDim(queryUnits, "unit", m * dsub, "codebook")
     queryUnits.select(col("vec_id").as("query_id"), graft.functions.Vec
       .pq_table(col("unit"), cb, PqQuant).as("tblq"))
   }
@@ -1239,12 +1307,17 @@ object SimilarityOps {
     * like the sketch/ivf probes. */
   def pqProbe(index: DataFrame, codebook: DataFrame,
       queryEmb: DataFrame): DataFrame = {
+    // collect the model table ONCE: tables, ks (= codes per subspace)
+    // and the dimension guard all derive from the same array — the
+    // separate pqKsOf agg and eager requireDim jobs this path paid per
+    // search are gone (round-21, guide §1.2 driver overhead)
+    val cb = collectCodebook(codebook)
     val qUnits = unit(queryEmb).select(col("vec_id"), col("unit"))
     pqSearchWith(index.select(col("vec_id"), col("codes")),
       index.select(col("vec_id"), col("unit")),
-      pqQueryTables(qUnits, codebook),
+      pqQueryTablesArr(qUnits, cb),
       qUnits.select(col("vec_id").as("query_id"),
-        col("unit").as("q_unit")), pqKsOf(codebook))
+        col("unit").as("q_unit")), cb(0).length)
   }
 
   // ---- PQ oracle SQL (the IVF unroll pattern, per-subspace) ----
@@ -1447,9 +1520,12 @@ object SimilarityOps {
       val units = unit(emb(s, dir))
         .select(col("vec_id"), col("unit")).localCheckpoint()
       val (_, codebook) = buildPqCodebooks(units)
+      // one collect feeds encode, tables and the ADC stride (the
+      // codebook is a LocalTableScan — collecting is driver-local, but
+      // re-collecting per consumer re-analyzed the frame three times)
       val cb = collectCodebook(codebook)
-      pqSearch(pqEncodeUnits(units, codebook), units,
-        pqQueryTables(units.filter(col("vec_id") < NumQueries), codebook),
+      pqSearch(pqEncodeUnitsArr(units, cb), units,
+        pqQueryTablesArr(units.filter(col("vec_id") < NumQueries), cb),
         cb(0).length)
     },
     Some(pqOracleSql))
@@ -1571,15 +1647,17 @@ object SimilarityOps {
       // rounds hold the driver
       val exactF = checkpointAsync(bruteForce.fn(s, dir)
         .select(col("query_id"), col("neighbor_id")))
-      val units = unit(emb(s, dir))
-        .select(col("vec_id"), col("unit")).localCheckpoint()
-      val (_, codebook) = buildPqCodebooks(units)
-      val cb = collectCodebook(codebook)
-      val pq = pqSearch(pqEncodeUnits(units, codebook), units,
-        pqQueryTables(units.filter(col("vec_id") < NumQueries), codebook),
-        cb(0).length)
-        .select(col("query_id"), col("neighbor_id"))
-      recallFrame(exactF(), pq)
+      withGroundTruth(exactF) {
+        val units = unit(emb(s, dir))
+          .select(col("vec_id"), col("unit")).localCheckpoint()
+        val (_, codebook) = buildPqCodebooks(units)
+        val cb = collectCodebook(codebook)
+        val pq = pqSearch(pqEncodeUnitsArr(units, cb), units,
+          pqQueryTablesArr(units.filter(col("vec_id") < NumQueries), cb),
+          cb(0).length)
+          .select(col("query_id"), col("neighbor_id"))
+        recallFrame(exactF(), pq)
+      }
     },
     Some(
       s"""WITH $unitCteSql,
@@ -1614,15 +1692,15 @@ object SimilarityOps {
       .localCheckpoint()
     val (_, cb) = buildPqCodebooks(
       residuals.select(col("vec_id"), col("unit")))
+    val cbArr = collectCodebook(cb)
     // codes in one projection over the checkpointed residuals — the
     // encode + two joins the exploded form paid are gone
     val codes = residuals.select(col("vec_id"), col("cell"),
-      graft.functions.Vec.pq_codes(col("unit"), collectCodebook(cb))
-        .as("codes"))
+      graft.functions.Vec.pq_codes(col("unit"), cbArr).as("codes"))
     val queries = units.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("unit").as("q_unit"))
-    ivfPqSearchWithProbes(codes, units, cents, cb,
-      ivfProbes(queries, cents, nprobe), queries)
+    ivfPqSearchWithProbesArr(codes, units, centsArr, cbArr,
+      ivfProbesArr(queries, centsArr, nprobe), queries)
   }
 
   /** Encode a batch against FIXED at-rest IVF-PQ models (centroids +
@@ -1654,15 +1732,25 @@ object SimilarityOps {
     * for the rescore fetch. */
   def ivfPqSearchWithProbes(codes: DataFrame, units: DataFrame,
       cents: DataFrame, cb: DataFrame, probes: DataFrame,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame): DataFrame =
+    ivfPqSearchWithProbesArr(codes, units, collectCents(cents),
+      collectCodebook(cb), probes, queries)
+
+  /** [[ivfPqSearchWithProbes]] against ALREADY-COLLECTED model arrays —
+    * at-rest searches collect each model table exactly once per query
+    * (round-20's shape re-collected the centroids here after the probe
+    * list had already collected them, plus an eager requireDim agg —
+    * two extra driver jobs inside the timed region; the dimension guard
+    * now fires per-row inside [[graft.functions.Vec.ivf_top_cells]] /
+    * [[graft.functions.Vec.pq_table]]). */
+  def ivfPqSearchWithProbesArr(codes: DataFrame, units: DataFrame,
+      centsArr: Array[Array[Double]], cbArr: Array[Array[Array[Double]]],
+      probes: DataFrame, queries: DataFrame): DataFrame = {
     // per-(query, cell) tables over the QUERY residual for that cell —
     // one literal-closure projection over the (queries × nprobe)-sized
     // probe list: residual, slices, floor(d2·Q + ½) entries all inside
     // [[graft.functions.Vec.pq_table]], no model joins, no per-query
     // collect_list exchange
-    val cbArr = collectCodebook(cb)
-    val centsArr = collectCents(cents)
-    requireDim(queries, "q_unit", centsArr(0).length, "coarse model")
     val tables = probes.select(col("query_id"), col("cell"),
       graft.functions.Vec.pq_table(
         graft.functions.Vec.ivf_residual(col("q_unit"), col("cell"),

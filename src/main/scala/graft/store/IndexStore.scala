@@ -1527,15 +1527,19 @@ object IndexStore {
     case "ivf" =>
       // the probe list needs only the tiny centroid table; the cell
       // reads that follow are pruned to the probed cells — at rest, an
-      // nprobe/k search really does LIST nprobe/k of the data
-      val ivfCents = read(store, spark, "ivf-centroids")
-      requireProbeDim(probe, ivfCents
-        .select(size(col("centroid"))).head().getInt(0), "ivf centroids")
+      // nprobe/k search really does LIST nprobe/k of the data.
+      // One driver job collects the model; the probe-dimension guard
+      // fires per-row inside the ivf_top_cells kernel (during the cell
+      // set collect below — still loud, still before any index read);
+      // the probe list is a trivial projection over the probe batch, so
+      // its second consumer recomputes it instead of paying a
+      // checkpoint job (round-21, driver-job fusion).
+      val centsArr = SimilarityOps.collectCents(
+        read(store, spark, "ivf-centroids"))
       val queries = SimilarityOps.unitVectors(probe)
         .select(col("vec_id").as("query_id"), col("unit").as("q_unit"))
-      val probes = SimilarityOps.ivfProbes(queries,
-        ivfCents, SimilarityOps.IvfProbes)
-        .localCheckpoint() // probed twice: cell set + search join
+      val probes = SimilarityOps.ivfProbesArr(queries,
+        centsArr, SimilarityOps.IvfProbes)
       val cellSet = probes.select(col("cell")).distinct()
         .collect().map(_.getInt(0).toLong).toSet
       SimilarityOps.ivfSearchWithProbes(
@@ -1550,19 +1554,27 @@ object IndexStore {
       // two-phase like ivf: the probe list needs only the tiny model
       // tables; the codes read that follows is manifest-pruned to the
       // probed cells, and the scan reads (vec_id, cell, codes) — unit
-      // bytes stay on disk until the survivor rescore
+      // bytes stay on disk until the survivor rescore.
+      // Each model table is collected by exactly ONE driver job and the
+      // arrays feed every consumer (probe list, query tables, ADC
+      // stride, dimension guards) — round-20's shape paid a second
+      // centroid collect, an eager requireDim agg and a probe-list
+      // checkpoint job, all inside the timed region (round-21 fusion).
       val queries = SimilarityOps.unitVectors(probe)
         .select(col("vec_id").as("query_id"), col("unit").as("q_unit"))
-      val cents = read(store, spark, "ivfpq-centroids")
-      val probes = SimilarityOps.ivfProbes(queries, cents,
-        SimilarityOps.IvfProbes).localCheckpoint()
+      val centsArr = SimilarityOps.collectCents(
+        read(store, spark, "ivfpq-centroids"))
+      val cbArr = SimilarityOps.collectCodebook(
+        read(store, spark, "ivfpq-codebook"))
+      val probes = SimilarityOps.ivfProbesArr(queries, centsArr,
+        SimilarityOps.IvfProbes)
       val cellSet = probes.select(col("cell")).distinct()
         .collect().map(_.getInt(0).toLong).toSet
       val idx = flt(read(store, spark, "ivfpq", cellSet.contains))
-      SimilarityOps.ivfPqSearchWithProbes(
+      SimilarityOps.ivfPqSearchWithProbesArr(
         idx.select(col("vec_id"), col("cell"), col("codes")),
         idx.select(col("vec_id"), col("unit")),
-        cents, read(store, spark, "ivfpq-codebook"), probes, queries)
+        centsArr, cbArr, probes, queries)
     case "vec" =>
       // near-identical detection: in-bucket pairwise cosine >= threshold
       // against the probe's own sign buckets PLUS their margin-gated

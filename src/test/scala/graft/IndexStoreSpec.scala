@@ -1683,11 +1683,20 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll
         base.toDF("vec_id", "embedding"))
       val shortProbe = Seq((9000L, Seq.fill(8)(
         rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
-      val e = intercept[IllegalArgumentException] {
+      // the guard is eager (requireDim batch agg) for the non-model
+      // kinds and per-row inside the probe kernels (ivf_top_cells /
+      // pq_table) for ivf/pq/ivfpq since round 21 — the latter surfaces
+      // wrapped in Spark's job-failure exception, so walk the cause
+      // chain for the guard's message
+      val e = intercept[Exception] {
         IndexStore.search(new GraftStore(root), spark, kind, shortProbe)
           .collect()
       }
-      assert(e.getMessage.contains("does not match"), s"$kind: $e")
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("does not match"))),
+        s"$kind: $e")
     }
   }
 
